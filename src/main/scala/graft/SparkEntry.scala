@@ -1,13 +1,165 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.CoreQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator catalog (one entry per SURVEY §2 cluster);
+  * `oracleSql` holds the DuckDB-equivalent SQL for the driver's
+  * correctness gate. Column names/aliases match pairwise by design.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CoreQueries.q05StarEnrichment(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (CoreQueries.q01PricingSummary(_, _)),
+    "q02_null_audit"      -> (CoreQueries.q02NullAudit(_, _)),
+    "q03_distinct_union"  -> (CoreQueries.q03DistinctUnion(_, _)),
+    "q04_antijoin_new_keys" -> (CoreQueries.q04AntijoinNewKeys(_, _)),
+    "q05_star_enrichment" -> (CoreQueries.q05StarEnrichment(_, _)),
+    "q06_datetime_dim"    -> (CoreQueries.q06DatetimeDim(_, _)),
+    "q07_fact_prep"       -> (CoreQueries.q07FactPrep(_, _)),
+    "q08_union_dedup"     -> (CoreQueries.q08UnionDedup(_, _)),
+    "q09_top_orders"      -> (CoreQueries.q09TopOrders(_, _)),
+    "q10_window_topn"     -> (CoreQueries.q10WindowTopn(_, _)),
+    "q11_events_hourly"   -> (CoreQueries.q11EventsHourly(_, _)),
+    "q12_string_funcs"    -> (CoreQueries.q12StringFuncs(_, _)),
+    "q13_json_extract"    -> (CoreQueries.q13JsonExtract(_, _)),
+    "q14_latest_event"    -> (CoreQueries.q14LatestEvent(_, _)),
+    "q15_date_parse"      -> (CoreQueries.q15DateParse(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_null_audit" ->
+      """SELECT
+        | CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_orderkey,
+        | CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_partkey,
+        | CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_suppkey,
+        | CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_linenumber,
+        | CAST(sum(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity,
+        | CAST(sum(CASE WHEN l_extendedprice IS NULL OR isnan(l_extendedprice) THEN 1 ELSE 0 END) AS BIGINT) AS l_extendedprice,
+        | CAST(sum(CASE WHEN l_discount IS NULL OR isnan(l_discount) THEN 1 ELSE 0 END) AS BIGINT) AS l_discount,
+        | CAST(sum(CASE WHEN l_tax IS NULL OR isnan(l_tax) THEN 1 ELSE 0 END) AS BIGINT) AS l_tax,
+        | CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_returnflag,
+        | CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_linestatus,
+        | CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_shipdate
+        |FROM lineitem""".stripMargin,
+
+    "q03_distinct_union" ->
+      """SELECT DISTINCT l_partkey AS item_key FROM lineitem
+        |UNION
+        |SELECT l_suppkey FROM lineitem""".stripMargin,
+
+    "q04_antijoin_new_keys" ->
+      """SELECT DISTINCT CAST(o_custkey AS BIGINT) AS new_key
+        |FROM orders
+        |WHERE o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 1000.0)""".stripMargin,
+
+    "q05_star_enrichment" ->
+      """SELECT r_name, n_name,
+        | count(*) AS n_items,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q06_datetime_dim" ->
+      """SELECT datetime_id,
+        | CAST(year(datetime_id) AS INT) AS year,
+        | CAST(dayofweek(datetime_id) + 1 AS INT) AS week_day,
+        | CAST(month(datetime_id) AS INT) AS month,
+        | CAST(day(datetime_id) AS INT) AS day,
+        | CAST(hour(datetime_id) AS INT) AS hour,
+        | CAST(minute(datetime_id) AS INT) AS minute,
+        | CAST(second(datetime_id) AS INT) AS second
+        |FROM (SELECT o_orderdate AS datetime_id FROM orders
+        |      UNION
+        |      SELECT l_shipdate FROM lineitem)
+        |WHERE datetime_id IS NOT NULL""".stripMargin,
+
+    "q07_fact_prep" ->
+      """SELECT o_orderkey AS rental_id,
+        | CAST(o_custkey AS BIGINT) AS customer_id,
+        | o_orderdate AS start_ts,
+        | CAST(o_orderdate AS DATE) AS weather_date,
+        | CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END AS is_large,
+        | CAST(0.0 AS DOUBLE) AS placeholder_coord
+        |FROM orders
+        |WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL""".stripMargin,
+
+    "q08_union_dedup" ->
+      """SELECT entity_id, name, src FROM (
+        | SELECT c_custkey AS entity_id, c_name AS name, 'customer' AS src FROM customer
+        | UNION ALL
+        | SELECT s_suppkey, s_name, 'supplier' FROM supplier)
+        |QUALIFY row_number() OVER (PARTITION BY entity_id ORDER BY src, name) = 1""".stripMargin,
+
+    "q09_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q10_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |FROM orders
+        |QUALIFY rn <= 3""".stripMargin,
+
+    "q11_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        | count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q12_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_brand) AS brand_u,
+        | CAST(length(p_name) AS INT) AS name_len,
+        | split_part(p_type, ' ', 1) AS type_head,
+        | string_split(p_name, ' ')[-1] AS name_tail,
+        | regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+        | concat_ws('-', p_brand, p_type) AS brand_type
+        |FROM part""".stripMargin,
+
+    "q13_json_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin,
+
+    "q14_latest_event" ->
+      """SELECT user_id,
+        | max(ts) AS last_ts,
+        | max_by(event_type, ts) AS last_event_type,
+        | count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q15_date_parse" ->
+      """SELECT o_orderkey,
+        | strptime(strftime(o_orderdate, '%d/%m/%Y %H:%M'), '%d/%m/%Y %H:%M') AS parsed_ts,
+        | CAST(strptime(strftime(o_orderdate, '%d%b%Y'), '%d%b%Y') AS DATE) AS parsed_date
+        |FROM orders""".stripMargin,
+  )
 }
