@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +32,20 @@ object SparkEntry {
     "q13_json_extract"    -> (CoreQueries.q13JsonExtract(_, _)),
     "q14_latest_event"    -> (CoreQueries.q14LatestEvent(_, _)),
     "q15_date_parse"      -> (CoreQueries.q15DateParse(_, _)),
+    // Extension tier: LLM-data-pipeline operators (dedup, similarity
+    // search, text analysis, multimodal) — BASELINE.json north star.
+    "q16_token_count"       -> (ExtQueries.q16TokenCount(_, _)),
+    "q17_quality_score"     -> (ExtQueries.q17QualityScore(_, _)),
+    "q18_lang_id"           -> (ExtQueries.q18LangId(_, _)),
+    "q19_fingerprint"       -> (ExtQueries.q19Fingerprint(_, _)),
+    "q20_exact_dedup"       -> (ExtQueries.q20ExactDedup(_, _)),
+    "q21_ngram_jaccard"     -> (ExtQueries.q21NgramJaccard(_, _)),
+    "q22_minhash_lsh"       -> (ExtQueries.q22MinhashLsh(_, _)),
+    "q23_simhash"           -> (ExtQueries.q23Simhash(_, _)),
+    "q24_embedding_neardup" -> (ExtQueries.q24EmbeddingNearDup(_, _)),
+    "q25_knn_brute_force"   -> (ExtQueries.q25KnnBruteForce(_, _)),
+    "q26_knn_lsh"           -> (ExtQueries.q26KnnLsh(_, _)),
+    "q27_multimodal_stats"  -> (ExtQueries.q27MultimodalStats(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -161,5 +175,5 @@ object SparkEntry {
         | strptime(strftime(o_orderdate, '%d/%m/%Y %H:%M'), '%d/%m/%Y %H:%M') AS parsed_ts,
         | CAST(strptime(strftime(o_orderdate, '%d%b%Y'), '%d%b%Y') AS DATE) AS parsed_date
         |FROM orders""".stripMargin,
-  )
+  ) ++ ExtQueries.oracleSql
 }

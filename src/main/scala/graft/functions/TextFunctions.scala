@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline tier (BASELINE.json north
+  * star: dedup / text analysis at 100 TB scale).
+  *
+  * Everything here is built from Catalyst higher-order functions
+  * (`transform`/`filter`/`aggregate`) and built-ins — no UDFs — so the
+  * whole pipeline stays inside whole-stage codegen and is portable to any
+  * Spark cluster unchanged.
+  *
+  * Hashing convention: all content hashes derive from `md5` (hex string).
+  * md5 is deterministic across JVMs, partitions, and engines (the DuckDB
+  * oracle reproduces it bit-for-bit), unlike `hash`/`xxhash64` whose seeds
+  * are engine-specific. Lexicographic min over fixed-width hex = numeric
+  * min over the underlying value, so MinHash can stay in string space.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty strings removed (leading/trailing blanks). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** Distinct character k-gram shingles. Documents shorter than k yield
+    * the whole text as a single shingle (guards `sequence`'s descending
+    * step when length-k+1 < 1). */
+  def charShingles(text: Column, k: Int): Column = {
+    val n = length(text) - lit(k - 1)
+    when(n >= 1,
+      array_distinct(transform(sequence(lit(1), n), i => text.substr(i, lit(k)))))
+      .otherwise(array(text))
+  }
+
+  /** Distinct word n-gram shingles from a token array. */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val cnt = size(toks) - lit(n - 1)
+    when(cnt >= 1,
+      array_distinct(transform(sequence(lit(0), cnt - 1),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** One MinHash value: min over shingles of a salted md5. 16 hex chars
+    * (64 bits) keeps collision probability negligible. */
+  private def minHash(shingles: Column, salt: Int): Column =
+    array_min(transform(shingles,
+      s => substring(md5(concat(lit(s"$salt:"), s)), 1, 16)))
+
+  /** MinHash signature: `numHashes` independent salted minima.
+    *
+    * Cost is O(numHashes x |shingles|) md5 calls per document — the
+    * classic MinHash tradeoff; at 100 TB this is embarrassingly parallel
+    * (per-row, no shuffle) and bounded by CPU, not memory. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(h => minHash(shingles, h)): _*)
+
+  /** LSH band keys: signature split into `bands` bands of
+    * `numHashes/bands` rows; each band hashed to one bucket key. Two docs
+    * collide on a band iff that band of the signature agrees exactly. */
+  def lshBandKeys(signature: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, s"bands ($bands) must divide numHashes ($numHashes)")
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat(b.cast("string"), lit("|"),
+        md5(array_join(slice(signature, b * lit(rows) + lit(1), lit(rows)), ","))))
+  }
+
+  /** Band keys computed straight from the shingle set, statically
+    * unrolled so each of the `numHashes` min-hashes is evaluated exactly
+    * once per row.
+    *
+    * [[lshBandKeys]]([[minhashSignature]]) is the readable composition,
+    * but Spark performs no common-subexpression elimination inside
+    * higher-order-function lambdas: the signature subtree embedded in the
+    * per-band lambda is re-evaluated once PER BAND — a `bands`-fold
+    * recompute of every md5 (measured 16x = ~340 s vs ~20 s at sf0.1).
+    * Unrolling bands/rows driver-side keeps the per-row cost at
+    * numHashes x |shingles| md5 calls, the MinHash lower bound. */
+  def minhashBandKeys(shingles: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, s"bands ($bands) must divide numHashes ($numHashes)")
+    array((0 until bands).map { b =>
+      concat(lit(s"$b|"),
+        md5(concat_ws(",", (0 until rows).map(r => minHash(shingles, b * rows + r)): _*)))
+    }: _*)
+  }
+
+  /** 32-bit md5-derived token hash (as a long) — the per-token hash that
+    * feeds SimHash bit votes. `conv` parses the leading 8 hex chars. */
+  def tokenHash32(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** Bit b of a nonnegative long, with b itself a column: floor(h/2^b)%2.
+    * Division by a power of two is exact in doubles (h < 2^53), so the
+    * truncating cast equals a right shift — needed because Spark's
+    * `shiftright(col, bits: Int)` can't take a lambda-bound bit index. */
+  private def bitAt(h: Column, b: Column): Column =
+    (h.cast("double") / pow(lit(2.0), b)).cast("long") % 2
+
+  /** Per-token 32-bit hash array — materialize this as its own column
+    * (ideally behind a cache/exchange) before feeding [[simhash32]]:
+    * the md5s are the expensive part and must be computed once per row,
+    * not once per sketch bit. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => tokenHash32(t))
+
+  /** 32-bit SimHash from a precomputed token-hash array: bit b of the
+    * result is set iff the sum of per-token votes (+1 if bit b of the
+    * token hash is set, else -1) is positive. Duplicate tokens vote
+    * multiple times (frequency weighting), the standard Charikar
+    * construction.
+    *
+    * Takes hashes, not tokens: Spark re-evaluates the lambda-embedded
+    * subtree once per outer aggregate step (no CSE inside higher-order
+    * functions), so inlining `tokenHashes` here would recompute every
+    * token md5 32 times. */
+  def simhash32(hashes: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, b) => {
+        val vote = aggregate(hashes, lit(0L),
+          (a, h) => a + bitAt(h, b) * 2 - 1)
+        acc + when(vote > 0, pow(lit(2.0), b).cast("long")).otherwise(lit(0L))
+      })
+
+  /** Byte `b` (0-3, column-valued) of a nonnegative 32-bit value. */
+  def byteAt(h: Column, b: Column): Column =
+    (h.cast("double") / pow(lit(2.0), b * 8)).cast("long") % 256
+
+  /** Hamming distance between two 32-bit SimHashes. */
+  def hamming32(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Rolling/content fingerprint of a document: full-text md5 plus the
+    * minimum shingle hash (a 1-hash MinHash — stable under small edits
+    * with probability 1 - 1/|shingles|). */
+  def contentFingerprint(text: Column, k: Int): Column =
+    struct(
+      md5(text).as("md5"),
+      minHash(charShingles(text, k), 0).as("min_shingle_hash"))
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Multimodal, TextAnalysis, TextDedup, VectorSim}
+
+/** Extension-tier query catalog: the LLM-data-pipeline operators
+  * (BASELINE.json north star) over the `documents` and `embeddings`
+  * tables — dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding cosine), similarity search (brute-force + LSH ANN), text
+  * analysis (token counts, quality, language-ID, fingerprints), and
+  * multimodal binary-column plumbing.
+  */
+object ExtQueries {
+
+  def q16TokenCount(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+
+  def q17QualityScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+
+  def q18LangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")
+
+  def q19Fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+
+  def q20ExactDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exact(Tables.documents(s, dir), "doc_id", "text")
+
+  def q21NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.05)
+
+  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.05, numHashes = 32, bands = 16)
+
+  def q23Simhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 3)
+
+  def q24EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    VectorSim.clusterNearDup(Tables.embeddings(s, dir), threshold = 0.35)
+
+  def q25KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorSim.knnBruteForce(emb.where(col("vec_id") < 5), emb, k = 5)
+  }
+
+  def q26KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorSim.knnLsh(emb.where(col("vec_id") < 5), emb, k = 5, dim = 64, bits = 4)
+  }
+
+  def q27MultimodalStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.modalityStats(
+      Multimodal.decodeFeatures(
+        Multimodal.assetsFromDocuments(Tables.documents(s, dir))))
+
+  /** DuckDB token expression mirroring [[graft.functions.TextFunctions.tokens]]. */
+  private val duckToks =
+    raw"""list_filter(string_split_regex(text, '\s+'), t -> t != '')"""
+
+  /** DuckDB word-3-gram shingle CTE (mirrors `wordShingles(tokens, 3)`). */
+  private val duckShingles3 =
+    s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(t) - 2 >= 1
+       |    THEN list_distinct([array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t)-2)])
+       |    ELSE [array_to_string(t, ' ')] END AS sh
+       |  FROM tk)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_token_count" ->
+      s"""SELECT doc_id,
+         | CAST(len($duckToks) AS INT) AS n_ws_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+         | CAST(len(list_distinct($duckToks)) AS INT) AS n_distinct_tokens
+         |FROM documents""".stripMargin,
+
+    "q17_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks, CAST(len(text) AS DOUBLE) AS nc FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS nt,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','el','la','de','que','y','der','die','und','das','ist','le','les','et','des','un'], x))) AS DOUBLE) AS nstop,
+         |  nc FROM t)
+         |SELECT doc_id,
+         | CAST(nt AS INT) AS n_tokens,
+         | round(nd / nt, 6) AS type_token_ratio,
+         | round((nc - (nt - 1)) / nt, 6) AS mean_token_len,
+         | round(nstop / nt, 6) AS stopword_ratio,
+         | round(
+         |   (CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.25 ELSE 0.0 END) +
+         |   (CASE WHEN nd / nt >= 0.3 THEN 0.25 ELSE 0.0 END) +
+         |   (CASE WHEN (nc - (nt - 1)) / nt >= 3.0 AND (nc - (nt - 1)) / nt <= 10.0 THEN 0.25 ELSE 0.0 END) +
+         |   (CASE WHEN nstop / nt > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+         |FROM m""".stripMargin,
+
+    "q18_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS hits_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS INT) AS hits_es,
+         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) AS hits_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(['le','les','et','des','un'], x))) AS INT) AS hits_fr
+         |  FROM t)
+         |SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+         | CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+         |      WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+         |      WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+         |      WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+         |      ELSE 'fr' END AS detected_lang
+         |FROM h""".stripMargin,
+
+    "q19_fingerprint" ->
+      """SELECT doc_id,
+        | md5(text) AS md5_hash,
+        | list_min([substr(md5('0:' || s), 1, 16) for s in
+        |   (CASE WHEN len(text) >= 5
+        |     THEN list_distinct([substr(text, i, 5) for i in range(1, len(text) - 3)])
+        |     ELSE [text] END)]) AS min_shingle_hash
+        |FROM documents""".stripMargin,
+
+    "q20_exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS content_hash,
+        | min(doc_id) AS canonical_id,
+        | count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q21_ngram_jaccard" ->
+      s"""$duckShingles3
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.05""".stripMargin,
+
+    // Full algorithmic mirror of the Spark MinHash+LSH pipeline: same
+    // salted-md5 signatures, same 16x2 banding, same exact-Jaccard verify
+    // — so the compare checks the algorithm, not just the survivors.
+    "q22_minhash_lsh" ->
+      s"""$duckShingles3,
+         |sig AS (SELECT doc_id, sh,
+         |  [list_min([substr(md5(h || ':' || s), 1, 16) for s in sh]) for h in range(0, 32)] AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id,
+         |  unnest([b::VARCHAR || '|' || md5(array_to_string(sig[b*2+1:b*2+2], ',')) for b in range(0, 16)]) AS bucket
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+         |FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
+         |WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.05""".stripMargin,
+
+    // Brute-force oracle is exhaustive; the Spark side's byte-band
+    // candidate generation is provably exhaustive for hamming <= 3, so
+    // the two sets must match exactly.
+    "q23_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |hs AS (SELECT doc_id,
+         |  [('0x' || substr(md5(tok), 1, 8))::BIGINT for tok in toks] AS hashes
+         |  FROM t),
+         |sk AS (SELECT doc_id,
+         |  list_sum([CASE WHEN list_sum([CAST(((h >> b) & 1) * 2 - 1 AS BIGINT) for h in hashes]) > 0
+         |            THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)]) AS simhash
+         |  FROM hs)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "q24_embedding_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin,
+
+    "q25_knn_brute_force" ->
+      """SELECT * FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY q.vec_id
+        |    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+        |             c.vec_id) AS INT) AS rank
+        | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        | WHERE q.vec_id < 5)
+        |WHERE rank <= 5""".stripMargin,
+
+    // q26_knn_lsh intentionally has no oracle: the hyperplane directions
+    // come from a JVM PRNG and cannot be reproduced in SQL. Its recall
+    // vs. q25 is asserted in VectorSimSpec instead.
+
+    "q27_multimodal_stats" ->
+      """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | count(*) AS n_assets,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        | round(avg(('0x' || substr(md5(text), 1, 8))::BIGINT % 1920), 4) AS avg_width,
+        | round(avg(('0x' || substr(md5(text), 9, 8))::BIGINT % 1080), 4) AS avg_height
+        |FROM documents GROUP BY 1""".stripMargin,
+  )
+}
