@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.operators.{TextAnalysis, TextDedup}
+
+/** Specs for the text-analysis and dedup operators (extension tier). */
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("tokens splits on whitespace and drops empties") {
+    val out = docs((1L, "  a  b\tc ")).select(tokens($"text")).as[Seq[String]].head()
+    assert(out == Seq("a", "b", "c"))
+  }
+
+  test("charShingles: distinct k-grams; short text falls back to whole text") {
+    val out = docs((1L, "abab")).select(charShingles($"text", 2)).as[Seq[String]].head()
+    assert(out == Seq("ab", "ba"))
+    val short = docs((1L, "ab")).select(charShingles($"text", 5)).as[Seq[String]].head()
+    assert(short == Seq("ab"))
+  }
+
+  test("wordShingles: distinct n-grams in order; short docs fall back") {
+    val out = docs((1L, "a b c d"))
+      .select(wordShingles(tokens($"text"), 3)).as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d"))
+    val short = docs((1L, "a b"))
+      .select(wordShingles(tokens($"text"), 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("minhashBandKeys equals the composed lshBandKeys(minhashSignature)") {
+    val df = docs((1L, "the quick brown fox jumps over the lazy dog"))
+      .select(wordShingles(tokens($"text"), 2).as("sh"))
+    val fused = df.select(minhashBandKeys($"sh", 8, 4)).as[Seq[String]].head()
+    val composed = df.select(lshBandKeys(minhashSignature($"sh", 8), 8, 4))
+      .as[Seq[String]].head()
+    assert(fused == composed,
+      "fused band keys must be byte-identical to the composed form")
+  }
+
+  test("identical texts share signatures; signatures are deterministic") {
+    val df = docs((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .select($"doc_id", minhashSignature(wordShingles(tokens($"text"), 2), 16).as("sig"))
+    val sigs = df.orderBy("doc_id").as[(Long, Seq[String])].collect()
+    assert(sigs(0)._2 == sigs(1)._2)
+    assert(sigs(0)._2 != sigs(2)._2)
+    assert(sigs(0)._2.length == 16)
+  }
+
+  test("simhash: identical tokens -> identical sketch, hamming 0") {
+    val df = docs((1L, "spark scala engine"), (2L, "spark scala engine"))
+      .select(simhash32(tokenHashes(tokens($"text"))).as("s")).as[Long].collect()
+    assert(df(0) == df(1))
+    assert(df(0) >= 0L && df(0) < (1L << 32))
+  }
+
+  test("exact dedup groups normalized duplicates under min id") {
+    val out = TextDedup.exact(
+      docs((5L, "Hello World"), (2L, "  hello world "), (7L, "other")),
+      "doc_id", "text")
+    val groups = out.orderBy("canonical_id")
+      .select("canonical_id", "n_dups").as[(Long, Long)].collect()
+    assert(groups.toSeq == Seq((2L, 2L), (7L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds planted near-dups, not unrelated docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"w$i").mkString(" ") + " CHANGED"
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val pairs = TextDedup.ngramJaccardPairs(
+      docs((1L, base), (2L, nearDup), (3L, other)),
+      "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhashLshPairs recovers exact duplicates with jaccard 1.0") {
+    val txt = (1 to 40).map(i => s"t$i").mkString(" ")
+    val other = (1 to 40).map(i => s"u$i").mkString(" ")
+    val out = TextDedup.minhashLshPairs(
+      docs((1L, txt), (2L, txt), (3L, other)),
+      "doc_id", "text", n = 3, threshold = 0.9)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("LSH candidate pairs verified-subset of exact ngram pairs") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, base),
+      (2L, base.replace("w25", "XX")),
+      (3L, base.replace("w10", "YY").replace("w40", "ZZ")),
+      (4L, (200 to 250).map(i => s"q$i").mkString(" ")))
+    val exact = TextDedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val lsh = TextDedup.minhashLshPairs(d, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH survivors must be true near-dups")
+    assert(lsh.nonEmpty, "32x16 banding should catch 0.8+ similarity pairs")
+  }
+
+  test("simhashPairs: identical docs at hamming 0; byte-banding finds them") {
+    val txt = (1 to 30).map(i => s"s$i").mkString(" ")
+    val out = TextDedup.simhashPairs(
+      docs((1L, txt), (2L, txt), (3L, "completely different words here entirely")),
+      "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("quality score components and band membership") {
+    val good = (1 to 30).map(i => s"word$i").mkString(" ") + " the and of"
+    val row = TextAnalysis.qualityScore(docs((1L, good)), "doc_id", "text").head()
+    assert(row.getAs[Int]("n_tokens") == 33)
+    assert(row.getAs[Double]("quality_score") == 1.0)
+    val bad = TextAnalysis.qualityScore(docs((2L, "x z x z x z")), "doc_id", "text").head()
+    assert(bad.getAs[Double]("quality_score") < 0.5)
+  }
+
+  test("language id picks the max-hit language, und on no evidence") {
+    val d = docs(
+      (1L, "the cat and the dog of a house"),
+      (2L, "el perro de la casa y que"),
+      (3L, "zzz qqq www"))
+    val out = TextAnalysis.languageId(d, "doc_id", "text")
+      .orderBy("doc_id").select("detected_lang").as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("fingerprints are stable and edit-robust on the min-shingle hash") {
+    val t = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val out = TextAnalysis.fingerprints(
+      docs((1L, t), (2L, t), (3L, t + "!")), "doc_id", "text")
+      .orderBy("doc_id")
+      .select("md5_hash", "min_shingle_hash").as[(String, String)].collect()
+    assert(out(0) == out(1))
+    assert(out(0)._1 != out(2)._1, "md5 must differ on any edit")
+    assert(out(0)._2 == out(2)._2,
+      "1-hash MinHash usually survives a suffix edit (deterministic here)")
+  }
+
+  test("token counts: ws vs bpe-ish vs distinct") {
+    val row = TextAnalysis.tokenCounts(
+      docs((1L, "ab ab 12 c-d")), "doc_id", "text").head()
+    assert(row.getAs[Int]("n_ws_tokens") == 4)
+    // ab, ab, 1, 2, c, -, d
+    assert(row.getAs[Int]("n_bpe_tokens") == 7)
+    assert(row.getAs[Int]("n_distinct_tokens") == 3)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorSim
+
+/** Specs for similarity search (extension tier). */
+class VectorSimSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("knnBruteForce ranks by cosine with vec_id tiebreak") {
+    val e = emb(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(1f, 0.1f), 0), // closest to 0
+      (2L, Seq(0.5f, 0.5f), 0), // diagonal
+      (3L, Seq(0f, 1f), 0)) // orthogonal to 0
+    val out = VectorSim.knnBruteForce(e.where($"vec_id" === 0), e, k = 3)
+      .orderBy("rank").select("neighbor_id", "rank").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("clusterNearDup only pairs within a label and applies the threshold") {
+    val e = emb(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.01f), 0), // same label, near-identical
+      (2L, Seq(1f, 0f), 1), // identical direction, different label
+      (3L, Seq(0f, 1f), 0)) // same label, orthogonal
+    val out = VectorSim.clusterNearDup(e, threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 1L)),
+      "cross-label identicals and within-label orthogonals are excluded")
+  }
+
+  test("knnLsh results are a subset of brute-force scores for same pairs") {
+    val rnd = new scala.util.Random(7)
+    val e = emb((0L until 64L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat), 0)): _*)
+    val queries = e.where($"vec_id" < 2)
+    val brute = VectorSim.knnBruteForce(queries, e, k = 64)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val lsh = VectorSim.knnLsh(queries, e, k = 5, dim = 16, bits = 2)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "2-bit bucketing leaves ~16 candidates per bucket")
+    lsh.foreach { case (q, n, c) =>
+      assert(brute((q, n)) == c, "LSH scores must equal brute-force scores")
+    }
+  }
+
+  test("hyperplane buckets are deterministic across invocations") {
+    import graft.functions.VectorFunctions.hyperplaneBucket
+    import org.apache.spark.sql.functions.col
+    val e = emb((0L, Seq(1f, 2f, 3f), 0), (1L, Seq(-1f, 0.5f, -2f), 0))
+    def buckets() = e
+      .select(hyperplaneBucket(col("embedding"), 3, 8).as("b"))
+      .as[Long].collect().toSeq
+    assert(buckets() == buckets())
+  }
+}
