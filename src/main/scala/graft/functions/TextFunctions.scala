@@ -92,6 +92,29 @@ object TextFunctions {
   def tokenHash32(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
+  /** Mersenne prime 2^61-1 — modulus for the MinHash permutation family.
+    * a*h+b stays < 2^60 (a < 2^28, h < 2^32), so 64-bit arithmetic never
+    * overflows (ANSI mode would throw) and one `%` is a full reduction. */
+  val MinhashPrime: Long = (1L << 61) - 1
+
+  /** Deterministic universal-hash coefficients (a_i odd 28-bit, b_i
+    * 28-bit), derived from md5 so any engine (the DuckDB oracle, a
+    * different Spark cluster) can reproduce them from the index alone. */
+  def minhashCoefficients(numHashes: Int): Seq[(Long, Long)] = {
+    def h7(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString.take(7), 16)
+    }
+    (0 until numHashes).map(i => (h7(s"perm-a-$i") | 1L, h7(s"perm-b-$i")))
+  }
+
+  /** One codegen'd 32-bit hash per shingle string (for the relational
+    * MinHash path — see [[graft.operators.TextDedup.minhashLshPairs]]). */
+  def shingleHash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
   /** Bit b of a nonnegative long, with b itself a column: floor(h/2^b)%2.
     * Division by a power of two is exact in doubles (h < 2^53), so the
     * truncating cast equals a right shift — needed because Spark's

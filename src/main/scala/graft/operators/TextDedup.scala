@@ -70,18 +70,37 @@ object TextDedup {
     * numHashes/bands control recall: collision prob for similarity s is
     * 1-(1-s^rows)^bands. Defaults (32 hashes, 16 bands of 2) catch
     * s=0.8 with p ~= 0.9998.
-    */
+    *
+    * Signature construction is RELATIONAL, not array-lambda: explode
+    * shingles -> one codegen'd md5 per shingle -> groupBy(doc) with
+    * `numHashes` partial-aggregated `min((a_i*h+b_i) mod p)` columns.
+    * Higher-order-function lambdas are interpreted (CodegenFallback) in
+    * Spark — the per-salt md5-in-a-lambda variant measured ~40us per
+    * hash; this path computes ONE md5 per shingle inside whole-stage
+    * codegen and turns the other 31 hashes into integer multiply-adds
+    * folded into the aggregate. Map-side combine means the shuffle
+    * carries one signature row per doc, not the shingles. */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, s"bands ($bands) must divide numHashes ($numHashes)")
     val sets = shingled(docs, idCol, textCol, n).cache()
-    // minhashBandKeys, not lshBandKeys(minhashSignature(..)): the fused
-    // form evaluates each min-hash exactly once per row (see its scaladoc
-    // for the bands-fold recompute trap in the composed form).
-    val banded = sets
-      .select(col("doc_id"),
-        explode(minhashBandKeys(col("shingles"), numHashes, bands)).as("bucket"))
+    val hashed = sets
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), shingleHash32(col("s")).as("h"))
+    val minAggs = minhashCoefficients(numHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        min((col("h") * a + b) % MinhashPrime).as(s"m$i")
+    }
+    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map { bd =>
+      concat(lit(s"$bd|"), md5(concat_ws(",",
+        (0 until rows).map(r => col(s"m${bd * rows + r}")): _*)))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
     // Same bucket in any band -> candidate (dedup across bands).
     val candidates = banded.as("a")
       .join(banded.as("b"),

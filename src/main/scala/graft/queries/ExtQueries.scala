@@ -142,15 +142,27 @@ object ExtQueries {
          |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.05""".stripMargin,
 
     // Full algorithmic mirror of the Spark MinHash+LSH pipeline: same
-    // salted-md5 signatures, same 16x2 banding, same exact-Jaccard verify
-    // — so the compare checks the algorithm, not just the survivors.
-    "q22_minhash_lsh" ->
+    // per-shingle md5 hash, same (a_i*h+b_i) mod p permutation family
+    // (identical coefficients, injected below), same 16x2 banding, same
+    // exact-Jaccard verify — the compare checks the algorithm, not just
+    // the survivors.
+    "q22_minhash_lsh" -> {
+      val coeffs = graft.functions.TextFunctions.minhashCoefficients(32)
+      val p = graft.functions.TextFunctions.MinhashPrime
+      val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h*$a + $b) % $p) AS m$i"
+      }.mkString(",\n  ")
+      val bandEntries = (0 until 16).map { bd =>
+        s"'$bd|' || md5(m${2 * bd}::VARCHAR || ',' || m${2 * bd + 1}::VARCHAR)"
+      }.mkString(",\n    ")
       s"""$duckShingles3,
-         |sig AS (SELECT doc_id, sh,
-         |  [list_min([substr(md5(h || ':' || s), 1, 16) for s in sh]) for h in range(0, 32)] AS sig
-         |  FROM sh),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM ex),
+         |sig AS (SELECT doc_id,
+         |  $minCols
+         |  FROM hh GROUP BY doc_id),
          |bands AS (SELECT doc_id,
-         |  unnest([b::VARCHAR || '|' || md5(array_to_string(sig[b*2+1:b*2+2], ',')) for b in range(0, 16)]) AS bucket
+         |  unnest([$bandEntries]) AS bucket
          |  FROM sig),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
@@ -159,7 +171,8 @@ object ExtQueries {
          |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
          |FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
          |WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-         |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.05""".stripMargin,
+         |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.05""".stripMargin
+    },
 
     // Brute-force oracle is exhaustive; the Spark side's byte-band
     // candidate generation is provably exhaustive for hamming <= 3, so
