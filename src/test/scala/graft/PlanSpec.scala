@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CoreQueries, ExtQueries}
+
+/** Physical-plan assertions — the scale contract. These pin the plan
+  * shapes that make the engine viable at 100 TB: filters reaching the
+  * parquet scan, column pruning, broadcast joins for dims, partition
+  * pruning on the partitioned fact, and whole-stage codegen on hot
+  * paths. A regression here is a performance bug even when results stay
+  * correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .where($"l_quantity" > 30.0)
+      .select($"l_orderkey", $"l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter must reach the scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan must read only the 2 projected columns:\n$plan")
+  }
+
+  test("star enrichment broadcasts every dimension") {
+    val plan = planOf(CoreQueries.q05StarEnrichment(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"customer/nation/region joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || plan.indexOf("SortMergeJoin") > 0,
+      "fact-orders join may SMJ; dims must not")
+  }
+
+  test("grouped aggregation uses partial (map-side) aggregation") {
+    val plan = planOf(CoreQueries.q01PricingSummary(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"partial+final hash aggregate expected:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"map-side combine must shrink the shuffle:\n$plan")
+  }
+
+  test("partitioned fact prunes partitions on year/month predicates") {
+    val dir = TestSpark.tmpDir("prune")
+    Seq(
+      (1L, "2021-01-05 10:00:00", 2021, 1),
+      (2L, "2021-02-05 10:00:00", 2021, 2),
+      (3L, "2022-01-05 10:00:00", 2022, 1))
+      .toDF("id", "ts", "year", "month")
+      .write.partitionBy("year", "month").parquet(s"$dir/fact")
+    val read = spark.read.parquet(s"$dir/fact")
+      .where($"year" === 2021 && $"month" === 1)
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*year[^\\]]*2021[^\\]]*\\].*"),
+      s"year/month predicates must become partition filters, not row filters:\n$scan")
+    assert(!scan.matches("(?s).*PushedFilters: \\[[^\\]]*year[^\\]]*\\].*"),
+      s"partition predicates must not degrade to data filters:\n$scan")
+    assert(read.count() == 1, "only the matching partition's row survives")
+  }
+
+  test("minhash signature aggregates map-side (partial before shuffle)") {
+    val plan = planOf(ExtQueries.q22MinhashLsh(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"signature build must partial-aggregate:\n$plan")
+  }
+
+  test("knn brute force broadcasts the query side, never the corpus") {
+    val plan = planOf(ExtQueries.q25KnnBruteForce(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unpartitioned cartesian product allowed:\n$plan")
+  }
+
+  test("salted join fans hot keys across buckets") {
+    import graft.operators.SkewJoin
+    val hot = (1 to 1000).map(i => (1L, i)) ++ Seq((2L, 0))
+    val large = hot.toDF("k", "v")
+    val small = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val out = SkewJoin.saltedJoin(large, small, Seq("k"),
+      buckets = 8, saltExpr = pmod(hash($"v"), lit(8)))
+    assert(out.count() == 1001, "salting must not change join cardinality")
+    val salts = large.withColumn("__salt", pmod(hash($"v"), lit(8)) % 8)
+      .where($"k" === 1L).select("__salt").distinct().count()
+    assert(salts > 1, "hot key must spread over multiple salt buckets")
+  }
+}
