@@ -14,8 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Elementwise-double dot product. */
-  def dot(a: Column, b: Column): Column =
+  /** Elementwise-double dot product over `array<float>` columns (the
+    * embeddings layout), via the native codegen'd
+    * [[graft.functions.expr.FloatDotProduct]] — the declarative
+    * `aggregate(zip_with(...))` form is interpreted (CodegenFallback)
+    * and allocates per evaluation, which dominates in pairwise scoring
+    * loops. For other element types use [[dotHof]] (same arithmetic). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.FloatDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Declarative dot product (any numeric element type, interpreted). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

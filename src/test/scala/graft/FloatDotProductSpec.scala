@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions.{dot, dotHof}
+
+/** Specs for the native codegen'd dot-product expression: value parity
+  * with the declarative higher-order-function form, and null semantics.
+  */
+class FloatDotProductSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native dot equals the declarative HOF form bit-for-bit") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 50).map(_ =>
+      (Seq.fill(64)(rnd.nextGaussian().toFloat), Seq.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("a", "b")
+    val pairs = df.select(
+      dot(col("a"), col("b")).as("native"),
+      dotHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    pairs.foreach { case (n, h) =>
+      assert(n == h, "accumulation order and widening must match exactly")
+    }
+  }
+
+  test("known value") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    assert(df.select(dot(col("a"), col("b"))).as[Double].head() == 32.0)
+  }
+
+  test("null operand, null element, and length mismatch yield null") {
+    val df = Seq(
+      (Some(Seq(Some(1f), Some(2f))), Some(Seq(Some(1f), Some(2f)))), // fine
+      (None, Some(Seq(Some(1f)))), // null operand
+      (Some(Seq(Some(1f), None)), Some(Seq(Some(1f), Some(2f)))), // null element
+      (Some(Seq(Some(1f))), Some(Seq(Some(1f), Some(2f)))) // length mismatch
+    ).toDF("a", "b")
+    val out = df.select(dot(col("a"), col("b"))).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(5.0), None, None, None))
+  }
+
+  test("survives both codegen and interpreted paths") {
+    val df = Seq((Seq(1f, 1f), Seq(2f, 3f))).toDF("a", "b")
+    val expr = dot(col("a"), col("b"))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false") {
+      assert(df.select(expr).as[Double].head() == 5.0)
+    }
+    assert(df.select(expr).as[Double].head() == 5.0)
+  }
+
+  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val olds = kv.map { case (k, _) => k -> conf.getOption(k) }
+    kv.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
