@@ -82,6 +82,45 @@ class PlanSpec extends AnyFunSuite {
       s"no unpartitioned cartesian product allowed:\n$plan")
   }
 
+  test("float_dot is registered as a SQL function via GraftExtensions") {
+    val v = spark.sql(
+      "SELECT float_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .as[Double].head()
+    assert(v == 11.0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    import org.apache.spark.sql.functions.rand
+    val n = 1000
+    val left = spark.range(n).withColumnRenamed("id", "k")
+      .withColumn("lv", rand(1))
+    val right = spark.range(n).withColumnRenamed("id", "k")
+      .withColumn("rv", rand(2))
+    left.write.mode("overwrite").bucketBy(8, "k").saveAsTable("bkt_left")
+    right.write.mode("overwrite").bucketBy(8, "k").saveAsTable("bkt_right")
+    val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+    // Force SMJ consideration by disabling broadcast for this check.
+    val plan = withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      assert(j.count() == n)
+      j.queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed co-located join must not shuffle either side:\n$plan")
+    spark.sql("DROP TABLE bkt_left"); spark.sql("DROP TABLE bkt_right")
+  }
+
+  private def withConf[T](kv: (String, String)*)(f: => T): T = {
+    val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join fans hot keys across buckets") {
     import graft.operators.SkewJoin
     val hot = (1 to 1000).map(i => (1L, i)) ++ Seq((2L, 0))
