@@ -43,16 +43,26 @@ object TextDedup {
       wordShingles(tokens(col(textCol)), n).as("shingles"))
 
   /** Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold)
-    * over word n-gram shingles, inverted-index join — no cross product. */
+    * over word n-gram shingles, inverted-index join — no cross product.
+    *
+    * The join key is `xxhash64(shingle)`, not the shingle string: the
+    * multi-word shingle averages ~20 bytes while the hash is 8, so the
+    * exploded index shuffles less than half the bytes and the join
+    * compares longs instead of strings. Distinct shingles per set means
+    * a pair's matching hash count equals its matching shingle count
+    * unless xxhash64 collides within one document's set (probability
+    * ~|sh|^2/2^64 per doc — negligible, and confined to candidate
+    * counting). */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sets = shingled(docs, idCol, textCol, n).cache()
     val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val inverted = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val shared = inverted.as("a")
       .join(inverted.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared

@@ -29,6 +29,21 @@ object Sources {
     spark.read.option("header", true).option("recursiveFileLookup", true)
       .schema(schema).csv(dir)
 
+  /** S1 variant with quarantine: PERMISSIVE mode keeps rows that fail
+    * the declared schema, parking the raw line in `_corrupt_record`
+    * instead of failing the job or silently dropping data — the
+    * robustness-by-construction posture the reference gets from
+    * try/except, expressed relationally. Callers split on
+    * `_corrupt_record IS NULL` to route clean rows vs a quarantine
+    * sink. */
+  def csvPermissive(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   /** S4 + F9: weather JSON whose root may be `{"days":[...]}`,
     * `{"data":[...]}`, or a bare `[...]` array
     * (init_0_ingestion_to_GCS_dag.py:66-94 does this in Python; here it

@@ -144,6 +144,26 @@ class PipelineSpec extends AnyFunSuite {
       .select("n_rides").as[Long].head() == 1L)
   }
 
+  test("permissive CSV quarantines malformed rows instead of dropping them") {
+    val dir = TestSpark.tmpDir("permissive")
+    val p = write(dir, "mixed.csv",
+      """id,v
+        |1,2.5
+        |not-a-long,3.5
+        |2,4.5
+        |""".stripMargin)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.DoubleType)
+    val df = Sources.csvPermissive(spark, p, schema).cache()
+    val clean = df.where(col("_corrupt_record").isNull)
+    val quarantined = df.where(col("_corrupt_record").isNotNull)
+    assert(clean.count() == 2)
+    assert(quarantined.select("_corrupt_record").as[String].collect().toSeq ==
+      Seq("not-a-long,3.5"), "raw line preserved for replay/debugging")
+    df.unpersist()
+  }
+
   test("S5 parquetOrEmpty returns typed empty frame for missing path") {
     val df = Sources.parquetOrEmpty(spark, "/nonexistent/nowhere", Schemas.station)
     assert(df.schema == Schemas.station && df.count() == 0)
