@@ -46,6 +46,7 @@ object SparkEntry {
     "q25_knn_brute_force"   -> (ExtQueries.q25KnnBruteForce(_, _)),
     "q26_knn_lsh"           -> (ExtQueries.q26KnnLsh(_, _)),
     "q27_multimodal_stats"  -> (ExtQueries.q27MultimodalStats(_, _)),
+    "q28_sessionize"        -> (ExtQueries.q28Sessionize(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Multimodal, TextAnalysis, TextDedup, VectorSim}
+import graft.operators.{EventOps, Multimodal, TextAnalysis, TextDedup, VectorSim}
 
 /** Extension-tier query catalog: the LLM-data-pipeline operators
   * (BASELINE.json north star) over the `documents` and `embeddings`
@@ -54,6 +54,11 @@ object ExtQueries {
     val emb = Tables.embeddings(s, dir)
     VectorSim.knnLsh(emb.where(col("vec_id") < 5), emb, k = 5, dim = 64, bits = 4)
   }
+
+  /** Relational sessionization over events (6-hour inactivity gap) —
+    * the batch twin of the flatMapGroupsWithState streaming operator. */
+  def q28Sessionize(s: SparkSession, dir: String): DataFrame =
+    EventOps.sessionize(Tables.events(s, dir), gapMs = 6L * 3600 * 1000)
 
   def q27MultimodalStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.modalityStats(
@@ -213,6 +218,19 @@ object ExtQueries {
     // q26_knn_lsh intentionally has no oracle: the hyperplane directions
     // come from a JVM PRNG and cannot be reproduced in SQL. Its recall
     // vs. q25 is asserted in VectorSimSpec instead.
+
+    "q28_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |b AS (SELECT *, CASE WHEN prev_ms IS NULL THEN 0
+        |                     WHEN epoch_ms(ts) - prev_ms > 21600000 THEN 1
+        |                     ELSE 0 END AS brk FROM g),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_no FROM b)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_no""".stripMargin,
 
     "q27_multimodal_stats" ->
       """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
