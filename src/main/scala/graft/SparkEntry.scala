@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,11 @@ object SparkEntry {
     "q26_knn_lsh"           -> (ExtQueries.q26KnnLsh(_, _)),
     "q27_multimodal_stats"  -> (ExtQueries.q27MultimodalStats(_, _)),
     "q28_sessionize"        -> (ExtQueries.q28Sessionize(_, _)),
+    // Analytics tier: TPC-H-style BI shapes (the reference's
+    // BigQuery/Looker layer, SURVEY.md §2.4 note).
+    "q29_shipping_priority" -> (AnalyticsQueries.q29ShippingPriority(_, _)),
+    "q30_local_volume"      -> (AnalyticsQueries.q30LocalVolume(_, _)),
+    "q31_promo_share"       -> (AnalyticsQueries.q31PromoShare(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -176,5 +181,5 @@ object SparkEntry {
         | strptime(strftime(o_orderdate, '%d/%m/%Y %H:%M'), '%d/%m/%Y %H:%M') AS parsed_ts,
         | CAST(strptime(strftime(o_orderdate, '%d%b%Y'), '%d%b%Y') AS DATE) AS parsed_date
         |FROM orders""".stripMargin,
-  ) ++ ExtQueries.oracleSql
+  ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deeper analytics tier: TPC-H-style multi-join/agg shapes that
+  * exercise Catalyst's join ordering, pushdown through joins, and
+  * mixed agg/sort/limit pipelines — the BI layer the reference ran in
+  * BigQuery/Looker (SURVEY.md §2.4 note), expressed natively.
+  */
+object AnalyticsQueries {
+
+  /** Q3-style shipping priority: top revenue among orders placed before
+    * a cutoff with lineitems shipped after it, for one segment. The
+    * segment + date filters push below the joins; dims broadcast. */
+  def q29ShippingPriority(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < "1998-01-01")
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > "1998-01-01")
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q5-style local-supplier volume: revenue per nation where customer
+    * and supplier share the nation, one region, one year. Join graph
+    * has a cycle (both customer and supplier constrain nationkey) —
+    * a genuine join-order workout. */
+  def q30LocalVolume(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .where(year(col("o_orderdate")) === 1997)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+
+  /** Q14-style promo share: conditional aggregation over a join —
+    * percentage of revenue from one part type per month. */
+  def q31PromoShare(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"))
+      .agg(round(
+        sum(when(col("p_type") === "ECONOMY",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        4).as("economy_revenue_pct"))
+
+  val oracleSql: Map[String, String] = Map(
+    "q29_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q30_local_volume" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
+        |GROUP BY n_name""".stripMargin,
+
+    "q31_promo_share" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        | CAST(month(l_shipdate) AS INT) AS ship_month,
+        | round(sum(CASE WHEN p_type = 'ECONOMY'
+        |               THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0
+        |       / sum(l_extendedprice * (1.0 - l_discount)), 4) AS economy_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin,
+  )
+}
