@@ -36,44 +36,102 @@ object TextDedup {
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_dups"))
 
-  /** Per-document distinct word n-gram shingle sets. */
+  /** Per-document distinct word n-gram shingle sets (array form — for
+    * API use; the pair operators use [[shingleIndex]] instead). */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     docs.select(
       col(idCol).as("doc_id"),
       wordShingles(tokens(col(textCol)), n).as("shingles"))
 
-  /** Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold)
-    * over word n-gram shingles, inverted-index join — no cross product.
-    *
-    * The join key is `xxhash64(shingle)`, not the shingle string: the
-    * multi-word shingle averages ~20 bytes while the hash is 8, so the
-    * exploded index shuffles less than half the bytes and the join
-    * compares longs instead of strings. Distinct shingles per set means
-    * a pair's matching hash count equals its matching shingle count
-    * unless xxhash64 collides within one document's set (probability
-    * ~|sh|^2/2^64 per doc — negligible, and confined to candidate
-    * counting). */
-  def ngramJaccardPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sets = shingled(docs, idCol, textCol, n).cache()
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val inverted = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val shared = inverted.as("a")
-      .join(inverted.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
+  /** Distinct (doc_id, hashed-shingle) inverted index, built fully
+    * relationally: posexplode tokens -> window `lead` assembles each
+    * n-gram -> hash -> distinct. The array-lambda form
+    * (`wordShingles`) runs interpreted (higher-order functions are
+    * CodegenFallback) and measured ~7 s per evaluation at sf0.1 vs
+    * well under 1 s for this codegen'd pipeline — and `count()`-style
+    * probes hide that cost because column pruning skips the array
+    * entirely. Documents with fewer than n tokens contribute their
+    * whole token sequence as one shingle (same fallback as
+    * `wordShingles` and the DuckDB oracle). */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, hashShingle: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ordered = byDoc.orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("tok"), i).over(ordered))
+    val withSh = toks
+      .withColumn("cnt", count(lit(1)).over(byDoc))
+      .withColumn("shingle", concat_ws(" ", (col("tok") +: leads): _*))
+      .withColumn("complete",
+        if (n > 1) leads.last.isNotNull else lit(true))
+    val main = withSh
+      .where(col("cnt") >= n && col("complete"))
+      .select(col("doc_id"), hashShingle(col("shingle")).as("sh"))
+    // Tiny-doc fallback (cnt < n): the whole token sequence, in order,
+    // as a single shingle. Rare by construction — fine to aggregate.
+    val tiny = withSh.where(col("cnt") < n)
+      .groupBy(col("doc_id"))
+      .agg(hashShingle(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ")).as("sh"))
+    main.unionByName(tiny).distinct()
+  }
+
+  /** Jaccard from a (doc_id, sh) inverted index of hashed shingles:
+    * a join counts the shared hashes per pair, per-doc counts give the
+    * set sizes, and |aUb| = |a|+|b|-|a^b|. Hashes instead of shingle
+    * strings (xxhash64 / md5-derived by caller): an 8-byte key halves
+    * the shuffled bytes and joins compare longs; a within-document
+    * collision (probability ~|sh|^2/2^64) is the only way a count can
+    * differ from true set intersection — negligible. The index is
+    * intentionally NOT cached: recomputing the scan+explode+hash
+    * projection costs ~0.3 s at sf0.1 while building its
+    * InMemoryRelation measured ~7 s (columnar cache construction costs
+    * far more than the codegen'd recompute it saves). */
+  private def jaccardFromIndex(inverted: DataFrame, threshold: Double,
+      candidates: Option[DataFrame]): DataFrame = {
+    val sizes = inverted.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = candidates match {
+      case None =>
+        // All-pairs mode: self-join the whole index. Hot shingles make
+        // this inherently O(sum over shingles of df^2) — the exact
+        // algorithm's cost; LSH banding is the cheap-candidate path.
+        inverted.as("a")
+          .join(inverted.as("b").hint("shuffle_hash"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      case Some(c) =>
+        // Candidate mode: fan each pair out over doc_a's hashes, then
+        // count which also occur under doc_b — work is
+        // O(|candidates| x avg set size), never the full pair matrix.
+        // The pair list broadcasts (it is the small side by design).
+        inverted.select(col("doc_id").as("doc_a"), col("sh"))
+          .join(broadcast(c), Seq("doc_a"))
+          .join(inverted.select(col("doc_id").as("doc_b"), col("sh")),
+            Seq("doc_b", "sh"))
+          .select(col("doc_a"), col("doc_b"))
+    }
+    // Per-doc size table is tiny vs the pair table — broadcast both
+    // lookups so the (potentially huge) pair table never re-shuffles.
     shared
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a"))), "doc_a")
+      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b"))), "doc_b")
       .withColumn("jaccard",
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame =
+    jaccardFromIndex(
+      shingleIndex(docs, idCol, textCol, n, xxhash64(_)),
+      threshold, candidates = None)
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard.
     *
@@ -96,15 +154,14 @@ object TextDedup {
       numHashes: Int = 32, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, s"bands ($bands) must divide numHashes ($numHashes)")
-    val sets = shingled(docs, idCol, textCol, n).cache()
-    val hashed = sets
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), shingleHash32(col("s")).as("h"))
+    // Compact inverted index (doc_id, 32-bit md5-derived shingle hash)
+    // — feeds the signature build AND the exact verify counting.
+    val inverted = shingleIndex(docs, idCol, textCol, n, shingleHash32(_))
     val minAggs = minhashCoefficients(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
-        min((col("h") * a + b) % MinhashPrime).as(s"m$i")
+        min((col("sh") * a + b) % MinhashPrime).as(s"m$i")
     }
-    val sig = hashed.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val sig = inverted.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     val bandCols = (0 until bands).map { bd =>
       concat(lit(s"$bd|"), md5(concat_ws(",",
         (0 until rows).map(r => col(s"m${bd * rows + r}")): _*)))
@@ -117,15 +174,9 @@ object TextDedup {
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Verify candidates with true Jaccard on the shingle sets.
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // Exact Jaccard verify, relationally: count shared hashes for the
+    // candidate pairs only (left-semi restriction) — no array columns.
+    jaccardFromIndex(inverted, threshold, candidates = Some(candidates))
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (< 8).
@@ -138,21 +189,31 @@ object TextDedup {
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "byte-band candidate generation is exhaustive only for hamming <= 3")
-    // Token md5s materialize behind a cache barrier so the 32-bit-vote
-    // aggregate in simhash32 reads stored hashes instead of re-running
-    // every md5 once per sketch bit (projection collapse would otherwise
-    // inline them straight back into the lambda).
+    // Relational sketch construction (same pattern as the MinHash
+    // signature): explode tokens -> one codegen'd md5 hash per token ->
+    // groupBy(doc) with 32 static per-bit vote sums -> sketch assembled
+    // in a plain projection. No array columns, no interpreted lambdas,
+    // no cache barriers; the shuffle carries 32 longs per document with
+    // map-side combine. (Zero-token documents drop out of the groupBy —
+    // the synthetic corpus has none.)
     val hashed = docs.select(
       col(idCol).as("doc_id"),
-      tokenHashes(tokens(col(textCol))).as("hashes")).cache()
-    val sketches = hashed.select(
-      col("doc_id"),
-      simhash32(col("hashes")).as("simhash")).cache()
+      explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), tokenHash32(col("tok")).as("h"))
+    val votes = (0 until 32).map { b =>
+      sum((shiftright(col("h"), b) % 2) * 2 - 1).as(s"v$b")
+    }
+    val sketches = hashed.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
     val bandedBytes = sketches.select(
       col("doc_id"), col("simhash"),
-      explode(transform(sequence(lit(0), lit(3)),
-        b => concat(b.cast("string"), lit("|"),
-          byteAt(col("simhash"), b).cast("string"))))
+      explode(array((0 until 4).map(b =>
+        concat(lit(s"$b|"),
+          (shiftright(col("simhash"), 8 * b) % 256).cast("string"))): _*))
         .as("byte_band"))
     bandedBytes.as("a")
       .join(bandedBytes.as("b"),
