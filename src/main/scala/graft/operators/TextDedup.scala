@@ -84,11 +84,11 @@ object TextDedup {
     * strings (xxhash64 / md5-derived by caller): an 8-byte key halves
     * the shuffled bytes and joins compare longs; a within-document
     * collision (probability ~|sh|^2/2^64) is the only way a count can
-    * differ from true set intersection — negligible. The index is
-    * intentionally NOT cached: recomputing the scan+explode+hash
-    * projection costs ~0.3 s at sf0.1 while building its
-    * InMemoryRelation measured ~7 s (columnar cache construction costs
-    * far more than the codegen'd recompute it saves). */
+    * differ from true set intersection — negligible. Callers pass the
+    * index CACHED: two primitive longs per row columnar-cache cheaply,
+    * and the index is read 3-5 times per pair pipeline (self-join
+    * sides, size counts, verify) — unlike the old array<string>
+    * intermediates, whose cache build cost more than recomputing. */
   private def jaccardFromIndex(inverted: DataFrame, threshold: Double,
       candidates: Option[DataFrame]): DataFrame = {
     val sizes = inverted.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -130,7 +130,7 @@ object TextDedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame =
     jaccardFromIndex(
-      shingleIndex(docs, idCol, textCol, n, xxhash64(_)),
+      shingleIndex(docs, idCol, textCol, n, xxhash64(_)).cache(),
       threshold, candidates = None)
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard.
@@ -156,7 +156,7 @@ object TextDedup {
     require(bands * rows == numHashes, s"bands ($bands) must divide numHashes ($numHashes)")
     // Compact inverted index (doc_id, 32-bit md5-derived shingle hash)
     // — feeds the signature build AND the exact verify counting.
-    val inverted = shingleIndex(docs, idCol, textCol, n, shingleHash32(_))
+    val inverted = shingleIndex(docs, idCol, textCol, n, shingleHash32(_)).cache()
     val minAggs = minhashCoefficients(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
         min((col("sh") * a + b) % MinhashPrime).as(s"m$i")
