@@ -47,6 +47,7 @@ object SparkEntry {
     "q26_knn_lsh"           -> (ExtQueries.q26KnnLsh(_, _)),
     "q27_multimodal_stats"  -> (ExtQueries.q27MultimodalStats(_, _)),
     "q28_sessionize"        -> (ExtQueries.q28Sessionize(_, _)),
+    "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).
     "q29_shipping_priority" -> (AnalyticsQueries.q29ShippingPriority(_, _)),

@@ -55,6 +55,27 @@ object ExtQueries {
     VectorSim.knnLsh(emb.where(col("vec_id") < 5), emb, k = 5, dim = 64, bits = 4)
   }
 
+  /** End-to-end curation pipeline: quality-gate the corpus, take exact
+    * -dedup canonical survivors, then profile the survivors by detected
+    * language — operator COMPOSITION is the point (each stage is an
+    * already-verified operator; the chain is one lazy plan, so Catalyst
+    * pushes the quality filter beneath everything downstream). */
+  def q32CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .where(col("quality_score") >= 0.75)
+      .select(col("doc_id"), col("n_tokens"))
+    val canonical = TextDedup.exact(
+      docs.join(kept, "doc_id"), "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"))
+    TextAnalysis.languageId(docs.join(canonical, "doc_id"), "doc_id", "text")
+      .join(kept, "doc_id")
+      .groupBy(col("detected_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+  }
+
   /** Relational sessionization over events (6-hour inactivity gap) —
     * the batch twin of the flatMapGroupsWithState streaming operator. */
   def q28Sessionize(s: SparkSession, dir: String): DataFrame =
@@ -218,6 +239,36 @@ object ExtQueries {
     // q26_knn_lsh intentionally has no oracle: the hyperplane directions
     // come from a JVM PRNG and cannot be reproduced in SQL. Its recall
     // vs. q25 is asserted in VectorSimSpec instead.
+
+    "q32_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks, CAST(len(text) AS DOUBLE) AS nc FROM documents),
+         |m AS (SELECT doc_id, text,
+         |  CAST(len(toks) AS DOUBLE) AS nt,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','el','la','de','que','y','der','die','und','das','ist','le','les','et','des','un'], x))) AS DOUBLE) AS nstop,
+         |  nc FROM t),
+         |q AS (SELECT doc_id, text, CAST(nt AS INT) AS n_tokens,
+         |  round((CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.25 ELSE 0.0 END) +
+         |        (CASE WHEN nd / nt >= 0.3 THEN 0.25 ELSE 0.0 END) +
+         |        (CASE WHEN (nc - (nt - 1)) / nt >= 3.0 AND (nc - (nt - 1)) / nt <= 10.0 THEN 0.25 ELSE 0.0 END) +
+         |        (CASE WHEN nstop / nt > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+         |  FROM m),
+         |kept AS (SELECT doc_id, text, n_tokens FROM q WHERE quality_score >= 0.75),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(lower(trim(text)))),
+         |h AS (SELECT doc_id, n_tokens,
+         |  CAST(len(list_filter($duckToks, x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS hits_en,
+         |  CAST(len(list_filter($duckToks, x -> list_contains(['el','la','de','que','y'], x))) AS INT) AS hits_es,
+         |  CAST(len(list_filter($duckToks, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) AS hits_de,
+         |  CAST(len(list_filter($duckToks, x -> list_contains(['le','les','et','des','un'], x))) AS INT) AS hits_fr
+         |  FROM (SELECT k.* FROM kept k JOIN canon USING (doc_id)))
+         |SELECT CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+         |            WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+         |            WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+         |            WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+         |            ELSE 'fr' END AS detected_lang,
+         | count(*) AS n_docs,
+         | round(avg(n_tokens), 4) AS avg_tokens
+         |FROM h GROUP BY 1""".stripMargin,
 
     "q28_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, ts, value,
