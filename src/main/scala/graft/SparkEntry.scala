@@ -53,6 +53,9 @@ object SparkEntry {
     "q29_shipping_priority" -> (AnalyticsQueries.q29ShippingPriority(_, _)),
     "q30_local_volume"      -> (AnalyticsQueries.q30LocalVolume(_, _)),
     "q31_promo_share"       -> (AnalyticsQueries.q31PromoShare(_, _)),
+    "q33_rollup"            -> (AnalyticsQueries.q33Rollup(_, _)),
+    "q34_pivot"             -> (AnalyticsQueries.q34Pivot(_, _)),
+    "q35_stats"             -> (AnalyticsQueries.q35Stats(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(

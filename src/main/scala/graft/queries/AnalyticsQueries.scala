@@ -59,7 +59,66 @@ object AnalyticsQueries {
           sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
         4).as("economy_revenue_pct"))
 
+  /** Rollup: revenue at (year, month), (year), and grand-total levels
+    * in one pass — multi-level aggregation (GROUPING SETS family). */
+  def q33Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Pivot: revenue per nation pivoted by return flag — columnar
+    * reshaping via conditional aggregation under the hood. */
+  def q34Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_extendedprice")), 2))
+      .withColumnsRenamed(Map("A" -> "rev_a", "N" -> "rev_n", "R" -> "rev_r"))
+
+  /** Exact percentiles + dispersion statistics per order priority. */
+  def q35Stats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+        round(corr(col("o_totalprice"), col("o_custkey")), 6).as("corr_price_cust"))
+
   val oracleSql: Map[String, String] = Map(
+    "q33_rollup" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        | CAST(month(l_shipdate) AS INT) AS ship_month,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY ROLLUP (ship_year, ship_month)""".stripMargin,
+
+    "q34_pivot" ->
+      """SELECT n_name,
+        | round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END), 2) AS rev_a,
+        | round(sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 2) AS rev_n,
+        | round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2) AS rev_r
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q35_stats" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        | round(stddev_samp(o_totalprice), 4) AS sd_price,
+        | round(corr(o_totalprice, o_custkey), 6) AS corr_price_cust
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q29_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
