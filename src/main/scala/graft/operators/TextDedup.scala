@@ -105,20 +105,22 @@ object TextDedup {
         // Candidate mode: fan each pair out over doc_a's hashes, then
         // count which also occur under doc_b — work is
         // O(|candidates| x avg set size), never the full pair matrix.
-        // The pair list broadcasts (it is the small side by design).
         inverted.select(col("doc_id").as("doc_a"), col("sh"))
-          .join(broadcast(c), Seq("doc_a"))
+          .join(c, Seq("doc_a"))
           .join(inverted.select(col("doc_id").as("doc_b"), col("sh")),
             Seq("doc_b", "sh"))
           .select(col("doc_a"), col("doc_b"))
     }
-    // Per-doc size table is tiny vs the pair table — broadcast both
-    // lookups so the (potentially huge) pair table never re-shuffles.
+    // No hard-coded broadcast for the candidate/size lookups: both grow
+    // with the corpus (one row per doc / per candidate pair), so pinning
+    // them to broadcast is an OOM at real scale. AQE converts these to
+    // broadcast joins at runtime when the actual built side is small —
+    // the right call at every scale factor.
     shared
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a"))), "doc_a")
-      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b"))), "doc_b")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
       .withColumn("jaccard",
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 6))
