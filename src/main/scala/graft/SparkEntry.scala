@@ -56,6 +56,8 @@ object SparkEntry {
     "q33_rollup"            -> (AnalyticsQueries.q33Rollup(_, _)),
     "q34_pivot"             -> (AnalyticsQueries.q34Pivot(_, _)),
     "q35_stats"             -> (AnalyticsQueries.q35Stats(_, _)),
+    "q36_rolling"           -> (AnalyticsQueries.q36Rolling(_, _)),
+    "q37_semi_join"         -> (AnalyticsQueries.q37SemiJoin(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * BigQuery materialized join (README.md:224: fact joined with all
   * three dimensions "for a faster response" in BI).
   *
-  * Join strategy at scale: the dims (stations ~1e3, datetime ~1e6 rows,
-  * weather ~1e3) are orders of magnitude smaller than the fact, so all
-  * three are broadcast — the fact is never shuffled, the whole join is
-  * one map-side pass. The station dim is joined twice under different
-  * aliases (start/end leg).
+  * Join strategy at scale: the physically-bounded dims (stations ~1e3,
+  * weather one row/day) broadcast, so those legs never shuffle the
+  * fact; the datetime dim (one row per distinct timestamp — can reach
+  * millions) is left to AQE to broadcast or shuffle based on its real
+  * size. The station dim is joined twice under different aliases
+  * (start/end leg).
   */
 object Enrich {
 
@@ -34,12 +35,17 @@ object Enrich {
     val cleanFact = Seq("year", "month").foldLeft(fact) { (f, c) =>
       if (f.columns.contains(c)) f.drop(c) else f
     }
+    // Station and weather dims are bounded by the physical world
+    // (docking stations, calendar days) — safe to pin broadcast. The
+    // datetime dim grows with DISTINCT event timestamps (minute grain
+    // over years reaches millions of rows), so its join strategy is
+    // left to AQE's runtime size decision rather than pinned.
     cleanFact
       .join(broadcast(start),
         col("Start station number") === col("start_station_id"), "left")
       .join(broadcast(end),
         col("End station number") === col("end_station_id"), "left")
-      .join(broadcast(dimDatetime),
+      .join(dimDatetime,
         col("start_date") === col("datetime_id"), "left")
       .join(broadcast(dimWeather), Seq("weather_date"), "left")
   }

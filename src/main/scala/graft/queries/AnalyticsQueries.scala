@@ -92,7 +92,46 @@ object AnalyticsQueries {
         round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
         round(corr(col("o_totalprice"), col("o_custkey")), 6).as("corr_price_cust"))
 
+  /** Rolling event-time aggregate: per-user sum/count of event values
+    * over the trailing hour, RANGE frame on epoch millis — the
+    * sliding-window analytic the tumbling window (q11) can't express. */
+  def q36Rolling(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(unix_millis(col("ts")))
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("ts"),
+      round(sum(col("value")).over(w), 4).as("rolling_hour_value"),
+      count(lit(1)).over(w).as("rolling_hour_events"))
+  }
+
+  /** Semi join via EXISTS: orders having at least one high-quantity
+    * line item (the membership-test twin of the q04 anti join). */
+  def q37SemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(
+        Tables.lineitem(s, dir).where(col("l_quantity") >= 49.0)
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
   val oracleSql: Map[String, String] = Map(
+    "q36_rolling" ->
+      """SELECT event_id, user_id, ts,
+        | round(sum(value) OVER w, 4) AS rolling_hour_value,
+        | count(*) OVER w AS rolling_hour_events
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q37_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)""".stripMargin,
+
     "q33_rollup" ->
       """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
         | CAST(month(l_shipdate) AS INT) AS ship_month,
