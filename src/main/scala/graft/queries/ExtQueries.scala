@@ -52,7 +52,8 @@ object ExtQueries {
 
   def q26KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    VectorSim.knnLsh(emb.where(col("vec_id") < 5), emb, k = 5, dim = 64, bits = 4)
+    VectorSim.knnLsh(emb.where(col("vec_id") < 5), emb, k = 5,
+      dim = 64, bits = 2, tables = 8)
   }
 
   /** End-to-end curation pipeline: quality-gate the corpus, take exact

@@ -43,13 +43,20 @@ class VectorSimSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id", "cos_sim")
       .as[(Long, Long, Double)].collect()
       .map { case (q, n, c) => (q, n) -> c }.toMap
-    val lsh = VectorSim.knnLsh(queries, e, k = 5, dim = 16, bits = 2)
+    val lsh = VectorSim.knnLsh(queries, e, k = 5, dim = 16, bits = 2, tables = 8)
       .select("query_id", "neighbor_id", "cos_sim")
       .as[(Long, Long, Double)].collect()
     assert(lsh.nonEmpty, "2-bit bucketing leaves ~16 candidates per bucket")
     lsh.foreach { case (q, n, c) =>
       assert(brute((q, n)) == c, "LSH scores must equal brute-force scores")
     }
+    // Multi-table recall: the true top-5 per query, recovered at >= 60%
+    // even on near-orthogonal random vectors (deterministic seed).
+    val bruteTop = VectorSim.knnBruteForce(queries, e, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lshPairs = lsh.map { case (q, n, _) => (q, n) }.toSet
+    val recall = (lshPairs intersect bruteTop).size.toDouble / bruteTop.size
+    assert(recall >= 0.6, s"8-table LSH recall@5 too low: $recall")
   }
 
   test("hyperplane buckets are deterministic across invocations") {
