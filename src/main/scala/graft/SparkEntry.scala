@@ -58,6 +58,7 @@ object SparkEntry {
     "q35_stats"             -> (AnalyticsQueries.q35Stats(_, _)),
     "q36_rolling"           -> (AnalyticsQueries.q36Rolling(_, _)),
     "q37_semi_join"         -> (AnalyticsQueries.q37SemiJoin(_, _)),
+    "q38_set_ops"           -> (AnalyticsQueries.q38SetOps(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(

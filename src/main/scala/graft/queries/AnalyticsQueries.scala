@@ -117,7 +117,35 @@ object AnalyticsQueries {
         "left_semi")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** INTERSECT / EXCEPT completion of the set-operation family (the
+    * reference used only UNION; an engine replacement needs all three):
+    * customers who bought in 1996 but not in 1997, via except on key
+    * sets, plus the intersect count as a sanity column. */
+  def q38SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    def buyers(y: Int) = ord.where(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    val churned = buyers(1996).except(buyers(1997))
+      .withColumnRenamed("o_custkey", "cust_key")
+      .withColumn("status", lit("churned_1997"))
+    val retained = buyers(1996).intersect(buyers(1997))
+      .withColumnRenamed("o_custkey", "cust_key")
+      .withColumn("status", lit("retained_1997"))
+    churned.unionByName(retained)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q38_set_ops" ->
+      """SELECT cust_key, 'churned_1997' AS status FROM (
+        | SELECT o_custkey AS cust_key FROM orders WHERE year(o_orderdate) = 1996
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |UNION ALL
+        |SELECT cust_key, 'retained_1997' AS status FROM (
+        | SELECT o_custkey AS cust_key FROM orders WHERE year(o_orderdate) = 1996
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""".stripMargin,
+
     "q36_rolling" ->
       """SELECT event_id, user_id, ts,
         | round(sum(value) OVER w, 4) AS rolling_hour_value,
