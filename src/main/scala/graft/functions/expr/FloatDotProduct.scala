@@ -27,6 +27,14 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Null can arise from non-null inputs (length mismatch, null
+    * element), so nullability must not be inherited from the children:
+    * with non-nullable inputs BinaryExpression would report
+    * nullable=false, the planner would fold `ev.isNull` to the constant
+    * `false`, and the generated `false = true;` assignment in
+    * [[doGenCode]] would not compile. */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType, _) => true

@@ -19,11 +19,14 @@ object SkewJoin {
   /** Inner equi-join of `large` (skewed) with `small` (replicated
     * `buckets` times) on `keys`. Salt is derived from a hash of the
     * large side's whole row representation via `saltExpr` — caller
-    * passes e.g. `pmod(hash(col("some_unique_col")), buckets)` or a
-    * `rand()`-based salt when determinism doesn't matter. */
+    * passes e.g. `hash(col("some_unique_col"))` or a `rand()`-based
+    * salt when determinism doesn't matter. The reduction into
+    * [0, buckets) is applied here with `pmod` — Spark's `%` preserves
+    * sign, so a plain `hash()` salt (negative half the time) would
+    * silently never match the replicated side's 0..buckets-1 values. */
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       buckets: Int, saltExpr: Column): DataFrame = {
-    val salted = large.withColumn("__salt", saltExpr % buckets)
+    val salted = large.withColumn("__salt", pmod(saltExpr, lit(buckets)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until buckets).map(lit): _*)))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

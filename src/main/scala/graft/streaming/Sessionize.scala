@@ -40,7 +40,13 @@ object Sessionize {
         (closed, Some(OpenSession(t, t, 1, v)))
       case ((closed, Some(s)), (t, v)) =>
         if (t - s.lastMs <= gapMs)
-          (closed, Some(s.copy(lastMs = t, n = s.n + 1, total = s.total + v)))
+          // Late-but-within-watermark events (t < lastMs) must not
+          // regress the session bounds: end is max(ts), start min(ts),
+          // matching the batch EventOps.sessionize aggregation.
+          (closed, Some(s.copy(
+            startMs = math.min(s.startMs, t),
+            lastMs = math.max(s.lastMs, t),
+            n = s.n + 1, total = s.total + v)))
         else
           (closed :+ s, Some(OpenSession(t, t, 1, v)))
     }

@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
 object StreamDedup {
 
   /** Dedup a stream by content hash of `textCol` (normalized), keeping
-    * the first arrival. Input must already have a watermark on
-    * `eventTimeCol`. */
+    * the first arrival. The watermark that bounds the dedup state is
+    * applied HERE, on `eventTimeCol` with `delay` (e.g. "10 minutes") —
+    * the operator owns its state contract instead of silently relying
+    * on a caller-applied watermark. */
   def byContentHash(stream: DataFrame, textCol: String,
-      eventTimeCol: String): DataFrame =
+      eventTimeCol: String, delay: String): DataFrame =
     stream
+      .withWatermark(eventTimeCol, delay)
       .withColumn("content_hash", md5(lower(trim(col(textCol)))))
       .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -27,9 +27,12 @@ object StreamJoin {
       col("key").as("l_key"), col("ts").as("l_ts"), col("value").as("l_value"))
     val r = right.select(
       col("key").as("r_key"), col("ts").as("r_ts"), col("value").as("r_value"))
+    // Millisecond-unit interval: an integer `withinMs / 1000` SECONDS
+    // bound would truncate sub-second widths (500 ms -> INTERVAL 0).
+    val width = expr(s"INTERVAL $withinMs MILLISECOND")
     l.join(r,
       col("l_key") === col("r_key") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL ${withinMs / 1000} SECONDS") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${withinMs / 1000} SECONDS"))
+        col("r_ts") >= col("l_ts") - width &&
+        col("r_ts") <= col("l_ts") + width)
   }
 }

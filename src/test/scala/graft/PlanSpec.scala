@@ -133,4 +133,15 @@ class PlanSpec extends AnyFunSuite {
       .where($"k" === 1L).select("__salt").distinct().count()
     assert(salts > 1, "hot key must spread over multiple salt buckets")
   }
+
+  test("salted join is safe for raw (sign-preserving) salt expressions") {
+    import graft.operators.SkewJoin
+    // hash() is negative ~half the time; pmod inside saltedJoin must
+    // keep those rows joinable against the replicated 0..buckets-1 side.
+    val large = (1 to 500).map(i => (1L, i)).toDF("k", "v")
+    val small = Seq((1L, "one")).toDF("k", "name")
+    val out = SkewJoin.saltedJoin(large, small, Seq("k"),
+      buckets = 8, saltExpr = hash($"v"))
+    assert(out.count() == 500, "no rows may be dropped for negative salts")
+  }
 }

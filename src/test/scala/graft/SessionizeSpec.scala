@@ -32,6 +32,17 @@ class SessionizeSpec extends AnyFunSuite {
     assert(open.contains(OpenSession(0, 10 * 60000, 3, 5.0)))
   }
 
+  test("fold: out-of-order merge never regresses session bounds") {
+    // Late-but-within-watermark event (t=2min < open session's last=5min):
+    // end stays max(ts), start stays min(ts), matching batch semantics.
+    val carried = Some(OpenSession(60000, 5 * 60000, 2, 4.0))
+    val (closed, open) = Sessionize.fold(
+      Seq((2L * 60000, 1.0)), gapMs = 30 * 60000, open = carried)
+    assert(closed.isEmpty)
+    assert(open.contains(OpenSession(60000, 5 * 60000, 3, 5.0)),
+      "lastMs must not move backwards on a late event")
+  }
+
   test("batch mode emits gap-closed sessions per user") {
     val events = Seq(
       Event(1L, ts(0), 1.0), Event(1L, ts(5), 1.0), // session A

@@ -20,7 +20,7 @@ class StreamDedupSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Doc]
     val deduped = StreamDedup.byContentHash(
-      mem.toDF().withWatermark("ts", "10 minutes"), "text", "ts")
+      mem.toDF(), "text", "ts", "10 minutes")
     val dir = TestSpark.tmpDir("sdedup")
     val q = deduped.writeStream
       .format("memory").queryName("sdedup_test")

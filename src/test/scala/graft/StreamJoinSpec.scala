@@ -45,6 +45,19 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sub-second window is honored exactly (no integer truncation)") {
+    // withinMs = 500 used to become INTERVAL 0 SECONDS via ms/1000.
+    def tms(ms: Long) = new Timestamp(1440 * 60000L + ms)
+    val l = Seq((1L, tms(0), 1.0)).toDF("key", "ts", "value")
+    val r = Seq(
+      (1L, tms(400), 4.0), // within 500 ms -> joins
+      (1L, tms(900), 9.0)) // outside -> dropped
+      .toDF("key", "ts", "value")
+    val out = StreamJoin.intervalJoin(l, r, withinMs = 500)
+      .select("r_value").as[Double].collect()
+    assert(out.toSeq == Seq(4.0))
+  }
+
   test("batch mode: same operator joins historical frames") {
     val l = Seq((1L, ts(0), 1.0)).toDF("key", "ts", "value")
     val r = Seq((1L, ts(20), 5.0), (1L, ts(90), 9.0)).toDF("key", "ts", "value")
