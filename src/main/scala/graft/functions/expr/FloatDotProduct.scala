@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
 
-/** Native dot product over two `array<float>` columns, with codegen.
+/** Native dot product over two `array<float>` / `array<double>` columns
+  * (either element type on either side), with codegen.
   *
   * Why a custom Catalyst Expression (the SURVEY.md §7 "only here is
   * custom Catalyst surface justified" tier): the declarative form —
@@ -37,29 +38,41 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+        s"expects array<float|double> on both sides, got (${left.dataType}, ${right.dataType})")
+  }
+
+  private def elemGetter(t: DataType): (ArrayData, Int) => Double = t match {
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case _ => (a, i) => a.getFloat(i).toDouble
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val getX = elemGetter(left.dataType)
+    val getY = elemGetter(right.dataType)
     val n = x.numElements()
     if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += getX(x, i) * getY(y, i)
       i += 1
     }
     acc
+  }
+
+  private def elemJava(t: DataType, arr: String, i: String): String = t match {
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+    case _ => s"((double) $arr.getFloat($i))"
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -75,7 +88,7 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |    $acc += ${elemJava(left.dataType, x, i)} * ${elemJava(right.dataType, y, i)};
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}

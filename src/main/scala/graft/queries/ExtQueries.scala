@@ -91,6 +91,41 @@ object ExtQueries {
   private val duckToks =
     raw"""list_filter(string_split_regex(text, '\s+'), t -> t != '')"""
 
+  /** DuckDB mirror of the full multi-table hyperplane-LSH ANN pipeline
+    * (q26): re-derives the md5 hyperplane coefficients IN SQL — bit-exact
+    * with `VectorFunctions.hyperplaneCoefficients` because
+    * `('0x'||md5-prefix)::BIGINT / 2^31 - 1` is pure power-of-two
+    * arithmetic — then buckets, candidate-joins, scores and ranks
+    * exactly like `VectorSim.knnLsh`. Parameterized so the constants
+    * stay in lockstep with the Spark call site. */
+  private def knnLshOracleSql(dim: Int, bits: Int, tables: Int, seed: Long,
+      k: Int, queryPred: String): String =
+    s"""WITH pl AS (
+       |  SELECT tt.t AS tbl, bb.b AS bit,
+       |    [('0x' || substr(md5('hp-' || ($seed + 1000 * tt.t)::VARCHAR || '-' || bb.b::VARCHAR || '-' || d::VARCHAR), 1, 8))::BIGINT
+       |       / 2147483648.0 - 1.0 for d in range(0, $dim)] AS w
+       |  FROM range(0, $tables) tt(t), range(0, $bits) bb(b)),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |dots AS (SELECT e.vec_id, pl.tbl, pl.bit,
+       |    list_sum([e.emb[i+1] * pl.w[i+1] for i in range(0, $dim)]) AS d
+       |  FROM e CROSS JOIN pl),
+       |bk AS (SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, tbl),
+       |ky AS (SELECT vec_id, tbl::VARCHAR || '|' || bucket::VARCHAR AS bucket FROM bk),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM ky q JOIN ky c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+       |  WHERE q.$queryPred),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |    round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+       |            JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
   /** DuckDB word-3-gram shingle CTE (mirrors `wordShingles(tokens, 3)`). */
   private val duckShingles3 =
     s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
@@ -237,9 +272,11 @@ object ExtQueries {
         | WHERE q.vec_id < 5)
         |WHERE rank <= 5""".stripMargin,
 
-    // q26_knn_lsh intentionally has no oracle: the hyperplane directions
-    // come from a JVM PRNG and cannot be reproduced in SQL. Its recall
-    // vs. q25 is asserted in VectorSimSpec instead.
+    // Same constants as q26KnnLsh above — the SQL re-derives the
+    // hyperplanes from md5, so the whole ANN pipeline is oracle-checked.
+    "q26_knn_lsh" ->
+      knnLshOracleSql(dim = 64, bits = 2, tables = 8, seed = 42L,
+        k = 5, queryPred = "vec_id < 5"),
 
     "q32_curation_pipeline" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks, CAST(len(text) AS DOUBLE) AS nc FROM documents),

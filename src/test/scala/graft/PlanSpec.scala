@@ -121,6 +121,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH keying stage is fully codegen'd (no interpreted HOF lambdas)") {
+    import graft.functions.VectorFunctions
+    val df = spark.range(10)
+      .select($"id".as("vec_id"),
+        array((1 to 8).map(i => ($"id" * i).cast("float")): _*).as("emb"))
+      .select($"vec_id",
+        VectorFunctions.hyperplaneTableKeys($"emb", dim = 8, bits = 2, tables = 4)
+          .as("keys"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("float_dot_product"),
+      s"keying must use the native codegen'd dot product:\n$plan")
+    assert(!plan.contains("zip_with") && !plan.contains("aggregate("),
+      s"keying must not fall back to interpreted HOF lambdas:\n$plan")
+  }
+
   test("salted join fans hot keys across buckets") {
     import graft.operators.SkewJoin
     val hot = (1 to 1000).map(i => (1L, i)) ++ Seq((2L, 0))
