@@ -12,9 +12,16 @@ object Bench {
     // queries: operators cache intermediates (shingle sets, sketches)
     // that would otherwise accumulate across the whole catalog and tax
     // later queries with GC pressure.
+    // Materialize via the noop sink, NOT count(): under count() Catalyst
+    // prunes every unreferenced projection, so map-only queries (derived
+    // columns, string surgery, sketches) would be timed as little more
+    // than parquet row counts (NOTES.md finding #2). The noop sink
+    // consumes every output column while writing nothing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       name -> dt
