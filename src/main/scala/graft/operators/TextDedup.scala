@@ -1,9 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
+
+/** A hashed (doc_id, sh) shingle inverted index with an OWNED cache
+  * lifecycle: operators never `.cache()` internally — the caller builds
+  * the index (optionally [[persist]]s it), feeds it to one or more pair
+  * operators, and [[unpersist]]s when done. One index serves the exact
+  * -Jaccard and MinHash+LSH pipelines alike.
+  *
+  * `bits` records the hash family: 32 = leading-8-hex md5 (required by
+  * the MinHash permutation family, whose coefficients the DuckDB oracle
+  * re-derives); 64 = xxhash64 (cheaper, collision-negligible — the
+  * right default when only equality semantics matter, e.g. exact
+  * Jaccard counting where a 32-bit cross-doc collision could perturb an
+  * intersection count).
+  */
+final class ShingleIndex private[operators] (val df: DataFrame, val bits: Int) {
+  /** Cache the index (two primitive longs per row — columnar-caches
+    * cheaply and is read 3-6 times per pair pipeline). */
+  def persist(): this.type = { df.persist(); this }
+  def unpersist(blocking: Boolean = false): this.type = {
+    df.unpersist(blocking); this
+  }
+}
 
 /** Document deduplication operators (LLM-data-pipeline tier).
   *
@@ -12,14 +35,16 @@ import graft.functions.TextFunctions._
   *
   *  - [[exact]] — hash-groupBy on a normalized content hash.
   *  - [[ngramJaccardPairs]] — EXACT all-pairs Jaccard >= t via the
-  *    inverted-index pattern: explode shingles, equi-join on shingle,
-  *    count shared per pair. Exhaustive for t > 0 because any pair with
-  *    Jaccard > 0 shares at least one shingle; never materializes the
-  *    O(n^2) cross product, only pairs that actually co-occur.
+  *    inverted-index pattern with PPJoin-style prefix filtering:
+  *    shingles are globally ordered by document frequency (rarest
+  *    first) and candidates are generated only from each document's
+  *    prefix — hot (stopword-like) shingles sort to the tail and never
+  *    enter the candidate join, pruning the O(df^2) blowup while
+  *    keeping the result exact (Bayardo et al., WWW'07).
   *  - [[minhashLshPairs]] — approximate: MinHash signatures banded into
   *    LSH buckets; candidate pairs verified with exact Jaccard. The
-  *    scale path when even the inverted index is too hot (stopword-like
-  *    shingles): work is O(candidates), tunable via bands/rows.
+  *    scale path when even the prefix index is too hot: work is
+  *    O(candidates), tunable via bands/rows.
   *  - [[simhashPairs]] — bit-sketch dedup: 32-bit SimHash, candidates
   *    from byte-band equality (pigeonhole: hamming <= 3 over 4 bytes
   *    forces >= 1 equal byte), verified by true hamming distance.
@@ -36,28 +61,26 @@ object TextDedup {
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_dups"))
 
-  /** Per-document distinct word n-gram shingle sets (array form — for
-    * API use; the pair operators use [[shingleIndex]] instead). */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int) =
-    docs.select(
-      col(idCol).as("doc_id"),
-      wordShingles(tokens(col(textCol)), n).as("shingles"))
-
-  /** Distinct (doc_id, hashed-shingle) inverted index, built fully
+  /** Build the distinct (doc_id, hashed-shingle) inverted index, fully
     * relationally: posexplode tokens -> window `lead` assembles each
-    * n-gram -> hash -> distinct. The array-lambda form
-    * (`wordShingles`) runs interpreted (higher-order functions are
-    * CodegenFallback) and measured ~7 s per evaluation at sf0.1 vs
-    * well under 1 s for this codegen'd pipeline — and `count()`-style
-    * probes hide that cost because column pruning skips the array
-    * entirely. Documents with fewer than n tokens contribute their
-    * whole token sequence as one shingle (same fallback as
-    * `wordShingles` and the DuckDB oracle). */
-  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, hashShingle: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    * n-gram -> hash -> distinct. The array-lambda form (`wordShingles`)
+    * runs interpreted (higher-order functions are CodegenFallback) and
+    * measured ~7 s per evaluation at sf0.1 vs well under 1 s for this
+    * codegen'd pipeline. Documents with fewer than n tokens contribute
+    * their whole token sequence as one shingle (same fallback as
+    * `wordShingles` and the DuckDB oracle).
+    *
+    * The returned [[ShingleIndex]] is NOT persisted — the caller owns
+    * the lifecycle (`.persist()` before multi-operator reuse,
+    * `.unpersist()` when done). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bits: Int = 64): ShingleIndex = {
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
+    val hashShingle: Column => Column =
+      if (bits == 32) shingleHash32(_) else xxhash64(_)
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val byDoc = Window.partitionBy(col("doc_id"))
     val ordered = byDoc.orderBy(col("pos"))
     val leads = (1 until n).map(i => lead(col("tok"), i).over(ordered))
     val withSh = toks
@@ -75,47 +98,58 @@ object TextDedup {
       .agg(hashShingle(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("tok")))),
         x => x.getField("tok")), " ")).as("sh"))
-    main.unionByName(tiny).distinct()
+    new ShingleIndex(main.unionByName(tiny).distinct(), bits)
   }
 
-  /** Jaccard from a (doc_id, sh) inverted index of hashed shingles:
-    * a join counts the shared hashes per pair, per-doc counts give the
-    * set sizes, and |aUb| = |a|+|b|-|a^b|. Hashes instead of shingle
-    * strings (xxhash64 / md5-derived by caller): an 8-byte key halves
-    * the shuffled bytes and joins compare longs; a within-document
-    * collision (probability ~|sh|^2/2^64) is the only way a count can
-    * differ from true set intersection — negligible. Callers pass the
-    * index CACHED: two primitive longs per row columnar-cache cheaply,
-    * and the index is read 3-5 times per pair pipeline (self-join
-    * sides, size counts, verify) — unlike the old array<string>
-    * intermediates, whose cache build cost more than recomputing. */
+  /** PPJoin-style prefix-filtered candidate pairs for Jaccard >= t.
+    *
+    * Canonical global shingle order = (document frequency asc, hash
+    * asc): rare shingles first. A document keeps only its first
+    * |d| - ceil(t*|d|) + 1 shingles in that order; if J(a,b) >= t the
+    * prefixes must share at least one shingle (Bayardo et al.), so the
+    * self-join over prefixes alone is an EXACT candidate generator.
+    * The pruned tail is precisely the highest-df (stopword-like)
+    * shingles — the ones whose df^2 join blowup made the naive
+    * inverted-index self-join a 100x-scale killer.
+    *
+    * The tiny epsilon inside ceil() guards FP product error in the safe
+    * direction only (a slightly LARGER prefix — more candidates, never
+    * a missed pair). */
+  private[graft] def prefixCandidates(inverted: DataFrame, threshold: Double): DataFrame = {
+    val bySh = Window.partitionBy(col("sh"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val prefix = inverted
+      .withColumn("df", count(lit(1)).over(bySh))
+      .withColumn("n_sh", count(lit(1)).over(byDoc))
+      .withColumn("rnk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .where(col("rnk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("sh"))
+    prefix.as("a")
+      .join(prefix.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Jaccard for given candidate pairs, from a (doc_id, sh) inverted
+    * index: fan each pair out over doc_a's hashes, count which also
+    * occur under doc_b — work is O(|candidates| x avg set size), never
+    * the full pair matrix — then |aUb| = |a|+|b|-|a^b|.
+    *
+    * No hard-coded broadcast for the candidate/size lookups: both grow
+    * with the corpus (one row per doc / per candidate pair), so pinning
+    * them to broadcast is an OOM at real scale. AQE converts these to
+    * broadcast joins at runtime when the actual built side is small —
+    * the right call at every scale factor. */
   private def jaccardFromIndex(inverted: DataFrame, threshold: Double,
-      candidates: Option[DataFrame]): DataFrame = {
+      candidates: DataFrame): DataFrame = {
     val sizes = inverted.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val shared = candidates match {
-      case None =>
-        // All-pairs mode: self-join the whole index. Hot shingles make
-        // this inherently O(sum over shingles of df^2) — the exact
-        // algorithm's cost; LSH banding is the cheap-candidate path.
-        inverted.as("a")
-          .join(inverted.as("b").hint("shuffle_hash"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      case Some(c) =>
-        // Candidate mode: fan each pair out over doc_a's hashes, then
-        // count which also occur under doc_b — work is
-        // O(|candidates| x avg set size), never the full pair matrix.
-        inverted.select(col("doc_id").as("doc_a"), col("sh"))
-          .join(c, Seq("doc_a"))
-          .join(inverted.select(col("doc_id").as("doc_b"), col("sh")),
-            Seq("doc_b", "sh"))
-          .select(col("doc_a"), col("doc_b"))
-    }
-    // No hard-coded broadcast for the candidate/size lookups: both grow
-    // with the corpus (one row per doc / per candidate pair), so pinning
-    // them to broadcast is an OOM at real scale. AQE converts these to
-    // broadcast joins at runtime when the actual built side is small —
-    // the right call at every scale factor.
+    val shared = inverted.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(candidates, Seq("doc_a"))
+      .join(inverted.select(col("doc_id").as("doc_b"), col("sh")),
+        Seq("doc_b", "sh"))
+      .select(col("doc_a"), col("doc_b"))
     shared
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -128,37 +162,83 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Crossover for [[ngramJaccardPairs]] mode selection, MEASURED at
+    * sf0.1 on both a uniform-df and a hot-shingle (stopword-footer)
+    * corpus (tables in NOTES.md). Below ~0.35 the prefix bound keeps
+    * |d| - ceil(t|d|) + 1 ~ 0.95|d| shingles, which mathematically
+    * CANNOT exclude the hot tail — no exact prefix scheme helps at low
+    * thresholds, and the candidate-mode verify only adds cost (10.2 s
+    * vs 2.9 s direct at t=0.05). At and above it, the pruned tail is
+    * exactly the hot shingles: on the skewed corpus prefix wins 2-5x
+    * (2.6 s vs 13.1 s at t=0.8) while on the uniform corpus it costs a
+    * bounded constant. Callers who know their corpus shape can force a
+    * mode via [[ngramJaccardDirect]] / [[ngramJaccardPrefix]]. */
+  val PrefixFilterFrom: Double = 0.35
+
+  /** Direct mode: count shared shingles straight off the inverted-index
+    * self-join (one join + one partial-aggregated groupBy — optimal
+    * when document-frequency is near-uniform or the threshold is low,
+    * where nearly every co-occurring pair must be scored anyway). */
+  def ngramJaccardDirect(index: ShingleIndex, threshold: Double): DataFrame = {
+    val inverted = index.df
+    val sizes = inverted.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    inverted.as("a")
+      .join(inverted.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Prefix mode: PPJoin candidate generation + exact verify. */
+  def ngramJaccardPrefix(index: ShingleIndex, threshold: Double): DataFrame =
+    jaccardFromIndex(index.df, threshold,
+      candidates = prefixCandidates(index.df, threshold))
+
+  /** EXACT n-gram Jaccard pairs >= threshold from a prebuilt index.
+    * Caller owns the index lifecycle. Both modes are exact; the
+    * measured crossover [[PrefixFilterFrom]] picks the cheaper plan
+    * (direct intersection counting at low thresholds, PPJoin prefix
+    * pruning at high ones). */
+  def ngramJaccardPairs(index: ShingleIndex, threshold: Double): DataFrame =
+    if (threshold >= PrefixFilterFrom) ngramJaccardPrefix(index, threshold)
+    else ngramJaccardDirect(index, threshold)
+
+  /** Convenience form: builds an unpersisted 64-bit index inline. For
+    * repeated or multi-operator use, build the index once with
+    * [[buildIndex]], persist it, and pass it explicitly. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame =
-    jaccardFromIndex(
-      shingleIndex(docs, idCol, textCol, n, xxhash64(_)).cache(),
-      threshold, candidates = None)
+    ngramJaccardPairs(buildIndex(docs, idCol, textCol, n, bits = 64), threshold)
 
-  /** MinHash+LSH near-dup pairs, verified with exact Jaccard.
+  /** MinHash+LSH near-dup pairs from a prebuilt 32-bit index, verified
+    * with exact Jaccard. Caller owns the index lifecycle.
     *
     * numHashes/bands control recall: collision prob for similarity s is
     * 1-(1-s^rows)^bands. Defaults (32 hashes, 16 bands of 2) catch
     * s=0.8 with p ~= 0.9998.
     *
-    * Signature construction is RELATIONAL, not array-lambda: explode
-    * shingles -> one codegen'd md5 per shingle -> groupBy(doc) with
-    * `numHashes` partial-aggregated `min((a_i*h+b_i) mod p)` columns.
-    * Higher-order-function lambdas are interpreted (CodegenFallback) in
-    * Spark — the per-salt md5-in-a-lambda variant measured ~40us per
-    * hash; this path computes ONE md5 per shingle inside whole-stage
-    * codegen and turns the other 31 hashes into integer multiply-adds
-    * folded into the aggregate. Map-side combine means the shuffle
-    * carries one signature row per doc, not the shingles. */
-  def minhashLshPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double,
-      numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    * Signature construction is RELATIONAL, not array-lambda: the index
+    * already holds one codegen'd 32-bit md5 hash per (doc, shingle);
+    * groupBy(doc) computes `numHashes` partial-aggregated
+    * `min((a_i*h+b_i) mod p)` columns — integer multiply-adds folded
+    * into the aggregate, map-side combined so the shuffle carries one
+    * signature row per doc, not the shingles. */
+  def minhashLshPairs(index: ShingleIndex, threshold: Double,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(index.bits == 32,
+      "MinHash needs the 32-bit md5 index (oracle-reproducible permutation input)")
     val rows = numHashes / bands
     require(bands * rows == numHashes, s"bands ($bands) must divide numHashes ($numHashes)")
-    // Compact inverted index (doc_id, 32-bit md5-derived shingle hash)
-    // — feeds the signature build AND the exact verify counting.
-    val inverted = shingleIndex(docs, idCol, textCol, n, shingleHash32(_)).cache()
+    val inverted = index.df
     val minAggs = minhashCoefficients(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
         min((col("sh") * a + b) % MinhashPrime).as(s"m$i")
@@ -177,9 +257,19 @@ object TextDedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // Exact Jaccard verify, relationally: count shared hashes for the
-    // candidate pairs only (left-semi restriction) — no array columns.
-    jaccardFromIndex(inverted, threshold, candidates = Some(candidates))
+    // candidate pairs only — no array columns.
+    jaccardFromIndex(inverted, threshold, candidates)
   }
+
+  /** Convenience form: builds an unpersisted 32-bit index inline. For
+    * repeated or multi-operator use, build the index once with
+    * [[buildIndex]], persist it, and pass it explicitly. */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      numHashes: Int = 32, bands: Int = 16): DataFrame =
+    minhashLshPairs(buildIndex(docs, idCol, textCol, n, bits = 32),
+      threshold, numHashes, bands)
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (< 8).
     *

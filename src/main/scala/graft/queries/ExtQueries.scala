@@ -30,13 +30,21 @@ object ExtQueries {
   def q20ExactDedup(s: SparkSession, dir: String): DataFrame =
     TextDedup.exact(Tables.documents(s, dir), "doc_id", "text")
 
-  def q21NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    TextDedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, threshold = 0.05)
+  // q21/q22 own their index lifecycle explicitly (persisted compact
+  // (long,long) index, read 3-6x within the query's single action;
+  // Verify/Bench clear caches between queries, a long-lived session
+  // would call .unpersist() on the handle instead).
+  def q21NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, bits = 64).persist()
+    TextDedup.ngramJaccardPairs(idx, threshold = 0.05)
+  }
 
-  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    TextDedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, threshold = 0.05, numHashes = 32, bands = 16)
+  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, bits = 32).persist()
+    TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16)
+  }
 
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",

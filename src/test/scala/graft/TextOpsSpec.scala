@@ -105,6 +105,56 @@ class TextOpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty, "32x16 banding should catch 0.8+ similarity pairs")
   }
 
+  test("shingle index lifecycle is caller-owned: persist then unpersist") {
+    import org.apache.spark.storage.StorageLevel
+    val idx = TextDedup.buildIndex(
+      docs((1L, "a b c d e"), (2L, "a b c d f")), "doc_id", "text", n = 3)
+    assert(idx.df.storageLevel == StorageLevel.NONE, "built unpersisted")
+    idx.persist()
+    idx.df.count() // materialize the cache
+    assert(idx.df.storageLevel != StorageLevel.NONE, "persist() caches")
+    idx.unpersist(blocking = true)
+    assert(idx.df.storageLevel == StorageLevel.NONE, "unpersist() releases")
+  }
+
+  test("one 32-bit index serves both exact-Jaccard and MinHash pipelines") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, base), (2L, base.replace("w20", "XX")),
+      (3L, (100 to 140).map(i => s"v$i").mkString(" ")))
+    val idx = TextDedup.buildIndex(d, "doc_id", "text", n = 3, bits = 32).persist()
+    try {
+      val exact = TextDedup.ngramJaccardPairs(idx, 0.5)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val lsh = TextDedup.minhashLshPairs(idx, 0.5, numHashes = 32, bands = 16)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(exact == Set((1L, 2L)))
+      assert(lsh.subsetOf(exact))
+    } finally idx.unpersist()
+  }
+
+  test("prefix filtering prunes hot-shingle candidates but stays exact") {
+    // Every doc shares one stopword-like tail shingle; uniques otherwise.
+    // At threshold 0.5 the hot shingle (max df) sorts to the tail of the
+    // canonical order and falls outside every prefix, so candidate
+    // generation collapses from C(n,2) co-occurring pairs to zero.
+    val n = 20
+    val d = docs((1 to n).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c common tail words")): _*)
+    val idx = TextDedup.buildIndex(d, "doc_id", "text", n = 3).persist()
+    try {
+      val naiveCooccur = idx.df.as("a")
+        .join(idx.df.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+      val pruned = TextDedup.prefixCandidates(idx.df, 0.5).count()
+      assert(naiveCooccur == n.toLong * (n - 1) / 2,
+        "hot shingle makes every pair co-occur")
+      assert(pruned == 0, s"prefix filter must drop hot-shingle-only pairs, got $pruned")
+      assert(TextDedup.ngramJaccardPairs(idx, 0.5).count() == 0,
+        "no true pair reaches the threshold")
+    } finally idx.unpersist()
+  }
+
   test("simhashPairs: identical docs at hamming 0; byte-banding finds them") {
     val txt = (1 to 30).map(i => s"s$i").mkString(" ")
     val out = TextDedup.simhashPairs(
