@@ -80,10 +80,17 @@ object JourneyPipeline {
 
   /** Run end-to-end against an output directory that may already hold a
     * station dim (read-or-empty) — writes dim_station (overwrite),
-    * dim_datetime (append, reference-faithful) and fact_journey
-    * (partitioned idempotent overwrite). */
+    * dim_datetime (merge-by-key by default, see below) and fact_journey
+    * (partitioned idempotent overwrite).
+    *
+    * `idempotentDatetime = true` (default) merges the new datetime rows
+    * into the existing dim by key — re-running a week is a fixpoint.
+    * `false` reproduces the reference faithfully INCLUDING its flaw
+    * (journey-data-transformation.py:196-210 appends blindly, so
+    * re-processing a week re-appends its timestamps — SURVEY §7 hard
+    * parts). */
   def run(spark: SparkSession, journeysPath: String, outDir: String,
-      genB: Boolean = false): Unit = {
+      genB: Boolean = false, idempotentDatetime: Boolean = true): Unit = {
     val journeys = readJourneys(spark, journeysPath, genB).cache()
     val existing = Sources.parquetOrEmpty(
       spark, s"$outDir/dim_station", Schemas.station)
@@ -97,7 +104,18 @@ object JourneyPipeline {
 
     val datetime = DatetimeDim.build(Seq(
       journeys -> col("start_date"), journeys -> col("end_date")))
-    Sinks.appendParquet(datetime, s"$outDir/dim_datetime", numFiles = 8)
+    if (idempotentDatetime) {
+      // Merge-by-key: every non-key column is a pure function of
+      // datetime_id, so key dedup is fully deterministic. Same
+      // read-overwrite hazard as the station dim -> checkpoint first.
+      val prior = Sources.parquetOrEmpty(
+        spark, s"$outDir/dim_datetime", datetime.schema)
+      val merged = SetOps.unionByNameDedup(prior, datetime, Seq("datetime_id"))
+        .localCheckpoint(true)
+      Sinks.overwriteParquet(merged, s"$outDir/dim_datetime", numFiles = 8)
+    } else {
+      Sinks.appendParquet(datetime, s"$outDir/dim_datetime", numFiles = 8)
+    }
 
     val fact = factJourney(journeys)
       .withColumn("year", year(col("start_date")))
