@@ -17,15 +17,26 @@ object Bench {
     // columns, string surgery, sketches) would be timed as little more
     // than parquet row counts (NOTES.md finding #2). The noop sink
     // consumes every output column while writing nothing.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
-    }
+    // Local profiling knobs (driver sets neither): SPARK_GRAFT_ONLY
+    // restricts to a comma-separated query subset; SPARK_GRAFT_REPS
+    // repeats each query and reports the MINIMUM — the measure least
+    // polluted by GC pauses and box load (observed 2-4x run-to-run
+    // variance on single-shot timings at sf0.1).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val dt = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          } catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        name -> dt
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens, empty strings removed (leading/trailing blanks). */
+  /** Whitespace tokens, empty strings removed (leading/trailing blanks).
+    *
+    * `array_remove(_, "")` rather than the equivalent
+    * `filter(_, t => t =!= "")`: `filter` is a higher-order function and
+    * therefore CodegenFallback — an interpreted per-element lambda on
+    * what is the first step of EVERY text operator — while
+    * `array_remove` is a codegen'd native expression. Identical output:
+    * both drop exactly the empty-string elements `split` produces at
+    * whitespace boundaries (split never yields null elements). */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= lit(""))
+    array_remove(split(text, "\\s+"), "")
 
   /** Distinct character k-gram shingles. Documents shorter than k yield
     * the whole text as a single shingle (guards `sequence`'s descending
@@ -158,9 +166,29 @@ object TextFunctions {
 
   /** Rolling/content fingerprint of a document: full-text md5 plus the
     * minimum shingle hash (a 1-hash MinHash — stable under small edits
-    * with probability 1 - 1/|shingles|). */
+    * with probability 1 - 1/|shingles|). Declarative reference form;
+    * the hot path is [[minShingleHash]] (native, codegen'd), which is
+    * property-tested equal. */
   def contentFingerprint(text: Column, k: Int): Column =
     struct(
       md5(text).as("md5"),
       minHash(charShingles(text, k), 0).as("min_shingle_hash"))
+
+  /** Native codegen'd 1-hash MinHash over char k-grams — identical
+    * output to `minHash(charShingles(text, k), salt)`, O(len) salted
+    * md5s in a tight JVM loop instead of interpreted per-element
+    * lambdas. */
+  def minShingleHash(text: Column, k: Int, salt: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.MinShingleHash(
+      ColumnBridge.expression(text), k, salt))
+  }
+
+  /** Native codegen'd distinct word n-gram shingles — identical output
+    * to [[wordShingles]] (first-occurrence order), one JVM loop per row. */
+  def wordShinglesNative(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.WordShingles(
+      ColumnBridge.expression(toks), n))
+  }
 }

@@ -1,0 +1,203 @@
+package graft.functions.expr
+
+import java.security.MessageDigest
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-at-a-time shingling kernels, called from generated code.
+  *
+  * Why these exist (same tier as [[FloatDotProduct]]): the declarative
+  * forms — `transform(sequence(...), i => substr/slice...)` — are
+  * higher-order functions, which Catalyst evaluates INTERPRETED
+  * (CodegenFallback) with a per-element expression-tree walk and a
+  * per-element allocation. For shingling, that per-element work is the
+  * entire operator: a document of L characters costs L interpreted
+  * `substr` + `md5` evaluations. These kernels do the same loop in
+  * plain JVM code, invoked once per row from inside whole-stage
+  * codegen.
+  */
+object ShingleOps {
+
+  /** Min over char-k-gram shingles of the first 64 bits of a salted
+    * md5, as 16 lowercase hex chars — semantically identical to
+    * `array_min(transform(charShingles(text,k), s => substring(md5(salt:s),1,16)))`:
+    * lexicographic min over fixed-width lowercase hex equals unsigned
+    * numeric min over the underlying 64-bit value. Documents shorter
+    * than k chars contribute the whole text as their single shingle
+    * (charShingles' guard). Distinctness is irrelevant under min. */
+  def minShingleHash(text: UTF8String, k: Int, salt: Int): UTF8String = {
+    val md = MessageDigest.getInstance("MD5")
+    val prefix = (salt.toString + ":").getBytes("UTF-8")
+    // Char-start byte offsets (UTF-8 continuation bytes have the
+    // 10xxxxxx prefix), so each shingle is a zero-copy slice of the
+    // document's byte array — no per-shingle UTF8String/substr
+    // allocation on what is an O(len) per-row loop.
+    val bytes = text.getBytes
+    var nChars = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) nChars += 1
+      b += 1
+    }
+    val starts = new Array[Int](nChars + 1)
+    var ci = 0
+    b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) { starts(ci) = b; ci += 1 }
+      b += 1
+    }
+    starts(nChars) = bytes.length
+    var min = -1L // unsigned max
+    var i = 0
+    val last = if (nChars >= k) nChars - k else 0
+    while (i <= last) {
+      val from = starts(i)
+      val until = if (nChars >= k) starts(i + k) else bytes.length
+      md.update(prefix)
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      if (java.lang.Long.compareUnsigned(v, min) < 0) min = v
+      i += 1
+    }
+    UTF8String.fromString(f"$min%016x")
+  }
+
+  /** Occurrence count (duplicates included, null elements skipped) of
+    * set members in a token array — one pass, one hash probe per
+    * token. See [[TokenSetCount]]. */
+  def countInSet(toks: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = toks.numElements()
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i) && set.contains(toks.getUTF8String(i))) count += 1
+      i += 1
+    }
+    count
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct word n-gram shingles (first-occurrence order) from a
+    * token array — same contract as the declarative
+    * `TextFunctions.wordShingles`: fewer than n tokens yields the
+    * whole space-joined token sequence as a single shingle; null
+    * tokens are skipped inside each join (concat_ws semantics). */
+  def wordShingles(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    val out = new mutable.LinkedHashSet[UTF8String]
+    def join(from: Int, until: Int): UTF8String = {
+      val parts = new Array[UTF8String](until - from)
+      var i = from
+      while (i < until) { parts(i - from) = toks.getUTF8String(i); i += 1 }
+      UTF8String.concatWs(Space, parts: _*)
+    }
+    if (cnt - (n - 1) >= 1) {
+      var i = 0
+      while (i + n <= cnt) { out += join(i, i + n); i += 1 }
+    } else out += join(0, cnt)
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** Native `min_shingle_hash(text)`: the 1-hash MinHash over char
+  * k-grams, codegen'd. See [[ShingleOps.minShingleHash]]. */
+case class MinShingleHash(child: Expression, k: Int, salt: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expects a string column, got ${child.dataType}")
+
+  override def nullSafeEval(text: Any): Any =
+    ShingleOps.minShingleHash(text.asInstanceOf[UTF8String], k, salt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.ShingleOps.minShingleHash($c, $k, $salt)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinShingleHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "min_shingle_hash"
+}
+
+/** Native `token_set_count(tokens)`: occurrence count of a fixed word
+  * set in a token array, codegen'd — one pass with a hash probe per
+  * token. The declarative alternatives are both worse: `size(filter(
+  * toks, _.isin(words)))` is an interpreted per-token lambda
+  * (CodegenFallback), and the codegen'd `size(toks) -
+  * size(array_remove(toks, w))` per word allocates |words| full array
+  * copies per row. Used by language-ID marker counting and
+  * stopword-ratio quality scoring. */
+case class TokenSetCount(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    ShingleOps.countInSet(toks.asInstanceOf[ArrayData], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", wordSet,
+      classOf[java.util.HashSet[_]].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.ShingleOps.countInSet($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_set_count"
+}
+
+/** Native `word_shingles(tokens)`: distinct word n-grams as an
+  * `array<string>`, codegen'd. See [[ShingleOps.wordShingles]]. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    ShingleOps.wordShingles(toks.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.ShingleOps.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}

@@ -23,8 +23,19 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "les", "et", "des", "un"))
 
-  private def countIn(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+  /** Occurrence count (duplicates included) of `words` in a token
+    * array, via the native one-pass codegen'd
+    * [[graft.functions.expr.TokenSetCount]]. Both declarative forms
+    * measured worse: `size(filter(toks, _.isin(words)))` is an
+    * interpreted per-token lambda (CodegenFallback, dominant cost of
+    * language-ID/quality scoring), and per-word
+    * `size(array_remove(toks, w))` sums allocate |words| full array
+    * copies per row (3x regression at 20 stopwords). */
+  private def countIn(toks: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.TokenSetCount(
+      ColumnBridge.expression(toks), words))
+  }
 
   /** Token counts: whitespace tokens plus a BPE-ish regex segmentation
     * (letter runs | digits | single punctuation) — the classic cheap
@@ -68,24 +79,36 @@ object TextAnalysis {
     * chain encodes a fixed preference order so the pick is deterministic
     * and oracle-reproducible. */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Stage 1 materializes each per-language count ONCE; best/pick then
+    // reference the counts as attributes. Inlined into one projection,
+    // each count subtree would be duplicated into `best` and every
+    // `pick` branch (~3x per language per row). CollapseProject keeps
+    // the two stages apart (non-cheap expressions used more than once).
     val toks = tokens(col(textCol))
-    val hits = langMarkers.map { case (l, ws) => l -> countIn(toks, ws) }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val withHits = docs.select(
+      (col(idCol).as("doc_id")) +:
+        langMarkers.map { case (l, ws) => countIn(toks, ws).as(s"hits_$l") }: _*)
+    val hitCols = langMarkers.map { case (l, _) => l -> col(s"hits_$l") }
+    val best = hitCols.map(_._2).reduce((a, b) => greatest(a, b))
     // First match in declared order wins ties (en > es > de > fr);
     // zero marker evidence -> "und" (ISO 639-3 undetermined).
-    val pick = hits.foldRight(lit("und"): Column) { case ((l, c), els) =>
+    val pick = hitCols.foldRight(lit("und"): Column) { case ((l, c), els) =>
       when(c === best && best > 0, lit(l)).otherwise(els)
     }
-    docs.select(
-      (Seq(col(idCol).as("doc_id")) ++
-        hits.map { case (l, c) => c.as(s"hits_$l") } :+
+    withHits.select(
+      (Seq(col("doc_id")) ++
+        hitCols.map { case (l, c) => c.as(s"hits_$l") } :+
         pick.as("detected_lang")): _*)
   }
 
-  /** Content fingerprints: md5 + 1-hash MinHash over char 5-grams. */
+  /** Content fingerprints: md5 + 1-hash MinHash over char 5-grams, via
+    * the native codegen'd [[graft.functions.expr.MinShingleHash]] — the
+    * declarative `contentFingerprint` form pays O(len) interpreted
+    * substr+md5 lambda evaluations per document (and was evaluated
+    * twice, once per extracted struct field). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      contentFingerprint(col(textCol), 5).getField("md5").as("md5_hash"),
-      contentFingerprint(col(textCol), 5).getField("min_shingle_hash").as("min_shingle_hash"))
+      md5(col(textCol)).as("md5_hash"),
+      minShingleHash(col(textCol), 5, 0).as("min_shingle_hash"))
 }

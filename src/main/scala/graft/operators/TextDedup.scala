@@ -61,14 +61,20 @@ object TextDedup {
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_dups"))
 
-  /** Build the distinct (doc_id, hashed-shingle) inverted index, fully
-    * relationally: posexplode tokens -> window `lead` assembles each
-    * n-gram -> hash -> distinct. The array-lambda form (`wordShingles`)
-    * runs interpreted (higher-order functions are CodegenFallback) and
-    * measured ~7 s per evaluation at sf0.1 vs well under 1 s for this
-    * codegen'd pipeline. Documents with fewer than n tokens contribute
-    * their whole token sequence as one shingle (same fallback as
-    * `wordShingles` and the DuckDB oracle).
+  /** Build the distinct (doc_id, hashed-shingle) inverted index: one
+    * codegen'd [[graft.functions.expr.WordShingles]] kernel per row ->
+    * explode -> one codegen'd hash per shingle -> distinct. A single
+    * shuffle (the distinct), no sort.
+    *
+    * Two predecessors measured worse: the array-lambda form
+    * (`wordShingles`, interpreted ~7 s/evaluation at sf0.1) and a
+    * window-function assembly (posexplode -> `lead` over a per-doc
+    * window), whose sort shuffle of EVERY token dominated the build —
+    * and, under a not-yet-materialized persist, was recomputed by each
+    * concurrently-scheduled consumer stage of the self-join. Documents
+    * with fewer than n tokens contribute their whole token sequence as
+    * one shingle (same fallback as `wordShingles` and the DuckDB
+    * oracle).
     *
     * The returned [[ShingleIndex]] is NOT persisted — the caller owns
     * the lifecycle (`.persist()` before multi-operator reuse,
@@ -78,27 +84,11 @@ object TextDedup {
     require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
     val hashShingle: Column => Column =
       if (bits == 32) shingleHash32(_) else xxhash64(_)
-    val toks = docs.select(col(idCol).as("doc_id"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val ordered = byDoc.orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("tok"), i).over(ordered))
-    val withSh = toks
-      .withColumn("cnt", count(lit(1)).over(byDoc))
-      .withColumn("shingle", concat_ws(" ", (col("tok") +: leads): _*))
-      .withColumn("complete",
-        if (n > 1) leads.last.isNotNull else lit(true))
-    val main = withSh
-      .where(col("cnt") >= n && col("complete"))
-      .select(col("doc_id"), hashShingle(col("shingle")).as("sh"))
-    // Tiny-doc fallback (cnt < n): the whole token sequence, in order,
-    // as a single shingle. Rare by construction — fine to aggregate.
-    val tiny = withSh.where(col("cnt") < n)
-      .groupBy(col("doc_id"))
-      .agg(hashShingle(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("tok")))),
-        x => x.getField("tok")), " ")).as("sh"))
-    new ShingleIndex(main.unionByName(tiny).distinct(), bits)
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(wordShinglesNative(tokens(col(textCol)), n)).as("shingle"))
+    new ShingleIndex(
+      sh.select(col("doc_id"), hashShingle(col("shingle")).as("sh")).distinct(),
+      bits)
   }
 
   /** PPJoin-style prefix-filtered candidate pairs for Jaccard >= t.

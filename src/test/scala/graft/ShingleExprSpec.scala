@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+/** Specs for the native codegen'd shingling kernels: value parity with
+  * the declarative higher-order-function reference forms
+  * (`minHash(charShingles(...))`, `wordShingles`) across edge shapes —
+  * short/empty docs, multibyte characters, duplicate shingles — and on
+  * both the codegen and interpreted execution paths.
+  */
+class ShingleExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "aaaaa aaaaa aaaaa", // duplicate shingles
+    "ab", // shorter than k=5 -> whole text is the single shingle
+    "", // empty
+    "héllo wörld düplex héllo wörld", // multibyte chars
+    "one two", // fewer than n=3 tokens
+    "x", // single token, shorter than k
+    "  padded   with   runs  of spaces  ")
+
+  test("minShingleHash equals the declarative charShingles+minHash form") {
+    val df = texts.toDF("text")
+    val rows = df.select(
+      minShingleHash(col("text"), 5, 0).as("native"),
+      contentFingerprint(col("text"), 5).getField("min_shingle_hash").as("hof"))
+      .as[(String, String)].collect()
+    rows.foreach { case (n, h) => assert(n == h, s"mismatch: $n != $h") }
+  }
+
+  test("wordShinglesNative equals the declarative wordShingles form") {
+    val df = texts.toDF("text")
+    val rows = df.select(
+      wordShinglesNative(tokens(col("text")), 3).as("native"),
+      wordShingles(tokens(col("text")), 3).as("hof"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (n, h) =>
+      assert(n == h, s"order-preserving distinct must match: $n != $h")
+    }
+  }
+
+  test("tokens (array_remove form) drops exactly the empty strings") {
+    val out = Seq("  a  b ", "", "   ", "one").toDF("t")
+      .select(tokens(col("t"))).as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq("a", "b"), Seq(), Seq(), Seq("one")))
+  }
+
+  test("survives both codegen and interpreted paths") {
+    val df = Seq("five chars here").toDF("text")
+    def run(): (String, Seq[String]) = df.select(
+      minShingleHash(col("text"), 5, 0),
+      wordShinglesNative(tokens(col("text")), 2))
+      .as[(String, Seq[String])].head()
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == withCodegen)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(withCodegen._2 == Seq("five chars", "chars here"))
+  }
+}
