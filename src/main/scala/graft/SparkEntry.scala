@@ -46,6 +46,7 @@ object SparkEntry {
     "q25_knn_brute_force"   -> (ExtQueries.q25KnnBruteForce(_, _)),
     "q26_knn_lsh"           -> (ExtQueries.q26KnnLsh(_, _)),
     "q27_multimodal_stats"  -> (ExtQueries.q27MultimodalStats(_, _)),
+    "q39_kmeans_ivf"        -> (ExtQueries.q39KmeansIvf(_, _)),
     "q28_sessionize"        -> (ExtQueries.q28Sessionize(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's

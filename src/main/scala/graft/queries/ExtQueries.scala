@@ -53,6 +53,10 @@ object ExtQueries {
   def q24EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     VectorSim.clusterNearDup(Tables.embeddings(s, dir), threshold = 0.35)
 
+  def q39KmeansIvf(s: SparkSession, dir: String): DataFrame =
+    VectorSim.ivfNearDup(Tables.embeddings(s, dir), k = 8, iters = 2,
+      threshold = 0.35)
+
   def q25KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     VectorSim.knnBruteForce(emb.where(col("vec_id") < 5), emb, k = 5)
@@ -133,6 +137,48 @@ object ExtQueries {
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
+
+  /** DuckDB mirror of the full deterministic k-means IVF pipeline
+    * (q39): re-derives the md5-sampled init centroids, every Lloyd's
+    * round (assign via rounded `x.x - 2x.c + c.c` argmin with
+    * lowest-index ties, centroid update via exact float-sum/count
+    * means, empty-cluster fallback), and the final same-cluster
+    * near-dup join — bit-exact with `VectorSim.kmeansCentroids` /
+    * `ivfNearDup` because every float sum is exactly representable in
+    * doubles and every comparison happens after round(...,6). */
+  private def kmeansIvfOracleSql(k: Int, dim: Int, iters: Int,
+      threshold: Double): String = {
+    def assign(name: String, cen: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, list_indexof(l, list_min(l)) - 1 AS cluster FROM (
+         |    SELECT x.vec_id,
+         |      list(round(x.xx - 2*list_sum([x.emb[i+1]*n.w[i+1] for i in range(0,$dim)])
+         |                 + list_sum([n.w[i+1]*n.w[i+1] for i in range(0,$dim)]), 6)
+         |           ORDER BY n.c) AS l
+         |    FROM xx x CROSS JOIN $cen n GROUP BY x.vec_id))""".stripMargin
+    def update(name: String, prevCen: String, prevAssign: String): String =
+      s"""$name AS (
+         |  SELECT o.c, coalesce(nw.w, o.w) AS w FROM $prevCen o LEFT JOIN (
+         |    SELECT cluster AS c, list(m ORDER BY d) AS w FROM (
+         |      SELECT a.cluster, dd.d, sum(e2.emb[dd.d+1]) / count(*) AS m
+         |      FROM $prevAssign a JOIN e e2 USING (vec_id) CROSS JOIN range(0,$dim) dd(d)
+         |      GROUP BY a.cluster, dd.d) GROUP BY cluster) nw ON nw.c = o.c)""".stripMargin
+    val rounds = (1 to iters).flatMap(t =>
+      Seq(update(s"cen$t", s"cen${t - 1}", s"a${t - 1}"), assign(s"a$t", s"cen$t")))
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |cen0 AS (
+       |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c, emb AS w
+       |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k),
+       |xx AS (SELECT vec_id, emb,
+       |  list_sum([emb[i+1]*emb[i+1] for i in range(0,$dim)]) AS xx FROM e),
+       |${(assign("a0", "cen0") +: rounds).mkString(",\n")}
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  CAST(ax.cluster AS INT) AS cluster,
+       |  round(list_cosine_similarity(x.emb, y.emb), 6) AS cos_sim
+       |FROM a$iters ax JOIN a$iters ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
+       |JOIN e x ON x.vec_id = ax.vec_id JOIN e y ON y.vec_id = ay.vec_id
+       |WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= $threshold""".stripMargin
+  }
 
   /** DuckDB word-3-gram shingle CTE (mirrors `wordShingles(tokens, 3)`). */
   private val duckShingles3 =
@@ -285,6 +331,12 @@ object ExtQueries {
     "q26_knn_lsh" ->
       knnLshOracleSql(dim = 64, bits = 2, tables = 8, seed = 42L,
         k = 5, queryPred = "vec_id < 5"),
+
+    // Same constants as q39KmeansIvf above — the SQL re-runs the whole
+    // deterministic Lloyd's pipeline, so quantizer AND scoring are
+    // oracle-checked.
+    "q39_kmeans_ivf" ->
+      kmeansIvfOracleSql(k = 8, dim = 64, iters = 2, threshold = 0.35),
 
     "q32_curation_pipeline" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks, CAST(len(text) AS DOUBLE) AS nc FROM documents),

@@ -59,6 +59,41 @@ class VectorSimSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"8-table LSH recall@5 too low: $recall")
   }
 
+  test("kmeans quantizer separates well-separated clusters and is deterministic") {
+    val rnd = new scala.util.Random(11)
+    // Three tight blobs around orthogonal axes in 8 dims.
+    val e = emb((0L until 60L).map { i =>
+      val axis = (i % 3).toInt
+      val v = Seq.tabulate(8)(d =>
+        (if (d == axis) 10f else 0f) + rnd.nextGaussian().toFloat * 0.1f)
+      (i, v, axis)
+    }: _*)
+    val cen = VectorSim.kmeansCentroids(e, k = 3, iters = 3)
+    assert(cen.size == 3 && cen.forall(_.length == 8))
+    assert(cen.map(_.toSeq) == VectorSim.kmeansCentroids(e, k = 3, iters = 3).map(_.toSeq),
+      "identical input must reproduce identical centroids")
+    val assign = VectorSim.kmeansAssignments(e, cen)
+      .as[(Long, Int)].collect().toMap
+    assert(assign.size == 60 && assign.values.forall(c => c >= 0 && c < 3))
+    // Quantization must recover the generating blobs exactly: every
+    // true blob maps to exactly one learned cluster id.
+    val byBlob = (0 until 3).map(b =>
+      (0L until 60L).filter(_ % 3 == b).map(assign).toSet)
+    assert(byBlob.forall(_.size == 1) && byBlob.flatten.toSet.size == 3,
+      s"blobs not cleanly separated: $byBlob")
+  }
+
+  test("ivfNearDup pairs only within a learned cluster, scored exactly") {
+    val e = emb(
+      (0L, Seq(10f, 0f, 0.1f), 0), (1L, Seq(10f, 0.1f, 0f), 0),
+      (2L, Seq(0f, 10f, 0.1f), 1), (3L, Seq(0.1f, 10f, 0f), 1),
+      (4L, Seq(-10f, 0f, 0f), 2))
+    val out = VectorSim.ivfNearDup(e, k = 3, iters = 2, threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L), (2L, 3L)),
+      "near-identical same-blob pairs only; opposite vector pairs with nobody")
+  }
+
   test("hyperplane buckets are deterministic across invocations") {
     import graft.functions.VectorFunctions.hyperplaneBucket
     import org.apache.spark.sql.functions.col
