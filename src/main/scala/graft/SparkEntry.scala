@@ -48,6 +48,8 @@ object SparkEntry {
     "q27_multimodal_stats"  -> (ExtQueries.q27MultimodalStats(_, _)),
     "q39_kmeans_ivf"        -> (ExtQueries.q39KmeansIvf(_, _)),
     "q28_sessionize"        -> (ExtQueries.q28Sessionize(_, _)),
+    "q40_asof_join"         -> (ExtQueries.q40AsofJoin(_, _)),
+    "q41_interval_join"     -> (ExtQueries.q41IntervalJoin(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

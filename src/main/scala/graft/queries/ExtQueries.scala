@@ -94,6 +94,40 @@ object ExtQueries {
   def q28Sessionize(s: SparkSession, dir: String): DataFrame =
     EventOps.sessionize(Tables.events(s, dir), gapMs = 6L * 3600 * 1000)
 
+  /** As-of join: each purchase matched to the user's latest click at
+    * or before it (left outer — null columns when the user never
+    * clicked before). */
+  def q40AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    EventOps.asofJoin(
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts")),
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts")),
+      keyCol = "user_id", tsCol = "ts", prefix = "r_")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("r_event_id").as("click_id"), col("r_ts").as("click_ts"))
+  }
+
+  /** Banded interval join: every (error, view) pair per user with the
+    * view in the 15 minutes up to the error. */
+  def q41IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    EventOps.intervalJoin(
+      ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts")),
+      ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts")),
+      keyCol = "user_id", tsCol = "ts", windowMs = 15L * 60 * 1000, prefix = "r_")
+      .select(
+        col("user_id"),
+        col("event_id").as("error_id"), col("ts").as("error_ts"),
+        col("r_event_id").as("view_id"), col("r_ts").as("view_ts"),
+        (unix_millis(col("ts")) - unix_millis(col("r_ts"))).as("ms_before"))
+  }
+
   def q27MultimodalStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.modalityStats(
       Multimodal.decodeFeatures(
@@ -380,6 +414,24 @@ object ExtQueries {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM s GROUP BY user_id, session_no""".stripMargin,
+
+    "q40_asof_join" ->
+      """SELECT l.user_id,
+        | l.event_id AS purchase_id, l.ts AS purchase_ts,
+        | r.event_id AS click_id, r.ts AS click_ts
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+
+    "q41_interval_join" ->
+      """SELECT l.user_id,
+        | l.event_id AS error_id, l.ts AS error_ts,
+        | r.event_id AS view_id, r.ts AS view_ts,
+        | epoch_ms(l.ts) - epoch_ms(r.ts) AS ms_before
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') l
+        |JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id
+        | AND epoch_ms(l.ts) - epoch_ms(r.ts) BETWEEN 0 AND 900000""".stripMargin,
 
     "q27_multimodal_stats" ->
       """SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

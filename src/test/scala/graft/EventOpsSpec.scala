@@ -47,4 +47,49 @@ class EventOpsSpec extends AnyFunSuite {
     assert(relational.toSeq == Seq((2L, 3.0), (1L, 4.0)))
     assert(streaming.toSeq == Seq((2L, 3.0)))
   }
+
+  private def evDf(rows: (Long, Timestamp, Long)*) =
+    rows.toDF("event_id", "ts", "user_id")
+
+  test("asofJoin picks the latest right row at or before, per key, null when none") {
+    val left = evDf((100L, ts(10), 1L), (101L, ts(30), 1L), (102L, ts(5), 2L))
+    val right = evDf(
+      (200L, ts(0), 1L), (201L, ts(10), 1L), // equal ts -> inclusive match
+      (202L, ts(20), 1L),
+      (203L, ts(7), 2L)) // after left's only event for user 2
+    val out = EventOps.asofJoin(left, right, "user_id", "ts")
+      .select($"event_id", $"r_event_id".cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      100L -> Some("201"), // ties include the equal-ts right row
+      101L -> Some("202"), // latest of the three, not just any earlier
+      102L -> None)) // no right row at or before -> left outer null
+  }
+
+  test("intervalJoin equals the brute-force inequality join") {
+    val rnd = new scala.util.Random(5)
+    val left = evDf((0 until 80).map(i =>
+      (i.toLong, ts(rnd.nextInt(300).toLong), rnd.nextInt(4).toLong)): _*)
+    val right = evDf((0 until 80).map(i =>
+      (1000L + i, ts(rnd.nextInt(300).toLong), rnd.nextInt(4).toLong)): _*)
+    val w = 17L * 60 * 1000 // deliberately not a divisor-friendly width
+    val banded = EventOps.intervalJoin(left, right, "user_id", "ts", w)
+      .select($"event_id", $"r_event_id").as[(Long, Long)].collect().toSet
+    val brute = left.as("l").join(right.select(
+        $"event_id".as("rid"), $"ts".as("rts"), $"user_id".as("ruid")),
+        $"user_id" === $"ruid")
+      .where(org.apache.spark.sql.functions.unix_millis($"ts") -
+        org.apache.spark.sql.functions.unix_millis($"rts") between (0, w))
+      .select($"event_id", $"rid").as[(Long, Long)].collect().toSet
+    assert(banded == brute, "banding must be lossless and duplicate-free")
+    assert(banded.nonEmpty)
+  }
+
+  test("intervalJoin plans a hash equi-join, not a cartesian/nested-loop") {
+    val left = evDf((1L, ts(0), 1L)); val right = evDf((2L, ts(1), 1L))
+    val plan = EventOps.intervalJoin(left, right, "user_id", "ts", 60000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"banded interval join must be an equi-join:\n$plan")
+  }
 }
