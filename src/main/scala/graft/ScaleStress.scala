@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-family scale stress (run each round, table kept in NOTES.md):
+  * replicates the sf0.1 documents corpus `reps`x — each original plus
+  * perturbed near-duplicate replicas, a pathologically dup-dense
+  * distribution — materializes it to parquet, and times each dedup
+  * operator through the noop sink. The point is the scaling SHAPE:
+  * runtime must track output-pair count, not corpus^2.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleStress"
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "10").toInt
+    val out = "/tmp/graft_stress_docs"
+    val spark = Sessions.local(32, "graft-scale-stress")
+
+    // Replica i != 0 appends a marker token: near-dup of its original
+    // (one extra shingle), never an exact dup.
+    val docs = Tables.documents(spark, dir)
+    (0 until reps).map { i =>
+      docs.select(
+        (col("doc_id") * reps + i).as("doc_id"),
+        (if (i == 0) col("text")
+         else concat(col("text"), lit(s" replicamarker$i"))).as("text"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(out)
+    val big = spark.read.parquet(out)
+    println(s"corpus: ${big.count()} docs ($reps x $dir)")
+
+    def time(label: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"$label%-28s $dt%7.1f s")
+    }
+
+    time("exact_dedup") {
+      operators.TextDedup.exact(big, "doc_id", "text")
+    }
+    time("minhash_lsh (verify incl.)") {
+      val idx = operators.TextDedup
+        .buildIndex(big, "doc_id", "text", n = 3, bits = 32).persist()
+      operators.TextDedup.minhashLshPairs(idx, 0.05, numHashes = 32, bands = 16)
+    }
+    time("simhash (hamming<=3)") {
+      operators.TextDedup.simhashPairs(big, "doc_id", "text", maxHamming = 3)
+    }
+    time("ngram_jaccard exact t=0.05") {
+      val idx = operators.TextDedup
+        .buildIndex(big, "doc_id", "text", n = 3, bits = 64).persist()
+      operators.TextDedup.ngramJaccardPairs(idx, 0.05)
+    }
+    spark.stop()
+  }
+}
