@@ -50,6 +50,9 @@ object SparkEntry {
     "q28_sessionize"        -> (ExtQueries.q28Sessionize(_, _)),
     "q40_asof_join"         -> (ExtQueries.q40AsofJoin(_, _)),
     "q41_interval_join"     -> (ExtQueries.q41IntervalJoin(_, _)),
+    "q42_redact"            -> (ExtQueries.q42Redact(_, _)),
+    "q43_repetition"        -> (ExtQueries.q43Repetition(_, _)),
+    "q44_minhash_estimate"  -> (ExtQueries.q44MinhashEstimate(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

@@ -100,22 +100,35 @@ object TextFunctions {
   def tokenHash32(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
-  /** Mersenne prime 2^61-1 — modulus for the MinHash permutation family.
-    * a*h+b stays < 2^60 (a < 2^28, h < 2^32), so 64-bit arithmetic never
-    * overflows (ANSI mode would throw) and one `%` is a full reduction. */
+  /** Mersenne prime 2^61-1 — modulus for the MinHash permutation
+    * family `h -> (a*h + b) mod p`.
+    *
+    * The coefficients are ~60-bit, so a*h needs 128-bit arithmetic
+    * (Spark DECIMAL(38,0) / DuckDB HUGEINT — both exact) before the
+    * reduction. That width is NOT optional: an earlier revision used
+    * 28-bit coefficients so that a*h stayed below 2^60 in a plain
+    * long — which means the `mod p` NEVER WRAPPED, every "permutation"
+    * was order-preserving in h, and all `numHashes` minima picked the
+    * same argmin shingle. A MinHash signature whose rows are perfectly
+    * correlated estimates Jaccard all-or-nothing per pair (P(agree)=J
+    * jointly, not per row) — banding recall silently collapsed for
+    * near-dups while exact dups (J=1) still matched, which is why the
+    * flaw survived two rounds of green oracle checks that mirrored the
+    * same broken family. */
   val MinhashPrime: Long = (1L << 61) - 1
 
-  /** Deterministic universal-hash coefficients (a_i odd 28-bit, b_i
-    * 28-bit), derived from md5 so any engine (the DuckDB oracle, a
-    * different Spark cluster) can reproduce them from the index alone. */
+  /** Deterministic universal-hash coefficients (a_i odd ~60-bit, b_i
+    * ~60-bit, both < p), derived from md5 so any engine (the DuckDB
+    * oracle, a different Spark cluster) can reproduce them from the
+    * index alone. */
   def minhashCoefficients(numHashes: Int): Seq[(Long, Long)] = {
-    def h7(s: String): Long = {
+    def h15(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
       java.lang.Long.parseLong(
-        d.take(4).map(b => f"${b & 0xff}%02x").mkString.take(7), 16)
+        d.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
     }
-    (0 until numHashes).map(i => (h7(s"perm-a-$i") | 1L, h7(s"perm-b-$i")))
+    (0 until numHashes).map(i => (h15(s"perm-a-$i") | 1L, h15(s"perm-b-$i")))
   }
 
   /** One codegen'd 32-bit hash per shingle string (for the relational

@@ -101,6 +101,44 @@ object TextAnalysis {
         pick.as("detected_lang")): _*)
   }
 
+  /** PII/URL redaction (C4-style curation pass): emails then URLs
+    * replaced with fixed tokens, with per-doc match counts for audit.
+    * Patterns stay in the regex subset shared by Java regex and RE2 so
+    * the operator is engine-portable (and DuckDB-oracle-checkable).
+    * Pure map pass — fused into the scan by codegen at any scale. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+
+  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>").as("clean_text"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+        .as("n_urls"))
+
+  /** Gopher-style repetition signal: the share of duplicate word
+    * 3-gram positions in the document. `total` counts shingle
+    * POSITIONS (tokens - n + 1, min 1 — same tiny-doc fallback as the
+    * shingle index); `distinct` reuses the native [[graft.functions.expr.WordShingles]]
+    * kernel. High ratio = boilerplate/looped text, the standard
+    * pretraining quality filter. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val toks = tokens(col(textCol))
+    val total = greatest(size(toks) - lit(n - 1), lit(1))
+    val distinct = size(wordShinglesNative(toks, n))
+    docs.select(
+      col(idCol).as("doc_id"),
+      total.as("n_shingle_positions"),
+      distinct.as("n_distinct_shingles"),
+      round(lit(1.0) - distinct.cast("double") / total.cast("double"), 6)
+        .as("repetition_ratio"))
+  }
+
   /** Content fingerprints: md5 + 1-hash MinHash over char 5-grams, via
     * the native codegen'd [[graft.functions.expr.MinShingleHash]] — the
     * declarative `contentFingerprint` form pays O(len) interpreted

@@ -222,33 +222,85 @@ object TextDedup {
     * `min((a_i*h+b_i) mod p)` columns — integer multiply-adds folded
     * into the aggregate, map-side combined so the shuffle carries one
     * signature row per doc, not the shingles. */
-  def minhashLshPairs(index: ShingleIndex, threshold: Double,
-      numHashes: Int, bands: Int): DataFrame = {
-    require(index.bits == 32,
-      "MinHash needs the 32-bit md5 index (oracle-reproducible permutation input)")
-    val rows = numHashes / bands
-    require(bands * rows == numHashes, s"bands ($bands) must divide numHashes ($numHashes)")
-    val inverted = index.df
+  /** MinHash signature frame: (doc_id, m0..m{numHashes-1}), one
+    * partial-aggregated `min((a_i*h + b_i) mod p)` column per
+    * permutation — the shuffle carries one signature row per doc.
+    *
+    * With ~60-bit coefficients a*h is ~93 bits, so the multiply-mod
+    * needs 128-bit intermediates — done by the native codegen'd
+    * [[graft.functions.expr.MinhashPerm]] (Math.multiplyHigh +
+    * Mersenne fold; exactly DuckDB's HUGEINT result at plain-long
+    * cost). See `TextFunctions.MinhashPrime` for why narrower
+    * coefficients silently break the whole estimator. */
+  private def signatures(inverted: DataFrame, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val minAggs = minhashCoefficients(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
-        min((col("sh") * a + b) % MinhashPrime).as(s"m$i")
+        min(ColumnBridge.column(graft.functions.expr.MinhashPerm(
+          ColumnBridge.expression(col("sh")), a, b))).as(s"m$i")
     }
-    val sig = inverted.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    inverted.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** Distinct candidate pairs from banding a signature frame: same
+    * bucket in ANY band -> candidate. */
+  private def bandCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, s"bands ($bands) must divide numHashes ($numHashes)")
     val bandCols = (0 until bands).map { bd =>
       concat(lit(s"$bd|"), md5(concat_ws(",",
         (0 until rows).map(r => col(s"m${bd * rows + r}")): _*)))
     }
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
-    // Same bucket in any band -> candidate (dedup across bands).
-    val candidates = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def minhashLshPairs(index: ShingleIndex, threshold: Double,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(index.bits == 32,
+      "MinHash needs the 32-bit md5 index (oracle-reproducible permutation input)")
+    val inverted = index.df
+    val candidates = bandCandidates(signatures(inverted, numHashes), numHashes, bands)
     // Exact Jaccard verify, relationally: count shared hashes for the
     // candidate pairs only — no array columns.
     jaccardFromIndex(inverted, threshold, candidates)
+  }
+
+  /** MinHash near-dup with the SIGNATURE-ESTIMATE verify: Jaccard is
+    * estimated as the agreeing fraction of the numHashes min-hash
+    * columns (the textbook unbiased MinHash estimator, stderr
+    * ~ 1/sqrt(numHashes)) instead of recounted exactly from the index.
+    *
+    * Why it exists: the exact verify fans every candidate pair out
+    * over its full shingle set — the dominant cost on dup-dense
+    * corpora (measured ~10x the signature work at the 10x stress).
+    * This path touches only the two signature rows per candidate, so
+    * verify cost is O(candidates), independent of document length.
+    * Use when a ~1/sqrt(numHashes) estimate tolerance is acceptable;
+    * [[minhashLshPairs]] when survivors must be exact. */
+  def minhashEstimatePairs(index: ShingleIndex, minEstimate: Double,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(index.bits == 32,
+      "MinHash needs the 32-bit md5 index (oracle-reproducible permutation input)")
+    val sig = signatures(index.df, numHashes)
+    val candidates = bandCandidates(sig, numHashes, bands)
+    def renamed(p: String) = sig.select(
+      (col("doc_id").as(s"${p}_id")) +:
+        (0 until numHashes).map(i => col(s"m$i").as(s"${p}_m$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates
+      .join(renamed("a"), col("doc_a") === col("a_id"))
+      .join(renamed("b"), col("doc_b") === col("b_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(agree.cast("double") / numHashes, 6).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstimate)
   }
 
   /** Convenience form: builds an unpersisted 32-bit index inline. For

@@ -30,6 +30,19 @@ object ExtQueries {
   def q20ExactDedup(s: SparkSession, dir: String): DataFrame =
     TextDedup.exact(Tables.documents(s, dir), "doc_id", "text")
 
+  def q42Redact(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redact(Tables.documents(s, dir), "doc_id", "text")
+
+  def q43Repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text", n = 3)
+
+  def q44MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, bits = 32).persist()
+    TextDedup.minhashEstimatePairs(idx, minEstimate = 0.25,
+      numHashes = 32, bands = 16)
+  }
+
   // q21/q22 own their index lifecycle explicitly (persisted compact
   // (long,long) index, read 3-6x within the query's single action;
   // Verify/Bench clear caches between queries, a long-lived session
@@ -281,6 +294,54 @@ object ExtQueries {
         | count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
 
+    "q42_redact" -> {
+      val em = graft.operators.TextAnalysis.EmailPattern
+      val ur = graft.operators.TextAnalysis.UrlPattern
+      s"""SELECT doc_id,
+         | regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ur', '<URL>', 'g') AS clean_text,
+         | CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$ur')) AS INT) AS n_urls
+         |FROM documents""".stripMargin
+    },
+
+    "q43_repetition" ->
+      s"""$duckShingles3
+         |SELECT tk.doc_id,
+         | CAST(greatest(len(tk.t) - 2, 1) AS INT) AS n_shingle_positions,
+         | CAST(len(sh.sh) AS INT) AS n_distinct_shingles,
+         | round(1.0 - CAST(len(sh.sh) AS DOUBLE) / greatest(len(tk.t) - 2, 1), 6) AS repetition_ratio
+         |FROM tk JOIN sh USING (doc_id)""".stripMargin,
+
+    // Candidate generation identical to q22; verify swapped for the
+    // signature-agreement estimator, so the estimator itself is
+    // oracle-checked column by column.
+    "q44_minhash_estimate" -> {
+      val coeffs = graft.functions.TextFunctions.minhashCoefficients(32)
+      val p = graft.functions.TextFunctions.MinhashPrime
+      val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"min(((h::HUGEINT*$a + $b) % $p)::BIGINT) AS m$i"
+      }.mkString(",\n  ")
+      val bandEntries = (0 until 16).map { bd =>
+        s"'$bd|' || md5(m${2 * bd}::VARCHAR || ',' || m${2 * bd + 1}::VARCHAR)"
+      }.mkString(",\n    ")
+      val agree = (0 until 32)
+        .map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""$duckShingles3,
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM ex),
+         |sig AS (SELECT doc_id,
+         |  $minCols
+         |  FROM hh GROUP BY doc_id),
+         |bands AS (SELECT doc_id,
+         |  unnest([$bandEntries]) AS bucket
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, round(($agree) / 32.0, 6) AS est_jaccard
+         |FROM cand JOIN sig x ON x.doc_id = cand.doc_a JOIN sig y ON y.doc_id = cand.doc_b
+         |WHERE round(($agree) / 32.0, 6) >= 0.25""".stripMargin
+    },
+
     "q21_ngram_jaccard" ->
       s"""$duckShingles3
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -300,7 +361,7 @@ object ExtQueries {
       val coeffs = graft.functions.TextFunctions.minhashCoefficients(32)
       val p = graft.functions.TextFunctions.MinhashPrime
       val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
-        s"min((h*$a + $b) % $p) AS m$i"
+        s"min(((h::HUGEINT*$a + $b) % $p)::BIGINT) AS m$i"
       }.mkString(",\n  ")
       val bandEntries = (0 until 16).map { bd =>
         s"'$bd|' || md5(m${2 * bd}::VARCHAR || ',' || m${2 * bd + 1}::VARCHAR)"

@@ -203,4 +203,51 @@ class TextOpsSpec extends AnyFunSuite {
     assert(row.getAs[Int]("n_bpe_tokens") == 7)
     assert(row.getAs[Int]("n_distinct_tokens") == 3)
   }
+
+  test("redact replaces emails and urls with tokens and counts matches") {
+    val row = TextAnalysis.redact(
+      docs((1L, "mail a.b+c@test.org or see https://ex.com/x?q=1 and http://y.io now")),
+      "doc_id", "text").head()
+    assert(row.getAs[String]("clean_text") ==
+      "mail <EMAIL> or see <URL> and <URL> now")
+    assert(row.getAs[Int]("n_emails") == 1)
+    assert(row.getAs[Int]("n_urls") == 2)
+  }
+
+  test("repetition ratio: looped text high, unique text zero, tiny docs zero") {
+    val out = TextAnalysis.repetition(
+      docs(
+        (1L, "a b c a b c a b c"), // 7 positions, 3 distinct rolls
+        (2L, "one two three four"), // all distinct
+        (3L, "hi")), // < n tokens -> single-shingle fallback
+      "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .select("n_shingle_positions", "n_distinct_shingles", "repetition_ratio")
+      .as[(Int, Int, Double)].collect()
+    assert(out(0) == ((7, 3, math.rint((1.0 - 3.0 / 7) * 1e6) / 1e6)))
+    assert(out(1) == ((2, 2, 0.0)))
+    assert(out(2) == ((1, 1, 0.0)))
+  }
+
+  test("minhashEstimatePairs: exact dups estimate 1.0; estimates near exact Jaccard") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docs(
+      (1L, base), (2L, base), // exact dup -> est 1.0
+      (3L, base + " extra tail token"), // near dup
+      (4L, "completely different content with no overlap at all whatsoever here"))
+    val idx = TextDedup.buildIndex(d, "doc_id", "text", n = 3, bits = 32)
+    val est = TextDedup.minhashEstimatePairs(idx, 0.25, 32, 16)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(est((1L, 2L)) == 1.0)
+    assert(est.contains((1L, 3L)) && est((1L, 3L)) > 0.3 && est((1L, 3L)) < 1.0)
+    assert(!est.keys.exists { case (a, b) => b == 4L || a == 4L })
+    // Estimator tracks the exact verify: same candidates, correlated values.
+    val exact = TextDedup.minhashLshPairs(idx, 0.05, 32, 16)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    est.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)) < 0.35, s"estimate $e far from exact ${exact(k)} for $k")
+    }
+  }
 }
