@@ -70,6 +70,12 @@ object ExtQueries {
     VectorSim.ivfNearDup(Tables.embeddings(s, dir), k = 8, iters = 2,
       threshold = 0.35)
 
+  def q45KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorSim.knnIvf(emb.where(col("vec_id") < 5), emb, k = 5,
+      kClusters = 8, iters = 2, nprobe = 2)
+  }
+
   def q25KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     VectorSim.knnBruteForce(emb.where(col("vec_id") < 5), emb, k = 5)
@@ -193,8 +199,10 @@ object ExtQueries {
     * near-dup join — bit-exact with `VectorSim.kmeansCentroids` /
     * `ivfNearDup` because every float sum is exactly representable in
     * doubles and every comparison happens after round(...,6). */
-  private def kmeansIvfOracleSql(k: Int, dim: Int, iters: Int,
-      threshold: Double): String = {
+  /** Shared WITH-chain re-running deterministic Lloyd's in SQL:
+    * defines CTEs e, cen0, xx, a0, cen1, a1, ..., cen$iters, a$iters
+    * (a_t = assignment under cen_t). Callers append final SELECTs. */
+  private def kmeansCtes(k: Int, dim: Int, iters: Int): String = {
     def assign(name: String, cen: String): String =
       s"""$name AS (
          |  SELECT vec_id, list_indexof(l, list_min(l)) - 1 AS cluster FROM (
@@ -218,14 +226,45 @@ object ExtQueries {
        |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k),
        |xx AS (SELECT vec_id, emb,
        |  list_sum([emb[i+1]*emb[i+1] for i in range(0,$dim)]) AS xx FROM e),
-       |${(assign("a0", "cen0") +: rounds).mkString(",\n")}
+       |${(assign("a0", "cen0") +: rounds).mkString(",\n")}""".stripMargin
+  }
+
+  private def kmeansIvfOracleSql(k: Int, dim: Int, iters: Int,
+      threshold: Double): String =
+    s"""${kmeansCtes(k, dim, iters)}
        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |  CAST(ax.cluster AS INT) AS cluster,
        |  round(list_cosine_similarity(x.emb, y.emb), 6) AS cos_sim
        |FROM a$iters ax JOIN a$iters ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
        |JOIN e x ON x.vec_id = ax.vec_id JOIN e y ON y.vec_id = ay.vec_id
        |WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= $threshold""".stripMargin
-  }
+
+  /** DuckDB mirror of the IVF ANN search (q45): same Lloyd's chain,
+    * then per-query probe ranking (rounded distance, lowest-index
+    * tie) and candidate scoring restricted to the probed cells. */
+  private def knnIvfOracleSql(k: Int, dim: Int, kClusters: Int, iters: Int,
+      nprobe: Int, queryPred: String): String =
+    s"""${kmeansCtes(kClusters, dim, iters)},
+       |pr AS (
+       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM (
+       |    SELECT x.vec_id, n.c,
+       |      round(x.xx - 2*list_sum([x.emb[i+1]*n.w[i+1] for i in range(0,$dim)])
+       |            + list_sum([n.w[i+1]*n.w[i+1] for i in range(0,$dim)]), 6) AS d
+       |    FROM xx x CROSS JOIN cen$iters n WHERE x.$queryPred)),
+       |cand AS (
+       |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM (SELECT vec_id, c FROM pr WHERE rn <= $nprobe) p
+       |  JOIN a$iters a ON a.cluster = p.c AND a.vec_id != p.vec_id)
+       |SELECT * FROM (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY cand.query_id
+       |      ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+       |               cand.neighbor_id) AS INT) AS rank
+       |  FROM cand JOIN e q ON q.vec_id = cand.query_id
+       |            JOIN e c ON c.vec_id = cand.neighbor_id)
+       |WHERE rank <= $k""".stripMargin
 
   /** DuckDB word-3-gram shingle CTE (mirrors `wordShingles(tokens, 3)`). */
   private val duckShingles3 =
@@ -432,6 +471,11 @@ object ExtQueries {
     // oracle-checked.
     "q39_kmeans_ivf" ->
       kmeansIvfOracleSql(k = 8, dim = 64, iters = 2, threshold = 0.35),
+
+    // Same constants as q45KnnIvf above.
+    "q45_knn_ivf" ->
+      knnIvfOracleSql(k = 5, dim = 64, kClusters = 8, iters = 2,
+        nprobe = 2, queryPred = "vec_id < 5"),
 
     "q32_curation_pipeline" ->
       s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks, CAST(len(text) AS DOUBLE) AS nc FROM documents),

@@ -94,6 +94,35 @@ class VectorSimSpec extends AnyFunSuite {
       "near-identical same-blob pairs only; opposite vector pairs with nobody")
   }
 
+  test("knnIvf: scores equal brute-force, recall grows with nprobe, full probe = brute force") {
+    val rnd = new scala.util.Random(13)
+    // Blobby corpus (4 loose clusters) — the regime IVF is built for.
+    val e = emb((0L until 80L).map { i =>
+      val axis = (i % 4).toInt
+      (i, Seq.tabulate(8)(d =>
+        (if (d == axis) 5f else 0f) + rnd.nextGaussian().toFloat), axis)
+    }: _*)
+    val queries = e.where($"vec_id" < 3)
+    val brute = VectorSim.knnBruteForce(queries, e, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bruteScores = VectorSim.knnBruteForce(queries, e, k = 80)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = VectorSim.knnIvf(queries, e, k = 5, kClusters = 4, iters = 2, nprobe = 2)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    ivf.foreach { case (q, n, c) =>
+      assert(bruteScores((q, n)) == c, "IVF scores must equal brute-force scores")
+    }
+    val recall = (ivf.map { case (q, n, _) => (q, n) }.toSet intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"nprobe=2/4 recall@5 too low: $recall")
+    // Probing every cell must reproduce brute force exactly.
+    val full = VectorSim.knnIvf(queries, e, k = 5, kClusters = 4, iters = 2, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+  }
+
   test("hyperplane buckets are deterministic across invocations") {
     import graft.functions.VectorFunctions.hyperplaneBucket
     import org.apache.spark.sql.functions.col
