@@ -48,6 +48,11 @@ object ScaleStress {
         .buildIndex(big, "doc_id", "text", n = 3, bits = 32).persist()
       operators.TextDedup.minhashLshPairs(idx, 0.05, numHashes = 32, bands = 16)
     }
+    time("minhash_lsh (estimate)") {
+      val idx = operators.TextDedup
+        .buildIndex(big, "doc_id", "text", n = 3, bits = 32).persist()
+      operators.TextDedup.minhashEstimatePairs(idx, 0.05, numHashes = 32, bands = 16)
+    }
     time("simhash (hamming<=3)") {
       operators.TextDedup.simhashPairs(big, "doc_id", "text", maxHamming = 3)
     }

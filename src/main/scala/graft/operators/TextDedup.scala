@@ -242,17 +242,22 @@ object TextDedup {
     inverted.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
   }
 
-  /** Distinct candidate pairs from banding a signature frame: same
-    * bucket in ANY band -> candidate. */
-  private def bandCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** LSH band-key columns for a signature frame (m0..m{n-1}). */
+  private def bandKeyCols(numHashes: Int, bands: Int): Seq[Column] = {
     val rows = numHashes / bands
     require(bands * rows == numHashes, s"bands ($bands) must divide numHashes ($numHashes)")
-    val bandCols = (0 until bands).map { bd =>
+    (0 until bands).map { bd =>
       concat(lit(s"$bd|"), md5(concat_ws(",",
         (0 until rows).map(r => col(s"m${bd * rows + r}")): _*)))
     }
+  }
+
+  /** Distinct candidate pairs from banding a signature frame: same
+    * bucket in ANY band -> candidate. */
+  private def bandCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+      .select(col("doc_id"),
+        explode(array(bandKeyCols(numHashes, bands): _*)).as("bucket"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
@@ -287,19 +292,31 @@ object TextDedup {
       numHashes: Int, bands: Int): DataFrame = {
     require(index.bits == 32,
       "MinHash needs the 32-bit md5 index (oracle-reproducible permutation input)")
+    // The signature columns ride ALONG the banding join instead of
+    // being re-joined per side: one evaluation of the signature
+    // aggregate and one self-join total. The re-join formulation
+    // (candidates -> join sig -> join sig) evaluated the
+    // 32-permutation aggregate three times and measured SLOWER than
+    // the exact verify at the 10x stress; the wider bucket-join
+    // payload (32 longs per row) is cheap by comparison.
     val sig = signatures(index.df, numHashes)
-    val candidates = bandCandidates(sig, numHashes, bands)
-    def renamed(p: String) = sig.select(
-      (col("doc_id").as(s"${p}_id")) +:
-        (0 until numHashes).map(i => col(s"m$i").as(s"${p}_m$i")): _*)
+    val banded = sig.select(
+      (col("doc_id") +:
+        (0 until numHashes).map(i => col(s"m$i")) :+
+        explode(array(bandKeyCols(numHashes, bands): _*)).as("bucket")): _*)
+    def side(p: String) = banded.select(
+      (col("doc_id").as(s"${p}_id") +:
+        (0 until numHashes).map(i => col(s"m$i").as(s"${p}_m$i")) :+
+        col("bucket")): _*)
     val agree = (0 until numHashes)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    candidates
-      .join(renamed("a"), col("doc_a") === col("a_id"))
-      .join(renamed("b"), col("doc_b") === col("b_id"))
-      .select(col("doc_a"), col("doc_b"),
+    side("a").as("a")
+      .join(side("b").as("b"),
+        col("a.bucket") === col("b.bucket") && col("a_id") < col("b_id"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
         round(agree.cast("double") / numHashes, 6).as("est_jaccard"))
+      .distinct() // same pair from several bands carries the same estimate
       .where(col("est_jaccard") >= minEstimate)
   }
 
