@@ -82,6 +82,14 @@ class PlanSpec extends AnyFunSuite {
       s"no unpartitioned cartesian product allowed:\n$plan")
   }
 
+  test("knn ranking is a partial top-k aggregate, not a window sort") {
+    val plan = planOf(ExtQueries.q25KnnBruteForce(spark, sf))
+    assert("top_k_by_score".r.findAllIn(plan).size >= 2,
+      s"partial+final top_k_by_score expected (map tasks keep <= k per query):\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort "),
+      s"scored pairs must not be sorted just to keep k of them:\n$plan")
+  }
+
   test("float_dot is registered as a SQL function via GraftExtensions") {
     val v = spark.sql(
       "SELECT float_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
