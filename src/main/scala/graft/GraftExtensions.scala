@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.expr.FloatDotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+import graft.functions.expr.{FloatDotProduct, MinShingleHash, WordShingles}
 
 /** Catalyst extension point: registers the engine's native expressions
   * as SQL functions, so `spark.sql("... float_dot(a, b) ...")` works
@@ -14,6 +16,13 @@ import graft.functions.expr.FloatDotProduct
   * cluster, the standard deployment path for Spark extension libraries.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("float_dot"),
@@ -21,9 +30,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[FloatDotProduct].getName, null, "float_dot",
         "float_dot(a, b) - dot product of two float arrays in double precision",
         ""),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 2, "float_dot takes exactly 2 arguments")
         FloatDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(
+        classOf[WordShingles].getName, null, "word_shingles",
+        "word_shingles(tokens, n) - distinct word n-gram shingles, first-occurrence order",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_shingles takes (tokens, n)")
+        WordShingles(children.head, intArg(children(1), "word_shingles"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("min_shingle_hash"),
+      new ExpressionInfo(
+        classOf[MinShingleHash].getName, null, "min_shingle_hash",
+        "min_shingle_hash(text, k, salt) - min salted-md5 hash over char k-gram shingles (16 hex chars)",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "min_shingle_hash takes (text, k, salt)")
+        MinShingleHash(children.head,
+          intArg(children(1), "min_shingle_hash"),
+          intArg(children(2), "min_shingle_hash"))
       }))
   }
 }

@@ -72,6 +72,17 @@ object ShingleOps {
     UTF8String.fromString(f"$min%016x")
   }
 
+  /** Unicode NFC normalization (canonical composition). Spark has no
+    * builtin for this; java.text.Normalizer implements exactly the
+    * UAX #15 form DuckDB's `nfc_normalize` implements, so the operator
+    * stays oracle-checkable. */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   private val Mersenne61 = (1L << 61) - 1
 
   /** `(a*h + b) mod (2^61-1)` with full 128-bit intermediate
@@ -153,6 +164,29 @@ case class MinShingleHash(child: Expression, k: Int, salt: Int)
     copy(child = newChild)
 
   override def prettyName: String = "min_shingle_hash"
+}
+
+/** Native `nfc_normalize(text)`: Unicode canonical composition,
+  * codegen'd. See [[ShingleOps.nfc]]. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expects a string column, got ${child.dataType}")
+
+  override def nullSafeEval(text: Any): Any =
+    ShingleOps.nfc(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.ShingleOps.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
 }
 
 /** Native `minhash_perm(h)`: one universal-hash permutation

@@ -120,6 +120,21 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
         .as("n_urls"))
 
+  /** Text canonicalization for dedup/exactness boundaries: Unicode NFC
+    * (native codegen'd expression — Spark has no builtin), lowercase,
+    * whitespace runs collapsed to single spaces, trimmed. The standard
+    * normalization applied before exact-hash dedup so that byte-level
+    * encoding variants (composed vs decomposed accents, case, ASCII
+    * whitespace runs) collapse to one canonical form. */
+  def normalize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val nfc = ColumnBridge.column(graft.functions.expr.NfcNormalize(
+      ColumnBridge.expression(col(textCol))))
+    docs.select(
+      col(idCol).as("doc_id"),
+      trim(regexp_replace(lower(nfc), "\\s+", " ")).as("norm_text"))
+  }
+
   /** Gopher-style repetition signal: the share of duplicate word
     * 3-gram positions in the document. `total` counts shingle
     * POSITIONS (tokens - n + 1, min 1 — same tiny-doc fallback as the

@@ -33,6 +33,9 @@ object ExtQueries {
   def q42Redact(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.redact(Tables.documents(s, dir), "doc_id", "text")
 
+  def q46Normalize(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.normalize(Tables.documents(s, dir), "doc_id", "text")
+
   def q43Repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text", n = 3)
 
@@ -342,6 +345,11 @@ object ExtQueries {
          | CAST(len(regexp_extract_all(text, '$ur')) AS INT) AS n_urls
          |FROM documents""".stripMargin
     },
+
+    "q46_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
 
     "q43_repetition" ->
       s"""$duckShingles3

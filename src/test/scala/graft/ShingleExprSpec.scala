@@ -51,6 +51,26 @@ class ShingleExprSpec extends AnyFunSuite {
     assert(out == Seq(Seq("a", "b"), Seq(), Seq(), Seq("one")))
   }
 
+  test("nfc normalization composes decomposed accents; normalize canonicalizes") {
+    import graft.operators.TextAnalysis
+    val decomposed = "Café  du   Monde" // e + combining acute
+    val out = TextAnalysis.normalize(
+      Seq((1L, decomposed), (2L, "  Café du Monde ")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .orderBy("doc_id").select("norm_text").as[String].collect()
+    assert(out(0) == "café du monde", "NFC must compose e+combining-acute")
+    assert(out(0) == out(1), "both encodings canonicalize to the same bytes")
+  }
+
+  test("new kernels are callable from SQL via GraftExtensions") {
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a','b','c'), 2) AS s").as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c"))
+    val mh = spark.sql(
+      "SELECT min_shingle_hash('hello world', 5, 0) AS h").as[String].head()
+    assert(mh.length == 16 && mh.matches("[0-9a-f]{16}"))
+  }
+
   test("survives both codegen and interpreted paths") {
     val df = Seq("five chars here").toDF("text")
     def run(): (String, Seq[String]) = df.select(
