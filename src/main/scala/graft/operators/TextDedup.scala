@@ -91,6 +91,27 @@ object TextDedup {
       bits)
   }
 
+  /** Benchmark decontamination: corpus documents that share at least
+    * one word n-gram with the benchmark set, with the count of
+    * contaminated (distinct) shingles — the standard pretraining
+    * hygiene pass (strip eval-set text from training data).
+    *
+    * Shape: both sides go through the codegen'd shingle kernel into
+    * (doc, hash) rows; the benchmark side collapses to a distinct
+    * hash set; one equi-join + per-doc count. The benchmark set is
+    * small relative to the corpus, so AQE turns the join into a
+    * broadcast of the benchmark hashes — the corpus never shuffles
+    * until the per-doc aggregate (map-side combined). */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val c = buildIndex(corpus, idCol, textCol, n, bits = 64).df
+    val b = buildIndex(benchmark, idCol, textCol, n, bits = 64).df
+      .select(col("sh")).distinct()
+    c.join(b, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+  }
+
   /** PPJoin-style prefix-filtered candidate pairs for Jaccard >= t.
     *
     * Canonical global shingle order = (document frequency asc, hash

@@ -36,6 +36,16 @@ object ExtQueries {
   def q46Normalize(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.normalize(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Decontamination demo split: every 97th doc plays the benchmark
+    * set; the rest is the training corpus to be screened. */
+  def q47Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextDedup.contaminated(
+      docs.where(col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3)
+  }
+
   def q43Repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text", n = 3)
 
@@ -345,6 +355,15 @@ object ExtQueries {
          | CAST(len(regexp_extract_all(text, '$ur')) AS INT) AS n_urls
          |FROM documents""".stripMargin
     },
+
+    "q47_decontaminate" ->
+      s"""$duckShingles3,
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |bsh AS (SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0)
+         |SELECT e.doc_id, count(*) AS n_contaminated_shingles
+         |FROM ex e JOIN bsh USING (s)
+         |WHERE e.doc_id % 97 != 0
+         |GROUP BY e.doc_id""".stripMargin,
 
     "q46_normalize" ->
       """SELECT doc_id,

@@ -229,6 +229,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2) == ((1, 1, 0.0)))
   }
 
+  test("contaminated flags only docs sharing an n-gram with the benchmark, with counts") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma" + "beta gamma delta"
+      (2L, "totally unrelated text goes here"),
+      (3L, "x y alpha beta gamma z")) // shares "alpha beta gamma"
+    val bench = docs((100L, "alpha beta gamma delta"))
+    val out = TextDedup.contaminated(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L),
+      "doc 1 shares two benchmark 3-grams, doc 3 one, doc 2 none")
+  }
+
   test("minhashEstimatePairs: exact dups estimate 1.0; estimates near exact Jaccard") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val d = docs(
