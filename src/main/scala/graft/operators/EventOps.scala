@@ -54,7 +54,10 @@ object EventOps {
     * like any windowed operator.
     *
     * Right columns come back `prefix`-renamed. Determinism contract
-    * (same as SQL ASOF): at most one right row per (key, ts). */
+    * (same as SQL ASOF): at most one right row per (key, ts), and ts
+    * must be non-null on both sides — a null right ts sorts before
+    * everything (nulls-first) and would match where SQL ASOF's
+    * `r.ts <= l.ts` comparison yields no row. */
   def asofJoin(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, prefix: String = "r_"): DataFrame = {
     val rightType = org.apache.spark.sql.types.StructType(right.schema.fields)

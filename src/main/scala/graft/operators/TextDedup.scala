@@ -28,10 +28,13 @@ final class ShingleIndex private[operators] (val df: DataFrame, val bits: Int) {
   }
 }
 
-/** Document deduplication operators (LLM-data-pipeline tier).
+/** Document deduplication and corpus-hygiene operators
+  * (LLM-data-pipeline tier).
   *
-  * Four escalating strategies, all shuffle-on-key MapReduce shapes that
-  * hold at 100 TB (no cross joins, no driver-side state):
+  * Escalating dedup strategies — plus [[contaminated]] (benchmark
+  * decontamination) and [[minhashEstimatePairs]] (approximate verify)
+  * — all shuffle-on-key MapReduce shapes that hold at 100 TB (no
+  * cross joins, no driver-side state):
   *
   *  - [[exact]] — hash-groupBy on a normalized content hash.
   *  - [[ngramJaccardPairs]] — EXACT all-pairs Jaccard >= t via the
