@@ -56,6 +56,8 @@ object SparkEntry {
     "q44_minhash_estimate"  -> (ExtQueries.q44MinhashEstimate(_, _)),
     "q46_normalize"         -> (ExtQueries.q46Normalize(_, _)),
     "q47_decontaminate"     -> (ExtQueries.q47Decontaminate(_, _)),
+    "q48_stratified_sample" -> (ExtQueries.q48StratifiedSample(_, _)),
+    "q49_pack_sequences"    -> (ExtQueries.q49PackSequences(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

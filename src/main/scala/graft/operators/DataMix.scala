@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus composition operators for training-data pipelines: mixing
+  * (stratified sampling) and sequence packing. Both are deterministic
+  * by construction — md5-derived sampling buckets and doc-id-ordered
+  * prefix sums — so identical inputs produce identical corpora on any
+  * engine or cluster (and the DuckDB oracle can replay them).
+  */
+object DataMix {
+
+  /** Uniform [0, 1e6) sampling bucket from the row id — md5-derived,
+    * so any engine reproduces the same draw for the same id. */
+  private def bucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+
+  /** Deterministic stratified sample: keep a row iff its md5 bucket
+    * falls under its stratum's fraction. The workhorse of data
+    * mixing — upsample/downsample strata (language, source, quality
+    * band) to a target composition. Pure map pass: no shuffle, no
+    * RNG state, reproducible under retries and partition reshuffles
+    * (the classic failure of `rand()`-based sampling at scale). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double], default: Double): DataFrame = {
+    val frac = fractions.foldLeft(lit(default)) { case (els, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(els)
+    }
+    df.where(bucket(col(idCol)) < (frac * 1000000L).cast("long"))
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget bins,
+    * the pretraining batch-construction step. Documents are sharded
+    * (deterministically, by id) and packed within each shard in id
+    * order by exclusive prefix sum: bin = floor(prefix / budget).
+    *
+    * Sharding is the scale story: a single global packing order would
+    * serialize into one sort partition; per-shard packing runs one
+    * window per shard partition in parallel and is how packing is
+    * actually run on large corpora (each shard feeds its own workers).
+    * Returns per-(shard, bin) composition stats. */
+  def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
+      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("shard", (col(idCol) % shards).cast("int"))
+      .withColumn("prefix",
+        coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("prefix") / budget))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(nTokensCol)).as("total_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+}

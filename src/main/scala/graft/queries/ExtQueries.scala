@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{EventOps, Multimodal, TextAnalysis, TextDedup, VectorSim}
+import graft.operators.{DataMix, EventOps, Multimodal, TextAnalysis, TextDedup, VectorSim}
 
 /** Extension-tier query catalog: the LLM-data-pipeline operators
   * (BASELINE.json north star) over the `documents` and `embeddings`
@@ -35,6 +35,24 @@ object ExtQueries {
 
   def q46Normalize(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.normalize(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Data mixing: language-stratified deterministic sample — en kept
+    * at 25%, es 50%, de 75%, fr fully, everything else at 10%. */
+  def q48StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    DataMix.stratifiedSample(
+      TextAnalysis.languageId(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("detected_lang")),
+      "doc_id", "detected_lang",
+      fractions = Map("en" -> 0.25, "es" -> 0.5, "de" -> 0.75, "fr" -> 1.0),
+      default = 0.1)
+
+  /** Sequence packing: 4096-token bins over 8 shards, token counts
+    * from the whitespace tokenizer. */
+  def q49PackSequences(s: SparkSession, dir: String): DataFrame =
+    DataMix.packSequences(
+      TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", budget = 4096L, shards = 8)
 
   /** Decontamination demo split: every 97th doc plays the benchmark
     * set; the rest is the training corpus to be screened. */
@@ -355,6 +373,40 @@ object ExtQueries {
          | CAST(len(regexp_extract_all(text, '$ur')) AS INT) AS n_urls
          |FROM documents""".stripMargin
     },
+
+    "q48_stratified_sample" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS hits_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS INT) AS hits_es,
+         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) AS hits_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(['le','les','et','des','un'], x))) AS INT) AS hits_fr
+         |  FROM t),
+         |l AS (SELECT doc_id,
+         | CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+         |      WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+         |      WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+         |      WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+         |      ELSE 'fr' END AS detected_lang
+         |FROM h)
+         |SELECT doc_id, detected_lang FROM l
+         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+         |  < CAST(floor(CASE detected_lang
+         |      WHEN 'en' THEN 0.25 WHEN 'es' THEN 0.5
+         |      WHEN 'de' THEN 0.75 WHEN 'fr' THEN 1.0
+         |      ELSE 0.1 END * 1000000) AS BIGINT)""".stripMargin,
+
+    "q49_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+         |s AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard FROM t),
+         |p AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix FROM s)
+         |SELECT shard, CAST(floor(prefix / 4096) AS BIGINT) AS bin,
+         | count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM p GROUP BY shard, CAST(floor(prefix / 4096) AS BIGINT)""".stripMargin,
 
     "q47_decontaminate" ->
       s"""$duckShingles3,

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DataMix
+
+/** Specs for corpus-composition operators: deterministic stratified
+  * sampling and sequence packing. */
+class DataMixSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stratified sample is deterministic and tracks target fractions") {
+    val df = (0L until 4000L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("id", "stratum")
+    def run() = DataMix.stratifiedSample(df, "id", "stratum",
+      Map("a" -> 0.25), default = 0.9)
+      .select("id").as[Long].collect().toSet
+    val kept = run()
+    assert(kept == run(), "same input must keep exactly the same rows")
+    val aRate = kept.count(_ % 2 == 0) / 2000.0
+    val bRate = kept.count(_ % 2 == 1) / 2000.0
+    assert(math.abs(aRate - 0.25) < 0.05, s"stratum a rate $aRate far from 0.25")
+    assert(math.abs(bRate - 0.9) < 0.05, s"stratum b rate $bRate far from 0.9")
+  }
+
+  test("packSequences bins by exclusive prefix sum within shards") {
+    // One shard (shards=1), budget 100: docs of 60+60 straddle, the
+    // bin is chosen by the tokens BEFORE the doc.
+    val docs = Seq((0L, 60L), (1L, 60L), (2L, 60L), (3L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val out = DataMix.packSequences(docs, "doc_id", "n_tokens",
+      budget = 100L, shards = 1)
+      .orderBy("bin")
+      .select("bin", "n_docs", "total_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    // prefixes: 0, 60, 120, 180 -> bins 0, 0, 1, 1
+    assert(out == Seq((0L, 2L, 120L), (1L, 2L, 70L)))
+  }
+
+  test("packSequences shards are independent and cover all docs") {
+    val docs = (0L until 100L).map(i => (i, 50L)).toDF("doc_id", "n_tokens")
+    val out = DataMix.packSequences(docs, "doc_id", "n_tokens",
+      budget = 200L, shards = 4)
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .as[Long].head() == 100L)
+    assert(out.select("shard").distinct().count() == 4)
+  }
+}
