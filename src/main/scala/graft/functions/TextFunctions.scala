@@ -204,4 +204,14 @@ object TextFunctions {
     ColumnBridge.column(graft.functions.expr.WordShingles(
       ColumnBridge.expression(toks), n))
   }
+
+  /** Native codegen'd overlapping token chunks (embedding/RAG
+    * chunking): windows of `size` tokens advancing by `size-overlap`;
+    * the final partial window is kept; no window starts after one has
+    * already covered the last token. */
+  def tokenChunksNative(toks: Column, size: Int, overlap: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.TokenChunks(
+      ColumnBridge.expression(toks), size, overlap))
+  }
 }

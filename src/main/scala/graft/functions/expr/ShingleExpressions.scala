@@ -119,6 +119,26 @@ object ShingleOps {
 
   private val Space = UTF8String.fromString(" ")
 
+  /** Fixed-size token chunks with overlap: windows of `size` tokens
+    * advancing by `size - overlap`, each space-joined. The final
+    * partial window is kept (it still carries trailing text); empty
+    * input yields no chunks. See [[TokenChunks]]. */
+  def tokenChunks(toks: ArrayData, size: Int, overlap: Int): ArrayData = {
+    val cnt = toks.numElements()
+    val stride = size - overlap
+    val out = mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < cnt) {
+      val until = math.min(i + size, cnt)
+      val parts = new Array[UTF8String](until - i)
+      var j = i
+      while (j < until) { parts(j - i) = toks.getUTF8String(j); j += 1 }
+      out += UTF8String.concatWs(Space, parts: _*)
+      if (until == cnt) i = cnt else i += stride
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct word n-gram shingles (first-occurrence order) from a
     * token array — same contract as the declarative
     * `TextFunctions.wordShingles`: fewer than n tokens yields the
@@ -164,6 +184,36 @@ case class MinShingleHash(child: Expression, k: Int, salt: Int)
     copy(child = newChild)
 
   override def prettyName: String = "min_shingle_hash"
+}
+
+/** Native `token_chunks(tokens)`: overlapping fixed-token windows as
+  * an `array<string>`, codegen'd — the chunking step of embedding/RAG
+  * pipelines. See [[ShingleOps.tokenChunks]]. */
+case class TokenChunks(child: Expression, size: Int, overlap: Int)
+    extends UnaryExpression {
+
+  require(size > 0 && overlap >= 0 && overlap < size,
+    s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    ShingleOps.tokenChunks(toks.asInstanceOf[ArrayData], size, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.ShingleOps.tokenChunks($c, $size, $overlap)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenChunks =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_chunks"
 }
 
 /** Native `nfc_normalize(text)`: Unicode canonical composition,

@@ -54,6 +54,15 @@ object ExtQueries {
         .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_tokens")),
       "doc_id", "n_tokens", budget = 4096L, shards = 8)
 
+  /** RAG/embedding chunking: 64-token windows, 8-token overlap. */
+  def q50ChunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      posexplode(tokenChunksNative(tokens(col("text")), 64, 8))
+        .as(Seq("chunk_idx", "chunk_text")))
+  }
+
   /** Decontamination demo split: every 97th doc plays the benchmark
     * set; the rest is the training corpus to be screened. */
   def q47Decontaminate(s: SparkSession, dir: String): DataFrame = {
@@ -373,6 +382,17 @@ object ExtQueries {
          | CAST(len(regexp_extract_all(text, '$ur')) AS INT) AS n_urls
          |FROM documents""".stripMargin
     },
+
+    "q50_chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |c AS (SELECT doc_id,
+         |  [array_to_string(t[s+1 : least(s+64, len(t))], ' ')
+         |     for s in [s for s in range(0, len(t), 56) if s = 0 or s - 56 + 64 < len(t)]] AS chunks
+         |  FROM t)
+         |SELECT doc_id,
+         | CAST(unnest(range(len(chunks))) AS INT) AS chunk_idx,
+         | unnest(chunks) AS chunk_text
+         |FROM c""".stripMargin,
 
     "q48_stratified_sample" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),

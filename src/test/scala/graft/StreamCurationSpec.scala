@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.{DataMix, TextAnalysis}
+
+case class CurDoc(doc_id: Long, text: String)
+
+/** The stateless curation operators (redaction, quality scoring,
+  * stratified sampling, chunking) are pure per-row transformations, so
+  * the SAME operator code runs on a Structured Streaming source
+  * unchanged — this spec pins that batch/streaming parity. At 100 TB
+  * that is the difference between a backfill pipeline and a live one:
+  * one operator library serves both.
+  */
+class StreamCurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  
+
+  private val docs = Seq(
+    CurDoc(1L, "mail me at a@b.co or visit https://x.io today"),
+    CurDoc(2L, "the quick brown fox jumps over the lazy dog"),
+    CurDoc(3L, "el rapido zorro marron salta sobre el perro"),
+    CurDoc(4L, "short"))
+
+  test("redact + quality + sample give identical results in batch and streaming") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CurDoc]
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val redacted = TextAnalysis.redact(df, "doc_id", "text")
+      val scored = TextAnalysis.qualityScore(
+        redacted.withColumnRenamed("clean_text", "text"), "doc_id", "text")
+      DataMix.stratifiedSample(
+        redacted.join(scored, "doc_id"),
+        "doc_id", "clean_text", fractions = Map.empty, default = 0.9)
+    }
+    val q = curate(mem.toDF()).writeStream
+      .format("memory").queryName("stream_curation")
+      .outputMode("append")
+      .option("checkpointLocation", s"${TestSpark.tmpDir("scur")}/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streaming = spark.sql("SELECT * FROM stream_curation")
+        .orderBy("doc_id").collect().toSeq
+      val batch = curate(docs.toDF()).orderBy("doc_id").collect().toSeq
+      assert(streaming == batch, "one operator library must serve both modes")
+      assert(streaming.nonEmpty)
+    } finally q.stop()
+  }
+}
