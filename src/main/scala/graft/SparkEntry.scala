@@ -59,6 +59,7 @@ object SparkEntry {
     "q48_stratified_sample" -> (ExtQueries.q48StratifiedSample(_, _)),
     "q49_pack_sequences"    -> (ExtQueries.q49PackSequences(_, _)),
     "q50_chunk_documents"   -> (ExtQueries.q50ChunkDocuments(_, _)),
+    "q51_bm25"              -> (ExtQueries.q51Bm25(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

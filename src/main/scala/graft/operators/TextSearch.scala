@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Keyword retrieval over the document corpus — the lexical half of
+  * hybrid (keyword + vector) search. Fully relational BM25: no score
+  * is computed for a (doc, term) pair that never co-occurs, so the
+  * work is proportional to postings of the query terms, not the
+  * corpus.
+  */
+object TextSearch {
+
+  /** BM25 top-k for a bag of query terms (Robertson/Sparck Jones
+    * idf with the standard +1 floor; k1/b defaults).
+    *
+    * Shape at scale: tokens are exploded once; rows are FILTERED to
+    * the query terms before any aggregation (postings, not corpus);
+    * document lengths and the global (N, avgdl) stats are broadcast
+    * scalars; the final ranking is the bounded [[graft.functions.expr.TopKByScore]]
+    * aggregate — no sort of the scored postings.
+    *
+    * Determinism across engines: per-term scores round to 8dp before
+    * the per-doc sum (collapsing last-ulp `ln`/division differences),
+    * the summed score rounds to 6dp before ranking, ties break on
+    * doc_id — the DuckDB oracle replays the identical arithmetic. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = terms
+      .where(col("tok").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = round(
+      idf * (col("tf") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 8)
+    val scored = tf
+      .join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(termScore), 6).as("score"))
+    val agg = ColumnBridge.column(graft.functions.expr.TopKByScore(
+      ColumnBridge.expression(col("score")),
+      ColumnBridge.expression(col("doc_id")), topK).toAggregateExpression())
+    scored.agg(agg.as("topk"))
+      .select(posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("doc_id"),
+        col("e.score").as("score"))
+  }
+}

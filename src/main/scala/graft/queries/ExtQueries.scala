@@ -63,6 +63,11 @@ object ExtQueries {
         .as(Seq("chunk_idx", "chunk_text")))
   }
 
+  /** Lexical retrieval: BM25 top-20 for a 3-term keyword query. */
+  def q51Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextSearch.bm25(Tables.documents(s, dir), "doc_id", "text",
+      queryTerms = Seq("vector", "hash", "filter"), topK = 20)
+
   /** Decontamination demo split: every 97th doc plays the benchmark
     * set; the rest is the training corpus to be screened. */
   def q47Decontaminate(s: SparkSession, dir: String): DataFrame = {
@@ -382,6 +387,26 @@ object ExtQueries {
          | CAST(len(regexp_extract_all(text, '$ur')) AS INT) AS n_urls
          |FROM documents""".stripMargin
     },
+
+    "q51_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+         |  WHERE tok IN ('vector', 'hash', 'filter') GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |  round(sum(round(
+         |    ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 8)), 6) AS score
+         |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY tf.doc_id)
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+         |    doc_id, score
+         |  FROM sc)
+         |WHERE rank <= 20""".stripMargin,
 
     "q50_chunk_documents" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS t FROM documents),

@@ -229,6 +229,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2) == ((1, 1, 0.0)))
   }
 
+  test("bm25 ranks by term frequency, rarity, and length normalization") {
+    import graft.operators.TextSearch
+    val corpus = docs(
+      (1L, "fox fox fox"), // high tf of a rare term, short doc
+      (2L, "fox and some other words here to dilute the term frequency a lot " +
+        "with plenty of extra filler tokens everywhere"), // same term, long doc
+      (3L, "dog dog dog"), // common term (appears in 3 docs)
+      (4L, "dog cat"), (5L, "dog bird"),
+      (6L, "nothing relevant at all"))
+    val out = TextSearch.bm25(corpus, "doc_id", "text",
+      queryTerms = Seq("fox", "dog"), topK = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    // fox (df=2) outscores dog (df=3); within fox, short doc 1 beats
+    // diluted doc 2; doc 6 matches nothing and is absent.
+    assert(out.head == 1L, s"rare-term short doc must rank first: $out")
+    assert(out.contains(2L) && out.indexOf(1L) < out.indexOf(2L))
+    assert(!out.contains(6L))
+    assert(out.size == 5)
+  }
+
   test("contaminated flags only docs sharing an n-gram with the benchmark, with counts") {
     val corpus = docs(
       (1L, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma" + "beta gamma delta"
