@@ -103,6 +103,23 @@ object ShingleOps {
     r
   }
 
+  /** Argmax label over marker-word occurrence counts: the FIRST label
+    * (declared order) whose count equals the maximum, `fallback` when
+    * no marker occurs at all. See [[MarkerArgmax]]. */
+  def markerArgmax(toks: ArrayData,
+      sets: Array[java.util.HashSet[UTF8String]],
+      labels: Array[UTF8String], fallback: UTF8String): UTF8String = {
+    var best = 0
+    var bestIdx = -1
+    var s = 0
+    while (s < sets.length) {
+      val c = countInSet(toks, sets(s))
+      if (c > best) { best = c; bestIdx = s }
+      s += 1
+    }
+    if (bestIdx < 0) fallback else labels(bestIdx)
+  }
+
   /** Occurrence count (duplicates included, null elements skipped) of
     * set members in a token array — one pass, one hash probe per
     * token. See [[TokenSetCount]]. */
@@ -237,6 +254,61 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "nfc_normalize"
+}
+
+/** Native `marker_argmax(tokens)`: language-ID style argmax over
+  * marker-word counts — first declared label wins ties, `fallback` on
+  * zero evidence — in ONE codegen call.
+  *
+  * Why it exists: the declarative pick (a CASE chain over per-language
+  * count columns) is fine inside a Project, but the moment a caller
+  * FILTERS on the picked label, predicate pushdown substitutes the
+  * whole CASE below the projection — and `FilterExec` performs no
+  * subexpression elimination, so every count subtree is re-evaluated
+  * per branch (measured ~16 token-set passes per row on the stratified
+  * -sample query). A single kernel call stays cheap wherever the
+  * optimizer inlines it. */
+case class MarkerArgmax(child: Expression,
+    markers: Seq[(String, Seq[String])], fallback: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    markers.map { case (_, ws) =>
+      val s = new java.util.HashSet[UTF8String](ws.size * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  @transient private lazy val labels: Array[UTF8String] =
+    markers.map { case (l, _) => UTF8String.fromString(l) }.toArray
+
+  @transient private lazy val fb: UTF8String = UTF8String.fromString(fallback)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    ShingleOps.markerArgmax(toks.asInstanceOf[ArrayData], sets, labels, fb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("markerSets", sets,
+      "java.util.HashSet[]")
+    val labelsRef = ctx.addReferenceObj("markerLabels", labels,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val fbRef = ctx.addReferenceObj("markerFallback", fb)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.ShingleOps.markerArgmax($c, $setsRef, $labelsRef, $fbRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerArgmax =
+    copy(child = newChild)
+
+  override def prettyName: String = "marker_argmax"
 }
 
 /** Native `minhash_perm(h)`: one universal-hash permutation

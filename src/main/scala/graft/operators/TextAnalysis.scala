@@ -79,26 +79,26 @@ object TextAnalysis {
     * chain encodes a fixed preference order so the pick is deterministic
     * and oracle-reproducible. */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Stage 1 materializes each per-language count ONCE; best/pick then
-    // reference the counts as attributes. Inlined into one projection,
-    // each count subtree would be duplicated into `best` and every
-    // `pick` branch (~3x per language per row). CollapseProject keeps
-    // the two stages apart (non-cheap expressions used more than once).
+    // The pick is ONE kernel call (first declared label wins ties,
+    // "und" on zero evidence — ISO 639-3 undetermined), NOT a CASE
+    // chain over the count columns: downstream filters on
+    // detected_lang get predicate-pushed below this projection, and a
+    // substituted CASE chain re-evaluates every count per branch
+    // inside FilterExec (which has no subexpression elimination) —
+    // measured 17x on the stratified-sample query.
     val toks = tokens(col(textCol))
-    val withHits = docs.select(
-      (col(idCol).as("doc_id")) +:
-        langMarkers.map { case (l, ws) => countIn(toks, ws).as(s"hits_$l") }: _*)
-    val hitCols = langMarkers.map { case (l, _) => l -> col(s"hits_$l") }
-    val best = hitCols.map(_._2).reduce((a, b) => greatest(a, b))
-    // First match in declared order wins ties (en > es > de > fr);
-    // zero marker evidence -> "und" (ISO 639-3 undetermined).
-    val pick = hitCols.foldRight(lit("und"): Column) { case ((l, c), els) =>
-      when(c === best && best > 0, lit(l)).otherwise(els)
-    }
-    withHits.select(
-      (Seq(col("doc_id")) ++
-        hitCols.map { case (l, c) => c.as(s"hits_$l") } :+
-        pick.as("detected_lang")): _*)
+    docs.select(
+      (Seq(col(idCol).as("doc_id")) ++
+        langMarkers.map { case (l, ws) => countIn(toks, ws).as(s"hits_$l") } :+
+        detectedLang(toks).as("detected_lang")): _*)
+  }
+
+  /** The language pick as a single codegen'd expression — safe to
+    * inline anywhere (filters, joins) at one kernel call per row. */
+  def detectedLang(toks: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.MarkerArgmax(
+      ColumnBridge.expression(toks), langMarkers, "und"))
   }
 
   /** PII/URL redaction (C4-style curation pass): emails then URLs

@@ -60,4 +60,30 @@ object TextSearch {
         col("e.id").as("doc_id"),
         col("e.score").as("score"))
   }
+
+  /** Reciprocal-rank fusion of two ranked lists (hybrid search:
+    * lexical + vector): rrf(d) = sum over systems of 1/(c + rank_d),
+    * absent-from-one-system treated as contributing 0. Integer ranks
+    * in, one fixed-order double add — deterministic on any engine.
+    * Inputs need (id, rank) columns; output re-ranks by (rrf DESC,
+    * id) via the bounded top-k aggregate. */
+  def rrfFuse(a: DataFrame, b: DataFrame, topK: Int, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fa = a.select(col("id"), col("rank").as("rank_a"))
+    val fb = b.select(col("id"), col("rank").as("rank_b"))
+    val fused = fa.join(fb, Seq("id"), "full_outer")
+      .select(col("id"),
+        round(
+          coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)), 6).as("rrf"))
+    val agg = ColumnBridge.column(graft.functions.expr.TopKByScore(
+      ColumnBridge.expression(col("rrf")),
+      ColumnBridge.expression(col("id")), topK).toAggregateExpression())
+    fused.agg(agg.as("topk"))
+      .select(posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("doc_id"),
+        col("e.score").as("rrf_score"))
+  }
 }

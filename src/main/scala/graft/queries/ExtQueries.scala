@@ -68,6 +68,17 @@ object ExtQueries {
     graft.operators.TextSearch.bm25(Tables.documents(s, dir), "doc_id", "text",
       queryTerms = Seq("vector", "hash", "filter"), topK = 20)
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    * top-20 (q51's query) with the brute-force vector top-20 for
+    * query vector 0 (documents and embeddings share the id space). */
+  def q52HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = q51Bm25(s, dir).select(col("doc_id").as("id"), col("rank"))
+    val emb = Tables.embeddings(s, dir)
+    val vec = VectorSim.knnBruteForce(emb.where(col("vec_id") === 0), emb, k = 20)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    graft.operators.TextSearch.rrfFuse(lex, vec, topK = 10)
+  }
+
   /** Decontamination demo split: every 97th doc plays the benchmark
     * set; the rest is the training corpus to be screened. */
   def q47Decontaminate(s: SparkSession, dir: String): DataFrame = {
@@ -311,6 +322,28 @@ object ExtQueries {
        |            JOIN e c ON c.vec_id = cand.neighbor_id)
        |WHERE rank <= $k""".stripMargin
 
+  /** DuckDB mirror of the full BM25 pipeline (q51; also nested as the
+    * lexical arm of the q52 hybrid fusion). */
+  private lazy val bm25Sql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+       |  WHERE tok IN ('vector', 'hash', 'filter') GROUP BY 1, 2),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |  round(sum(round(
+       |    ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 8)), 6) AS score
+       |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+       |  GROUP BY tf.doc_id)
+       |SELECT * FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |    doc_id, score
+       |  FROM sc)
+       |WHERE rank <= 20""".stripMargin
+
   /** DuckDB word-3-gram shingle CTE (mirrors `wordShingles(tokens, 3)`). */
   private val duckShingles3 =
     s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
@@ -388,25 +421,27 @@ object ExtQueries {
          |FROM documents""".stripMargin
     },
 
-    "q51_bm25" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
-         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
-         |  WHERE tok IN ('vector', 'hash', 'filter') GROUP BY 1, 2),
-         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT tf.doc_id,
-         |  round(sum(round(
-         |    ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
-         |      * (tf.tf * 2.2)
-         |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 8)), 6) AS score
-         |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
-         |  GROUP BY tf.doc_id)
+    "q51_bm25" -> bm25Sql,
+
+    "q52_hybrid_rrf" ->
+      s"""WITH lexq AS ($bm25Sql),
+         |vecq AS (
+         |  SELECT * FROM (
+         |    SELECT c.vec_id AS id,
+         |      CAST(row_number() OVER (
+         |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+         |                 c.vec_id) AS INT) AS rank
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |    WHERE q.vec_id = 0)
+         |  WHERE rank <= 20)
          |SELECT * FROM (
-         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
-         |    doc_id, score
-         |  FROM sc)
-         |WHERE rank <= 20""".stripMargin,
+         |  SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INT) AS rank,
+         |    id AS doc_id, rrf AS rrf_score FROM (
+         |    SELECT coalesce(l.doc_id, v.id) AS id,
+         |      round(coalesce(1.0 / (60 + l.rank), 0.0)
+         |            + coalesce(1.0 / (60 + v.rank), 0.0), 6) AS rrf
+         |    FROM lexq l FULL OUTER JOIN vecq v ON v.id = l.doc_id))
+         |WHERE rank <= 10""".stripMargin,
 
     "q50_chunk_documents" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS t FROM documents),
