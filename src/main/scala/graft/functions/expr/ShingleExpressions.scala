@@ -103,6 +103,34 @@ object ShingleOps {
     r
   }
 
+  /** Heuristic quality score in one pass: token count, distinct
+    * tokens, stopword hits and mean token length feed the four 0.25
+    * bands. Arithmetic is bit-identical to the declarative column
+    * form (double divisions in the same order; zero-token docs yield
+    * NaN ratios whose comparisons are false, score 0.0). See
+    * [[QualityScore]]. */
+  def qualityScore(toks: ArrayData, nChars: Int,
+      stop: java.util.HashSet[UTF8String]): Double = {
+    val n = toks.numElements()
+    val distinct = new java.util.HashSet[UTF8String](n * 2)
+    var nStop = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      distinct.add(t)
+      if (stop.contains(t)) nStop += 1
+      i += 1
+    }
+    val nTok = n.toDouble
+    val ttr = distinct.size / nTok
+    val meanTokLen = (nChars - (nTok - 1)) / nTok
+    val stopRatio = nStop / nTok
+    (if (n >= 20 && n <= 2000) 0.25 else 0.0) +
+      (if (ttr >= 0.3) 0.25 else 0.0) +
+      (if (meanTokLen >= 3.0 && meanTokLen <= 10.0) 0.25 else 0.0) +
+      (if (stopRatio > 0.0) 0.25 else 0.0)
+  }
+
   /** Argmax label over marker-word occurrence counts: the FIRST label
     * (declared order) whose count equals the maximum, `fallback` when
     * no marker occurs at all. See [[MarkerArgmax]]. */
@@ -254,6 +282,52 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "nfc_normalize"
+}
+
+/** Native `quality_score(tokens, n_chars)`: the four-band heuristic
+  * quality score in ONE pass — the filter-safe form of the derived
+  * column (same rationale as [[MarkerArgmax]]: curation pipelines
+  * FILTER on this value, and predicate pushdown inlines it into a
+  * FilterExec that performs no subexpression elimination). */
+case class QualityScore(toks: Expression, nChars: Expression,
+    stop: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = toks
+  override def right: Expression = nChars
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](stop.size * 2)
+    stop.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (toks.dataType, nChars.dataType) match {
+      case (ArrayType(StringType, _), org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expects (array<string>, int), got $other")
+    }
+
+  override def nullSafeEval(t: Any, c: Any): Any =
+    ShingleOps.qualityScore(t.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet,
+      classOf[java.util.HashSet[_]].getName)
+    defineCodeGen(ctx, ev,
+      (t, c) => s"graft.functions.expr.ShingleOps.qualityScore($t, $c, $setRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QualityScore =
+    copy(toks = newLeft, nChars = newRight)
+
+  override def prettyName: String = "quality_score"
 }
 
 /** Native `marker_argmax(tokens)`: language-ID style argmax over

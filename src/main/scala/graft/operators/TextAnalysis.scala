@@ -60,18 +60,24 @@ object TextAnalysis {
     val ttr = size(array_distinct(toks)).cast("double") / nTok
     val meanTokLen = (nChars - (nTok - 1)) / nTok // single-space joined
     val stopRatio = countIn(toks, langMarkers.flatMap(_._2)).cast("double") / nTok
+    // The score column is ONE kernel call, not the when-chain over the
+    // ratio subtrees: curation pipelines filter on quality_score, and
+    // predicate pushdown would inline the full chain into a FilterExec
+    // (no subexpression elimination — the ratios each re-split the
+    // text; same lesson as detectedLang, NOTES finding #11). The
+    // kernel's arithmetic is bit-identical to the declarative form.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val score = ColumnBridge.column(graft.functions.expr.QualityScore(
+      ColumnBridge.expression(toks),
+      ColumnBridge.expression(length(col(textCol))),
+      langMarkers.flatMap(_._2)))
     docs.select(
       col(idCol).as("doc_id"),
       nTok.cast("int").as("n_tokens"),
       round(ttr, 6).as("type_token_ratio"),
       round(meanTokLen, 6).as("mean_token_len"),
       round(stopRatio, 6).as("stopword_ratio"),
-      round(
-        when(nTok >= 20 && nTok <= 2000, 0.25).otherwise(0.0) +
-          when(ttr >= 0.3, 0.25).otherwise(0.0) +
-          when(meanTokLen >= 3.0 && meanTokLen <= 10.0, 0.25).otherwise(0.0) +
-          when(stopRatio > 0.0, 0.25).otherwise(0.0),
-        2).as("quality_score"))
+      round(score, 2).as("quality_score"))
   }
 
   /** Language ID: count marker-word hits per language, pick the argmax
