@@ -17,13 +17,15 @@ object Bench {
     // columns, string surgery, sketches) would be timed as little more
     // than parquet row counts (NOTES.md finding #2). The noop sink
     // consumes every output column while writing nothing.
-    // Local profiling knobs (driver sets neither): SPARK_GRAFT_ONLY
-    // restricts to a comma-separated query subset; SPARK_GRAFT_REPS
-    // repeats each query and reports the MINIMUM — the measure least
-    // polluted by GC pauses and box load (observed 2-4x run-to-run
-    // variance on single-shot timings at sf0.1).
+    // SPARK_GRAFT_ONLY restricts to a comma-separated query subset.
+    // SPARK_GRAFT_REPS repeats each query and reports the MINIMUM —
+    // the measure least polluted by GC pauses and box load (observed
+    // 2-4x run-to-run variance on single-shot timings at sf0.1; one
+    // driver-recorded round shows trivial map queries inflated 10x).
+    // Default 2: the recorded per-round bench is min-of-2, costing
+    // ~2x wall-clock for a far more comparable round-over-round trend.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.expr.{FloatDotProduct, MinShingleHash, WordShingles}
+import graft.functions.expr.{FloatDotProduct, MinShingleHash, NfcNormalize, TokenChunks, WordShingles}
 
 /** Catalyst extension point: registers the engine's native expressions
   * as SQL functions, so `spark.sql("... float_dot(a, b) ...")` works
@@ -43,6 +43,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "word_shingles takes (tokens, n)")
         WordShingles(children.head, intArg(children(1), "word_shingles"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[NfcNormalize].getName, null, "nfc_normalize",
+        "nfc_normalize(text) - Unicode NFC canonical composition",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize takes 1 argument")
+        NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_chunks"),
+      new ExpressionInfo(
+        classOf[TokenChunks].getName, null, "token_chunks",
+        "token_chunks(tokens, size, overlap) - overlapping fixed-token windows",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "token_chunks takes (tokens, size, overlap)")
+        TokenChunks(children.head,
+          intArg(children(1), "token_chunks"),
+          intArg(children(2), "token_chunks"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("min_shingle_hash"),

@@ -69,6 +69,11 @@ class ShingleExprSpec extends AnyFunSuite {
     val mh = spark.sql(
       "SELECT min_shingle_hash('hello world', 5, 0) AS h").as[String].head()
     assert(mh.length == 16 && mh.matches("[0-9a-f]{16}"))
+    val ch = spark.sql(
+      "SELECT token_chunks(array('a','b','c','d','e'), 3, 1) AS c")
+      .as[Seq[String]].head()
+    assert(ch == Seq("a b c", "c d e"))
+    assert(spark.sql("SELECT nfc_normalize('abc') AS n").as[String].head() == "abc")
   }
 
   test("survives both codegen and interpreted paths") {
