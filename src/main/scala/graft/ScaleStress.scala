@@ -50,8 +50,9 @@ object ScaleStress {
     }
     time("minhash_lsh (estimate)") {
       val idx = operators.TextDedup
-        .buildIndex(big, "doc_id", "text", n = 3, bits = 32).persist()
-      operators.TextDedup.minhashEstimatePairs(idx, 0.05, numHashes = 32, bands = 16)
+        .buildIndex(big, "doc_id", "text", n = 3, bits = 32)
+      val sig = operators.TextDedup.minhashSignatures(idx, 32).persist()
+      operators.TextDedup.minhashEstimatePairs(sig, 0.05, numHashes = 32, bands = 16)
     }
     time("simhash (hamming<=3)") {
       operators.TextDedup.simhashPairs(big, "doc_id", "text", maxHamming = 3)

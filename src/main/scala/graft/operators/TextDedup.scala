@@ -249,6 +249,9 @@ object TextDedup {
   /** MinHash signature frame: (doc_id, m0..m{numHashes-1}), one
     * partial-aggregated `min((a_i*h + b_i) mod p)` column per
     * permutation — the shuffle carries one signature row per doc.
+    * Like the index itself, the caller owns the cache lifecycle:
+    * persist before feeding multiple consumers (banding + both sides
+    * of the estimate join), unpersist when done.
     *
     * With ~60-bit coefficients a*h is ~93 bits, so the multiply-mod
     * needs 128-bit intermediates — done by the native codegen'd
@@ -256,6 +259,12 @@ object TextDedup {
     * Mersenne fold; exactly DuckDB's HUGEINT result at plain-long
     * cost). See `TextFunctions.MinhashPrime` for why narrower
     * coefficients silently break the whole estimator. */
+  def minhashSignatures(index: ShingleIndex, numHashes: Int): DataFrame = {
+    require(index.bits == 32,
+      "MinHash needs the 32-bit md5 index (oracle-reproducible permutation input)")
+    signatures(index.df, numHashes)
+  }
+
   private def signatures(inverted: DataFrame, numHashes: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val minAggs = minhashCoefficients(numHashes).zipWithIndex.map {
@@ -312,35 +321,30 @@ object TextDedup {
     * verify cost is O(candidates), independent of document length.
     * Use when a ~1/sqrt(numHashes) estimate tolerance is acceptable;
     * [[minhashLshPairs]] when survivors must be exact. */
-  def minhashEstimatePairs(index: ShingleIndex, minEstimate: Double,
+  /** MinHash near-dup from a prebuilt (ideally persisted) signature
+    * frame, with the signature-agreement estimate as the verify.
+    * Narrow bucket-only banding join for candidates, then two probes
+    * of the signature frame — which is tiny (numHashes longs per doc)
+    * and cached by the caller, so the probes are cheap. Two
+    * alternative shapes measured worse at the 10x stress: recomputing
+    * the signature aggregate per consumer (3x the dominant cost), and
+    * riding all signature columns through the banding self-join (the
+    * wide shuffle exceeded the exact verify it was meant to
+    * undercut). */
+  def minhashEstimatePairs(sig: DataFrame, minEstimate: Double,
       numHashes: Int, bands: Int): DataFrame = {
-    require(index.bits == 32,
-      "MinHash needs the 32-bit md5 index (oracle-reproducible permutation input)")
-    // The signature columns ride ALONG the banding join instead of
-    // being re-joined per side: one evaluation of the signature
-    // aggregate and one self-join total. The re-join formulation
-    // (candidates -> join sig -> join sig) evaluated the
-    // 32-permutation aggregate three times and measured SLOWER than
-    // the exact verify at the 10x stress; the wider bucket-join
-    // payload (32 longs per row) is cheap by comparison.
-    val sig = signatures(index.df, numHashes)
-    val banded = sig.select(
-      (col("doc_id") +:
-        (0 until numHashes).map(i => col(s"m$i")) :+
-        explode(array(bandKeyCols(numHashes, bands): _*)).as("bucket")): _*)
-    def side(p: String) = banded.select(
-      (col("doc_id").as(s"${p}_id") +:
-        (0 until numHashes).map(i => col(s"m$i").as(s"${p}_m$i")) :+
-        col("bucket")): _*)
+    val candidates = bandCandidates(sig, numHashes, bands)
+    def renamed(p: String) = sig.select(
+      (col("doc_id").as(s"${p}_id")) +:
+        (0 until numHashes).map(i => col(s"m$i").as(s"${p}_m$i")): _*)
     val agree = (0 until numHashes)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    side("a").as("a")
-      .join(side("b").as("b"),
-        col("a.bucket") === col("b.bucket") && col("a_id") < col("b_id"))
-      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+    candidates
+      .join(renamed("a"), col("doc_a") === col("a_id"))
+      .join(renamed("b"), col("doc_b") === col("b_id"))
+      .select(col("doc_a"), col("doc_b"),
         round(agree.cast("double") / numHashes, 6).as("est_jaccard"))
-      .distinct() // same pair from several bands carries the same estimate
       .where(col("est_jaccard") >= minEstimate)
   }
 

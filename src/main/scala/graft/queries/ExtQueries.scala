@@ -94,8 +94,10 @@ object ExtQueries {
 
   def q44MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
     val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, bits = 32).persist()
-    TextDedup.minhashEstimatePairs(idx, minEstimate = 0.25,
+      n = 3, bits = 32)
+    val sig = TextDedup.minhashSignatures(idx, 32)
+    sig.persist()
+    TextDedup.minhashEstimatePairs(sig, minEstimate = 0.25,
       numHashes = 32, bands = 16)
   }
 

@@ -268,7 +268,7 @@ class TextOpsSpec extends AnyFunSuite {
       (3L, base + " extra tail token"), // near dup
       (4L, "completely different content with no overlap at all whatsoever here"))
     val idx = TextDedup.buildIndex(d, "doc_id", "text", n = 3, bits = 32)
-    val est = TextDedup.minhashEstimatePairs(idx, 0.25, 32, 16)
+    val est = TextDedup.minhashEstimatePairs(TextDedup.minhashSignatures(idx, 32), 0.25, 32, 16)
       .select("doc_a", "doc_b", "est_jaccard")
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(est((1L, 2L)) == 1.0)
