@@ -61,6 +61,7 @@ object SparkEntry {
     "q50_chunk_documents"   -> (ExtQueries.q50ChunkDocuments(_, _)),
     "q51_bm25"              -> (ExtQueries.q51Bm25(_, _)),
     "q52_hybrid_rrf"        -> (ExtQueries.q52HybridRrf(_, _)),
+    "q53_dedup_clusters"    -> (ExtQueries.q53DedupClusters(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

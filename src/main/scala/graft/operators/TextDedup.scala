@@ -115,6 +115,53 @@ object TextDedup {
       .agg(count(lit(1)).as("n_contaminated_shingles"))
   }
 
+  /** Near-dup pairs -> dedup CLUSTERS: connected components over the
+    * pair graph by iterative min-label propagation, the step that
+    * turns pairwise detectors into an actual dedup decision (one
+    * canonical = min doc id per component; transitive closure handles
+    * A~B~C chains where A,C never matched directly).
+    *
+    * Each round is one join + one partial-aggregated min per node —
+    * the standard relational label-propagation shape, converging in
+    * at most graph-diameter rounds (near-dup components are dense and
+    * shallow in practice; the driver loop runs one cheap count action
+    * per round, like Lloyd's). Every round `localCheckpoint`s the
+    * label frame: without lineage truncation the logical plan doubles
+    * per iteration and a ~15-round chain OOMs the driver just
+    * BUILDING the plan string — the defining pitfall of iterative
+    * DataFrame algorithms. Throws if `maxIters` is hit before the
+    * fixpoint rather than returning silently-partial components. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    try {
+      val nodes = edges.select(col("src").as("id")).distinct()
+      var labels = nodes.withColumn("label", col("id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+          .groupBy(col("src")).agg(min(col("nlabel")).as("nbr_min"))
+        val updated = labels
+          .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        changed = updated
+          .join(labels.select(col("id"), col("label").as("old")), "id")
+          .where(col("label") =!= col("old")).count()
+        labels = updated
+        it += 1
+      }
+      if (changed > 0) throw new IllegalStateException(
+        s"label propagation did not converge in $maxIters rounds")
+      labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    } finally edges.unpersist()
+  }
+
   /** PPJoin-style prefix-filtered candidate pairs for Jaccard >= t.
     *
     * Canonical global shingle order = (document frequency asc, hash

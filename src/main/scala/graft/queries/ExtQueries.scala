@@ -117,6 +117,15 @@ object ExtQueries {
     TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16)
   }
 
+  /** Dedup clusters: transitive closure over the q22 near-dup pair
+    * graph, canonical = min doc id per component. */
+  def q53DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, bits = 32).persist()
+    TextDedup.connectedComponents(
+      TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16))
+  }
+
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 3)
@@ -346,6 +355,39 @@ object ExtQueries {
        |  FROM sc)
        |WHERE rank <= 20""".stripMargin
 
+  /** DuckDB mirror of the full Spark MinHash+LSH pipeline (q22; also
+    * the edge set for q53's clustering): same per-shingle md5 hash,
+    * same (a_i*h+b_i) mod p permutation family computed in HUGEINT
+    * (identical coefficients, injected below), same 16x2 banding,
+    * same exact-Jaccard verify. */
+  private lazy val minhashLshSql: String = {
+    val coeffs = graft.functions.TextFunctions.minhashCoefficients(32)
+    val p = graft.functions.TextFunctions.MinhashPrime
+    val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(((h::HUGEINT*$a + $b) % $p)::BIGINT) AS m$i"
+    }.mkString(",\n  ")
+    val bandEntries = (0 until 16).map { bd =>
+      s"'$bd|' || md5(m${2 * bd}::VARCHAR || ',' || m${2 * bd + 1}::VARCHAR)"
+    }.mkString(",\n    ")
+    s"""$duckShingles3,
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM ex),
+       |sig AS (SELECT doc_id,
+       |  $minCols
+       |  FROM hh GROUP BY doc_id),
+       |bands AS (SELECT doc_id,
+       |  unnest([$bandEntries]) AS bucket
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+       |FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
+       |WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.05""".stripMargin
+  }
+
   /** DuckDB word-3-gram shingle CTE (mirrors `wordShingles(tokens, 3)`). */
   private val duckShingles3 =
     s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
@@ -557,33 +599,22 @@ object ExtQueries {
     // (identical coefficients, injected below), same 16x2 banding, same
     // exact-Jaccard verify — the compare checks the algorithm, not just
     // the survivors.
-    "q22_minhash_lsh" -> {
-      val coeffs = graft.functions.TextFunctions.minhashCoefficients(32)
-      val p = graft.functions.TextFunctions.MinhashPrime
-      val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
-        s"min(((h::HUGEINT*$a + $b) % $p)::BIGINT) AS m$i"
-      }.mkString(",\n  ")
-      val bandEntries = (0 until 16).map { bd =>
-        s"'$bd|' || md5(m${2 * bd}::VARCHAR || ',' || m${2 * bd + 1}::VARCHAR)"
-      }.mkString(",\n    ")
-      s"""$duckShingles3,
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-         |hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM ex),
-         |sig AS (SELECT doc_id,
-         |  $minCols
-         |  FROM hh GROUP BY doc_id),
-         |bands AS (SELECT doc_id,
-         |  unnest([$bandEntries]) AS bucket
-         |  FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-         |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
-         |FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
-         |WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-         |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.05""".stripMargin
-    },
+    "q22_minhash_lsh" -> minhashLshSql,
+
+    // Connected components over the q22 pair graph: DuckDB replays the
+    // pair SQL, then WITH RECURSIVE transitive closure; canonical =
+    // min reachable id, exactly the fixpoint of min-label propagation.
+    "q53_dedup_clusters" ->
+      s"""WITH RECURSIVE pairsq AS ($minhashLshSql),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairsq
+         |        UNION SELECT doc_b, doc_a FROM pairsq),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM und
+         |  UNION
+         |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst)
+         |SELECT src AS doc_id, min(dst) AS canonical_id
+         |FROM reach GROUP BY src""".stripMargin,
+
 
     // Brute-force oracle is exhaustive; the Spark side's byte-band
     // candidate generation is provably exhaustive for hamming <= 3, so

@@ -229,6 +229,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2) == ((1, 1, 0.0)))
   }
 
+  test("connectedComponents closes chains transitively with min-id canonicals") {
+    // A~B, B~C (A never matched C directly), plus an isolated pair D~E.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges on a long chain within maxIters") {
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = TextDedup.connectedComponents(chain, maxIters = 20)
+      .as[(Long, Long)].collect()
+    assert(out.length == 16 && out.forall(_._2 == 0L))
+  }
+
   test("bm25 ranks by term frequency, rarity, and length normalization") {
     import graft.operators.TextSearch
     val corpus = docs(
