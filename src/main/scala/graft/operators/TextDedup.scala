@@ -139,9 +139,16 @@ object TextDedup {
       val nodes = edges.select(col("src").as("id")).distinct()
       var labels = nodes.withColumn("label", col("id"))
         .localCheckpoint(true)
-      var changed = 1L
+      // Labels only ever DECREASE under min-propagation, so the label
+      // sum strictly decreases until the fixpoint — convergence is one
+      // tiny aggregate per round, not a self-join diff. DECIMAL(38)
+      // so the sum cannot overflow at any corpus size under ANSI.
+      def labelSum(df: DataFrame): java.math.BigDecimal = df
+        .agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = labelSum(labels)
+      var converged = false
       var it = 0
-      while (changed > 0 && it < maxIters) {
+      while (!converged && it < maxIters) {
         val nbrMin = edges
           .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
           .groupBy(col("src")).agg(min(col("nlabel")).as("nbr_min"))
@@ -150,13 +157,13 @@ object TextDedup {
           .select(col("id"),
             least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
           .localCheckpoint(true)
-        changed = updated
-          .join(labels.select(col("id"), col("label").as("old")), "id")
-          .where(col("label") =!= col("old")).count()
+        val s = labelSum(updated)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         labels = updated
         it += 1
       }
-      if (changed > 0) throw new IllegalStateException(
+      if (!converged) throw new IllegalStateException(
         s"label propagation did not converge in $maxIters rounds")
       labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
     } finally edges.unpersist()
