@@ -62,6 +62,12 @@ object ScaleStress {
         .buildIndex(big, "doc_id", "text", n = 3, bits = 64).persist()
       operators.TextDedup.ngramJaccardPairs(idx, 0.05)
     }
+    time("dedup clusters (pairs->canonical)") {
+      val idx = operators.TextDedup
+        .buildIndex(big, "doc_id", "text", n = 3, bits = 32).persist()
+      operators.TextDedup.connectedComponents(
+        operators.TextDedup.minhashLshPairs(idx, 0.05, numHashes = 32, bands = 16))
+    }
     spark.stop()
   }
 }
