@@ -6,8 +6,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.local(cpus, "graft-bench")
     // Warm up codegen + file listing so the first timed query doesn't
-    // absorb one-time session costs.
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // absorb one-time session costs. Lenient per table: a missing table
+    // must surface as per-query `err` entries below, not kill the whole
+    // bench before any timing is emitted.
+    Tables.names.foreach(n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n: ${e.getMessage}")
+      })
     // Sorted order (stable run-to-run) and cache hygiene between
     // queries: operators cache intermediates (shingle sets, sketches)
     // that would otherwise accumulate across the whole catalog and tax
@@ -24,25 +30,43 @@ object Bench {
     // driver-recorded round shows trivial map queries inflated 10x).
     // Default 2: the recorded per-round bench is min-of-2, costing
     // ~2x wall-clock for a far more comparable round-over-round trend.
+    // A query that throws must surface as an error, not be silently
+    // timed as its time-to-failure (VERDICT r03 item 2: a bench-only
+    // breakage — e.g. an sf0.1 OOM that sf0.01 verify misses — would
+    // otherwise read as a speedup). Failed queries report err and are
+    // EXCLUDED from the total so the headline number never improves by
+    // breaking.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val dt = (1 to reps).map { _ =>
+        val runs = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try {
+          val err = try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          } catch { case _: Throwable => () }
+            None
+          } catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          }
           spark.catalog.clearCache()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        name -> dt
+          ((System.nanoTime() - t0) / 1e9, err)
+        }
+        (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
