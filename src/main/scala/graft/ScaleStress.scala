@@ -68,6 +68,27 @@ object ScaleStress {
       operators.TextDedup.connectedComponents(
         operators.TextDedup.minhashLshPairs(idx, 0.05, numHashes = 32, bands = 16))
     }
+
+    // Realistic-IVF regime (VERDICT r03 item 1 done-criterion): train +
+    // assign at k=1024 on a 50k-vector synthetic corpus, dim 64 —
+    // unreachable under the pre-r04 literal-centroid plan shape. The
+    // corpus is generated DISTRIBUTED (hash-derived floats, no driver
+    // array) so the row is pure engine cost.
+    {
+      val dim = 64
+      val vecs = spark.range(50000).select(
+        col("id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(dim - 1)),
+          d => (pmod(hash(col("id"), d), lit(997)) / lit(499.0) - lit(1.0))
+            .cast("float")).as("embedding"))
+      vecs.write.mode("overwrite").parquet("/tmp/graft_stress_vecs")
+      val corpus = spark.read.parquet("/tmp/graft_stress_vecs")
+      time("kmeans k=1024 train+assign") {
+        val cen = operators.VectorSim.kmeansCentroids(corpus, k = 1024, iters = 2)
+        operators.VectorSim.kmeansAssignments(corpus, cen)
+      }
+    }
     spark.stop()
   }
 }

@@ -48,6 +48,7 @@ object SparkEntry {
     "q27_multimodal_stats"  -> (ExtQueries.q27MultimodalStats(_, _)),
     "q39_kmeans_ivf"        -> (ExtQueries.q39KmeansIvf(_, _)),
     "q45_knn_ivf"           -> (ExtQueries.q45KnnIvf(_, _)),
+    "q55_kmeans_oversampled" -> (ExtQueries.q55KmeansOversampled(_, _)),
     "q28_sessionize"        -> (ExtQueries.q28Sessionize(_, _)),
     "q40_asof_join"         -> (ExtQueries.q40AsofJoin(_, _)),
     "q41_interval_join"     -> (ExtQueries.q41IntervalJoin(_, _)),

@@ -137,6 +137,14 @@ object ExtQueries {
     VectorSim.ivfNearDup(Tables.embeddings(s, dir), k = 8, iters = 2,
       threshold = 0.35)
 
+  /** Same IVF pipeline as q39 but seeded by the k-means||-style
+    * farthest-first oversampled init (factor 4 -> 32 candidates) — the
+    * init quality path for the k >= 1024 regime, oracle-checked at
+    * catalog scale. */
+  def q55KmeansOversampled(s: SparkSession, dir: String): DataFrame =
+    VectorSim.ivfNearDup(Tables.embeddings(s, dir), k = 8, iters = 2,
+      threshold = 0.35, initFactor = 4)
+
   def q45KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     VectorSim.knnIvf(emb.where(col("vec_id") < 5), emb, k = 5,
@@ -268,8 +276,16 @@ object ExtQueries {
     * doubles and every comparison happens after round(...,6). */
   /** Shared WITH-chain re-running deterministic Lloyd's in SQL:
     * defines CTEs e, cen0, xx, a0, cen1, a1, ..., cen$iters, a$iters
-    * (a_t = assignment under cen_t). Callers append final SELECTs. */
-  private def kmeansCtes(k: Int, dim: Int, iters: Int): String = {
+    * (a_t = assignment under cen_t). Callers append final SELECTs.
+    *
+    * `initFactor > 0` mirrors `VectorSim.kmeansInitOversampled`: cen0
+    * becomes the greedy farthest-first reduction of the first
+    * `initFactor * k` candidates in md5 order — the k-1 selection
+    * steps unroll as chained ch/md CTEs (chN = argmax of the running
+    * min-distance mdN-1, ties to the earliest candidate; every
+    * distance the same rounded `(xx - 2*dot) + cc` form as
+    * assignment). */
+  private def kmeansCtes(k: Int, dim: Int, iters: Int, initFactor: Int = 0): String = {
     def assign(name: String, cen: String): String =
       s"""$name AS (
          |  SELECT vec_id, list_indexof(l, list_min(l)) - 1 AS cluster FROM (
@@ -287,18 +303,53 @@ object ExtQueries {
          |      GROUP BY a.cluster, dd.d) GROUP BY cluster) nw ON nw.c = o.c)""".stripMargin
     val rounds = (1 to iters).flatMap(t =>
       Seq(update(s"cen$t", s"cen${t - 1}", s"a${t - 1}"), assign(s"a$t", s"cen$t")))
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |cen0 AS (
-       |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c, emb AS w
-       |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k),
-       |xx AS (SELECT vec_id, emb,
-       |  list_sum([emb[i+1]*emb[i+1] for i in range(0,$dim)]) AS xx FROM e),
-       |${(assign("a0", "cen0") +: rounds).mkString(",\n")}""".stripMargin
+    val base =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cen0 AS (
+         |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c, emb AS w
+         |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k),
+         |xx AS (SELECT vec_id, emb,
+         |  list_sum([emb[i+1]*emb[i+1] for i in range(0,$dim)]) AS xx FROM e),
+         |${(assign("a0", "cen0") +: rounds).mkString(",\n")}""".stripMargin
+    if (initFactor <= 0) base
+    else {
+      val m = initFactor * k
+      def distTo(row: String, s: String): String =
+        s"""round(($row.cxx - 2*list_sum([$row.emb[i+1]*$s.emb[i+1] for i in range(0,$dim)])) + $s.cxx, 6)"""
+      val steps = (1 until k).flatMap { j =>
+        val md = s"md${j - 1}"
+        val mdDef =
+          if (j == 1)
+            s"""md0 AS (SELECT c.ci, c.emb, c.cxx, ${distTo("c", "s")} AS md
+               |  FROM cand c CROSS JOIN ch0 s)""".stripMargin
+          else
+            s"""md${j - 1} AS (SELECT m.ci, m.emb, m.cxx,
+               |  least(m.md, ${distTo("m", "s")}) AS md
+               |  FROM md${j - 2} m CROSS JOIN ch${j - 1} s)""".stripMargin
+        Seq(mdDef,
+          s"ch$j AS (SELECT CAST($j AS BIGINT) AS c, ci, emb, cxx FROM $md ORDER BY md DESC, ci LIMIT 1)")
+      }
+      val union = (0 until k).map(j => s"SELECT c, emb FROM ch$j").mkString(" UNION ALL ")
+      val ffCen0 =
+        s"""cand AS (
+           |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS ci, emb,
+           |    list_sum([emb[i+1]*emb[i+1] for i in range(0,$dim)]) AS cxx
+           |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $m),
+           |ch0 AS (SELECT CAST(0 AS BIGINT) AS c, ci, emb, cxx FROM cand WHERE ci = 0),
+           |${steps.mkString(",\n")},
+           |cen0 AS (SELECT c, emb AS w FROM ($union))""".stripMargin
+      // Swap the plain-sample cen0 for the farthest-first chain.
+      val plainCen0 =
+        s"""cen0 AS (
+           |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c, emb AS w
+           |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k)""".stripMargin
+      base.replace(plainCen0, ffCen0)
+    }
   }
 
   private def kmeansIvfOracleSql(k: Int, dim: Int, iters: Int,
-      threshold: Double): String =
-    s"""${kmeansCtes(k, dim, iters)}
+      threshold: Double, initFactor: Int = 0): String =
+    s"""${kmeansCtes(k, dim, iters, initFactor)}
        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |  CAST(ax.cluster AS INT) AS cluster,
        |  round(list_cosine_similarity(x.emb, y.emb), 6) AS cos_sim
@@ -663,6 +714,12 @@ object ExtQueries {
     // oracle-checked.
     "q39_kmeans_ivf" ->
       kmeansIvfOracleSql(k = 8, dim = 64, iters = 2, threshold = 0.35),
+
+    // Same constants as q55KmeansOversampled above — the SQL unrolls
+    // the farthest-first candidate selection before the Lloyd's chain.
+    "q55_kmeans_oversampled" ->
+      kmeansIvfOracleSql(k = 8, dim = 64, iters = 2, threshold = 0.35,
+        initFactor = 4),
 
     // Same constants as q45KnnIvf above.
     "q45_knn_ivf" ->

@@ -83,6 +83,30 @@ class VectorSimSpec extends AnyFunSuite {
       s"blobs not cleanly separated: $byBlob")
   }
 
+  test("oversampled farthest-first init: no worse inertia than the sample init, deterministic") {
+    val rnd = new scala.util.Random(19)
+    // 8 tight blobs on axes in 16 dims — k=8 seeds from a plain md5
+    // sample often double up on a blob; farthest-first cannot.
+    val e = emb((0L until 160L).map { i =>
+      val axis = (i % 8).toInt
+      (i, Seq.tabulate(16)(d =>
+        (if (d == axis) 10f else 0f) + rnd.nextGaussian().toFloat * 0.1f), axis)
+    }: _*)
+    val initS = VectorSim.kmeansInitSample(e, k = 8)
+    val initO = VectorSim.kmeansInitOversampled(e, k = 8, factor = 4)
+    assert(initO.map(_.toSeq) ==
+      VectorSim.kmeansInitOversampled(e, k = 8, factor = 4).map(_.toSeq),
+      "oversampled init must be deterministic")
+    val iS = VectorSim.kmeansInertia(e, VectorSim.kmeansCentroidsFrom(e, initS, 2))
+    val iO = VectorSim.kmeansInertia(e, VectorSim.kmeansCentroidsFrom(e, initO, 2))
+    assert(iO <= iS, s"oversampled init inertia $iO worse than sample init $iS")
+    // On this fixture the spread seeds must actually recover all blobs.
+    val assign = VectorSim.kmeansAssignments(e, VectorSim.kmeansCentroidsFrom(e, initO, 2))
+      .as[(Long, Int)].collect().toMap
+    assert((0L until 160L).map(assign).toSet.size == 8,
+      "farthest-first seeds must give every blob its own cluster")
+  }
+
   test("ivfNearDup pairs only within a learned cluster, scored exactly") {
     val e = emb(
       (0L, Seq(10f, 0f, 0.1f), 0), (1L, Seq(10f, 0.1f, 0f), 0),
