@@ -59,6 +59,7 @@ object SparkEntry {
     "q47_decontaminate"     -> (ExtQueries.q47Decontaminate(_, _)),
     "q48_stratified_sample" -> (ExtQueries.q48StratifiedSample(_, _)),
     "q49_pack_sequences"    -> (ExtQueries.q49PackSequences(_, _)),
+    "q54_pack_contents"     -> (ExtQueries.q54PackContents(_, _)),
     "q50_chunk_documents"   -> (ExtQueries.q50ChunkDocuments(_, _)),
     "q51_bm25"              -> (ExtQueries.q51Bm25(_, _)),
     "q52_hybrid_rrf"        -> (ExtQueries.q52HybridRrf(_, _)),

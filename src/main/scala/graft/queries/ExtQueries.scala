@@ -54,6 +54,16 @@ object ExtQueries {
         .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_tokens")),
       "doc_id", "n_tokens", budget = 4096L, shards = 8)
 
+  /** Writer-facing packed sequences: same binning as q49, emitting the
+    * ordered member ids and the concatenated bin text. */
+  def q54PackContents(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    DataMix.packSequenceContents(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", "text", budget = 4096L, shards = 8)
+  }
+
   /** RAG/embedding chunking: 64-token windows, 8-token overlap. */
   def q50ChunkDocuments(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
@@ -581,6 +591,22 @@ object ExtQueries {
          | count(*) AS n_docs,
          | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM p GROUP BY shard, CAST(floor(prefix / 4096) AS BIGINT)""".stripMargin,
+
+    // Same binning chain as q49; the contents aggregates mirror
+    // Spark's sort_array(collect_list(...)) with ORDER BY inside the
+    // aggregate (both are doc_id packing order).
+    "q54_pack_contents" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+         |s AS (SELECT doc_id, text, n_tokens, CAST(doc_id % 8 AS INT) AS shard FROM t),
+         |p AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix FROM s)
+         |SELECT shard, CAST(floor(prefix / 4096) AS BIGINT) AS bin,
+         | count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         | string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids,
+         | string_agg(text, chr(10) ORDER BY doc_id) AS packed_text
          |FROM p GROUP BY shard, CAST(floor(prefix / 4096) AS BIGINT)""".stripMargin,
 
     "q47_decontaminate" ->

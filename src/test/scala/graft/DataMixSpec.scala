@@ -38,6 +38,21 @@ class DataMixSpec extends AnyFunSuite {
     assert(out == Seq((0L, 2L, 120L), (1L, 2L, 70L)))
   }
 
+  test("packSequenceContents emits ordered member ids and concatenated text per bin") {
+    val docs = Seq(
+      (0L, 60L, "alpha"), (2L, 60L, "beta"), (4L, 60L, "gamma"), (6L, 10L, "delta"))
+      .toDF("doc_id", "n_tokens", "text")
+    val out = DataMix.packSequenceContents(docs, "doc_id", "n_tokens", "text",
+      budget = 100L, shards = 1)
+      .orderBy("bin")
+      .select("bin", "doc_ids", "packed_text", "n_docs", "total_tokens")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    // prefixes 0,60,120,180 -> bins 0,0,1,1; contents follow doc order.
+    assert(out == Seq(
+      (0L, "0,2", "alpha\nbeta", 2L, 120L),
+      (1L, "4,6", "gamma\ndelta", 2L, 70L)))
+  }
+
   test("packSequences shards are independent and cover all docs") {
     val docs = (0L until 100L).map(i => (i, 50L)).toDF("doc_id", "n_tokens")
     val out = DataMix.packSequences(docs, "doc_id", "n_tokens",
