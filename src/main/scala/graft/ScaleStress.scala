@@ -69,6 +69,41 @@ object ScaleStress {
         operators.TextDedup.minhashLshPairs(idx, 0.05, numHashes = 32, bands = 16))
     }
 
+    // Incremental clustering cadence: last week's corpus is the 90%
+    // with doc_id % 10 != 0; the weekly batch adds the other 10%.
+    // Incremental = contract new pairs through the existing labels and
+    // propagate only the (batch-sized) contracted graph; must be much
+    // cheaper than re-propagating the full pair graph AND bit-equal to
+    // the from-scratch run on old+new pairs.
+    {
+      import operators.TextDedup
+      val oldDocs = big.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val idxOld = TextDedup.buildIndex(oldDocs, "doc_id", "text", n = 3, bits = 32).persist()
+      val existing = TextDedup
+        .connectedComponents(TextDedup.minhashLshPairs(idxOld, 0.05, 32, 16))
+        .persist()
+      existing.count() // materialize: this is "last week's run", untimed
+      val idxFull = TextDedup.buildIndex(big, "doc_id", "text", n = 3, bits = 32).persist()
+      val pairsFull = TextDedup.minhashLshPairs(idxFull, 0.05, 32, 16).persist()
+      println(s"pairs: ${pairsFull.count()} full")
+      // LSH pairs among old docs are identical run-to-run, so the new
+      // batch's edges are exactly those touching a new doc.
+      val newPairs = pairsFull.where(
+        pmod(col("doc_a"), lit(10)) === 0 || pmod(col("doc_b"), lit(10)) === 0)
+      time("cc full reclustering") {
+        TextDedup.connectedComponents(pairsFull)
+      }
+      time("cc incremental (10% new)") {
+        TextDedup.connectedComponentsIncremental(existing, newPairs)
+      }
+      val full = TextDedup.connectedComponents(pairsFull)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val inc = TextDedup.connectedComponentsIncremental(existing, newPairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"incremental == from-scratch: ${inc == full} (${full.size} labeled docs)")
+      idxOld.unpersist(); idxFull.unpersist(); pairsFull.unpersist(); existing.unpersist()
+    }
+
     // Realistic-IVF regime (VERDICT r03 item 1 done-criterion): train +
     // assign at k=1024 on a 50k-vector synthetic corpus, dim 64 —
     // unreachable under the pre-r04 literal-centroid plan shape. The

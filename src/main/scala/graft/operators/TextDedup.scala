@@ -169,6 +169,87 @@ object TextDedup {
     } finally edges.unpersist()
   }
 
+  /** Incremental dedup clustering — the weekly-ingest cadence: fold a
+    * batch of NEW near-dup pairs into an existing
+    * `(doc_id, canonical_id)` clustering without re-propagating over
+    * the whole historical pair graph.
+    *
+    * Shape: contract every existing cluster to its canonical id (one
+    * equi-join per endpoint maps doc -> canonical, new docs map to
+    * themselves), drop now-internal edges, and run the same
+    * min-label propagation ONLY on the contracted graph — its size
+    * tracks the new batch (touched clusters + new docs), not the
+    * corpus, so the per-round shuffles are batch-sized and the round
+    * count is the diameter of the MERGE graph, not of any original
+    * chain. Because each existing canonical is already the min id of
+    * its cluster, the min label of a merged component equals the
+    * from-scratch min over the union graph — results are EQUAL to
+    * `connectedComponents(oldPairs union newPairs)` (spec + stress
+    * pinned), including transitive merges of several old clusters
+    * through one new doc.
+    *
+    * Output covers existing docs plus the new pairs' endpoints, like
+    * the from-scratch run over the union pair set. */
+  def connectedComponentsIncremental(existing: DataFrame, newPairs: DataFrame,
+      maxIters: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
+    val ex = existing.select(col("doc_id"), col("canonical_id"))
+    val contracted = newPairs
+      .join(ex.select(col("doc_id").as("doc_a"), col("canonical_id").as("__ca")),
+        Seq("doc_a"), "left")
+      .join(ex.select(col("doc_id").as("doc_b"), col("canonical_id").as("__cb")),
+        Seq("doc_b"), "left")
+      .select(
+        coalesce(col("__ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("__cb"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .persist()
+    try {
+      val nEdges = contracted.count()
+      if (nEdges == 0) return ex // every new pair was already internal
+      // The contracted graph is batch-sized BY CONSTRUCTION (nothing in
+      // it grows with the historical corpus), so up to `driverThreshold`
+      // edges a driver union-find replaces the distributed propagation:
+      // the per-round fixed scheduling cost of label propagation (~1 s
+      // x rounds regardless of data, NOTES) would otherwise make the
+      // incremental path cost as much as full reclustering at bench
+      // scale. Above the threshold (a truly huge weekly batch) the same
+      // distributed propagation as from-scratch takes over, with
+      // batch-sized rather than corpus-sized shuffles.
+      val comp: DataFrame =
+        if (nEdges <= driverThreshold) {
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          contracted.collect().foreach { row =>
+            seen += row.getLong(0); seen += row.getLong(1)
+            val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+            // Union by min id: the root IS the min-label canonical.
+            if (a < b) parent(b) = a else if (b < a) parent(a) = b
+          }
+          val spark = newPairs.sparkSession
+          import spark.implicits._
+          seen.toSeq.map(n => (n, find(n))).toDF("__node", "__label")
+        } else {
+          connectedComponents(contracted, maxIters)
+            .select(col("doc_id").as("__node"), col("canonical_id").as("__label"))
+        }
+      val relabeled = ex
+        .join(comp.withColumnRenamed("__node", "canonical_id"), Seq("canonical_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__label"), col("canonical_id")).as("canonical_id"))
+      val newDocs = comp
+        .join(ex.select(col("doc_id").as("__node")), Seq("__node"), "left_anti")
+        .select(col("__node").as("doc_id"), col("__label").as("canonical_id"))
+      relabeled.unionByName(newDocs)
+    } finally contracted.unpersist()
+  }
+
   /** PPJoin-style prefix-filtered candidate pairs for Jaccard >= t.
     *
     * Canonical global shingle order = (document frequency asc, hash

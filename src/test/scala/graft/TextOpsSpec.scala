@@ -244,6 +244,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.length == 16 && out.forall(_._2 == 0L))
   }
 
+  test("connectedComponentsIncremental equals from-scratch on the union pair graph") {
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val existing = TextDedup.connectedComponents(oldPairs)
+    // New batch: merge clusters {1,2,3} and {10,11} through a NEW doc,
+    // a brand-new cluster, and a redundant internal pair.
+    val newPairs = Seq(
+      (11L, 50L), (50L, 2L), // transitive merge via new doc 50
+      (20L, 21L), // new standalone cluster
+      (3L, 1L)) // already same cluster -> contracted self-loop
+      .toDF("doc_a", "doc_b")
+    val inc = TextDedup.connectedComponentsIncremental(existing, newPairs)
+      .as[(Long, Long)].collect().toMap
+    val scratch = TextDedup.connectedComponents(oldPairs.unionByName(newPairs))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == scratch, "incremental must equal from-scratch on old+new pairs")
+    assert(inc(11L) == 1L && inc(50L) == 1L && inc(20L) == 20L && inc(30L) == 30L)
+    // The distributed fallback (contracted graph above the driver
+    // threshold) must produce the identical labeling.
+    val dist = TextDedup.connectedComponentsIncremental(existing, newPairs,
+      driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == scratch, "distributed propagation path must agree with union-find")
+  }
+
+  test("connectedComponentsIncremental with only-internal new pairs is the identity") {
+    val oldPairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val existing = TextDedup.connectedComponents(oldPairs)
+    val inc = TextDedup.connectedComponentsIncremental(
+      existing, Seq((2L, 1L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("bm25 ranks by term frequency, rarity, and length normalization") {
     import graft.operators.TextSearch
     val corpus = docs(
