@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.expr.{FloatDotProduct, MinShingleHash, NfcNormalize, TokenChunks, WordShingles}
+import graft.functions.expr.{FloatDotProduct, MinShingleHash, NfcNormalize, RepetitionRatio, TokenChunks, WordShingles}
 
 /** Catalyst extension point: registers the engine's native expressions
   * as SQL functions, so `spark.sql("... float_dot(a, b) ...")` works
@@ -65,6 +65,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TokenChunks(children.head,
           intArg(children(1), "token_chunks"),
           intArg(children(2), "token_chunks"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("repetition_ratio"),
+      new ExpressionInfo(
+        classOf[RepetitionRatio].getName, null, "repetition_ratio",
+        "repetition_ratio(tokens, n) - 1 - distinct_shingles/positions, rounded to 6dp",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "repetition_ratio takes (tokens, n)")
+        RepetitionRatio(children.head, intArg(children(1), "repetition_ratio"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("min_shingle_hash"),

@@ -205,6 +205,15 @@ object TextFunctions {
       ColumnBridge.expression(toks), n))
   }
 
+  /** Native one-pass repetition ratio (already rounded to 6dp) — the
+    * filter-safe single-kernel form of
+    * `round(1 - distinct_shingles/positions, 6)`. */
+  def repetitionRatioNative(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.RepetitionRatio(
+      ColumnBridge.expression(toks), n))
+  }
+
   /** Native codegen'd overlapping token chunks (embedding/RAG
     * chunking): windows of `size` tokens advancing by `size-overlap`;
     * the final partial window is kept; no window starts after one has

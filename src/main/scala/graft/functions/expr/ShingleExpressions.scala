@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Row-at-a-time shingling kernels, called from generated code.
@@ -204,6 +204,46 @@ object ShingleOps {
     } else out += join(0, cnt)
     new GenericArrayData(out.toArray[Any])
   }
+
+  /** Gopher-style repetition ratio in ONE pass:
+    * `round(1 - |distinct shingles| / positions, 6)` with the same
+    * shingle contract as [[wordShingles]] and the same rounding as
+    * Spark's `round(_, 6)` ([[CentroidKernel.round6]]). A single
+    * kernel so filters on the ratio inline ONE tokenization +
+    * ONE pass under predicate pushdown, not the tokens-referenced-
+    * twice tree of the declarative form (FilterExec has no
+    * subexpression elimination — NOTES finding #11). */
+  def repetitionRatio(toks: ArrayData, n: Int): Double = {
+    val sh = wordShingles(toks, n)
+    val positions = math.max(toks.numElements() - (n - 1), 1)
+    CentroidKernel.round6(1.0 - sh.numElements().toDouble / positions.toDouble)
+  }
+}
+
+/** Native `repetition_ratio(tokens)`: the one-pass filter-safe
+  * repetition signal. See [[ShingleOps.repetitionRatio]]. */
+case class RepetitionRatio(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    ShingleOps.repetitionRatio(toks.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.ShingleOps.repetitionRatio($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionRatio =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_ratio"
 }
 
 /** Native `min_shingle_hash(text)`: the 1-hash MinHash over char

@@ -152,12 +152,16 @@ object TextAnalysis {
     val toks = tokens(col(textCol))
     val total = greatest(size(toks) - lit(n - 1), lit(1))
     val distinct = size(wordShinglesNative(toks, n))
+    // The ratio is ONE kernel call (rounding included), not the
+    // distinct/total arithmetic tree: curation filters on
+    // repetition_ratio, and pushdown would inline a tree referencing
+    // the tokenization twice into FilterExec (no subexpression
+    // elimination — NOTES finding #11). Values are bit-identical.
     docs.select(
       col(idCol).as("doc_id"),
       total.as("n_shingle_positions"),
       distinct.as("n_distinct_shingles"),
-      round(lit(1.0) - distinct.cast("double") / total.cast("double"), 6)
-        .as("repetition_ratio"))
+      repetitionRatioNative(toks, n).as("repetition_ratio"))
   }
 
   /** Content fingerprints: md5 + 1-hash MinHash over char 5-grams, via
