@@ -42,6 +42,7 @@ object SparkEntry {
     "q21_ngram_jaccard"     -> (ExtQueries.q21NgramJaccard(_, _)),
     "q22_minhash_lsh"       -> (ExtQueries.q22MinhashLsh(_, _)),
     "q23_simhash"           -> (ExtQueries.q23Simhash(_, _)),
+    "q56_containment"       -> (ExtQueries.q56Containment(_, _)),
     "q24_embedding_neardup" -> (ExtQueries.q24EmbeddingNearDup(_, _)),
     "q25_knn_brute_force"   -> (ExtQueries.q25KnnBruteForce(_, _)),
     "q26_knn_lsh"           -> (ExtQueries.q26KnnLsh(_, _)),
@@ -60,6 +61,7 @@ object SparkEntry {
     "q48_stratified_sample" -> (ExtQueries.q48StratifiedSample(_, _)),
     "q49_pack_sequences"    -> (ExtQueries.q49PackSequences(_, _)),
     "q54_pack_contents"     -> (ExtQueries.q54PackContents(_, _)),
+    "q57_ngram_lm"          -> (ExtQueries.q57NgramLm(_, _)),
     "q50_chunk_documents"   -> (ExtQueries.q50ChunkDocuments(_, _)),
     "q51_bm25"              -> (ExtQueries.q51Bm25(_, _)),
     "q52_hybrid_rrf"        -> (ExtQueries.q52HybridRrf(_, _)),

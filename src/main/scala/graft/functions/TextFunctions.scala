@@ -205,6 +205,14 @@ object TextFunctions {
       ColumnBridge.expression(toks), n))
   }
 
+  /** Native all-positions word n-grams (duplicates kept — LM
+    * statistics; [[wordShinglesNative]] dedups for set similarity). */
+  def wordNgramsNative(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.WordNgrams(
+      ColumnBridge.expression(toks), n))
+  }
+
   /** Native one-pass repetition ratio (already rounded to 6dp) — the
     * filter-safe single-kernel form of
     * `round(1 - distinct_shingles/positions, 6)`. */

@@ -205,6 +205,26 @@ object ShingleOps {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** EVERY word n-gram position (duplicates kept, document order) —
+    * the LM-statistics variant of [[wordShingles]] (which dedups for
+    * set similarity). Same short-doc contract: fewer than n tokens
+    * yields the whole joined sequence as one gram. */
+  def wordNgrams(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    def join(from: Int, until: Int): UTF8String = {
+      val parts = new Array[UTF8String](until - from)
+      var i = from
+      while (i < until) { parts(i - from) = toks.getUTF8String(i); i += 1 }
+      UTF8String.concatWs(Space, parts: _*)
+    }
+    if (cnt - (n - 1) >= 1) {
+      val out = new Array[Any](cnt - n + 1)
+      var i = 0
+      while (i + n <= cnt) { out(i) = join(i, i + n); i += 1 }
+      new GenericArrayData(out)
+    } else new GenericArrayData(Array[Any](join(0, cnt)))
+  }
+
   /** Gopher-style repetition ratio in ONE pass:
     * `round(1 - |distinct shingles| / positions, 6)` with the same
     * shingle contract as [[wordShingles]] and the same rounding as
@@ -218,6 +238,32 @@ object ShingleOps {
     val positions = math.max(toks.numElements() - (n - 1), 1)
     CentroidKernel.round6(1.0 - sh.numElements().toDouble / positions.toDouble)
   }
+}
+
+/** Native `word_ngrams(tokens)`: every n-gram position, duplicates
+  * kept. See [[ShingleOps.wordNgrams]]. */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(toks: Any): Any =
+    ShingleOps.wordNgrams(toks.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.ShingleOps.wordNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngrams"
 }
 
 /** Native `repetition_ratio(tokens)`: the one-pass filter-safe

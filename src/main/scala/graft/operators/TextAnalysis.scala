@@ -164,6 +164,46 @@ object TextAnalysis {
       repetitionRatioNative(toks, n).as("repetition_ratio"))
   }
 
+  /** Bigram-LM fluency score (KenLM-lite curation signal): train
+    * add-one-smoothed bigram statistics on `train`, score each doc in
+    * `docs` by its mean bigram log-probability
+    * `avg(ln((c(w1 w2) + 1) / (c(w1) + V)))` — low scores flag
+    * gibberish / shuffled / non-prose text that length and stopword
+    * heuristics miss; self-scoring the corpus (train = docs) is the
+    * standard outlier sweep.
+    *
+    * Scale shape: counts are map-side-combined groupBys over an
+    * explode of the native all-positions [[graft.functions.expr.WordNgrams]]
+    * kernel (no self-join to form bigrams); scoring joins each doc
+    * bigram to the two count tables by key (AQE decides broadcasts —
+    * the bigram table grows with corpus vocabulary, so nothing is
+    * pinned). Cross-engine determinism: ln rounded to 8dp per bigram,
+    * mean rounded to 6dp (the q51 BM25 discipline). */
+  def ngramLmScore(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def bigrams(df: DataFrame) = df.select(
+      col(idCol).as("doc_id"),
+      explode(wordNgramsNative(tokens(col(textCol)), 2)).as("bg"))
+    val trainBg = bigrams(train)
+    val bgCounts = trainBg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val uniCounts = train
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    bigrams(docs)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(bgCounts, Seq("bg"), "left")
+      .join(uniCounts.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab)) // 1-row global vocab size
+      .select(col("doc_id"),
+        round(log((coalesce(col("c12"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 8).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** Content fingerprints: md5 + 1-hash MinHash over char 5-grams, via
     * the native codegen'd [[graft.functions.expr.MinShingleHash]] — the
     * declarative `contentFingerprint` form pays O(len) interpreted

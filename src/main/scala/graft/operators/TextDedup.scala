@@ -346,6 +346,33 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Shingle-containment pairs: `C(a in b) = |sh(a) n sh(b)| / |sh(a)|`
+    * (and symmetrically b in a), kept when either direction reaches the
+    * threshold. The asymmetric complement to Jaccard: a short document
+    * quoted or wrapped inside a much larger one scores near-zero
+    * Jaccard (the union is dominated by the container) but containment
+    * ~1 — the standard signal for partial-copy / boilerplate-wrapper
+    * dedup in pretraining corpora. Same inverted-index equi-join shape
+    * as [[ngramJaccardDirect]]: candidates from shared shingles only,
+    * intersection counted relationally, one hash-partitioned self-join
+    * — never an all-pairs comparison. Caller owns the index lifecycle. */
+  def containmentPairs(index: ShingleIndex, threshold: Double): DataFrame = {
+    val inverted = index.df
+    val sizes = inverted.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    inverted.as("a")
+      .join(inverted.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_shared").cast("double") / col("n_a"), 6).as("containment_a"),
+        round(col("n_shared").cast("double") / col("n_b"), 6).as("containment_b"))
+      .where(greatest(col("containment_a"), col("containment_b")) >= threshold)
+  }
+
   /** Prefix mode: PPJoin candidate generation + exact verify. */
   def ngramJaccardPrefix(index: ShingleIndex, threshold: Double): DataFrame =
     jaccardFromIndex(index.df, threshold,

@@ -64,6 +64,14 @@ object ExtQueries {
       "doc_id", "n_tokens", "text", budget = 4096L, shards = 8)
   }
 
+  /** Bigram-LM self-scoring sweep: every document's mean smoothed
+    * bigram log-probability under statistics trained on the corpus
+    * itself — the fluency-outlier curation signal. */
+  def q57NgramLm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TextAnalysis.ngramLmScore(d, d, "doc_id", "text")
+  }
+
   /** RAG/embedding chunking: 64-token windows, 8-token overlap. */
   def q50ChunkDocuments(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
@@ -134,6 +142,14 @@ object ExtQueries {
       n = 3, bits = 32).persist()
     TextDedup.connectedComponents(
       TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16))
+  }
+
+  /** Asymmetric near-subset pairs: either-direction shingle containment
+    * >= 0.3 (the partial-copy / wrapper signal Jaccard misses). */
+  def q56Containment(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, bits = 64)
+    TextDedup.containmentPairs(idx, threshold = 0.3)
   }
 
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
@@ -609,6 +625,24 @@ object ExtQueries {
          | string_agg(text, chr(10) ORDER BY doc_id) AS packed_text
          |FROM p GROUP BY shard, CAST(floor(prefix / 4096) AS BIGINT)""".stripMargin,
 
+    // Same tokenization as the Spark side; inner joins are equivalent
+    // to the operator's left joins under self-scoring (every bigram
+    // and unigram of a scored doc exists in the training counts).
+    "q57_ngram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) - 1 >= 1
+         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END) AS bg FROM tk),
+         |bc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+         |un AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM un)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(sum(round(ln((bc.c12 + 1) / (un.c1 + vv.v)), 8)) / count(*), 6) AS avg_logprob
+         |FROM bg JOIN bc USING (bg)
+         |  JOIN un ON un.w = split_part(bg.bg, ' ', 1)
+         |  CROSS JOIN vv
+         |GROUP BY doc_id""".stripMargin,
+
     "q47_decontaminate" ->
       s"""$duckShingles3,
          |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
@@ -670,6 +704,18 @@ object ExtQueries {
          |WHERE len(list_intersect(a.sh, b.sh)) > 0
          |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.05""".stripMargin,
+
+    // Same shingle chain as q21; containment divides the intersection
+    // by each side's own set size instead of the union.
+    "q56_containment" ->
+      s"""$duckShingles3
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment_a,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) AS containment_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0)
+         |WHERE greatest(containment_a, containment_b) >= 0.3""".stripMargin,
 
     // Full algorithmic mirror of the Spark MinHash+LSH pipeline: same
     // per-shingle md5 hash, same (a_i*h+b_i) mod p permutation family

@@ -229,6 +229,45 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2) == ((1, 1, 0.0)))
   }
 
+  test("ngramLmScore ranks fluent repetition above shuffled gibberish") {
+    import graft.operators.TextAnalysis
+    // Corpus dominated by one phrase: its bigrams are high-count, so a
+    // doc repeating them scores higher than one with the same words in
+    // an order never seen in training.
+    val corpus = docs(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "mat the on sat cat the"))
+    val out = TextAnalysis.ngramLmScore(corpus, corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, lp) => id -> ((n, lp)) }.toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._1 == 5L, "6 tokens -> 5 bigram positions")
+    assert(out(1L) == out(2L) && out(2L) == out(3L), "identical docs score identically")
+    assert(out(1L)._2 > out(4L)._2, "unseen bigram order must score lower")
+  }
+
+  test("containmentPairs flags near-subsets that Jaccard misses") {
+    // Doc 1 is exactly the first third of doc 2: containment(1 in 2)=1
+    // but Jaccard ~ 1/3. Doc 3 shares nothing.
+    val base = "alpha beta gamma delta epsilon zeta"
+    val corpus = docs(
+      (1L, base),
+      (2L, base + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"),
+      (3L, "one two three four five six seven"))
+    val idx = TextDedup.buildIndex(corpus, "doc_id", "text", n = 3, bits = 64)
+    val out = TextDedup.containmentPairs(idx, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (a, b, ca, cb) = out.head
+    assert((a, b) == ((1L, 2L)) && ca == 1.0 && cb < 0.5,
+      "short doc fully contained; container side far below threshold")
+    // The symmetric Jaccard operator must NOT pair them at the same bar.
+    val jac = TextDedup.ngramJaccardPairs(idx, 0.9).collect()
+    assert(jac.isEmpty, "Jaccard at 0.9 misses the containment pair")
+  }
+
   test("connectedComponents closes chains transitively with min-id canonicals") {
     // A~B, B~C (A never matched C directly), plus an isolated pair D~E.
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
