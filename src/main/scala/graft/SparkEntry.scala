@@ -43,6 +43,7 @@ object SparkEntry {
     "q22_minhash_lsh"       -> (ExtQueries.q22MinhashLsh(_, _)),
     "q23_simhash"           -> (ExtQueries.q23Simhash(_, _)),
     "q56_containment"       -> (ExtQueries.q56Containment(_, _)),
+    "q58_dedup_survivors"   -> (ExtQueries.q58DedupSurvivors(_, _)),
     "q24_embedding_neardup" -> (ExtQueries.q24EmbeddingNearDup(_, _)),
     "q25_knn_brute_force"   -> (ExtQueries.q25KnnBruteForce(_, _)),
     "q26_knn_lsh"           -> (ExtQueries.q26KnnLsh(_, _)),

@@ -346,6 +346,29 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Dedup survivor selection: per near-dup cluster keep the member
+    * with the highest quality signal (ties to the LOWEST doc id) — the
+    * curation step after clustering: "keep the best duplicate", not
+    * the arbitrary min-id one. One equi-join + one partial-aggregated
+    * groupBy (the struct-max combines map-side); no window sort of the
+    * membership. */
+  def dedupSurvivors(clusters: DataFrame, quality: DataFrame,
+      qualityCol: String): DataFrame =
+    clusters
+      .join(quality.select(col("doc_id"), col(qualityCol).as("__q")), "doc_id")
+      .groupBy(col("canonical_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        // Field-wise struct max: highest quality, then highest -doc_id
+        // = lowest doc id — the deterministic max_by this engine uses
+        // wherever ties could float (SURVEY determinism rule).
+        max(struct(col("__q").as("q"), (-col("doc_id")).as("negid"))).as("__best"))
+      .select(
+        col("canonical_id"),
+        (-col("__best.negid")).as("survivor_id"),
+        col("__best.q").as("best_quality"),
+        col("n_members"))
+
   /** Shingle-containment pairs: `C(a in b) = |sh(a) n sh(b)| / |sh(a)|`
     * (and symmetrically b in a), kept when either direction reaches the
     * threshold. The asymmetric complement to Jaccard: a short document

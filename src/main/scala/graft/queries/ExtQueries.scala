@@ -152,6 +152,19 @@ object ExtQueries {
     TextDedup.containmentPairs(idx, threshold = 0.3)
   }
 
+  /** Post-clustering survivor pick: q53's clusters, q17's quality —
+    * keep the best-quality member of each near-dup cluster. */
+  def q58DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = TextDedup.buildIndex(docs, "doc_id", "text", n = 3, bits = 32).persist()
+    try {
+      val clusters = TextDedup.connectedComponents(
+        TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16))
+      TextDedup.dedupSurvivors(clusters,
+        TextAnalysis.qualityScore(docs, "doc_id", "text"), "quality_score")
+    } finally idx.unpersist()
+  }
+
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 3)
@@ -704,6 +717,39 @@ object ExtQueries {
          |WHERE len(list_intersect(a.sh, b.sh)) > 0
          |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.05""".stripMargin,
+
+    // q53's recursive transitive-closure chain + q17's quality chain,
+    // survivor = row_number() over (quality DESC, doc_id) = 1 — the
+    // same deterministic pick as the Spark struct-max.
+    "q58_dedup_survivors" ->
+      s"""WITH RECURSIVE pairsq AS ($minhashLshSql),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairsq
+         |        UNION SELECT doc_b, doc_a FROM pairsq),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM und
+         |  UNION
+         |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst)
+         |, cl AS (SELECT src AS doc_id, min(dst) AS canonical_id
+         |         FROM reach GROUP BY src),
+         |qt AS (SELECT doc_id, $duckToks AS toks, CAST(len(text) AS DOUBLE) AS nc FROM documents),
+         |qm AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS nt,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','el','la','de','que','y','der','die','und','das','ist','le','les','et','des','un'], x))) AS DOUBLE) AS nstop,
+         |  nc FROM qt),
+         |qs AS (SELECT doc_id, round(
+         |   (CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.25 ELSE 0.0 END) +
+         |   (CASE WHEN nd / nt >= 0.3 THEN 0.25 ELSE 0.0 END) +
+         |   (CASE WHEN (nc - (nt - 1)) / nt >= 3.0 AND (nc - (nt - 1)) / nt <= 10.0 THEN 0.25 ELSE 0.0 END) +
+         |   (CASE WHEN nstop / nt > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS q
+         |  FROM qm),
+         |j AS (SELECT cl.canonical_id, cl.doc_id, qs.q,
+         |  row_number() OVER (PARTITION BY cl.canonical_id ORDER BY qs.q DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN qs USING (doc_id))
+         |SELECT j.canonical_id, j.doc_id AS survivor_id, j.q AS best_quality, a.n_members
+         |FROM j JOIN (SELECT canonical_id, count(*) AS n_members FROM j GROUP BY 1) a
+         |  USING (canonical_id)
+         |WHERE j.rn = 1""".stripMargin,
 
     // Same shingle chain as q21; containment divides the intersection
     // by each side's own set size instead of the union.

@@ -229,6 +229,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2) == ((1, 1, 0.0)))
   }
 
+  test("dedupSurvivors keeps the highest-quality member, ties to min doc id") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (10L, 10L), (11L, 10L)) // cluster 10
+      .toDF("doc_id", "canonical_id")
+    val quality = Seq(
+      (1L, 0.25), (2L, 0.75), (3L, 0.75), // tie at 0.75 -> doc 2 wins
+      (10L, 0.5), (11L, 0.25))
+      .toDF("doc_id", "quality_score")
+    val out = TextDedup.dedupSurvivors(clusters, quality, "quality_score")
+      .as[(Long, Long, Double, Long)].collect()
+      .map { case (c, s, q, n) => c -> ((s, q, n)) }.toMap
+    assert(out == Map(
+      1L -> ((2L, 0.75, 3L)),
+      10L -> ((10L, 0.5, 2L))))
+  }
+
   test("ngramLmScore ranks fluent repetition above shuffled gibberish") {
     import graft.operators.TextAnalysis
     // Corpus dominated by one phrase: its bigrams are high-count, so a
