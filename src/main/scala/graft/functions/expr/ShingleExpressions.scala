@@ -205,6 +205,56 @@ object ShingleOps {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** Whole MinHash band-key derivation for ONE document in ONE pass —
+    * the streaming-side twin of the batch relational chain
+    * (explode -> shingleHash32 -> 32 partial-min `minhash_perm` aggs ->
+    * band md5s). Bit-identical by construction: the same md5-prefix
+    * 32-bit shingle hash, the same [[permMod61]] permutation family,
+    * and the same `"$bd|" + md5("m_i,m_j")` key text (decimal min
+    * values, comma-joined) as `TextDedup.bandKeyCols`. Batch needs the
+    * relational form (signatures are reused by estimate-verify and the
+    * index amortizes across operators); a stream needs the per-row
+    * form (no groupBy re-shuffle per micro-batch). Parity is pinned by
+    * StreamNearDupSpec against the batch candidate set. */
+  def minhashBandKeys(sh: ArrayData, as: Array[Long], bs: Array[Long],
+      bands: Int): ArrayData = {
+    val nH = as.length
+    val rows = nH / bands
+    val n = sh.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val mins = Array.fill(nH)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(sh.getUTF8String(i).getBytes)
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var j = 0
+      while (j < nH) {
+        val v = permMod61(h, as(j), bs(j))
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](bands)
+    var bd = 0
+    while (bd < bands) {
+      val sb = new java.lang.StringBuilder
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append(',')
+        sb.append(mins(bd * rows + r))
+        r += 1
+      }
+      val hex = md.digest(sb.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      out(bd) = UTF8String.fromString(s"$bd|$hex")
+      bd += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** EVERY word n-gram position (duplicates kept, document order) —
     * the LM-statistics variant of [[wordShingles]] (which dedups for
     * set similarity). Same short-doc contract: fewer than n tokens
@@ -238,6 +288,45 @@ object ShingleOps {
     val positions = math.max(toks.numElements() - (n - 1), 1)
     CentroidKernel.round6(1.0 - sh.numElements().toDouble / positions.toDouble)
   }
+}
+
+/** Native `minhash_band_keys(shingles)`: the full per-document MinHash
+  * band-key derivation in one call. See [[ShingleOps.minhashBandKeys]];
+  * coefficients come from the same deterministic md5-derived family as
+  * the batch `minhash_perm` aggregates. */
+case class MinhashBandKeys(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+
+  require(bands > 0 && numHashes % bands == 0,
+    s"bands ($bands) must divide numHashes ($numHashes)")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val (as, bs) = {
+    val cs = graft.functions.TextFunctions.minhashCoefficients(numHashes)
+    (cs.map(_._1).toArray, cs.map(_._2).toArray)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(sh: Any): Any =
+    ShingleOps.minhashBandKeys(sh.asInstanceOf[ArrayData], as, bs, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.ShingleOps.minhashBandKeys($c, $aRef, $bRef, $bands)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_band_keys"
 }
 
 /** Native `word_ngrams(tokens)`: every n-gram position, duplicates
