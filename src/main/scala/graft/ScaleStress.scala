@@ -90,17 +90,30 @@ object ScaleStress {
       // batch's edges are exactly those touching a new doc.
       val newPairs = pairsFull.where(
         pmod(col("doc_a"), lit(10)) === 0 || pmod(col("doc_b"), lit(10)) === 0)
-      time("cc full reclustering") {
+      // Three regimes: (a) corpus pair graph fits the driver -> full
+      // union-find is the fast path and incremental is unnecessary;
+      // (b) corpus pair graph ABOVE the driver threshold (simulated
+      // with threshold=0) -> full pays per-round propagation over the
+      // whole graph while incremental still solves only the
+      // batch-sized contracted graph; (c) both above threshold ->
+      // propagation both sides, incremental's rounds are batch-sized.
+      time("cc full (driver union-find)") {
         TextDedup.connectedComponents(pairsFull)
+      }
+      time("cc full (propagation regime)") {
+        TextDedup.connectedComponents(pairsFull, driverThreshold = 0L)
       }
       time("cc incremental (10% new)") {
         TextDedup.connectedComponentsIncremental(existing, newPairs)
       }
       val full = TextDedup.connectedComponents(pairsFull)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fullProp = TextDedup.connectedComponents(pairsFull, driverThreshold = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val inc = TextDedup.connectedComponentsIncremental(existing, newPairs)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(s"incremental == from-scratch: ${inc == full} (${full.size} labeled docs)")
+      println(s"incremental == from-scratch: ${inc == full}, " +
+        s"union-find == propagation: ${full == fullProp} (${full.size} labeled docs)")
       idxOld.unpersist(); idxFull.unpersist(); pairsFull.unpersist(); existing.unpersist()
     }
 

@@ -131,11 +131,26 @@ object TextDedup {
     * BUILDING the plan string — the defining pitfall of iterative
     * DataFrame algorithms. Throws if `maxIters` is hit before the
     * fixpoint rather than returning silently-partial components. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+      driverThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     try {
+      // Hybrid solve (same rationale as the incremental variant's
+      // threshold, finding #16): label propagation pays ~1 s of FIXED
+      // per-round scheduling regardless of data, so below
+      // `driverThreshold` edges a driver union-find over the (already
+      // materialized) edge cache is strictly faster — and at any real
+      // corpus scale the distributed propagation takes over untouched.
+      // Labels are identical by construction (union by min id == min
+      // label per component; spec-pinned both paths).
+      val nEdges = edges.count()
+      if (nEdges == 0)
+        return pairs.select(col("doc_a").as("doc_id"),
+          col("doc_a").as("canonical_id")).where(lit(false))
+      if (nEdges <= 2 * driverThreshold)
+        return unionFindLabels(edges)
       val nodes = edges.select(col("src").as("id")).distinct()
       var labels = nodes.withColumn("label", col("id"))
         .localCheckpoint(true)
@@ -167,6 +182,30 @@ object TextDedup {
         s"label propagation did not converge in $maxIters rounds")
       labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
     } finally edges.unpersist()
+  }
+
+  /** Driver union-find over a collected (bounded-size) edge frame —
+    * union by min id, so the root IS the min-label canonical every
+    * component gets under propagation. Duplicate / reversed edges are
+    * harmless. */
+  private def unionFindLabels(edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      seen += row.getLong(0); seen += row.getLong(1)
+      val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (a < b) parent(b) = a else if (b < a) parent(a) = b
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    seen.toSeq.map(n => (n, find(n))).toDF("doc_id", "canonical_id")
   }
 
   /** Incremental dedup clustering — the weekly-ingest cadence: fold a
@@ -216,29 +255,9 @@ object TextDedup {
       // distributed propagation as from-scratch takes over, with
       // batch-sized rather than corpus-sized shuffles.
       val comp: DataFrame =
-        if (nEdges <= driverThreshold) {
-          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-          val seen = scala.collection.mutable.HashSet.empty[Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-            var c = x
-            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-            r
-          }
-          contracted.collect().foreach { row =>
-            seen += row.getLong(0); seen += row.getLong(1)
-            val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-            // Union by min id: the root IS the min-label canonical.
-            if (a < b) parent(b) = a else if (b < a) parent(a) = b
-          }
-          val spark = newPairs.sparkSession
-          import spark.implicits._
-          seen.toSeq.map(n => (n, find(n))).toDF("__node", "__label")
-        } else {
-          connectedComponents(contracted, maxIters)
-            .select(col("doc_id").as("__node"), col("canonical_id").as("__label"))
-        }
+        (if (nEdges <= driverThreshold) unionFindLabels(contracted)
+         else connectedComponents(contracted, maxIters, driverThreshold = 0L))
+          .select(col("doc_id").as("__node"), col("canonical_id").as("__label"))
       val relabeled = ex
         .join(comp.withColumnRenamed("__node", "canonical_id"), Seq("canonical_id"), "left")
         .select(col("doc_id"),

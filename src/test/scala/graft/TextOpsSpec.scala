@@ -285,17 +285,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(jac.isEmpty, "Jaccard at 0.9 misses the containment pair")
   }
 
-  test("connectedComponents closes chains transitively with min-id canonicals") {
+  test("connectedComponents closes chains transitively with min-id canonicals (both solve paths)") {
     // A~B, B~C (A never matched C directly), plus an isolated pair D~E.
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val out = TextDedup.connectedComponents(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    val uf = TextDedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(uf == expected)
+    // Distributed label propagation (above-threshold path) must agree.
+    val dist = TextDedup.connectedComponents(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expected)
   }
 
-  test("connectedComponents converges on a long chain within maxIters") {
+  test("connectedComponents converges on a long chain within maxIters (propagation path)") {
     val chain = (0L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val out = TextDedup.connectedComponents(chain, maxIters = 20)
+    val out = TextDedup.connectedComponents(chain, maxIters = 20, driverThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(out.length == 16 && out.forall(_._2 == 0L))
   }
