@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.expr.{FloatDotProduct, MinShingleHash, NfcNormalize, RepetitionRatio, TokenChunks, WordShingles}
+import graft.functions.expr.{FloatDotProduct, MinhashBandKeys, MinShingleHash, NfcNormalize, RepetitionRatio, TokenChunks, WordNgrams, WordShingles}
 
 /** Catalyst extension point: registers the engine's native expressions
   * as SQL functions, so `spark.sql("... float_dot(a, b) ...")` works
@@ -65,6 +65,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TokenChunks(children.head,
           intArg(children(1), "token_chunks"),
           intArg(children(2), "token_chunks"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(
+        classOf[WordNgrams].getName, null, "word_ngrams",
+        "word_ngrams(tokens, n) - every word n-gram position, duplicates kept",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_ngrams takes (tokens, n)")
+        WordNgrams(children.head, intArg(children(1), "word_ngrams"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(
+        classOf[MinhashBandKeys].getName, null, "minhash_band_keys",
+        "minhash_band_keys(shingles, numHashes, bands) - per-document LSH band keys",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "minhash_band_keys takes (shingles, numHashes, bands)")
+        MinhashBandKeys(children.head,
+          intArg(children(1), "minhash_band_keys"),
+          intArg(children(2), "minhash_band_keys"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("repetition_ratio"),

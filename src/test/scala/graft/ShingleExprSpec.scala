@@ -74,14 +74,28 @@ class ShingleExprSpec extends AnyFunSuite {
       .as[Seq[String]].head()
     assert(ch == Seq("a b c", "c d e"))
     assert(spark.sql("SELECT nfc_normalize('abc') AS n").as[String].head() == "abc")
+    val ng = spark.sql(
+      "SELECT word_ngrams(array('a','b','a','b'), 2) AS g").as[Seq[String]].head()
+    assert(ng == Seq("a b", "b a", "a b"), "duplicates kept, document order")
+    val rr = spark.sql(
+      "SELECT repetition_ratio(array('a','b','a','b','a'), 3) AS r").as[Double].head()
+    assert(rr == 0.333333, "3 positions, 2 distinct 3-grams -> 1 - 2/3 at 6dp")
+    val bk = spark.sql(
+      "SELECT minhash_band_keys(word_shingles(array('x','y','z','w'), 3), 32, 16) AS k")
+      .as[Seq[String]].head()
+    assert(bk.length == 16 && bk.zipWithIndex.forall { case (s, i) =>
+      s.startsWith(s"$i|") && s.length == 32 + 2 + (if (i >= 10) 1 else 0) },
+      "16 band keys, '<band>|<md5hex>' shape")
   }
 
   test("survives both codegen and interpreted paths") {
     val df = Seq("five chars here").toDF("text")
-    def run(): (String, Seq[String]) = df.select(
+    def run(): (String, Seq[String], Seq[String], Double) = df.select(
       minShingleHash(col("text"), 5, 0),
-      wordShinglesNative(tokens(col("text")), 2))
-      .as[(String, Seq[String])].head()
+      wordShinglesNative(tokens(col("text")), 2),
+      wordNgramsNative(tokens(col("text")), 2),
+      repetitionRatioNative(tokens(col("text")), 2))
+      .as[(String, Seq[String], Seq[String], Double)].head()
     val withCodegen = run()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try assert(run() == withCodegen)
