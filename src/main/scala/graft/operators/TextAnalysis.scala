@@ -180,20 +180,26 @@ object TextAnalysis {
     * pinned). Cross-engine determinism: ln rounded to 8dp per bigram,
     * mean rounded to 6dp (the q51 BM25 discipline). */
   def ngramLmScore(train: DataFrame, docs: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    def bigrams(df: DataFrame) = df.select(
+      idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 2, s"LM order must be >= 2, got $n")
+    def grams(df: DataFrame) = df.select(
       col(idCol).as("doc_id"),
-      explode(wordNgramsNative(tokens(col(textCol)), 2)).as("bg"))
-    val trainBg = bigrams(train)
-    val bgCounts = trainBg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
-    val uniCounts = train
-      .select(explode(tokens(col(textCol))).as("w"))
+      explode(wordNgramsNative(tokens(col(textCol)), n)).as("bg"))
+    val bgCounts = grams(train).groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    // History counts: (n-1)-gram occurrences at every position. For
+    // n=2 that is the plain token stream (kept as explode(tokens) so
+    // the q57 oracle mirror stays textually simple).
+    val prefixCounts = (if (n == 2)
+      train.select(explode(tokens(col(textCol))).as("w"))
+    else
+      train.select(explode(wordNgramsNative(tokens(col(textCol)), n - 1)).as("w")))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val vocab = uniCounts.agg(count(lit(1)).as("v"))
-    bigrams(docs)
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    // Smoothing vocabulary = distinct histories (distinct tokens at n=2).
+    val vocab = prefixCounts.agg(count(lit(1)).as("v"))
+    grams(docs)
+      .withColumn("w1", substring_index(col("bg"), " ", n - 1))
       .join(bgCounts, Seq("bg"), "left")
-      .join(uniCounts.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .join(prefixCounts.withColumnRenamed("w", "w1"), Seq("w1"), "left")
       .crossJoin(broadcast(vocab)) // 1-row global vocab size
       .select(col("doc_id"),
         round(log((coalesce(col("c12"), lit(0L)) + lit(1)).cast("double") /

@@ -263,6 +263,11 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(1L)._1 == 5L, "6 tokens -> 5 bigram positions")
     assert(out(1L) == out(2L) && out(2L) == out(3L), "identical docs score identically")
     assert(out(1L)._2 > out(4L)._2, "unseen bigram order must score lower")
+    // Trigram order: same ranking property, 4 positions per doc.
+    val tri = TextAnalysis.ngramLmScore(corpus, corpus, "doc_id", "text", n = 3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, c, lp) => id -> ((c, lp)) }.toMap
+    assert(tri(1L)._1 == 4L && tri(1L)._2 > tri(4L)._2)
   }
 
   test("containmentPairs flags near-subsets that Jaccard misses") {
