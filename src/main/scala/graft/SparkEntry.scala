@@ -63,6 +63,7 @@ object SparkEntry {
     "q49_pack_sequences"    -> (ExtQueries.q49PackSequences(_, _)),
     "q54_pack_contents"     -> (ExtQueries.q54PackContents(_, _)),
     "q57_ngram_lm"          -> (ExtQueries.q57NgramLm(_, _)),
+    "q59_ngram_lm_heldout"  -> (ExtQueries.q59NgramLmHeldout(_, _)),
     "q50_chunk_documents"   -> (ExtQueries.q50ChunkDocuments(_, _)),
     "q51_bm25"              -> (ExtQueries.q51Bm25(_, _)),
     "q52_hybrid_rrf"        -> (ExtQueries.q52HybridRrf(_, _)),

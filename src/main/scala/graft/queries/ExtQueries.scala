@@ -72,6 +72,18 @@ object ExtQueries {
     TextAnalysis.ngramLmScore(d, d, "doc_id", "text")
   }
 
+  /** Cross-corpus LM scoring: statistics trained on the ~99% split
+    * (doc_id % 97 != 0), the held-out split scored against them —
+    * exercises the unseen-gram smoothing path (left joins + add-one)
+    * that self-scoring never reaches. */
+  def q59NgramLmHeldout(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TextAnalysis.ngramLmScore(
+      d.where(pmod(col("doc_id"), lit(97)) =!= 0),
+      d.where(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text")
+  }
+
   /** RAG/embedding chunking: 64-token windows, 8-token overlap. */
   def q50ChunkDocuments(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
@@ -653,6 +665,27 @@ object ExtQueries {
          |  round(sum(round(ln((bc.c12 + 1) / (un.c1 + vv.v)), 8)) / count(*), 6) AS avg_logprob
          |FROM bg JOIN bc USING (bg)
          |  JOIN un ON un.w = split_part(bg.bg, ' ', 1)
+         |  CROSS JOIN vv
+         |GROUP BY doc_id""".stripMargin,
+
+    // q57's chain split: counts from the 99% split, held-out docs
+    // scored with LEFT joins + add-one smoothing for unseen grams.
+    "q59_ngram_lm_heldout" ->
+      s"""WITH tr AS (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id % 97 != 0),
+         |ho AS (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id % 97 = 0),
+         |bgt AS (SELECT doc_id, unnest(CASE WHEN len(t) - 1 >= 1
+         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END) AS bg FROM tr),
+         |bc AS (SELECT bg, count(*) AS c12 FROM bgt GROUP BY 1),
+         |un AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM un),
+         |bgh AS (SELECT doc_id, unnest(CASE WHEN len(t) - 1 >= 1
+         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END) AS bg FROM ho)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(sum(round(ln((coalesce(bc.c12, 0) + 1) / (coalesce(un.c1, 0) + vv.v)), 8)) / count(*), 6) AS avg_logprob
+         |FROM bgh LEFT JOIN bc USING (bg)
+         |  LEFT JOIN un ON un.w = split_part(bgh.bg, ' ', 1)
          |  CROSS JOIN vv
          |GROUP BY doc_id""".stripMargin,
 
