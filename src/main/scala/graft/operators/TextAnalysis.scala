@@ -181,11 +181,40 @@ object TextAnalysis {
     * mean rounded to 6dp (the q51 BM25 discipline). */
   def ngramLmScore(train: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val m = lmTrain(train, textCol, n)
+    lmLogProbs(
+      docs.select(col(idCol).as("doc_id"),
+        explode(wordNgramsNative(tokens(col(textCol)), n)).as("bg")), m)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  /** Batch-trained n-gram LM statistics as COUNT FRAMES (never driver
+    * data — the vocabulary scales with the corpus). The caller owns the
+    * cache lifecycle, like [[graft.operators.TextDedup.buildIndex]]:
+    * persist before reuse across scoring calls (or across micro-batches
+    * of the streaming twin, [[graft.streaming.StreamLmScore]]),
+    * unpersist when done. */
+  final case class LmStats(bgCounts: DataFrame, prefixCounts: DataFrame,
+      vocab: DataFrame, n: Int) {
+    def persist(): this.type = {
+      bgCounts.persist(); prefixCounts.persist(); vocab.persist(); this
+    }
+    def unpersist(blocking: Boolean = false): this.type = {
+      bgCounts.unpersist(blocking); prefixCounts.unpersist(blocking)
+      vocab.unpersist(blocking); this
+    }
+  }
+
+  /** Train the [[ngramLmScore]] statistics: n-gram counts, history
+    * ((n-1)-gram) counts, and the 1-row smoothing vocabulary size. */
+  def lmTrain(train: DataFrame, textCol: String, n: Int = 2): LmStats = {
     require(n >= 2, s"LM order must be >= 2, got $n")
-    def grams(df: DataFrame) = df.select(
-      col(idCol).as("doc_id"),
-      explode(wordNgramsNative(tokens(col(textCol)), n)).as("bg"))
-    val bgCounts = grams(train).groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val bgCounts = train
+      .select(explode(wordNgramsNative(tokens(col(textCol)), n)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
     // History counts: (n-1)-gram occurrences at every position. For
     // n=2 that is the plain token stream (kept as explode(tokens) so
     // the q57 oracle mirror stays textually simple).
@@ -196,19 +225,27 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     // Smoothing vocabulary = distinct histories (distinct tokens at n=2).
     val vocab = prefixCounts.agg(count(lit(1)).as("v"))
-    grams(docs)
-      .withColumn("w1", substring_index(col("bg"), " ", n - 1))
-      .join(bgCounts, Seq("bg"), "left")
-      .join(prefixCounts.withColumnRenamed("w", "w1"), Seq("w1"), "left")
-      .crossJoin(broadcast(vocab)) // 1-row global vocab size
-      .select(col("doc_id"),
-        round(log((coalesce(col("c12"), lit(0L)) + lit(1)).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 8).as("lp"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    LmStats(bgCounts, prefixCounts, vocab, n)
   }
+
+  /** Per-n-gram smoothed log-probs for a pre-exploded frame with a `bg`
+    * column: left joins against the count frames (unseen grams fall to
+    * add-one smoothing), the 1-row vocab joined on a literal key with a
+    * broadcast hint — value-identical to a cross join, but legal when
+    * the gram side is a STREAM (Structured Streaming rejects
+    * stream-static cross joins; a broadcast equi-join it supports).
+    * Keeps every input column and appends `lp`. */
+  private[graft] def lmLogProbs(grams: DataFrame, m: LmStats): DataFrame =
+    grams
+      .withColumn("w1", substring_index(col("bg"), " ", m.n - 1))
+      .withColumn("__vk", lit(1))
+      .join(m.bgCounts, Seq("bg"), "left")
+      .join(m.prefixCounts.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .join(broadcast(m.vocab.withColumn("__vk", lit(1))), Seq("__vk"))
+      .withColumn("lp",
+        round(log((coalesce(col("c12"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 8))
+      .drop("bg", "w1", "__vk", "c12", "c1", "v")
 
   /** Content fingerprints: md5 + 1-hash MinHash over char 5-grams, via
     * the native codegen'd [[graft.functions.expr.MinShingleHash]] — the

@@ -9,6 +9,8 @@ import graft.operators.{DataMix, TextAnalysis}
 
 case class CurDoc(doc_id: Long, text: String)
 
+case class LmDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
 /** The stateless curation operators (redaction, quality scoring,
   * stratified sampling, chunking) are pure per-row transformations, so
   * the SAME operator code runs on a Structured Streaming source
@@ -54,5 +56,40 @@ class StreamCurationSpec extends AnyFunSuite {
       assert(streaming == batch, "one operator library must serve both modes")
       assert(streaming.nonEmpty)
     } finally q.stop()
+  }
+
+  test("LM scoring: stream scored against batch-trained counts == batch operator") {
+    implicit val sc = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[LmDoc]
+    val train = docs.toDF()
+    val stats = TextAnalysis.lmTrain(train, "text").persist()
+    val scored = StreamLmScore.score(mem.toDF(), stats, "doc_id", "text", "ts",
+      delay = "5 seconds", windowDur = "1 minute")
+    val q = scored.writeStream
+      .format("memory").queryName("stream_lm")
+      .outputMode("append")
+      .option("checkpointLocation", s"${TestSpark.tmpDir("slm")}/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(docs.map(d => LmDoc(d.doc_id, t("2024-01-01 00:00:10"), d.text)): _*)
+      q.processAllAvailable()
+      // Two later batches push the watermark past the first window's
+      // end so its finished scores emit in append mode.
+      mem.addData(LmDoc(99L, t("2024-01-01 00:30:00"), "late watermark sentinel"))
+      q.processAllAvailable()
+      mem.addData(LmDoc(98L, t("2024-01-01 00:31:00"), "second sentinel"))
+      q.processAllAvailable()
+      val streaming = spark.sql(
+        "SELECT doc_id, n_bigrams, avg_logprob FROM stream_lm WHERE doc_id < 90")
+        .orderBy("doc_id").collect().toSeq
+      val batch = TextAnalysis.ngramLmScore(train, docs.toDF(), "doc_id", "text")
+        .select("doc_id", "n_bigrams", "avg_logprob")
+        .orderBy("doc_id").collect().toSeq
+      assert(streaming == batch,
+        "streaming scores must equal the batch operator's, row for row")
+      assert(streaming.size == docs.size, "every on-time document must emit")
+    } finally { q.stop(); stats.unpersist() }
   }
 }

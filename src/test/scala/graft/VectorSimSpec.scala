@@ -83,6 +83,39 @@ class VectorSimSpec extends AnyFunSuite {
       s"blobs not cleanly separated: $byBlob")
   }
 
+  test("dense treeAggregate round == row-shaped explode/groupBy reduction, bit-exact") {
+    val rnd = new scala.util.Random(23)
+    val e = emb((0L until 97L).map(i =>
+      (i, Seq.fill(7)(rnd.nextGaussian().toFloat), 0)): _*)
+    val init = VectorSim.kmeansInitSample(e, k = 5)
+    val dense = VectorSim.kmeansCentroidsFrom(e, init, iters = 1)
+    // The pre-r04 row-shaped reduction, replicated inline: one Lloyd's
+    // round as explode -> groupBy(cluster, pos) -> sum/count -> collect.
+    import org.apache.spark.sql.functions.{posexplode, sum => fsum, count => fcount, lit => flit}
+    val assigned = VectorSim.kmeansAssignments(e, init)
+      .join(e, "vec_id")
+      .select($"cluster", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"cluster", $"pos")
+      .agg(fsum($"v".cast("double")).as("s"), fcount(flit(1)).as("n"))
+      .collect().groupBy(_.getInt(0))
+    val rowShaped = init.zipWithIndex.map { case (old, j) =>
+      assigned.get(j) match {
+        case Some(rows) =>
+          val byPos = rows.map(r => r.getInt(1) -> (r.getDouble(2) / r.getLong(3))).toMap
+          Array.tabulate(old.length)(byPos)
+        case None => old
+      }
+    }
+    assert(dense.map(_.toSeq) == rowShaped.map(_.toSeq),
+      "dense per-partition fold must reproduce the row-shaped sums exactly")
+    // Empty-cluster rule survives: k > distinct rows keeps orphan seeds.
+    val tiny = emb((0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0))
+    val initT = Seq(Array(1.0, 0.0), Array(100.0, 100.0))
+    val out = VectorSim.kmeansCentroidsFrom(tiny, initT, iters = 1)
+    assert(out(0).toSeq == Seq(1.0, 0.0) && out(1).toSeq == Seq(100.0, 100.0),
+      "cluster with no members must keep its previous centroid")
+  }
+
   test("oversampled farthest-first init: no worse inertia than the sample init, deterministic") {
     val rnd = new scala.util.Random(19)
     // 8 tight blobs on axes in 16 dims — k=8 seeds from a plain md5
