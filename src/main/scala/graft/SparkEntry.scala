@@ -44,6 +44,7 @@ object SparkEntry {
     "q23_simhash"           -> (ExtQueries.q23Simhash(_, _)),
     "q56_containment"       -> (ExtQueries.q56Containment(_, _)),
     "q58_dedup_survivors"   -> (ExtQueries.q58DedupSurvivors(_, _)),
+    "q60_dedup_report"      -> (ExtQueries.q60DedupReport(_, _)),
     "q24_embedding_neardup" -> (ExtQueries.q24EmbeddingNearDup(_, _)),
     "q25_knn_brute_force"   -> (ExtQueries.q25KnnBruteForce(_, _)),
     "q26_knn_lsh"           -> (ExtQueries.q26KnnLsh(_, _)),

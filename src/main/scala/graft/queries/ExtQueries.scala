@@ -177,6 +177,46 @@ object ExtQueries {
     } finally idx.unpersist()
   }
 
+  /** Per-document dedup disposition — the composed decision a real
+    * curation run lands, in one catalog entry: ONE persisted 32-bit
+    * shingle index feeds MinHash+LSH pair generation, transitive
+    * clustering, and the quality-survivor pick; exact content hashing
+    * rides the same scan. One row per document: its exact-dup
+    * canonical, its near-dup canonical (self when unclustered), the
+    * cluster's kept survivor, and the final keep flag. Composition is
+    * the point (q32's discipline applied to the dedup chain): every
+    * stage is an independently-verified operator, and the shared index
+    * is built once instead of once per stage. */
+  def q60DedupReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val idx = TextDedup.buildIndex(docs, "doc_id", "text", n = 3, bits = 32).persist()
+    try {
+      val clusters = TextDedup.connectedComponents(
+        TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16))
+      val survivors = TextDedup.dedupSurvivors(clusters, quality, "quality_score")
+        .select(col("canonical_id").as("near_canonical"), col("survivor_id"))
+      val hashes = docs.select(col("doc_id"),
+        md5(lower(trim(col("text")))).as("content_hash"))
+      val exactCanon = hashes.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("exact_canonical"))
+      hashes.join(exactCanon, "content_hash")
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("near_canonical", coalesce(col("canonical_id"), col("doc_id")))
+        .join(survivors, Seq("near_canonical"), "left")
+        .join(quality, "doc_id")
+        .select(
+          col("doc_id"),
+          col("exact_canonical"),
+          col("near_canonical"),
+          coalesce(col("survivor_id"), col("doc_id")).as("kept_id"),
+          col("quality_score"),
+          (col("doc_id") === coalesce(col("survivor_id"), col("doc_id")))
+            .cast("int").as("keep"))
+    } finally idx.unpersist()
+  }
+
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 3)
@@ -783,6 +823,49 @@ object ExtQueries {
          |FROM j JOIN (SELECT canonical_id, count(*) AS n_members FROM j GROUP BY 1) a
          |  USING (canonical_id)
          |WHERE j.rn = 1""".stripMargin,
+
+    // q53's closure + q58's survivor pick + q20's exact hashing, fused
+    // into the per-doc report. Survivors are computed over ALL docs
+    // grouped by near-canonical: a singleton's row_number()=1 pick is
+    // itself, which equals the Spark side's coalesce(survivor, doc).
+    "q60_dedup_report" ->
+      s"""WITH RECURSIVE pairsq AS ($minhashLshSql),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairsq
+         |        UNION SELECT doc_b, doc_a FROM pairsq),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM und
+         |  UNION
+         |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst)
+         |, cl AS (SELECT src AS doc_id, min(dst) AS canonical_id
+         |         FROM reach GROUP BY src),
+         |qt AS (SELECT doc_id, $duckToks AS toks, CAST(len(text) AS DOUBLE) AS nc FROM documents),
+         |qm AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS nt,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','el','la','de','que','y','der','die','und','das','ist','le','les','et','des','un'], x))) AS DOUBLE) AS nstop,
+         |  nc FROM qt),
+         |qs AS (SELECT doc_id, round(
+         |   (CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.25 ELSE 0.0 END) +
+         |   (CASE WHEN nd / nt >= 0.3 THEN 0.25 ELSE 0.0 END) +
+         |   (CASE WHEN (nc - (nt - 1)) / nt >= 3.0 AND (nc - (nt - 1)) / nt <= 10.0 THEN 0.25 ELSE 0.0 END) +
+         |   (CASE WHEN nstop / nt > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS q
+         |  FROM qm),
+         |hx AS (SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM documents),
+         |ec AS (SELECT content_hash, min(doc_id) AS exact_canonical FROM hx GROUP BY 1),
+         |ncl AS (SELECT hx.doc_id, coalesce(cl.canonical_id, hx.doc_id) AS near_canonical
+         |        FROM hx LEFT JOIN cl USING (doc_id)),
+         |j AS (SELECT ncl.near_canonical, ncl.doc_id, qs.q,
+         |  row_number() OVER (PARTITION BY ncl.near_canonical ORDER BY qs.q DESC, ncl.doc_id) AS rn
+         |  FROM ncl JOIN qs USING (doc_id)),
+         |sv AS (SELECT near_canonical, doc_id AS survivor_id FROM j WHERE rn = 1)
+         |SELECT ncl.doc_id, ec.exact_canonical, ncl.near_canonical,
+         |  sv.survivor_id AS kept_id, qs.q AS quality_score,
+         |  CAST(ncl.doc_id = sv.survivor_id AS INT) AS keep
+         |FROM ncl
+         |  JOIN hx USING (doc_id)
+         |  JOIN ec USING (content_hash)
+         |  JOIN qs USING (doc_id)
+         |  JOIN sv USING (near_canonical)""".stripMargin,
 
     // Same shingle chain as q21; containment divides the intersection
     // by each side's own set size instead of the union.
