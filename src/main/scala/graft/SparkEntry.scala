@@ -45,6 +45,7 @@ object SparkEntry {
     "q56_containment"       -> (ExtQueries.q56Containment(_, _)),
     "q58_dedup_survivors"   -> (ExtQueries.q58DedupSurvivors(_, _)),
     "q60_dedup_report"      -> (ExtQueries.q60DedupReport(_, _)),
+    "q61_crossmodal_dedup"  -> (ExtQueries.q61CrossModalDedup(_, _)),
     "q24_embedding_neardup" -> (ExtQueries.q24EmbeddingNearDup(_, _)),
     "q25_knn_brute_force"   -> (ExtQueries.q25KnnBruteForce(_, _)),
     "q26_knn_lsh"           -> (ExtQueries.q26KnnLsh(_, _)),

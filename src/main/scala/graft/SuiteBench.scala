@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.pipeline.DedupSuite
+import graft.queries.ExtQueries
+
+/** Shared-artifact amortization measurement (NOTES.md table): the
+  * catalog's seven dedup entries run standalone (driver-compare
+  * semantics — every entry rebuilds its indexes, caches cleared in
+  * between) vs ONE [[graft.pipeline.DedupSuite]] deriving the same
+  * seven outputs from artifacts built once. Same operators, same
+  * thresholds, same outputs — the difference is purely the shared
+  * scan/index/signature work a real pipeline pays once.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.SuiteBench"
+  */
+object SuiteBench {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-suite-bench")
+    Tables.documents(spark, dir).count() // warm file listing
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(label: String)(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-34s $dt%7.1f s")
+      dt
+    }
+
+    val standaloneEntries: Seq[(String, () => DataFrame)] = Seq(
+      "q20_exact_dedup" -> (() => ExtQueries.q20ExactDedup(spark, dir)),
+      "q21_ngram_jaccard" -> (() => ExtQueries.q21NgramJaccard(spark, dir)),
+      "q22_minhash_lsh" -> (() => ExtQueries.q22MinhashLsh(spark, dir)),
+      "q44_minhash_estimate" -> (() => ExtQueries.q44MinhashEstimate(spark, dir)),
+      "q53_dedup_clusters" -> (() => ExtQueries.q53DedupClusters(spark, dir)),
+      "q56_containment" -> (() => ExtQueries.q56Containment(spark, dir)),
+      "q58_dedup_survivors" -> (() => ExtQueries.q58DedupSurvivors(spark, dir)))
+    val standalone = standaloneEntries.map { case (name, q) =>
+      val dt = time(s"standalone $name") { noop(q()) }
+      spark.catalog.clearCache()
+      dt
+    }.sum
+    println(f"standalone total                   $standalone%7.1f s")
+
+    val suiteTotal = time("suite (shared artifacts, 7 outputs)") {
+      val suite = DedupSuite(Tables.documents(spark, dir), "doc_id", "text", n = 3)
+      try {
+        noop(suite.exact)
+        noop(suite.jaccardPairs(0.05))
+        noop(suite.lshPairs(0.05))
+        noop(suite.estimatePairs(0.25))
+        val cl = suite.clusters(0.05)
+        noop(cl)
+        noop(suite.containmentPairs(0.3))
+        noop(suite.survivors(cl))
+      } finally suite.close()
+    }
+    println(f"amortization: standalone/suite = ${standalone / suiteTotal}%.2fx")
+    spark.stop()
+  }
+}

@@ -513,6 +513,19 @@ object TextDedup {
     jaccardFromIndex(inverted, threshold, candidates)
   }
 
+  /** LSH pairs from a prebuilt (ideally persisted) signature frame —
+    * the shared-artifact form: when the caller also runs the estimate
+    * verify or the streaming twin, the signature aggregate is computed
+    * once and fed to every consumer instead of once per operator.
+    * Candidates and verify are identical to
+    * [[minhashLshPairs(index:graft\.operators\.ShingleIndex,threshold:Double,numHashes:Int,bands:Int)*]]. */
+  def minhashLshPairs(index: ShingleIndex, sig: DataFrame, threshold: Double,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(index.bits == 32,
+      "MinHash needs the 32-bit md5 index (oracle-reproducible permutation input)")
+    jaccardFromIndex(index.df, threshold, bandCandidates(sig, numHashes, bands))
+  }
+
   /** MinHash near-dup with the SIGNATURE-ESTIMATE verify: Jaccard is
     * estimated as the agreeing fraction of the numHashes min-hash
     * columns (the textbook unbiased MinHash estimator, stderr

@@ -217,6 +217,37 @@ object ExtQueries {
     } finally idx.unpersist()
   }
 
+  /** Cross-modal near-dup verification: the q22 text-LSH candidate
+    * pairs re-scored with embedding cosine (documents and embeddings
+    * share the id space) — the two signals disagree exactly where each
+    * is blind: high-cosine/low-Jaccard pairs are paraphrases shingles
+    * miss, high-Jaccard/low-cosine pairs share boilerplate with
+    * different meaning. Both verifies ride key equi-joins (LSH buckets,
+    * then two id joins to the embedding table), never an all-pairs
+    * comparison — the 100 TB shape is unchanged by the second signal. */
+  def q61CrossModalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    def side(p: String) = emb.select(
+      col("vec_id").as(s"doc_$p"),
+      col("embedding").as(s"${p}_emb"),
+      graft.functions.VectorFunctions.norm(col("embedding")).as(s"${p}_norm"))
+    // Same lifecycle note as q21/q22: the plan is returned lazily, so
+    // the index stays persisted for the driver's action; Verify/Bench
+    // clear caches between queries, a long-lived session would
+    // .unpersist() the handle when done.
+    val idx = TextDedup.buildIndex(docs, "doc_id", "text", n = 3, bits = 32).persist()
+    TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16)
+      .join(side("a"), "doc_a")
+      .join(side("b"), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"), col("jaccard"),
+        round(graft.functions.VectorFunctions.dot(col("a_emb"), col("b_emb")) /
+          (col("a_norm") * col("b_norm")), 6).as("cos_sim"))
+      .withColumn("both_agree",
+        (col("jaccard") >= 0.5 && col("cos_sim") >= 0.5).cast("int"))
+  }
+
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 3)
@@ -823,6 +854,19 @@ object ExtQueries {
          |FROM j JOIN (SELECT canonical_id, count(*) AS n_members FROM j GROUP BY 1) a
          |  USING (canonical_id)
          |WHERE j.rn = 1""".stripMargin,
+
+    // The q22 pair chain joined to the embedding table; cosine compared
+    // with the q24/q25 discipline (DOUBLE[] cast, round to 6dp).
+    "q61_crossmodal_dedup" ->
+      s"""WITH pairsq AS ($minhashLshSql)
+         |SELECT p.doc_a, p.doc_b, p.jaccard,
+         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim,
+         |  CAST(p.jaccard >= 0.5 AND
+         |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.5
+         |    AS INT) AS both_agree
+         |FROM pairsq p
+         |  JOIN embeddings a ON a.vec_id = p.doc_a
+         |  JOIN embeddings b ON b.vec_id = p.doc_b""".stripMargin,
 
     // q53's closure + q58's survivor pick + q20's exact hashing, fused
     // into the per-doc report. Survivors are computed over ALL docs
