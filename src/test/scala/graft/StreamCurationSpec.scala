@@ -92,4 +92,41 @@ class StreamCurationSpec extends AnyFunSuite {
       assert(streaming.size == docs.size, "every on-time document must emit")
     } finally { q.stop(); stats.unpersist() }
   }
+
+  test("decontamination: stream screened against static benchmark == batch operator") {
+    implicit val sc = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[LmDoc]
+    // Benchmark = doc 2's text: doc 2 is fully contaminated, the rest
+    // share no 3-gram with it.
+    val bench = docs.filter(_.doc_id == 2L).toDF()
+    val bsh = StreamDecontaminate.benchmarkShingles(bench, "doc_id", "text", n = 3)
+    bsh.persist()
+    val screened = StreamDecontaminate.contaminated(mem.toDF(), bsh,
+      "doc_id", "text", "ts", n = 3, delay = "5 seconds", windowDur = "1 minute")
+    val q = screened.writeStream
+      .format("memory").queryName("stream_decon")
+      .outputMode("append")
+      .option("checkpointLocation", s"${TestSpark.tmpDir("sdec")}/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(docs.map(d => LmDoc(d.doc_id, t("2024-01-01 00:00:10"), d.text)): _*)
+      q.processAllAvailable()
+      mem.addData(LmDoc(99L, t("2024-01-01 00:30:00"), "late watermark sentinel"))
+      q.processAllAvailable()
+      mem.addData(LmDoc(98L, t("2024-01-01 00:31:00"), "second sentinel"))
+      q.processAllAvailable()
+      val streaming = spark.sql(
+        "SELECT doc_id, n_contaminated_shingles FROM stream_decon WHERE doc_id < 90")
+        .orderBy("doc_id").collect().toSeq
+      val batch = graft.operators.TextDedup.contaminated(
+        docs.toDF(), bench, "doc_id", "text", n = 3)
+        .orderBy("doc_id").collect().toSeq
+      assert(streaming == batch,
+        "streaming contamination counts must equal the batch operator's")
+      assert(streaming.map(_.getLong(0)) == Seq(2L),
+        "only the benchmark-copied doc is contaminated")
+    } finally { q.stop(); bsh.unpersist() }
+  }
 }
