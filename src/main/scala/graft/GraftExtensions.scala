@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.expr.{FloatDotProduct, MinhashBandKeys, MinShingleHash, NfcNormalize, RepetitionRatio, TokenChunks, WordNgrams, WordShingles}
+import graft.functions.expr.{CharNgrams, FloatDotProduct, MinhashBandKeys, MinShingleHash, NfcNormalize, RepetitionRatio, TokenChunks, WordNgrams, WordShingles}
 
 /** Catalyst extension point: registers the engine's native expressions
   * as SQL functions, so `spark.sql("... float_dot(a, b) ...")` works
@@ -75,6 +75,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "word_ngrams takes (tokens, n)")
         WordNgrams(children.head, intArg(children(1), "word_ngrams"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(
+        classOf[CharNgrams].getName, null, "char_ngrams",
+        "char_ngrams(text, n) - every char n-gram position, duplicates kept",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "char_ngrams takes (text, n)")
+        CharNgrams(children.head, intArg(children(1), "char_ngrams"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_band_keys"),

@@ -46,6 +46,8 @@ object SparkEntry {
     "q58_dedup_survivors"   -> (ExtQueries.q58DedupSurvivors(_, _)),
     "q60_dedup_report"      -> (ExtQueries.q60DedupReport(_, _)),
     "q61_crossmodal_dedup"  -> (ExtQueries.q61CrossModalDedup(_, _)),
+    "q62_vocab_topk"        -> (ExtQueries.q62VocabTopk(_, _)),
+    "q63_bpe_pairs"         -> (ExtQueries.q63BpePairs(_, _)),
     "q24_embedding_neardup" -> (ExtQueries.q24EmbeddingNearDup(_, _)),
     "q25_knn_brute_force"   -> (ExtQueries.q25KnnBruteForce(_, _)),
     "q26_knn_lsh"           -> (ExtQueries.q26KnnLsh(_, _)),

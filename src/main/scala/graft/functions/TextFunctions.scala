@@ -213,6 +213,14 @@ object TextFunctions {
       ColumnBridge.expression(toks), n))
   }
 
+  /** Native all-positions char n-grams (duplicates kept — tokenizer /
+    * BPE merge statistics; the char shingles dedup for fingerprints). */
+  def charNgramsNative(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.CharNgrams(
+      ColumnBridge.expression(text), n))
+  }
+
   /** Native one-pass repetition ratio (already rounded to 6dp) — the
     * filter-safe single-kernel form of
     * `round(1 - distinct_shingles/positions, 6)`. */

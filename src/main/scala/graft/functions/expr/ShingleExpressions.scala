@@ -275,6 +275,40 @@ object ShingleOps {
     } else new GenericArrayData(Array[Any](join(0, cnt)))
   }
 
+  /** EVERY char n-gram position (duplicates kept, document order) —
+    * the tokenizer-statistics variant of the char shingles (which
+    * dedup for set similarity): BPE-style merge candidates are counted
+    * over all positions. Char starts are found once (UTF-8
+    * continuation bytes carry the 10xxxxxx prefix) and each gram is a
+    * zero-copy slice of the token's byte array — the same O(len)
+    * discipline as [[minShingleHash]]. Shorter-than-n text yields the
+    * whole text as its single gram (the charShingles guard). */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    var nChars = 0
+    var b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) nChars += 1
+      b += 1
+    }
+    if (nChars - (n - 1) < 1) return new GenericArrayData(Array[Any](text))
+    val starts = new Array[Int](nChars + 1)
+    var ci = 0
+    b = 0
+    while (b < bytes.length) {
+      if ((bytes(b) & 0xc0) != 0x80) { starts(ci) = b; ci += 1 }
+      b += 1
+    }
+    starts(nChars) = bytes.length
+    val out = new Array[Any](nChars - n + 1)
+    var i = 0
+    while (i + n <= nChars) {
+      out(i) = UTF8String.fromBytes(bytes, starts(i), starts(i + n) - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Gopher-style repetition ratio in ONE pass:
     * `round(1 - |distinct shingles| / positions, 6)` with the same
     * shingle contract as [[wordShingles]] and the same rounding as
@@ -353,6 +387,32 @@ case class WordNgrams(child: Expression, n: Int)
     copy(child = newChild)
 
   override def prettyName: String = "word_ngrams"
+}
+
+/** Native `char_ngrams(text)`: every char n-gram position, duplicates
+  * kept. See [[ShingleOps.charNgrams]]. */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects string, got $other")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    ShingleOps.charNgrams(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.ShingleOps.charNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_ngrams"
 }
 
 /** Native `repetition_ratio(tokens)`: the one-pass filter-safe

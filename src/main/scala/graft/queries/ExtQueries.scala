@@ -248,6 +248,45 @@ object ExtQueries {
         (col("jaccard") >= 0.5 && col("cos_sim") >= 0.5).cast("int"))
   }
 
+  /** Tokenizer-prep vocabulary: global top-1000 tokens by frequency
+    * (ties to the lexicographically-smaller token). The top-k is
+    * `orderBy.limit` = TakeOrderedAndProject — per-partition partial
+    * top-k, k rows to the driver side of the exchange, never a global
+    * sort of the vocabulary; the rank window runs over the 1000
+    * surviving rows only. */
+  def q62VocabTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(1000)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n_occurrences").desc, col("token")))
+        .cast("int"))
+  }
+
+  /** BPE-style merge statistics: top-500 adjacent char pairs WITHIN
+    * tokens by occurrence count — the first scoring pass of byte-pair
+    * tokenizer training. All-position char bigrams come from the
+    * codegen'd [[graft.functions.expr.CharNgrams]] kernel (the HOF
+    * `transform(sequence(...))` form runs interpreted per element);
+    * counting is a map-side-combined groupBy; top-k as in q62. */
+  def q63BpePairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{charNgramsNative, tokens}
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .select(explode(charNgramsNative(col("token"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(500)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n_occurrences").desc, col("pair")))
+        .cast("int"))
+  }
+
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 3)
@@ -854,6 +893,28 @@ object ExtQueries {
          |FROM j JOIN (SELECT canonical_id, count(*) AS n_members FROM j GROUP BY 1) a
          |  USING (canonical_id)
          |WHERE j.rn = 1""".stripMargin,
+
+    "q62_vocab_topk" ->
+      s"""SELECT * FROM (
+         |  SELECT token, n_occurrences,
+         |    CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS rank
+         |  FROM (SELECT token, count(*) AS n_occurrences
+         |        FROM (SELECT unnest($duckToks) AS token FROM documents)
+         |        GROUP BY token))
+         |WHERE rank <= 1000""".stripMargin,
+
+    // Char positions mirror the kernel: len >= 2 -> len-1 bigrams,
+    // single-char tokens contribute themselves.
+    "q63_bpe_pairs" ->
+      s"""WITH tk AS (SELECT unnest($duckToks) AS token FROM documents),
+         |pr AS (SELECT unnest(CASE WHEN length(token) >= 2
+         |    THEN [substr(token, i, 2) for i in range(1, length(token))]
+         |    ELSE [token] END) AS pair FROM tk)
+         |SELECT * FROM (
+         |  SELECT pair, n_occurrences,
+         |    CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS INT) AS rank
+         |  FROM (SELECT pair, count(*) AS n_occurrences FROM pr GROUP BY pair))
+         |WHERE rank <= 500""".stripMargin,
 
     // The q22 pair chain joined to the embedding table; cosine compared
     // with the q24/q25 discipline (DOUBLE[] cast, round to 6dp).

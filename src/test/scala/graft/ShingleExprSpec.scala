@@ -90,16 +90,38 @@ class ShingleExprSpec extends AnyFunSuite {
 
   test("survives both codegen and interpreted paths") {
     val df = Seq("five chars here").toDF("text")
-    def run(): (String, Seq[String], Seq[String], Double) = df.select(
+    def run(): (String, Seq[String], Seq[String], Double, Seq[String]) = df.select(
       minShingleHash(col("text"), 5, 0),
       wordShinglesNative(tokens(col("text")), 2),
       wordNgramsNative(tokens(col("text")), 2),
-      repetitionRatioNative(tokens(col("text")), 2))
-      .as[(String, Seq[String], Seq[String], Double)].head()
+      repetitionRatioNative(tokens(col("text")), 2),
+      charNgramsNative(col("text"), 4))
+      .as[(String, Seq[String], Seq[String], Double, Seq[String])].head()
     val withCodegen = run()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try assert(run() == withCodegen)
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     assert(withCodegen._2 == Seq("five chars", "chars here"))
+  }
+
+  test("charNgrams: all positions, multibyte chars, short-text fallback") {
+    // Parity with the declarative HOF form on every fixture text.
+    val rows = texts.toDF("text").select(
+      charNgramsNative(col("text"), 2).as("native"),
+      when(length(col("text")) >= 2,
+        transform(sequence(lit(1), length(col("text")) - 1),
+          i => col("text").substr(i, lit(2))))
+        .otherwise(array(col("text"))).as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (n, r) =>
+      assert(n == r, s"all-position char bigrams must match the HOF form: $n != $r")
+    }
+    // Multibyte: grams slice at CHAR boundaries, never bytes.
+    val uni = Seq("héĳo").toDF("text")
+      .select(charNgramsNative(col("text"), 2)).as[Seq[String]].head()
+    assert(uni == Seq("hé", "éĳ", "ĳo"))
+    // SQL registration.
+    val sql = spark.sql("SELECT char_ngrams('abcd', 3) AS g").as[Seq[String]].head()
+    assert(sql == Seq("abc", "bcd"))
   }
 }
