@@ -32,14 +32,12 @@ object ShingleOps {
     * numeric min over the underlying 64-bit value. Documents shorter
     * than k chars contribute the whole text as their single shingle
     * (charShingles' guard). Distinctness is irrelevant under min. */
-  def minShingleHash(text: UTF8String, k: Int, salt: Int): UTF8String = {
-    val md = MessageDigest.getInstance("MD5")
-    val prefix = (salt.toString + ":").getBytes("UTF-8")
-    // Char-start byte offsets (UTF-8 continuation bytes have the
-    // 10xxxxxx prefix), so each shingle is a zero-copy slice of the
-    // document's byte array — no per-shingle UTF8String/substr
-    // allocation on what is an O(len) per-row loop.
-    val bytes = text.getBytes
+  /** Char-start byte offsets of a UTF-8 byte array (continuation bytes
+    * carry the 10xxxxxx prefix), with a sentinel end offset — the
+    * shared boundary scan behind every zero-copy char-slicing kernel
+    * ([[minShingleHash]], [[charNgrams]]). Returns an array of
+    * numChars + 1 offsets. */
+  private def charStarts(bytes: Array[Byte]): Array[Int] = {
     var nChars = 0
     var b = 0
     while (b < bytes.length) {
@@ -54,6 +52,18 @@ object ShingleOps {
       b += 1
     }
     starts(nChars) = bytes.length
+    starts
+  }
+
+  def minShingleHash(text: UTF8String, k: Int, salt: Int): UTF8String = {
+    val md = MessageDigest.getInstance("MD5")
+    val prefix = (salt.toString + ":").getBytes("UTF-8")
+    // Each shingle is a zero-copy slice of the document's byte array —
+    // no per-shingle UTF8String/substr allocation on what is an O(len)
+    // per-row loop.
+    val bytes = text.getBytes
+    val starts = charStarts(bytes)
+    val nChars = starts.length - 1
     var min = -1L // unsigned max
     var i = 0
     val last = if (nChars >= k) nChars - k else 0
@@ -285,21 +295,9 @@ object ShingleOps {
     * whole text as its single gram (the charShingles guard). */
   def charNgrams(text: UTF8String, n: Int): ArrayData = {
     val bytes = text.getBytes
-    var nChars = 0
-    var b = 0
-    while (b < bytes.length) {
-      if ((bytes(b) & 0xc0) != 0x80) nChars += 1
-      b += 1
-    }
+    val starts = charStarts(bytes)
+    val nChars = starts.length - 1
     if (nChars - (n - 1) < 1) return new GenericArrayData(Array[Any](text))
-    val starts = new Array[Int](nChars + 1)
-    var ci = 0
-    b = 0
-    while (b < bytes.length) {
-      if ((bytes(b) & 0xc0) != 0x80) { starts(ci) = b; ci += 1 }
-      b += 1
-    }
-    starts(nChars) = bytes.length
     val out = new Array[Any](nChars - n + 1)
     var i = 0
     while (i + n <= nChars) {

@@ -54,12 +54,16 @@ final class ShingleIndex private[operators] (val df: DataFrame, val bits: Int) {
   */
 object TextDedup {
 
+  /** The normalized content hash every exact-dedup consumer shares
+    * (one definition: [[exact]] and the q60 report cannot drift). */
+  def contentHash(text: Column): Column = md5(lower(trim(text)))
+
   /** Exact dedup groups: one row per distinct normalized text, canonical
     * id = min doc id, plus the duplicate count. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        md5(lower(trim(col(textCol)))).as("content_hash"))
+        contentHash(col(textCol)).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_dups"))

@@ -198,9 +198,9 @@ object ExtQueries {
       val survivors = TextDedup.dedupSurvivors(clusters, quality, "quality_score")
         .select(col("canonical_id").as("near_canonical"), col("survivor_id"))
       val hashes = docs.select(col("doc_id"),
-        md5(lower(trim(col("text")))).as("content_hash"))
-      val exactCanon = hashes.groupBy(col("content_hash"))
-        .agg(min(col("doc_id")).as("exact_canonical"))
+        TextDedup.contentHash(col("text")).as("content_hash"))
+      val exactCanon = TextDedup.exact(docs, "doc_id", "text")
+        .select(col("content_hash"), col("canonical_id").as("exact_canonical"))
       hashes.join(exactCanon, "content_hash")
         .join(clusters, Seq("doc_id"), "left")
         .withColumn("near_canonical", coalesce(col("canonical_id"), col("doc_id")))
@@ -248,43 +248,43 @@ object ExtQueries {
         (col("jaccard") >= 0.5 && col("cos_sim") >= 0.5).cast("int"))
   }
 
-  /** Tokenizer-prep vocabulary: global top-1000 tokens by frequency
-    * (ties to the lexicographically-smaller token). The top-k is
-    * `orderBy.limit` = TakeOrderedAndProject — per-partition partial
-    * top-k, k rows to the driver side of the exchange, never a global
-    * sort of the vocabulary; the rank window runs over the 1000
-    * surviving rows only. */
+  /** Ranked global top-k of an exploded key by occurrence count (ties
+    * to the lexicographically-smaller key): map-side-combined groupBy,
+    * then `orderBy.limit` = TakeOrderedAndProject — per-partition
+    * partial top-k, k rows cross the exchange, never a global sort of
+    * the key space; the rank window runs over the k survivors only. */
+  private def topKByCount(keyed: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    keyed
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col(keyCol))
+      .limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("n_occurrences").desc, col(keyCol)))
+        .cast("int"))
+  }
+
+  /** Tokenizer-prep vocabulary: global top-1000 tokens by frequency. */
   def q62VocabTopk(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    import org.apache.spark.sql.expressions.Window
-    Tables.documents(s, dir)
-      .select(explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
-      .orderBy(col("n_occurrences").desc, col("token"))
-      .limit(1000)
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("n_occurrences").desc, col("token")))
-        .cast("int"))
+    topKByCount(
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token")),
+      "token", 1000)
   }
 
   /** BPE-style merge statistics: top-500 adjacent char pairs WITHIN
     * tokens by occurrence count — the first scoring pass of byte-pair
     * tokenizer training. All-position char bigrams come from the
     * codegen'd [[graft.functions.expr.CharNgrams]] kernel (the HOF
-    * `transform(sequence(...))` form runs interpreted per element);
-    * counting is a map-side-combined groupBy; top-k as in q62. */
+    * `transform(sequence(...))` form runs interpreted per element). */
   def q63BpePairs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{charNgramsNative, tokens}
-    import org.apache.spark.sql.expressions.Window
-    Tables.documents(s, dir)
-      .select(explode(tokens(col("text"))).as("token"))
-      .select(explode(charNgramsNative(col("token"), 2)).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n_occurrences"))
-      .orderBy(col("n_occurrences").desc, col("pair"))
-      .limit(500)
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("n_occurrences").desc, col("pair")))
-        .cast("int"))
+    topKByCount(
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .select(explode(charNgramsNative(col("token"), 2)).as("pair")),
+      "pair", 500)
   }
 
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
