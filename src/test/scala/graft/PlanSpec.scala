@@ -90,6 +90,19 @@ class PlanSpec extends AnyFunSuite {
       s"scored pairs must not be sorted just to keep k of them:\n$plan")
   }
 
+  test("vocab/BPE top-k is TakeOrderedAndProject, never a global sort") {
+    Seq(ExtQueries.q62VocabTopk(spark, sf), ExtQueries.q63BpePairs(spark, sf))
+      .foreach { df =>
+        val plan = planOf(df)
+        assert(plan.contains("TakeOrderedAndProject"),
+          s"global top-k must be a per-partition partial top-k:\n$plan")
+        // The only Sort permitted is the one ranking the <= k survivors
+        // (driver-side row count); the key space itself must not sort.
+        assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+          s"counts must combine map-side before the exchange:\n$plan")
+      }
+  }
+
   test("float_dot is registered as a SQL function via GraftExtensions") {
     val v = spark.sql(
       "SELECT float_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
