@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DataMix, TextAnalysis, TextDedup}
+import graft.sources.Sinks
+
+/** End-to-end training-data curation run — the extension tier's
+  * [[Runner]] analogue: one call takes a raw document corpus plus a
+  * benchmark set and lands a cleaned, deduplicated, decontaminated,
+  * language-sampled corpus and its packed-sequence bins as parquet.
+  *
+  * Stage order is the one that minimizes downstream work: cheap map
+  * passes (normalize, redact) first, then the quality gate (shrinks
+  * everything after), decontamination (equi-join against the broadcast
+  * benchmark shingle set), near-dup clustering + quality-survivor
+  * selection over the survivors only (the [[DedupSuite]] shared
+  * artifacts — built once on the gated corpus), deterministic
+  * language-stratified sampling, and finally sequence packing over
+  * exactly the kept text. Every stage is an independently
+  * oracle-verified operator (q46/q42/q17/q47/q53/q58/q48/q54) —
+  * composition is the only thing this adds, like q32/q60 at catalog
+  * scale.
+  *
+  * All joins are key equi-joins; nothing here collects data to the
+  * driver (the run returns row COUNTS per stage — each an aggregate —
+  * as the audit trail a production run logs).
+  */
+object CurationRun {
+
+  final case class Stats(
+    input: Long, gated: Long, decontaminated: Long,
+    kept: Long, sampled: Long, bins: Long)
+
+  /** Run the pass; outputs land under `outDir` as `curated/` (doc_id,
+    * text, detected_lang, quality_score) and `packed/` (per-bin member
+    * ids + packed text). Overwrite semantics — re-runs are idempotent. */
+  def run(docs: DataFrame, benchmark: DataFrame, outDir: String,
+      minQuality: Double = 0.5, dedupThreshold: Double = 0.25,
+      fractions: Map[String, Double] = Map.empty, defaultFraction: Double = 1.0,
+      packBudget: Long = 4096L, packShards: Int = 8): Stats = {
+    val spark = docs.sparkSession
+
+    // Map tier: canonicalize then strip PII/URLs.
+    val normalized = TextAnalysis.normalize(docs, "doc_id", "text")
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val redacted = TextAnalysis.redact(normalized, "doc_id", "text")
+      .select(col("doc_id"), col("clean_text").as("text"))
+
+    // Quality gate: keep the score for the survivor pick + audit.
+    val quality = TextAnalysis.qualityScore(redacted, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"))
+    val gated = redacted
+      .join(quality.where(col("quality_score") >= minQuality), "doc_id")
+
+    // Benchmark decontamination (left-anti against the flagged set).
+    val decon = gated.join(
+      TextDedup.contaminated(gated, benchmark, "doc_id", "text", n = 3)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+      .persist() // read by the suite build, clustering, and the keep join
+
+    // Near-dup dedup over the decontaminated corpus: shared artifacts,
+    // quality-best survivor per cluster, unclustered docs keep
+    // themselves. MinHash at a low threshold subsumes exact dups
+    // (identical signatures collide in every band).
+    val suite = DedupSuite(decon, "doc_id", "text", n = 3)
+    val kept = try {
+      val clusters = suite.clusters(dedupThreshold)
+      val survivors = suite.survivors(clusters)
+        .select(col("canonical_id"), col("survivor_id"))
+      decon
+        .join(clusters, Seq("doc_id"), "left")
+        .join(survivors, Seq("canonical_id"), "left")
+        .where(col("survivor_id").isNull || col("survivor_id") === col("doc_id"))
+        .select(col("doc_id"), col("text"), col("quality_score"))
+        .persist() // feeds lang-id, the sample, packing, and the sink
+    } finally suite.close()
+
+    // Deterministic language-stratified mix.
+    val lang = TextAnalysis.languageId(kept, "doc_id", "text")
+      .select(col("doc_id"), col("detected_lang"))
+    val sampled = DataMix.stratifiedSample(
+      kept.join(lang, "doc_id"), "doc_id", "detected_lang",
+      fractions, defaultFraction)
+
+    // Land the curated corpus and its packed bins.
+    import graft.functions.TextFunctions.tokens
+    val curated = sampled
+      .select(col("doc_id"), col("text"), col("detected_lang"), col("quality_score"))
+    Sinks.overwriteParquet(curated, s"$outDir/curated", numFiles = 4)
+    val packed = DataMix.packSequenceContents(
+      curated.select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", "text", budget = packBudget, shards = packShards)
+    Sinks.overwriteParquet(packed, s"$outDir/packed", numFiles = 1)
+
+    val stats = Stats(
+      input = docs.count(), gated = gated.count(),
+      decontaminated = decon.count(), kept = kept.count(),
+      sampled = spark.read.parquet(s"$outDir/curated").count(),
+      bins = spark.read.parquet(s"$outDir/packed").count())
+    decon.unpersist(); kept.unpersist()
+    stats
+  }
+}
