@@ -50,6 +50,14 @@ object Bench {
             Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
           }
           spark.catalog.clearCache()
+          // localCheckpoint blocks (iterative operators) are RDD-level
+          // storage that clearCache does not drop; they free only when
+          // the async ContextCleaner sees the RDD object collected.
+          // Forcing a GC between queries releases them NOW, so late
+          // catalog entries aren't taxed by the accumulated blocks of
+          // 50 earlier queries (q53 measured 12-20 s in-catalog vs 7 s
+          // isolated before this, on the same box).
+          System.gc()
           ((System.nanoTime() - t0) / 1e9, err)
         }
         (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
