@@ -29,6 +29,25 @@ import graft.sources.Sinks
   */
 object CurationRun {
 
+  /** Drive the full pass over a testdata SF dir (benchmark = the q47
+    * split: every 97th doc):
+    * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.pipeline.CurationRun"` */
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-curation-run")
+    val docs = graft.Tables.documents(spark, dir)
+    val t0 = System.nanoTime()
+    val stats = run(
+      docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.where(pmod(col("doc_id"), lit(97)) === 0),
+      "/tmp/graft_curation_out",
+      minContaminatedShingles =
+        sys.env.getOrElse("SPARK_GRAFT_DECON_MIN", "5").toInt)
+    println(f"curation run: ${(System.nanoTime() - t0) / 1e9}%.1f s  $stats")
+    spark.stop()
+  }
+
   final case class Stats(
     input: Long, gated: Long, decontaminated: Long,
     kept: Long, sampled: Long, bins: Long)
@@ -38,6 +57,7 @@ object CurationRun {
     * ids + packed text). Overwrite semantics — re-runs are idempotent. */
   def run(docs: DataFrame, benchmark: DataFrame, outDir: String,
       minQuality: Double = 0.5, dedupThreshold: Double = 0.25,
+      minContaminatedShingles: Int = 1,
       fractions: Map[String, Double] = Map.empty, defaultFraction: Double = 1.0,
       packBudget: Long = 4096L, packShards: Int = 8): Stats = {
     val spark = docs.sparkSession
@@ -55,8 +75,13 @@ object CurationRun {
       .join(quality.where(col("quality_score") >= minQuality), "doc_id")
 
     // Benchmark decontamination (left-anti against the flagged set).
+    // The overlap floor matters on corpora with a dense shared
+    // vocabulary: at ANY-shared-shingle strictness the synthetic sf0.1
+    // corpus loses 94% of itself to a 51-doc benchmark split; real
+    // pipelines tune the floor to the benchmark's phrase specificity.
     val decon = gated.join(
       TextDedup.contaminated(gated, benchmark, "doc_id", "text", n = 3)
+        .where(col("n_contaminated_shingles") >= minContaminatedShingles)
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
       .persist() // read by the suite build, clustering, and the keep join
