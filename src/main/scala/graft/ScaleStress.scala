@@ -37,6 +37,7 @@ object ScaleStress {
       df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      System.gc() // release localCheckpoint blocks (NOTES finding #17)
       println(f"$label%-28s $dt%7.1f s")
     }
 

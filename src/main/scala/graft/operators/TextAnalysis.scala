@@ -66,18 +66,25 @@ object TextAnalysis {
     // (no subexpression elimination — the ratios each re-split the
     // text; same lesson as detectedLang, NOTES finding #11). The
     // kernel's arithmetic is bit-identical to the declarative form.
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val score = ColumnBridge.column(graft.functions.expr.QualityScore(
-      ColumnBridge.expression(toks),
-      ColumnBridge.expression(length(col(textCol))),
-      langMarkers.flatMap(_._2)))
     docs.select(
       col(idCol).as("doc_id"),
       nTok.cast("int").as("n_tokens"),
       round(ttr, 6).as("type_token_ratio"),
       round(meanTokLen, 6).as("mean_token_len"),
       round(stopRatio, 6).as("stopword_ratio"),
-      round(score, 2).as("quality_score"))
+      qualityScoreCol(col(textCol)).as("quality_score"))
+  }
+
+  /** The quality score as a single codegen'd expression (rounded to
+    * 2dp) — safe to inline anywhere (filters, streaming column
+    * pipelines) at one kernel call per row; [[qualityScore]]'s score
+    * column and every composed consumer share this one definition. */
+  def qualityScoreCol(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    round(ColumnBridge.column(graft.functions.expr.QualityScore(
+      ColumnBridge.expression(tokens(text)),
+      ColumnBridge.expression(length(text)),
+      langMarkers.flatMap(_._2))), 2)
   }
 
   /** Language ID: count marker-word hits per language, pick the argmax
@@ -115,12 +122,16 @@ object TextAnalysis {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlPattern = "https?://[^\\s]+"
 
+  /** The redaction rewrite as a column — [[redact]] and the streaming
+    * pipeline share this one definition of the replacement recipe. */
+  def redactedText(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      UrlPattern, "<URL>")
+
   def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      regexp_replace(
-        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
-        UrlPattern, "<URL>").as("clean_text"),
+      redactedText(col(textCol)).as("clean_text"),
       size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
         .as("n_emails"),
       size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))

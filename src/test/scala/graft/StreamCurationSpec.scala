@@ -129,4 +129,42 @@ class StreamCurationSpec extends AnyFunSuite {
         "only the benchmark-copied doc is contaminated")
     } finally { q.stop(); bsh.unpersist() }
   }
+
+  test("composed streaming curation: gate + first-seen dedup + sample, no joins") {
+    implicit val sc = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val goodEn = "the quick brown fox jumps over the lazy dog while the calm " +
+      "river flows past the old stone bridge near the quiet village green"
+    val goodEs = "el zorro marron salta sobre el perro perezoso mientras la " +
+      "luna brilla sobre el valle y la gente duerme en la aldea tranquila"
+    val mem = MemoryStream[LmDoc]
+    val out = StreamCuration.curate(mem.toDF(), "doc_id", "text", "ts",
+      delay = "10 minutes")
+    // One stateful operator only: the within-watermark dedup.
+    val q = out.writeStream
+      .format("memory").queryName("stream_curate_full")
+      .outputMode("append")
+      .option("checkpointLocation", s"${TestSpark.tmpDir("scf")}/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(
+        LmDoc(1L, t("2024-01-01 00:00:10"), goodEn),
+        LmDoc(3L, t("2024-01-01 00:00:11"), "z z z z z z"), // gate casualty
+        LmDoc(4L, t("2024-01-01 00:00:12"), goodEs))
+      q.processAllAvailable()
+      // Second micro-batch: an exact (case-varied) dup of doc 1 inside
+      // the horizon — dropped deterministically as not-first-seen.
+      mem.addData(LmDoc(2L, t("2024-01-01 00:01:00"), goodEn.toUpperCase))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, detected_lang, quality_score FROM stream_curate_full")
+        .orderBy("doc_id").collect().toSeq
+      assert(rows.map(_.getLong(0)) == Seq(1L, 4L),
+        "low quality and not-first-seen content must be dropped")
+      val langs = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(langs == Map(1L -> "en", 4L -> "es"))
+      assert(rows.forall(_.getDouble(2) >= 0.5))
+    } finally q.stop()
+  }
 }
