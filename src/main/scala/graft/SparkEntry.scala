@@ -64,6 +64,7 @@ object SparkEntry {
     "q46_normalize"         -> (ExtQueries.q46Normalize(_, _)),
     "q47_decontaminate"     -> (ExtQueries.q47Decontaminate(_, _)),
     "q48_stratified_sample" -> (ExtQueries.q48StratifiedSample(_, _)),
+    "q64_token_budget_mix"  -> (ExtQueries.q64TokenBudgetMix(_, _)),
     "q49_pack_sequences"    -> (ExtQueries.q49PackSequences(_, _)),
     "q54_pack_contents"     -> (ExtQueries.q54PackContents(_, _)),
     "q57_ngram_lm"          -> (ExtQueries.q57NgramLm(_, _)),

@@ -32,6 +32,48 @@ object DataMix {
     df.where(bucket(col(idCol)) < (frac * 1000000L).cast("long"))
   }
 
+  /** Token-BUDGET stratified sample: keep documents, in the
+    * deterministic md5 pseudo-random order, until each stratum's token
+    * budget fills — how pretraining mixes are actually specified
+    * (tokens per domain/language, not keep fractions). A document is
+    * kept iff the tokens BEFORE it in its stratum's order are under
+    * the budget, so the crossing document is included and the fill
+    * overshoots by less than one document.
+    *
+    * Scale shape: the naive form is one window per stratum — a
+    * single-partition sort of the dominant stratum (billions of rows
+    * at corpus scale). Instead, prefix sums are two-level: rows
+    * bucket by their md5's leading byte (bucket order IS md5-order,
+    * so results are identical to the global-order form the oracle
+    * runs); per-(stratum, bucket) token totals — a strata*256-row
+    * frame — get exclusive bucket offsets from a tiny window, and the
+    * per-row window runs per (stratum, bucket) partition. No partition
+    * exceeds ~1/256 of its stratum; the offsets join is
+    * AQE-broadcast. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
+      nTokensCol: String, budgets: Map[String, Long], default: Long): DataFrame = {
+    val budget = budgets.foldLeft(lit(default)) { case (els, (k, b)) =>
+      when(col(stratumCol) === k, lit(b)).otherwise(els)
+    }
+    val d = df
+      .withColumn("__ord", md5(col(idCol).cast("string")))
+      .withColumn("__bkt", substring(col("__ord"), 1, 2))
+    val offsets = d.groupBy(col(stratumCol), col("__bkt"))
+      .agg(sum(col(nTokensCol)).as("__btok"))
+      .withColumn("__offset", coalesce(sum(col("__btok")).over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__btok")
+    val w = Window.partitionBy(col(stratumCol), col("__bkt"))
+      .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(offsets, Seq(stratumCol, "__bkt"))
+      .withColumn("__prefix",
+        col("__offset") + coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .where(col("__prefix") < budget)
+      .drop("__ord", "__bkt", "__offset", "__prefix")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget bins,
     * the pretraining batch-construction step. Documents are sharded
     * (deterministically, by id) and packed within each shard in id

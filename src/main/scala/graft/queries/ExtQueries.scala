@@ -64,6 +64,21 @@ object ExtQueries {
       "doc_id", "n_tokens", "text", budget = 4096L, shards = 8)
   }
 
+  /** Token-budget data mix: fill per-language token budgets (en 2000,
+    * es 1500, others 1000) in the deterministic md5 order — the
+    * tokens-per-domain form real pretraining mixes are specified in
+    * (q48 is the keep-fraction form). */
+  def q64TokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(s, dir)
+    val withMeta = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(TextAnalysis.languageId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("detected_lang")), "doc_id")
+    DataMix.tokenBudgetSample(withMeta, "doc_id", "detected_lang", "n_tokens",
+      budgets = Map("en" -> 2000L, "es" -> 1500L), default = 1000L)
+  }
+
   /** Bigram-LM self-scoring sweep: every document's mean smoothed
     * bigram log-probability under statistics trained on the corpus
     * itself — the fluency-outlier curation signal. */
@@ -731,6 +746,32 @@ object ExtQueries {
          |      WHEN 'en' THEN 0.25 WHEN 'es' THEN 0.5
          |      WHEN 'de' THEN 0.75 WHEN 'fr' THEN 1.0
          |      ELSE 0.1 END * 1000000) AS BIGINT)""".stripMargin,
+
+    // Oracle runs the plain global-order window; the Spark side's
+    // two-level bucket prefix sums order by (md5-leading-byte, md5,
+    // id) == (md5, id), so the kept sets are identical.
+    "q64_token_budget_mix" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |h AS (SELECT doc_id, toks,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS hits_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS INT) AS hits_es,
+         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) AS hits_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(['le','les','et','des','un'], x))) AS INT) AS hits_fr
+         |  FROM t),
+         |d AS (SELECT doc_id,
+         | CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+         |      WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+         |      WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+         |      WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+         |      ELSE 'fr' END AS detected_lang,
+         | CAST(len(toks) AS BIGINT) AS n_tokens
+         |FROM h),
+         |p AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY detected_lang ORDER BY md5(doc_id::VARCHAR), doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix FROM d)
+         |SELECT doc_id, detected_lang, n_tokens FROM p
+         |WHERE prefix < CASE detected_lang
+         |  WHEN 'en' THEN 2000 WHEN 'es' THEN 1500 ELSE 1000 END""".stripMargin,
 
     "q49_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),

@@ -24,6 +24,35 @@ class DataMixSpec extends AnyFunSuite {
     assert(math.abs(bRate - 0.9) < 0.05, s"stratum b rate $bRate far from 0.9")
   }
 
+  test("tokenBudgetSample fills each stratum's budget in md5 order, crossing doc included") {
+    val df = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L)).toDF("id", "stratum", "n_tokens")
+    def run() = DataMix.tokenBudgetSample(df, "id", "stratum", "n_tokens",
+      budgets = Map("a" -> 100L), default = 55L)
+      .select("id", "stratum").as[(Long, String)].collect().toSet
+    val kept = run()
+    assert(kept == run(), "same input must keep exactly the same rows")
+    // 10-token docs: budget 100 -> exactly 10 docs (exclusive prefix of
+    // the 10th is 90 < 100; of the 11th is 100). Budget 55 -> 6 docs
+    // (the crossing doc, exclusive prefix 50 < 55, is included).
+    assert(kept.count(_._2 == "a") == 10)
+    assert(kept.count(_._2 == "b") == 6)
+    // The kept set is the md5-order PREFIX of each stratum: every kept
+    // doc's order key precedes every dropped doc's within its stratum.
+    def md5Key(i: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    Seq("a", "b").foreach { s =>
+      val (in, outS) = (0L until 200L).filter(i =>
+        (if (i % 2 == 0) "a" else "b") == s)
+        .partition(i => kept.contains((i, s)))
+      assert(in.map(md5Key).max < outS.map(md5Key).min,
+        s"stratum $s: kept docs must be the md5-order prefix")
+    }
+  }
+
   test("packSequences bins by exclusive prefix sum within shards") {
     // One shard (shards=1), budget 100: docs of 60+60 straddle, the
     // bin is chosen by the tokens BEFORE the doc.
