@@ -199,7 +199,14 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+        // Sum the 8dp-rounded log-probs in DECIMAL, not double: a
+        // double sum over hundreds of summands is order-dependent in
+        // its last ulps, and a doc whose mean sits on a 6dp rounding
+        // boundary then flips with Spark's aggregation order (caught
+        // by the sf0.1 oracle on exactly one doc — NOTES finding #18).
+        // The decimal sum is exact, hence order- and engine-invariant.
+        round(sum(col("lp").cast("decimal(20,8)")).cast("double") /
+          count(lit(1)), 6).as("avg_logprob"))
   }
 
   /** Batch-trained n-gram LM statistics as COUNT FRAMES (never driver

@@ -49,7 +49,12 @@ object TextSearch {
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
-      .agg(round(sum(termScore), 6).as("score"))
+      // Decimal sum of the 8dp-rounded term scores: exact, so the
+      // score is aggregation-order- and engine-invariant even when a
+      // doc's total sits on the 6dp rounding boundary (NOTES finding
+      // #18 — the LM operator hit this with a double sum).
+      .agg(round(sum(termScore.cast("decimal(20,8)")).cast("double"), 6)
+        .as("score"))
     val agg = ColumnBridge.column(graft.functions.expr.TopKByScore(
       ColumnBridge.expression(col("score")),
       ColumnBridge.expression(col("doc_id")), topK).toAggregateExpression())

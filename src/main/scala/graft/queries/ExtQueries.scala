@@ -570,10 +570,10 @@ object ExtQueries {
        |  WHERE tok IN ('vector', 'hash', 'filter') GROUP BY 1, 2),
        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
        |sc AS (SELECT tf.doc_id,
-       |  round(sum(round(
+       |  round(CAST(sum(CAST(round(
        |    ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
        |      * (tf.tf * 2.2)
-       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 8)), 6) AS score
+       |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 8) AS DECIMAL(20,8))) AS DOUBLE), 6) AS score
        |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
        |  GROUP BY tf.doc_id)
        |SELECT * FROM (
@@ -813,7 +813,7 @@ object ExtQueries {
          |un AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
          |vv AS (SELECT count(*) AS v FROM un)
          |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(sum(round(ln((bc.c12 + 1) / (un.c1 + vv.v)), 8)) / count(*), 6) AS avg_logprob
+         |  round(CAST(sum(CAST(round(ln((bc.c12 + 1) / (un.c1 + vv.v)), 8) AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_logprob
          |FROM bg JOIN bc USING (bg)
          |  JOIN un ON un.w = split_part(bg.bg, ' ', 1)
          |  CROSS JOIN vv
@@ -834,7 +834,7 @@ object ExtQueries {
          |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
          |  ELSE [array_to_string(t, ' ')] END) AS bg FROM ho)
          |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(sum(round(ln((coalesce(bc.c12, 0) + 1) / (coalesce(un.c1, 0) + vv.v)), 8)) / count(*), 6) AS avg_logprob
+         |  round(CAST(sum(CAST(round(ln((coalesce(bc.c12, 0) + 1) / (coalesce(un.c1, 0) + vv.v)), 8) AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_logprob
          |FROM bgh LEFT JOIN bc USING (bg)
          |  LEFT JOIN un ON un.w = split_part(bgh.bg, ' ', 1)
          |  CROSS JOIN vv

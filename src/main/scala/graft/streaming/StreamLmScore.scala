@@ -46,7 +46,10 @@ object StreamLmScore {
       .groupBy(window(col("__ts"), windowDur), col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+        // Exact decimal sum — same order-invariance discipline as the
+        // batch operator (NOTES finding #18).
+        round(sum(col("lp").cast("decimal(20,8)")).cast("double") /
+          count(lit(1)), 6).as("avg_logprob"))
       .select(col("window.start").as("window_start"), col("doc_id"),
         col("n_bigrams"), col("avg_logprob"))
 }
