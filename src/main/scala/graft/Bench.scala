@@ -38,30 +38,59 @@ object Bench {
     // breaking.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Fixed synthetic probe — a constant-size hash+aggregate with no file
+    // I/O — timed before / midway / after the catalog. Its drift across
+    // the run, together with /proc/loadavg, lets any reader normalize a
+    // record taken on a loaded box (3 of 4 driver-recorded rounds showed
+    // 2-20x inflation vs a quiet-box reproduction of the same commit).
+    def calibrationProbe(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, cpus)
+        .select(sum(pmod(xxhash64(col("id")), lit(1000000L))).as("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): Seq[Double] =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty }
+    calibrationProbe() // untimed warm-up: JIT + codegen for the probe itself
+    val loadPre = loadavg()
+    val calPre = calibrationProbe()
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val runs = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          val err = try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            None
-          } catch { case e: Throwable =>
-            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-          }
-          spark.catalog.clearCache()
-          // localCheckpoint blocks (iterative operators) are RDD-level
-          // storage that clearCache does not drop; they free only when
-          // the async ContextCleaner sees the RDD object collected.
-          // Forcing a GC between queries releases them NOW, so late
-          // catalog entries aren't taxed by the accumulated blocks of
-          // 50 earlier queries (q53 measured 12-20 s in-catalog vs 7 s
-          // isolated before this, on the same box).
-          System.gc()
-          ((System.nanoTime() - t0) / 1e9, err)
+    var calMid = -1.0
+    val results = entries.zipWithIndex.map { case ((name, fn), idx) =>
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val err = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          None
+        } catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-        (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
+        // The measured region ends HERE: cache/GC hygiene below is
+        // inter-query cleanup, not query work (ADVICE r04 — the old
+        // placement taxed every rep with a forced full-GC pause that
+        // min-of-reps could not filter).
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        // localCheckpoint blocks (iterative operators) are RDD-level
+        // storage that clearCache does not drop; they free only when
+        // the async ContextCleaner sees the RDD object collected.
+        // Forcing a GC between queries releases them NOW, so late
+        // catalog entries aren't taxed by the accumulated blocks of
+        // 50 earlier queries (q53 measured 12-20 s in-catalog vs 7 s
+        // isolated before this, on the same box).
+        System.gc()
+        (dt, err)
       }
+      if (idx == entries.size / 2) calMid = calibrationProbe()
+      (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
+    }
+    val calPost = calibrationProbe()
+    val loadPost = loadavg()
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -74,7 +103,9 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"sf":"$sfDir"}""")
+    val cal = s"""{"pre":$calPre,"mid":$calMid,"post":$calPost}"""
+    val load = s"""{"pre":${loadPre.mkString("[", ",", "]")},"post":${loadPost.mkString("[", ",", "]")}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"calibration":$cal,"loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,6 +43,11 @@ object SuiteBench {
     val standalone = standaloneEntries.map { case (name, q) =>
       val dt = time(s"standalone $name") { noop(q()) }
       spark.catalog.clearCache()
+      // Match Bench's inter-query hygiene: without a forced GC the
+      // localCheckpoint blocks of q53/q58 persist across the standalone
+      // leg (NOTES finding #17) and skew the published amortization
+      // factor — both legs must run under the same memory conditions.
+      System.gc()
       dt
     }.sum
     println(f"standalone total                   $standalone%7.1f s")
@@ -60,6 +65,7 @@ object SuiteBench {
         noop(suite.survivors(cl))
       } finally suite.close()
     }
+    System.gc() // leave the session in the same state the standalone leg got
     println(f"amortization: standalone/suite = ${standalone / suiteTotal}%.2fx")
     spark.stop()
   }
