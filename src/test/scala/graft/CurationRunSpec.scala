@@ -61,4 +61,48 @@ class CurationRunSpec extends AnyFunSuite {
     val again = CurationRun.run(docs, benchmark, out)
     assert(again == stats)
   }
+
+  test("keepSet returns a frame already materialized in the cache (no post-close recompute)") {
+    // VERDICT r04 item 2: the survivors join reads the suite's quality
+    // frame; a frame persisted lazily and first materialized AFTER
+    // suite.close() recomputes that frame from lineage — correct but
+    // forfeiting the shared-artifact amortization. keepSet's contract
+    // is therefore persisted AND materialized. Pin it at runtime: new
+    // cached-RDD blocks (getRDDStorageInfo) must exist the moment
+    // keepSet returns, before any downstream action and before close.
+    import graft.operators.TextAnalysis
+    import graft.pipeline.DedupSuite
+    val sc = spark.sparkContext
+    val docs = Seq(
+      (1L, goodEn),
+      (2L, goodEn.replace("today", "tonight")),
+      (5L, goodEs)).toDF("doc_id", "text")
+    val decon = docs
+      .join(TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select($"doc_id", $"quality_score"), "doc_id")
+      .persist()
+    val suite = DedupSuite(decon, "doc_id", "text", n = 3)
+    try {
+      // Materialize every suite artifact FIRST so the storage snapshot
+      // below already contains them: the only cached blocks that can
+      // appear after it are keepSet's own frame. (Without this, the
+      // artifacts materializing during keepSet's clustering would mask
+      // a keepSet that never materializes its result.)
+      Seq(suite.index32.df, suite.index64.df,
+        suite.signatures, suite.quality).foreach(_.count())
+      val before = sc.getRDDStorageInfo.filter(_.numCachedPartitions > 0)
+        .map(_.id).toSet
+      val (kept, n) = CurationRun.keepSet(suite, decon, dedupThreshold = 0.25)
+      val fresh = sc.getRDDStorageInfo
+        .filter(i => i.numCachedPartitions > 0 && !before.contains(i.id))
+      assert(fresh.nonEmpty,
+        "keepSet must materialize its persisted frame before returning " +
+          "(so suite.close() cannot force a quality-frame recompute)")
+      assert(n == 2, "near-dup pair collapses; unique doc survives")
+      suite.close()
+      // Safe to consume after close — served from the cache built above.
+      assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+      kept.unpersist()
+    } finally { suite.close(); decon.unpersist() }
+  }
 }
