@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{DataMix, EventOps, Multimodal, TextAnalysis, TextDedup, VectorSim}
+import graft.operators.{CacheLease, DataMix, EventOps, Multimodal, TextAnalysis, TextDedup, VectorSim}
 
 /** Extension-tier query catalog: the LLM-data-pipeline operators
   * (BASELINE.json north star) over the `documents` and `embeddings`
@@ -142,24 +142,28 @@ object ExtQueries {
       n = 3, bits = 32)
     val sig = TextDedup.minhashSignatures(idx, 32)
     sig.persist()
-    TextDedup.minhashEstimatePairs(sig, minEstimate = 0.25,
-      numHashes = 32, bands = 16)
+    CacheLease.releaseAfterAction(
+      TextDedup.minhashEstimatePairs(sig, minEstimate = 0.25,
+        numHashes = 32, bands = 16))(() => sig.unpersist())
   }
 
-  // q21/q22 own their index lifecycle explicitly (persisted compact
-  // (long,long) index, read 3-6x within the query's single action;
-  // Verify/Bench clear caches between queries, a long-lived session
-  // would call .unpersist() on the handle instead).
+  // q21/q22/q53/q56/q61 persist their compact (long,long) index (read
+  // 3-6x within the query's single action) and release it through a
+  // CacheLease: the cache lives exactly as long as the caller's action
+  // — no entry leaks a persisted frame past its own execution.
   def q21NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
       n = 3, bits = 64).persist()
-    TextDedup.ngramJaccardPairs(idx, threshold = 0.05)
+    CacheLease.releaseAfterAction(
+      TextDedup.ngramJaccardPairs(idx, threshold = 0.05))(() => idx.unpersist())
   }
 
   def q22MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
       n = 3, bits = 32).persist()
-    TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16)
+    CacheLease.releaseAfterAction(
+      TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32,
+        bands = 16))(() => idx.unpersist())
   }
 
   /** Dedup clusters: transitive closure over the q22 near-dup pair
@@ -167,16 +171,19 @@ object ExtQueries {
   def q53DedupClusters(s: SparkSession, dir: String): DataFrame = {
     val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
       n = 3, bits = 32).persist()
-    TextDedup.connectedComponents(
-      TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16))
+    CacheLease.releaseAfterAction(
+      TextDedup.connectedComponents(
+        TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32,
+          bands = 16)))(() => idx.unpersist())
   }
 
   /** Asymmetric near-subset pairs: either-direction shingle containment
     * >= 0.3 (the partial-copy / wrapper signal Jaccard misses). */
   def q56Containment(s: SparkSession, dir: String): DataFrame = {
     val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, bits = 64)
-    TextDedup.containmentPairs(idx, threshold = 0.3)
+      n = 3, bits = 64).persist()
+    CacheLease.releaseAfterAction(
+      TextDedup.containmentPairs(idx, threshold = 0.3))(() => idx.unpersist())
   }
 
   /** Post-clustering survivor pick: q53's clusters, q17's quality —
@@ -247,20 +254,20 @@ object ExtQueries {
       col("vec_id").as(s"doc_$p"),
       col("embedding").as(s"${p}_emb"),
       graft.functions.VectorFunctions.norm(col("embedding")).as(s"${p}_norm"))
-    // Same lifecycle note as q21/q22: the plan is returned lazily, so
-    // the index stays persisted for the driver's action; Verify/Bench
-    // clear caches between queries, a long-lived session would
-    // .unpersist() the handle when done.
+    // Same lifecycle as q21/q22: persisted for the caller's single
+    // action, released by the lease when that action completes.
     val idx = TextDedup.buildIndex(docs, "doc_id", "text", n = 3, bits = 32).persist()
-    TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16)
-      .join(side("a"), "doc_a")
-      .join(side("b"), "doc_b")
-      .select(
-        col("doc_a"), col("doc_b"), col("jaccard"),
-        round(graft.functions.VectorFunctions.dot(col("a_emb"), col("b_emb")) /
-          (col("a_norm") * col("b_norm")), 6).as("cos_sim"))
-      .withColumn("both_agree",
-        (col("jaccard") >= 0.5 && col("cos_sim") >= 0.5).cast("int"))
+    CacheLease.releaseAfterAction(
+      TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16)
+        .join(side("a"), "doc_a")
+        .join(side("b"), "doc_b")
+        .select(
+          col("doc_a"), col("doc_b"), col("jaccard"),
+          round(graft.functions.VectorFunctions.dot(col("a_emb"), col("b_emb")) /
+            (col("a_norm") * col("b_norm")), 6).as("cos_sim"))
+        .withColumn("both_agree",
+          (col("jaccard") >= 0.5 && col("cos_sim") >= 0.5).cast("int"))
+    )(() => idx.unpersist())
   }
 
   /** Ranked global top-k of an exploded key by occurrence count (ties
