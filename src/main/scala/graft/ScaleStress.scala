@@ -69,6 +69,13 @@ object ScaleStress {
       operators.TextDedup.connectedComponents(
         operators.TextDedup.minhashLshPairs(idx, 0.05, numHashes = 32, bands = 16))
     }
+    // Pathological for substring dedup: every replica shares its full
+    // text with 9 siblings, so essentially EVERY window is repeated —
+    // the hits frame is corpus-token-scale, the worst case the run
+    // merge must absorb. Work tracks repeated-window count.
+    time("repeated_spans k=8") {
+      operators.TextDedup.repeatedSpans(big, "doc_id", "text", k = 8)
+    }
 
     // Incremental clustering cadence: last week's corpus is the 90%
     // with doc_id % 10 != 0; the weekly batch adds the other 10%.
@@ -137,6 +144,54 @@ object ScaleStress {
         val cen = operators.VectorSim.kmeansCentroids(corpus, k = 1024, iters = 2)
         operators.VectorSim.kmeansAssignments(corpus, cen)
       }
+    }
+
+    // BPE trainer (VERDICT r04 item 1 done-criterion): vocab-8k run
+    // over the 10x corpus. Corpus-scale work is the one word-frequency
+    // aggregate; the merge loop is vocabulary-bounded. Driver regime =
+    // the real cadence; a 50-round distributed-regime slice prices the
+    // above-threshold per-round cost (constant-shape pass, merges ride
+    // as one reference object).
+    {
+      import operators.BpeTrainer
+      val wf = BpeTrainer.wordFrequencies(big, "doc_id", "text").persist()
+      var t0 = System.nanoTime()
+      val nWords = wf.count()
+      println(f"bpe word-frequency aggregate ${(System.nanoTime() - t0) / 1e9}%7.1f s ($nWords distinct words)")
+      t0 = System.nanoTime()
+      val words = wf.select(col("token"), col("freq").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val merges = BpeTrainer.trainInMemory(words, maxMerges = 8000, minCount = 2L)
+      println(f"bpe driver regime, 8k target ${(System.nanoTime() - t0) / 1e9}%7.1f s (${merges.size} merges learned)")
+      t0 = System.nanoTime()
+      val rounds = 50
+      BpeTrainer.trainDistributed(wf, maxMerges = rounds, minCount = 2L)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"bpe distributed regime, $rounds rounds $dt%7.1f s (${dt / rounds}%.2f s/round)")
+      wf.unpersist()
+    }
+
+    // Oversampled-init parameter wall (VERDICT r04 item 3): k=4096,
+    // dim=512 -> the greedy farthest-first reduce is ~1.4e11 flops
+    // (k rounds x 8k candidates x one dim-512 dot each). Serial that
+    // is minutes of driver time; the parallel-chunk update must keep
+    // it in seconds. Data-scale work is unchanged (one bounded sample
+    // collect), so only the reduce is timed.
+    {
+      val dim = 512
+      val vecs = spark.range(50000).select(
+        col("id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), lit(dim - 1)),
+          d => (pmod(hash(col("id"), d), lit(997)) / lit(499.0) - lit(1.0))
+            .cast("float")).as("embedding"))
+      vecs.write.mode("overwrite").parquet("/tmp/graft_stress_vecs512")
+      val corpus = spark.read.parquet("/tmp/graft_stress_vecs512")
+      corpus.count() // warm the scan; the sample collect is part of the row
+      val t0 = System.nanoTime()
+      val init = operators.VectorSim.kmeansInitOversampled(corpus, k = 4096)
+      println(f"oversampled init k=4096 d=512 ${(System.nanoTime() - t0) / 1e9}%7.1f s" +
+        s" (${init.length} seeds)")
     }
     spark.stop()
   }

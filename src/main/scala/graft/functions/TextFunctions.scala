@@ -221,6 +221,15 @@ object TextFunctions {
       ColumnBridge.expression(text), n))
   }
 
+  /** Native BPE merge replay: a token's symbol sequence after applying
+    * a learned merge list in creation order (merges ride as one
+    * codegen reference object — plan O(1) in the merge count). */
+  def bpeApplyMergesNative(token: Column, merges: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.BpeApplyMerges(
+      ColumnBridge.expression(token), merges))
+  }
+
   /** Native one-pass repetition ratio (already rounded to 6dp) — the
     * filter-safe single-kernel form of
     * `round(1 - distinct_shingles/positions, 6)`. */

@@ -623,4 +623,52 @@ object TextDedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Substring-level exact dedup: maximal spans of >= k consecutive
+    * tokens that recur in at least `minDf` DISTINCT documents — the
+    * Spark-shaped approximation of suffix-array training-data dedup
+    * (public technique: Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"; the suffix automaton is replaced by
+    * positional k-token windows + run merging, which finds every
+    * repeated substring of length >= k at window granularity). The
+    * document-level shingle operators cannot express this: a boilerplate
+    * header shared by thousands of otherwise-distinct pages never lifts
+    * whole-document Jaccard above threshold, but is exactly what
+    * substring dedup strips.
+    *
+    * Shape: posexplode of the all-positions k-gram kernel -> 64-bit
+    * window hash (collision odds ~n^2/2^65 — immaterial beside the
+    * false-boundary granularity of windowing itself) -> distinct
+    * (doc, hash) -> per-hash distinct-doc count (one shuffle) ->
+    * equi-join positions against the repeated-hash set (AQE decides
+    * broadcast) -> per-doc run merge (pos - row_number window — the
+    * partition is one document, bounded by its token count). Work
+    * tracks repeated-window count, never corpus^2; intra-document
+    * repetition is q43's signal, not this one's (df counts DISTINCT
+    * docs).
+    *
+    * Output: (doc_id, start_pos, end_pos, span_tokens) — token offsets
+    * of each maximal repeated span, span_tokens = end - start + k. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Int = 2): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k) // the short-doc whole-seq gram is not a k-window
+      .select(col("doc_id"),
+        posexplode(wordNgramsNative(col("toks"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("gram")).as("h"))
+    val repeated = grams.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(repeated, "h")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + lit(k.toLong)).as("span_tokens"))
+  }
 }

@@ -309,6 +309,36 @@ object ExtQueries {
       "pair", 500)
   }
 
+  /** Iterative BPE training, first 3 merge rounds — each round counts
+    * adjacent symbol pairs (word-frequency weighted, every position),
+    * picks the best by (count desc, pair asc), applies it left-to-right
+    * non-overlapping, and recounts. The DuckDB oracle replays the loop
+    * in SQL (the q39 k-means discipline): merge application is a plain
+    * `replace` on a delimiter-wrapped symbol string — `replace`'s
+    * left-to-right non-overlapping scan IS the BPE apply rule. The full
+    * loop (arbitrary rounds, hybrid driver/distributed regime) is
+    * [[graft.operators.BpeTrainer]], spec-pinned against an in-memory
+    * reference; this entry oracle-checks the round mechanics. */
+  def q65BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BpeTrainer
+    val merges = BpeTrainer.train(
+      BpeTrainer.wordFrequencies(Tables.documents(s, dir), "doc_id", "text"),
+      maxMerges = 3)
+    s.createDataFrame(merges.map(m =>
+        (m.round, m.pair, m.merged, m.nOccurrences)))
+      .toDF("round", "pair", "merged", "n_occurrences")
+      .select(col("round").cast("int").as("round"), col("pair"),
+        col("merged"), col("n_occurrences"))
+  }
+
+  /** Substring-level exact dedup: maximal >= 8-token spans recurring
+    * across distinct documents — the boilerplate/cross-document-copy
+    * signal whole-document shingles can't see (Lee et al. 2022's
+    * suffix-array dedup, re-expressed as positional windows + run
+    * merge). */
+  def q66RepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    TextDedup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 3)
@@ -963,6 +993,53 @@ object ExtQueries {
          |    CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS INT) AS rank
          |  FROM (SELECT pair, count(*) AS n_occurrences FROM pr GROUP BY pair))
          |WHERE rank <= 500""".stripMargin,
+
+    // Three BPE merge rounds unrolled. Symbol state is a wrapped string
+    // (' a  b  c ' — single edge spaces, double separators): tokens
+    // contain no whitespace, so the pattern ' a  b ' can only match a
+    // complete adjacent symbol pair, and replace()'s left-to-right
+    // non-overlapping scan is exactly the BPE merge-apply rule
+    // (shared-boundary cases: ' a  a  a ' -> ' aa  a ' merges the
+    // leftmost pair and skips, like the trainer).
+    "q65_bpe_train" -> {
+      def round(prev: String, n: Int): String =
+        s"""p$n AS (SELECT unnest([sym[i] || ' ' || sym[i+1] for i in range(1, len(sym))]) AS pair, freq
+           |  FROM (SELECT string_split(trim($prev.s), '  ') AS sym, freq FROM $prev)
+           |  WHERE len(sym) >= 2),
+           |b$n AS (SELECT pair, sum(freq) AS cnt FROM p$n GROUP BY pair
+           |  ORDER BY cnt DESC, pair LIMIT 1),
+           |w$n AS (SELECT replace(s,
+           |    ' ' || split_part((SELECT pair FROM b$n), ' ', 1) || '  ' || split_part((SELECT pair FROM b$n), ' ', 2) || ' ',
+           |    ' ' || replace((SELECT pair FROM b$n), ' ', '') || ' ') AS s, freq FROM $prev)""".stripMargin
+      s"""WITH tk AS (SELECT unnest($duckToks) AS token FROM documents),
+         |wf AS (SELECT token, count(*) AS freq FROM tk GROUP BY token),
+         |w0 AS (SELECT ' ' || array_to_string([substr(token, i, 1) for i in range(1, length(token) + 1)], '  ') || ' ' AS s, freq FROM wf),
+         |${round("w0", 1)},
+         |${round("w1", 2)},
+         |${round("w2", 3)}
+         |SELECT CAST(1 AS INT) AS round, pair, replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS n_occurrences FROM b1
+         |UNION ALL SELECT CAST(2 AS INT), pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b2
+         |UNION ALL SELECT CAST(3 AS INT), pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b3""".stripMargin
+    },
+
+    // Positional 8-token windows (0-based pos like posexplode), grouped
+    // by the gram itself (the engine groups by xxhash64 of it — same
+    // partition at ~n^2/2^65 collision odds), distinct-doc df >= 2,
+    // then the pos - row_number run merge.
+    "q66_repeated_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |  SELECT doc_id, unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')} for i in range(1, len(toks) - 6)]) AS u
+         |  FROM tk WHERE len(toks) >= 8)),
+         |rep AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+         |        GROUP BY gram HAVING count(*) >= 2),
+         |rp AS (SELECT doc_id, pos FROM g JOIN rep USING (gram))
+         |SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos,
+         |  max(pos) - min(pos) + 8 AS span_tokens
+         |FROM (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |      FROM rp)
+         |GROUP BY doc_id, grp""".stripMargin,
 
     // The q22 pair chain joined to the embedding table; cosine compared
     // with the q24/q25 discipline (DOUBLE[] cast, round to 6dp).

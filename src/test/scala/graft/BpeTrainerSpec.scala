@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions.bpeApplyMergesNative
+import graft.operators.BpeTrainer
+
+/** BPE merge-loop trainer (VERDICT r04 item 1): kernel apply-rule
+  * pins, a hand-computed classic fixture, and the hybrid-regime
+  * equality (driver in-memory == per-round distributed). */
+class BpeTrainerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def applied(token: String, merges: Seq[String]): Seq[String] =
+    Seq(token).toDF("t")
+      .select(bpeApplyMergesNative($"t", merges).as("s"))
+      .as[Seq[String]].collect().head
+
+  test("kernel: left-to-right non-overlapping merge application") {
+    assert(applied("aaaa", Seq("a a")) == Seq("aa", "aa"))
+    assert(applied("aaa", Seq("a a")) == Seq("aa", "a"))
+    assert(applied("abab", Seq("a b")) == Seq("ab", "ab"))
+    // Sequential replay: later merges see earlier merges' symbols.
+    assert(applied("aaaa", Seq("a a", "aa aa")) == Seq("aaaa"))
+    // Merges whose parts are absent are skipped, not errors.
+    assert(applied("xyz", Seq("a b", "x y", "xy z")) == Seq("xyz"))
+    // Multi-char symbol boundaries never false-match ("xa"+"b" is not "a"+"b").
+    assert(applied("xab", Seq("x a", "a b")) == Seq("xa", "b"))
+    // Code-point split: surrogate-pair characters stay whole.
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(applied(s"a${emoji}a", Seq.empty) == Seq("a", emoji, "a"))
+  }
+
+  test("classic fixture: merge sequence matches the hand computation") {
+    // Corpus: "lo lo lo low low lower" -> word freqs lo:3 low:2 lower:1.
+    // Pair counts r1: (l,o)=6, (o,w)=3, (w,e)=1, (e,r)=1 -> merge "l o".
+    // r2: (lo,w)=3, (w,e)=1, (e,r)=1 -> merge "lo w".
+    // r3: (low,e)=1, (e,r)=1 -> tie at 1, pair asc -> "e r".
+    val docs = Seq((1L, "lo lo lo low low lower")).toDF("doc_id", "text")
+    val wf = BpeTrainer.wordFrequencies(docs, "doc_id", "text")
+    val merges = BpeTrainer.train(wf, maxMerges = 3, minCount = 1L)
+    assert(merges.map(m => (m.round, m.pair, m.merged, m.nOccurrences)) == Seq(
+      (1, "l o", "lo", 6L), (2, "lo w", "low", 3L), (3, "e r", "er", 1L)))
+  }
+
+  test("minCount stops the loop; merged-out words stop contributing pairs") {
+    val docs = Seq((1L, "ab ab ab c")).toDF("doc_id", "text")
+    val wf = BpeTrainer.wordFrequencies(docs, "doc_id", "text")
+    // r1 merges (a,b)=3; then every word is a single symbol -> no pairs.
+    val merges = BpeTrainer.train(wf, maxMerges = 10)
+    assert(merges.map(_.pair) == Seq("a b"))
+  }
+
+  test("driver and distributed regimes produce identical merge sequences") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quicker brown foxes jumped over lazy dogs today"),
+      (3L, "pack my box with five dozen liquor jugs again"),
+      (4L, "the the the quick quick brown")).toDF("doc_id", "text")
+    val wf = BpeTrainer.wordFrequencies(docs, "doc_id", "text").persist()
+    try {
+      val words = wf.select($"token", $"freq".cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val inMem = BpeTrainer.trainInMemory(words, maxMerges = 12, minCount = 2L)
+      val dist = BpeTrainer.trainDistributed(wf, maxMerges = 12, minCount = 2L)
+      assert(inMem == dist,
+        s"regimes diverged:\n  driver: $inMem\n  distributed: $dist")
+      assert(inMem.nonEmpty && inMem.size <= 12)
+    } finally wf.unpersist()
+  }
+}

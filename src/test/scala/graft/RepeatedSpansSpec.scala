@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextDedup
+
+/** Substring-level exact dedup (VERDICT r04 item 2): planted shared
+  * substrings must surface as maximal spans with exact offsets; the
+  * signals it must NOT fire on (intra-doc repeats, sub-k overlaps)
+  * stay silent. */
+class RepeatedSpansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def spans(docs: org.apache.spark.sql.DataFrame, k: Int,
+      minDf: Int = 2): Set[(Long, Long, Long, Long)] =
+    TextDedup.repeatedSpans(docs, "doc_id", "text", k, minDf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("planted boilerplate surfaces as one maximal span per document") {
+    val boiler = "all rights reserved contact the site administrator for details"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"$boiler zeta eta theta iota kappa wholly different tail text"),
+      (3L, "nothing shared here at all just unique words forever onward"))
+      .toDF("doc_id", "text")
+    // boiler = 9 tokens -> with k=8, doc 1 has it at pos 3..11 (two
+    // windows 3,4 merge to one span), doc 2 at pos 0..8.
+    assert(spans(docs, k = 8) == Set(
+      (1L, 3L, 4L, 9L), (2L, 0L, 1L, 9L)))
+  }
+
+  test("intra-document repetition alone does not fire (df is distinct docs)") {
+    val eight = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$eight filler $eight"), // twice in the SAME doc only
+      (2L, "totally different words that never repeat anywhere else now"))
+      .toDF("doc_id", "text")
+    assert(spans(docs, k = 8).isEmpty)
+  }
+
+  test("two shared regions in one document yield two disjoint spans") {
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val b = "india juliet kilo lima mike november oscar papa"
+    val docs = Seq(
+      (1L, s"$a unique middle words here $b"),
+      (2L, s"$a completely other interior content"),
+      (3L, s"prefix words then $b")).toDF("doc_id", "text")
+    val got = spans(docs, k = 8)
+    // doc 1: a at pos 0 (1 window), b at pos 12 (1 window) — disjoint.
+    assert(got.contains((1L, 0L, 0L, 8L)) && got.contains((1L, 12L, 12L, 8L)))
+    assert(got.contains((2L, 0L, 0L, 8L)) && got.contains((3L, 3L, 3L, 8L)))
+    assert(got.size == 4)
+  }
+
+  test("minDf floor: a 3-doc phrase survives minDf=3, a 2-doc one does not") {
+    val phrase = "the quick brown fox jumps over the lazy dog again"
+    val pair = "peter piper picked a peck of pickled peppers today yes"
+    val docs = Seq(
+      (1L, phrase), (2L, phrase), (3L, phrase),
+      (4L, pair), (5L, pair)).toDF("doc_id", "text")
+    val got = spans(docs, k = 8, minDf = 3)
+    assert(got.map(_._1) == Set(1L, 2L, 3L),
+      "only the 3-doc phrase clears the floor")
+  }
+}

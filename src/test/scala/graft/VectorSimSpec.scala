@@ -140,6 +140,50 @@ class VectorSimSpec extends AnyFunSuite {
       "farthest-first seeds must give every blob its own cluster")
   }
 
+  test("parallel-chunk oversampled init is bit-identical to the sequential traversal") {
+    // The chunked update (VERDICT r04 item 3) must not change a single
+    // bit of the selection: same distances on the same operands, ties
+    // to the earliest candidate. Compare against a plain sequential
+    // reference over the same md5-ordered candidate sample, including a
+    // fixture with EXACT duplicate vectors (guaranteed distance ties).
+    import graft.functions.expr.CentroidKernel.round6
+    val rnd = new scala.util.Random(43)
+    val e = emb((0L until 96L).map { i =>
+      val v =
+        if (i % 3 == 0) Seq.tabulate(8)(d => (d + 1).toFloat) // planted ties
+        else Seq.tabulate(8)(_ => rnd.nextGaussian().toFloat)
+      (i, v, (i % 4).toInt)
+    }: _*)
+    def sequential(k: Int, factor: Int): Seq[Seq[Double]] = {
+      val cand = e.orderBy(org.apache.spark.sql.functions.md5(
+          $"vec_id".cast("string")), $"vec_id")
+        .limit(factor * k).select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      val minDist = Array.fill(cand.length)(Double.PositiveInfinity)
+      val chosen = scala.collection.mutable.ArrayBuffer(cand(0))
+      while (chosen.length < k) {
+        val s = chosen.last; val cc = dot(s, s)
+        var best = 0; var bestV = Double.NegativeInfinity; var i = 0
+        while (i < cand.length) {
+          val d = round6((dot(cand(i), cand(i)) - 2.0 * dot(cand(i), s)) + cc)
+          if (d < minDist(i)) minDist(i) = d
+          if (minDist(i) > bestV) { bestV = minDist(i); best = i }
+          i += 1
+        }
+        chosen += cand(best)
+      }
+      chosen.toSeq.map(_.toSeq)
+    }
+    for ((k, f) <- Seq((6, 4), (12, 8))) {
+      assert(VectorSim.kmeansInitOversampled(e, k, f).map(_.toSeq) ==
+        sequential(k, f), s"selection diverged at k=$k factor=$f")
+    }
+  }
+
   test("ivfNearDup pairs only within a learned cluster, scored exactly") {
     val e = emb(
       (0L, Seq(10f, 0f, 0.1f), 0), (1L, Seq(10f, 0.1f, 0f), 0),
