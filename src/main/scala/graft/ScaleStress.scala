@@ -169,6 +169,19 @@ object ScaleStress {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"bpe distributed regime, $rounds rounds $dt%7.1f s (${dt / rounds}%.2f s/round)")
       wf.unpersist()
+
+      // The replica corpus tops out at ~40 distinct words (the loop
+      // exhausts at ~106 merges — honest but tiny). A synthetic 200k
+      // hash-derived vocabulary (8 hex chars each, so a rich shared
+      // pair structure) prices the vocab-8k driver-regime loop itself.
+      val synWf = spark.range(200000).select(
+        substring(md5(col("id").cast("string")), 1, 8).as("token"),
+        (pmod(hash(col("id")), lit(1000)) + lit(1)).cast("long").as("freq"))
+        .groupBy("token").agg(max("freq").as("freq")) // md5-prefix dups collapse
+      val synWords = synWf.collect().map(r => (r.getString(0), r.getLong(1)))
+      t0 = System.nanoTime()
+      val synMerges = BpeTrainer.trainInMemory(synWords, maxMerges = 8000, minCount = 2L)
+      println(f"bpe driver 8k merges, 200k-word synthetic vocab ${(System.nanoTime() - t0) / 1e9}%7.1f s (${synMerges.size} merges)")
     }
 
     // Oversampled-init parameter wall (VERDICT r04 item 3): k=4096,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -329,6 +329,51 @@ object ExtQueries {
       .toDF("round", "pair", "merged", "n_occurrences")
       .select(col("round").cast("int").as("round"), col("pair"),
         col("merged"), col("n_occurrences"))
+  }
+
+  /** Sketch-based corpus profiling (SURVEY §4's approximate tier): the
+    * 100 TB statistics pass runs on sketches — HLL++ distincts
+    * (`approx_count_distinct`) for vocabulary and shingle cardinality,
+    * KLL-style `percentile_approx` for length quantiles — because exact
+    * distincts/quantiles shuffle the full key space. The entry emits
+    * the EXACT values plus within-tolerance flags comparing each sketch
+    * against its exact mirror, so the DuckDB oracle (exact values +
+    * literal true flags) hash-matches deterministically: sketches are
+    * deterministic on fixed data, and a sketch drifting out of
+    * tolerance fails the gate — which is the check. SketchToleranceSpec
+    * bounds the error tighter on a synthetic high-cardinality corpus. */
+  def q67CorpusSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, wordShinglesNative}
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val shingles = docs
+      .select(explode(wordShinglesNative(tokens(col("text")), 3)).as("g"))
+      .select(xxhash64(col("g")).as("sh"))
+    val lens = docs.select(size(tokens(col("text"))).cast("double").as("len"))
+    def okRel(approx: Column, exact: Column, rel: Double): Column =
+      (abs(approx.cast("double") - exact.cast("double")) <=
+        greatest(lit(1.0), exact.cast("double") * rel)).cast("int")
+    val v = toks.agg(
+      count_distinct(col("token")).as("vocab_exact"),
+      approx_count_distinct(col("token"), 0.02).as("vocab_approx"))
+    val sh = shingles.agg(
+      count_distinct(col("sh")).as("shingles_exact"),
+      approx_count_distinct(col("sh"), 0.02).as("shingles_approx"))
+    val l = lens.agg(
+      round(expr("percentile(len, 0.5)"), 2).as("len_p50_exact"),
+      round(expr("percentile(len, 0.9)"), 2).as("len_p90_exact"),
+      percentile_approx(col("len"), lit(0.5), lit(10000)).as("len_p50_approx"),
+      percentile_approx(col("len"), lit(0.9), lit(10000)).as("len_p90_approx"))
+    // Three 1-row aggregates fused (the q51 stats-frame shape).
+    v.crossJoin(sh).crossJoin(l).select(
+      col("vocab_exact"),
+      okRel(col("vocab_approx"), col("vocab_exact"), 0.05).as("vocab_approx_ok"),
+      col("shingles_exact"),
+      okRel(col("shingles_approx"), col("shingles_exact"), 0.05).as("shingles_approx_ok"),
+      col("len_p50_exact"),
+      okRel(col("len_p50_approx"), col("len_p50_exact"), 0.05).as("len_p50_approx_ok"),
+      col("len_p90_exact"),
+      okRel(col("len_p90_approx"), col("len_p90_exact"), 0.05).as("len_p90_approx_ok"))
   }
 
   /** Substring-level exact dedup: maximal >= 8-token spans recurring
@@ -1021,6 +1066,27 @@ object ExtQueries {
          |UNION ALL SELECT CAST(2 AS INT), pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b2
          |UNION ALL SELECT CAST(3 AS INT), pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b3""".stripMargin
     },
+
+    // Exact mirrors + literal true flags: the engine's sketch values
+    // are compared against its own exact columns IN the query, so the
+    // compare stays bit-deterministic while still failing if a sketch
+    // drifts out of tolerance. Shingle cardinality counts the per-doc
+    // distinct 3-gram sets (the engine counts their xxhash64 images —
+    // same cardinality at ~n^2/2^65 collision odds).
+    "q67_corpus_sketch" ->
+      s"""$duckShingles3,
+         |flat AS (SELECT unnest(sh.sh) AS s FROM sh),
+         |toks AS (SELECT unnest($duckToks) AS token FROM documents),
+         |lens AS (SELECT CAST(len($duckToks) AS DOUBLE) AS len FROM documents)
+         |SELECT
+         | CAST((SELECT count(DISTINCT token) FROM toks) AS BIGINT) AS vocab_exact,
+         | CAST(1 AS INT) AS vocab_approx_ok,
+         | CAST((SELECT count(DISTINCT s) FROM flat) AS BIGINT) AS shingles_exact,
+         | CAST(1 AS INT) AS shingles_approx_ok,
+         | round((SELECT quantile_cont(len, 0.5) FROM lens), 2) AS len_p50_exact,
+         | CAST(1 AS INT) AS len_p50_approx_ok,
+         | round((SELECT quantile_cont(len, 0.9) FROM lens), 2) AS len_p90_exact,
+         | CAST(1 AS INT) AS len_p90_approx_ok""".stripMargin,
 
     // Positional 8-token windows (0-based pos like posexplode), grouped
     // by the gram itself (the engine groups by xxhash64 of it — same
