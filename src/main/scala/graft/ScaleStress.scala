@@ -146,6 +146,33 @@ object ScaleStress {
       }
     }
 
+    // End-to-end weekly cadence (VERDICT r04 item 8): init on 90% of
+    // the corpus plays "last week" (untimed), then the timed 10% batch
+    // through runIncremental vs a timed from-scratch runInit over 100%.
+    // The batch pays batch-scale shingle/signature/pair work against
+    // stored state; both paths pay the same output tail.
+    {
+      import pipeline.CurationRun
+      val bench = big.where(pmod(col("doc_id"), lit(97)) === 0)
+      val corpus = big.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val oldDocs = corpus.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = corpus.where(pmod(col("doc_id"), lit(10)) === 0)
+      CurationRun.runInit(oldDocs, bench, "/tmp/graft_inc_out0",
+        "/tmp/graft_inc_state0", minContaminatedShingles = 5)
+      spark.catalog.clearCache(); System.gc()
+      var t0 = System.nanoTime()
+      CurationRun.runIncremental(batch, bench, "/tmp/graft_inc_out1",
+        "/tmp/graft_inc_state0", "/tmp/graft_inc_state1",
+        minContaminatedShingles = 5)
+      println(f"curation incremental (10%% batch) ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      spark.catalog.clearCache(); System.gc()
+      t0 = System.nanoTime()
+      CurationRun.runInit(corpus, bench, "/tmp/graft_inc_out_full",
+        "/tmp/graft_inc_state_full", minContaminatedShingles = 5)
+      println(f"curation from-scratch (full)     ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      spark.catalog.clearCache(); System.gc()
+    }
+
     // BPE trainer (VERDICT r04 item 1 done-criterion): vocab-8k run
     // over the 10x corpus. Corpus-scale work is the one word-frequency
     // aggregate; the merge loop is vocabulary-bounded. Driver regime =

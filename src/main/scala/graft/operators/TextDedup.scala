@@ -579,6 +579,43 @@ object TextDedup {
     minhashLshPairs(buildIndex(docs, idCol, textCol, n, bits = 32),
       threshold, numHashes, bands)
 
+  /** Rewrap a STORED index frame (doc_id, sh) — the reload half of the
+    * weekly-cadence state contract: a pipeline that persists its index
+    * as parquet reads it back without re-paying the shingle explode +
+    * distinct that [[buildIndex]] costs. The caller asserts the frame
+    * really came from a same-`bits` [[buildIndex]] run. */
+  def indexFromFrame(df: DataFrame, bits: Int): ShingleIndex = {
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
+    new ShingleIndex(df.select(col("doc_id"), col("sh")), bits)
+  }
+
+  /** LSH near-dup pairs RESTRICTED to pairs touching a new-batch doc —
+    * the weekly-cadence complement of [[connectedComponentsIncremental]]:
+    * old-old pairs were found by previous runs, so candidates come from
+    * joining only the NEW docs' band keys against the combined banding
+    * (new-old and new-new buckets; never the old-old quadrant). With
+    * stored signatures the old side is one cheap scan of numHashes
+    * longs per doc — the corpus-scale shingle/signature work is paid
+    * only for the batch. Verify is the same exact-Jaccard count against
+    * the combined index, touching only new-candidate shingle sets. */
+  def minhashLshPairsIncremental(combinedIndex: ShingleIndex,
+      combinedSig: DataFrame, newIds: DataFrame, threshold: Double,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(combinedIndex.bits == 32,
+      "MinHash needs the 32-bit md5 index (oracle-reproducible permutation input)")
+    val banded = combinedSig.select(col("doc_id"),
+      explode(array(bandKeyCols(numHashes, bands): _*)).as("bucket"))
+    val newBanded = banded
+      .join(newIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val candidates = newBanded.as("a")
+      .join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    jaccardFromIndex(combinedIndex.df, threshold, candidates)
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming (< 8).
     *
     * Candidates via the pigeonhole byte-band trick: split the 32-bit

@@ -384,6 +384,25 @@ object ExtQueries {
   def q66RepeatedSpans(s: SparkSession, dir: String): DataFrame =
     TextDedup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
 
+  /** BPE segmentation at corpus scale: replay the q65-trained merges
+    * over every token (the codegen'd kernel, merges as one reference
+    * object) and rank the resulting subword symbols by occurrence —
+    * the train -> encode round trip. The oracle replays the same 3
+    * merges on the wrapped-string representation and unnests w3's
+    * symbol state, weighted by word frequency. */
+  def q68BpeSegment(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{bpeApplyMergesNative, tokens}
+    import graft.operators.BpeTrainer
+    val docs = Tables.documents(s, dir)
+    val merges = BpeTrainer.train(
+      BpeTrainer.wordFrequencies(docs, "doc_id", "text"), maxMerges = 3)
+    topKByCount(
+      docs.select(explode(tokens(col("text"))).as("token"))
+        .select(explode(bpeApplyMergesNative(col("token"), merges.map(_.pair)))
+          .as("symbol")),
+      "symbol", 50)
+  }
+
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 3)
@@ -695,6 +714,27 @@ object ExtQueries {
        |FROM cand JOIN sh x ON x.doc_id = cand.doc_a JOIN sh y ON y.doc_id = cand.doc_b
        |WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
        |        / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.05""".stripMargin
+  }
+
+  /** DuckDB BPE CTE chain: word freqs -> wrapped-string symbol state
+    * w0 -> three (pairs, best, apply) rounds -> w3. Shared by the q65
+    * trainer oracle and the q68 segmentation oracle. */
+  private val bpeRounds3: String = {
+    def round(prev: String, n: Int): String =
+      s"""p$n AS (SELECT unnest([sym[i] || ' ' || sym[i+1] for i in range(1, len(sym))]) AS pair, freq
+         |  FROM (SELECT string_split(trim($prev.s), '  ') AS sym, freq FROM $prev)
+         |  WHERE len(sym) >= 2),
+         |b$n AS (SELECT pair, sum(freq) AS cnt FROM p$n GROUP BY pair
+         |  ORDER BY cnt DESC, pair LIMIT 1),
+         |w$n AS (SELECT replace(s,
+         |    ' ' || split_part((SELECT pair FROM b$n), ' ', 1) || '  ' || split_part((SELECT pair FROM b$n), ' ', 2) || ' ',
+         |    ' ' || replace((SELECT pair FROM b$n), ' ', '') || ' ') AS s, freq FROM $prev)""".stripMargin
+    s"""WITH tk AS (SELECT unnest($duckToks) AS token FROM documents),
+       |wf AS (SELECT token, count(*) AS freq FROM tk GROUP BY token),
+       |w0 AS (SELECT ' ' || array_to_string([substr(token, i, 1) for i in range(1, length(token) + 1)], '  ') || ' ' AS s, freq FROM wf),
+       |${round("w0", 1)},
+       |${round("w1", 2)},
+       |${round("w2", 3)}""".stripMargin
   }
 
   /** DuckDB word-3-gram shingle CTE (mirrors `wordShingles(tokens, 3)`). */
@@ -1046,26 +1086,24 @@ object ExtQueries {
     // non-overlapping scan is exactly the BPE merge-apply rule
     // (shared-boundary cases: ' a  a  a ' -> ' aa  a ' merges the
     // leftmost pair and skips, like the trainer).
-    "q65_bpe_train" -> {
-      def round(prev: String, n: Int): String =
-        s"""p$n AS (SELECT unnest([sym[i] || ' ' || sym[i+1] for i in range(1, len(sym))]) AS pair, freq
-           |  FROM (SELECT string_split(trim($prev.s), '  ') AS sym, freq FROM $prev)
-           |  WHERE len(sym) >= 2),
-           |b$n AS (SELECT pair, sum(freq) AS cnt FROM p$n GROUP BY pair
-           |  ORDER BY cnt DESC, pair LIMIT 1),
-           |w$n AS (SELECT replace(s,
-           |    ' ' || split_part((SELECT pair FROM b$n), ' ', 1) || '  ' || split_part((SELECT pair FROM b$n), ' ', 2) || ' ',
-           |    ' ' || replace((SELECT pair FROM b$n), ' ', '') || ' ') AS s, freq FROM $prev)""".stripMargin
-      s"""WITH tk AS (SELECT unnest($duckToks) AS token FROM documents),
-         |wf AS (SELECT token, count(*) AS freq FROM tk GROUP BY token),
-         |w0 AS (SELECT ' ' || array_to_string([substr(token, i, 1) for i in range(1, length(token) + 1)], '  ') || ' ' AS s, freq FROM wf),
-         |${round("w0", 1)},
-         |${round("w1", 2)},
-         |${round("w2", 3)}
+    "q65_bpe_train" ->
+      s"""$bpeRounds3
          |SELECT CAST(1 AS INT) AS round, pair, replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS n_occurrences FROM b1
          |UNION ALL SELECT CAST(2 AS INT), pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b2
-         |UNION ALL SELECT CAST(3 AS INT), pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b3""".stripMargin
-    },
+         |UNION ALL SELECT CAST(3 AS INT), pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b3""".stripMargin,
+
+    // The train -> encode round trip: w3 (the symbol state after the
+    // q65 merges) unnested and counted with word-frequency weights ==
+    // the engine's kernel replay over every corpus token occurrence.
+    "q68_bpe_segment" ->
+      s"""$bpeRounds3,
+         |sym AS (SELECT unnest(string_split(trim(s), '  ')) AS symbol, freq FROM w3)
+         |SELECT * FROM (
+         |  SELECT symbol, n_occurrences,
+         |    CAST(row_number() OVER (ORDER BY n_occurrences DESC, symbol) AS INT) AS rank
+         |  FROM (SELECT symbol, CAST(sum(freq) AS BIGINT) AS n_occurrences
+         |        FROM sym GROUP BY symbol))
+         |WHERE rank <= 50""".stripMargin,
 
     // Exact mirrors + literal true flags: the engine's sketch values
     // are compared against its own exact columns IN the query, so the

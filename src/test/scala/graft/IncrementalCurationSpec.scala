@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.CurationRun
+
+/** Weekly-cadence curation (VERDICT r04 item 8): init(A) then
+  * incremental(B) must land the SAME curated corpus, packed bins, and
+  * cluster state as a from-scratch run over A ∪ B — including a new
+  * batch doc that near-duplicates an old doc (cross-batch cluster
+  * merge) and a new-new duplicate pair. */
+class IncrementalCurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val goodEn =
+    "the quick brown fox jumps over the lazy dog while the calm river " +
+      "flows past the old stone bridge near the quiet village green today"
+  private val goodEs =
+    "el zorro marron salta sobre el perro perezoso mientras la luna " +
+      "brilla sobre el valle y la gente duerme en la aldea tranquila"
+  private val benchText =
+    "pack my box with five dozen liquor jugs before the long winter " +
+      "arrives and the mountain roads close under the heavy snow again"
+  private val freshA =
+    "seven silver swans swim slowly southward seeking summer sunshine " +
+      "over green meadows where tall grass bends beneath the warm wind"
+
+  test("incremental batch equals from-scratch over both batches") {
+    val batchA = Seq(
+      (1L, goodEn),
+      (2L, goodEn.replace("today", "tonight")), // near-dup of 1 (within A)
+      (3L, goodEs),
+      (4L, benchText),                          // decontaminated away
+      (5L, freshA)).toDF("doc_id", "text")
+    val batchB = Seq(
+      (11L, goodEn.replace("today", "right now")), // near-dup of 1 (cross-batch)
+      (12L, freshA.replace("warm", "cold")),       // near-dup of 5 (cross-batch)
+      (13L, "entirely novel content about distant mountains and deep " +
+        "valleys that resembles nothing in the first weekly batch at all"),
+      (14L, benchText.replace("again", "soon"))    // decontaminated away
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+
+    val base = TestSpark.tmpDir("inc_curation")
+    val scratch = CurationRun.runInit(
+      batchA.unionByName(batchB), benchmark, s"$base/out_scratch", s"$base/state_scratch")
+    CurationRun.runInit(batchA, benchmark, s"$base/out_a", s"$base/state_1")
+    val incr = CurationRun.runIncremental(
+      batchB, benchmark, s"$base/out_incr", s"$base/state_1", s"$base/state_2")
+
+    def curated(dir: String): Set[(Long, String, String)] =
+      spark.read.parquet(s"$dir/curated")
+        .select("doc_id", "text", "detected_lang")
+        .as[(Long, String, String)].collect().toSet
+    def packed(dir: String): Set[String] =
+      spark.read.parquet(s"$dir/packed")
+        .select("doc_ids").as[String].collect().toSet
+    def clusters(stateDir: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$stateDir/clusters")
+        .as[(Long, Long)].collect().toSet
+
+    assert(curated(s"$base/out_incr") == curated(s"$base/out_scratch"),
+      "curated corpus diverged from the from-scratch run")
+    assert(packed(s"$base/out_incr") == packed(s"$base/out_scratch"),
+      "packed bins diverged from the from-scratch run")
+    assert(clusters(s"$base/state_2") == clusters(s"$base/state_scratch"),
+      "cluster state diverged from the from-scratch run")
+    assert(incr.kept == scratch.kept && incr.sampled == scratch.sampled)
+    // The cross-batch merges actually happened: 11 joined 1's cluster,
+    // 12 joined 5's.
+    val c = clusters(s"$base/state_2").toMap
+    assert(c(11L) == c(1L) && c(12L) == c(5L))
+    // And the state stays usable: a THIRD batch over the updated state.
+    val batchC = Seq((21L, goodEs.replace("luna", "estrella")))
+      .toDF("doc_id", "text") // near-dup of 3
+    CurationRun.runIncremental(
+      batchC, benchmark, s"$base/out_c", s"$base/state_2", s"$base/state_3")
+    val scratchAll = CurationRun.runInit(
+      batchA.unionByName(batchB).unionByName(batchC), benchmark,
+      s"$base/out_scratch3", s"$base/state_scratch3")
+    assert(curated(s"$base/out_c") == curated(s"$base/out_scratch3"))
+    assert(clusters(s"$base/state_3") == clusters(s"$base/state_scratch3"))
+  }
+}
