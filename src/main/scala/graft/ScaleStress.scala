@@ -150,25 +150,30 @@ object ScaleStress {
     // the corpus plays "last week" (untimed), then the timed 10% batch
     // through runIncremental vs a timed from-scratch runInit over 100%.
     // The batch pays batch-scale shingle/signature/pair work against
-    // stored state; both paths pay the same output tail.
+    // stored state; both paths pay the same output tail. Decon is
+    // disabled (floor above any doc's shingle count): at floor 5 the
+    // benchmark replicas' siblings drag most of the corpus out and the
+    // shared output tail dominates both paths — the row must price the
+    // corpus-scale dedup FRONT the incremental path exists to avoid.
     {
       import pipeline.CurationRun
+      val noDecon = 1000000
       val bench = big.where(pmod(col("doc_id"), lit(97)) === 0)
       val corpus = big.where(pmod(col("doc_id"), lit(97)) =!= 0)
       val oldDocs = corpus.where(pmod(col("doc_id"), lit(10)) =!= 0)
       val batch = corpus.where(pmod(col("doc_id"), lit(10)) === 0)
       CurationRun.runInit(oldDocs, bench, "/tmp/graft_inc_out0",
-        "/tmp/graft_inc_state0", minContaminatedShingles = 5)
+        "/tmp/graft_inc_state0", minContaminatedShingles = noDecon)
       spark.catalog.clearCache(); System.gc()
       var t0 = System.nanoTime()
       CurationRun.runIncremental(batch, bench, "/tmp/graft_inc_out1",
         "/tmp/graft_inc_state0", "/tmp/graft_inc_state1",
-        minContaminatedShingles = 5)
+        minContaminatedShingles = noDecon)
       println(f"curation incremental (10%% batch) ${(System.nanoTime() - t0) / 1e9}%7.1f s")
       spark.catalog.clearCache(); System.gc()
       t0 = System.nanoTime()
       CurationRun.runInit(corpus, bench, "/tmp/graft_inc_out_full",
-        "/tmp/graft_inc_state_full", minContaminatedShingles = 5)
+        "/tmp/graft_inc_state_full", minContaminatedShingles = noDecon)
       println(f"curation from-scratch (full)     ${(System.nanoTime() - t0) / 1e9}%7.1f s")
       spark.catalog.clearCache(); System.gc()
     }

@@ -66,11 +66,20 @@ object BpeTrainer {
     } finally wf.unpersist()
   }
 
-  /** In-memory regime: the classic loop over (word, freq). */
+  /** In-memory regime: the classic loop over (word, freq), with the
+    * standard incremental-statistics optimization (Sennrich's public
+    * reference trainer): a pair -> word-set index restricts each merge
+    * to the words that actually contain the pair, pair counts update
+    * by per-word multiset DIFF (old adjacent pairs out, new in), and
+    * the selection is a lazy max-heap (entries validated against
+    * current counts on pop). A naive full recount is O(vocab) per
+    * merge — ~20 minutes for 8k merges over a 200k-word vocabulary;
+    * this runs the same loop in seconds. Selection semantics are
+    * unchanged (count desc, pair asc) — the regimes-equal spec pins
+    * it against [[trainDistributed]]. */
   private[graft] def trainInMemory(words: Array[(String, Long)],
       maxMerges: Int, minCount: Long): Seq[MergeStep] = {
-    // Symbol sequences as mutable arrays of strings (code-point split).
-    var syms: Array[(Array[String], Long)] = words.map { case (w, f) =>
+    val syms: Array[Array[String]] = words.map { case (w, _) =>
       val b = scala.collection.mutable.ArrayBuffer[String]()
       var i = 0
       while (i < w.length) {
@@ -78,48 +87,103 @@ object BpeTrainer {
         b += w.substring(i, i + cc)
         i += cc
       }
-      (b.toArray, f)
+      b.toArray
     }
-    val out = scala.collection.mutable.ArrayBuffer[MergeStep]()
-    var round = 1
-    var done = false
-    while (round <= maxMerges && !done) {
-      val counts = new java.util.HashMap[String, java.lang.Long]()
-      syms.foreach { case (s, f) =>
-        var i = 0
-        while (i + 1 < s.length) {
-          counts.merge(s(i) + " " + s(i + 1), f,
-            (a: java.lang.Long, b: java.lang.Long) => a + b)
-          i += 1
-        }
+    val freqs: Array[Long] = words.map(_._2)
+
+    def pairsOf(s: Array[String]): Array[String] = {
+      if (s.length < 2) return Array.empty
+      val out = new Array[String](s.length - 1)
+      var i = 0
+      while (i + 1 < s.length) { out(i) = s(i) + " " + s(i + 1); i += 1 }
+      out
+    }
+
+    val stats = new java.util.HashMap[String, java.lang.Long]()
+    val index = new java.util.HashMap[String, java.util.HashSet[Integer]]()
+    // Heap of (pair, count-at-push) — stale entries dropped on pop.
+    val heap = new java.util.PriorityQueue[(String, Long)](11,
+      (x: (String, Long), y: (String, Long)) =>
+        if (x._2 != y._2) java.lang.Long.compare(y._2, x._2)
+        else x._1.compareTo(y._1))
+
+    var w = 0
+    while (w < syms.length) {
+      pairsOf(syms(w)).foreach { p =>
+        stats.merge(p, freqs(w), (a: java.lang.Long, b: java.lang.Long) => a + b)
+        index.computeIfAbsent(p, _ => new java.util.HashSet[Integer]()).add(w)
       }
-      // Best by (count desc, pair asc) — the distributed ORDER BY.
+      w += 1
+    }
+    stats.forEach((p, c) => heap.add((p, c.longValue())))
+
+    val out = scala.collection.mutable.ArrayBuffer[MergeStep]()
+    var done = false
+    while (out.size < maxMerges && !done) {
+      // Pop until an entry matches the live count — that's the max.
       var bestPair: String = null
       var bestCnt = 0L
-      counts.forEach { (p, c) =>
-        if (c > bestCnt || (c == bestCnt && (bestPair == null || p < bestPair))) {
-          bestPair = p; bestCnt = c
-        }
+      while (bestPair == null && !heap.isEmpty) {
+        val (p, c) = heap.poll()
+        val live = stats.get(p)
+        if (live != null && live.longValue() == c) { bestPair = p; bestCnt = c }
+        else if (live != null && heap.isEmpty) heap.add((p, live.longValue()))
+        // stale & heap nonempty: drop; the live count was re-pushed
+        // when it changed, so a fresh entry for p is still queued.
       }
       if (bestPair == null || bestCnt < minCount) done = true
       else {
         val sp = bestPair.indexOf(' ')
         val a = bestPair.substring(0, sp); val b = bestPair.substring(sp + 1)
-        syms = syms.map { case (s, f) =>
-          if (s.length < 2) (s, f)
-          else {
+        val merged = a + b
+        val affected = index.get(bestPair)
+        val touched = new java.util.HashSet[String]()
+        if (affected != null) {
+          val it = affected.toArray(new Array[Integer](affected.size())).iterator
+          while (it.hasNext) {
+            val wi = it.next().intValue()
+            val s = syms(wi); val f = freqs(wi)
+            val oldPairs = pairsOf(s)
             val o = scala.collection.mutable.ArrayBuffer[String]()
             var i = 0
             while (i < s.length) {
               if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
-                o += a + b; i += 2
+                o += merged; i += 2
               } else { o += s(i); i += 1 }
             }
-            (o.toArray, f)
+            val ns = o.toArray
+            if (!(ns sameElements s)) {
+              syms(wi) = ns
+              val newPairs = pairsOf(ns)
+              oldPairs.foreach { p =>
+                val c = stats.merge(p, -f, (x: java.lang.Long, y: java.lang.Long) => x + y)
+                if (c != null && c.longValue() <= 0L) { stats.remove(p); index.remove(p) }
+                else {
+                  val set = index.get(p)
+                  if (set != null) set.remove(Integer.valueOf(wi))
+                }
+                touched.add(p)
+              }
+              newPairs.foreach { p =>
+                stats.merge(p, f, (x: java.lang.Long, y: java.lang.Long) => x + y)
+                index.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+                  .add(wi)
+                touched.add(p)
+              }
+            }
           }
         }
-        out += MergeStep(round, bestPair, a + b, bestCnt)
-        round += 1
+        // Index maintenance above removed per-word entries but a word
+        // may still contain p elsewhere; re-add from new pair sets is
+        // handled by the newPairs loop. Re-push every touched pair's
+        // live count for the lazy heap.
+        val ti = touched.iterator()
+        while (ti.hasNext) {
+          val p = ti.next()
+          val live = stats.get(p)
+          if (live != null) heap.add((p, live.longValue()))
+        }
+        out += MergeStep(out.size + 1, bestPair, merged, bestCnt)
       }
     }
     out.toSeq

@@ -69,4 +69,27 @@ class BpeTrainerSpec extends AnyFunSuite {
       assert(inMem.nonEmpty && inMem.size <= 12)
     } finally wf.unpersist()
   }
+
+  test("incremental-stats driver loop equals the distributed recount on a dense vocab") {
+    // 300 hash-derived 6-hex-char words with varied freqs: rich shared
+    // pair structure, deep merge chains, plenty of count ties — the
+    // regime where the driver loop's incremental diffs + lazy heap
+    // could drift from the distributed full recount if they were wrong.
+    val wf = spark.range(300)
+      .selectExpr("substring(md5(cast(id as string)), 1, 6) as token",
+        "cast(pmod(hash(id), 97) + 1 as long) as freq")
+      .groupBy("token").agg(org.apache.spark.sql.functions.max("freq").as("freq"))
+      .persist()
+    try {
+      val words = wf.select($"token", $"freq")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val inMem = BpeTrainer.trainInMemory(words, maxMerges = 30, minCount = 2L)
+      val dist = BpeTrainer.trainDistributed(wf, maxMerges = 30, minCount = 2L)
+      assert(inMem == dist, {
+        val i = inMem.zip(dist).indexWhere { case (a, b) => a != b }
+        s"regimes diverged at merge $i: driver=${inMem.lift(i)} distributed=${dist.lift(i)}"
+      })
+      assert(inMem.size == 30, s"expected the full 30 merges, got ${inMem.size}")
+    } finally wf.unpersist()
+  }
 }
