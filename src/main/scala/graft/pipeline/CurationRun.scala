@@ -78,22 +78,48 @@ object CurationRun {
 
   // ---------------------------------------------------------------
   // Weekly cadence (VERDICT r04 item 8): state-carrying init +
-  // incremental runs. State under a directory, all parquet:
-  //   decon/       (doc_id, text, quality_score)  gated+decontaminated corpus
-  //   index/       (doc_id, sh)                    32-bit shingle index
-  //   signatures/  (doc_id, m0..m{31})             MinHash signatures
-  //   clusters/    (doc_id, canonical_id)          near-dup labels
-  // The expensive corpus-scale artifacts are STORED, so a weekly batch
-  // pays batch-scale shingle/signature/pair work only: new candidates
-  // come from the batch's band keys against the combined banding
+  // incremental runs. State is APPEND-STRUCTURED: each state dir holds
+  // only ITS batch's slice of the corpus-scale artifacts plus the full
+  // (small) label table and a lineage manifest:
+  //   decon_batch/      (doc_id, text, quality_score)  this batch, gated+decontaminated
+  //   index_batch/      (doc_id, sh)                    this batch's 32-bit shingle index
+  //   signatures_batch/ (doc_id, m0..m{31})             this batch's MinHash signatures
+  //   clusters/         (doc_id, canonical_id)          FULL near-dup labels (small)
+  //   lineage.txt       state dirs composing the corpus, oldest first, self last
+  // Readers union the batch slices along the lineage, so a weekly run
+  // WRITES batch-scale data only — rewriting the full corpus state
+  // each week would make incremental IO corpus-scale and erase the
+  // cadence's advantage (measured: full-rewrite state put the 10%-batch
+  // run within 8% of a from-scratch run). Candidates come from the
+  // batch's band keys against the combined banding
   // (TextDedup.minhashLshPairsIncremental) and label merging is the
-  // contracted-graph solve (connectedComponentsIncremental). State is
-  // versioned by directory — the caller passes distinct in/out dirs
-  // (never read and overwrite the same state in one job).
+  // contracted-graph solve (connectedComponentsIncremental). The
+  // lineage file is the local-FS stand-in for a metastore manifest; a
+  // caller compacts a long lineage by re-running runInit over the
+  // composed corpus (state rebase).
   // ---------------------------------------------------------------
 
   private val NumHashes = 32
   private val Bands = 16
+
+  private def readLineage(stateDir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$stateDir/lineage.txt"))
+      .asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  private def writeLineage(stateDir: String, dirs: Seq[String]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stateDir/lineage.txt"),
+      dirs.mkString("", "\n", "\n"))
+  }
+
+  /** Union one artifact's batch slices along a state lineage. */
+  private def readSlices(spark: org.apache.spark.sql.SparkSession,
+      lineage: Seq[String], name: String): DataFrame =
+    spark.read.parquet(lineage.map(d => s"$d/$name"): _*)
 
   /** Map tier + quality gate + benchmark decontamination for one batch
     * of raw docs — the batch-scale front of both cadences. */
@@ -163,19 +189,20 @@ object CurationRun {
       packBudget: Long = 4096L, packShards: Int = 8): Stats = {
     val spark = docs.sparkSession
     val decon = prepBatch(docs, benchmark, minQuality, minContaminatedShingles)
-    Sinks.overwriteParquet(decon, s"$stateOutDir/decon", numFiles = 4)
-    val deconS = spark.read.parquet(s"$stateOutDir/decon")
+    Sinks.overwriteParquet(decon, s"$stateOutDir/decon_batch", numFiles = 4)
+    val deconS = spark.read.parquet(s"$stateOutDir/decon_batch")
     val idx = TextDedup.buildIndex(deconS, "doc_id", "text", n = 3, bits = 32)
-    Sinks.overwriteParquet(idx.df, s"$stateOutDir/index", numFiles = 4)
+    Sinks.overwriteParquet(idx.df, s"$stateOutDir/index_batch", numFiles = 4)
     val idxS = TextDedup.indexFromFrame(
-      spark.read.parquet(s"$stateOutDir/index"), bits = 32)
+      spark.read.parquet(s"$stateOutDir/index_batch"), bits = 32)
     val sig = TextDedup.minhashSignatures(idxS, NumHashes)
-    Sinks.overwriteParquet(sig, s"$stateOutDir/signatures", numFiles = 4)
-    val sigS = spark.read.parquet(s"$stateOutDir/signatures")
+    Sinks.overwriteParquet(sig, s"$stateOutDir/signatures_batch", numFiles = 4)
+    val sigS = spark.read.parquet(s"$stateOutDir/signatures_batch")
     val clusters = TextDedup.connectedComponents(
       TextDedup.minhashLshPairs(idxS, sigS, dedupThreshold, NumHashes, Bands))
     Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
     val clustersS = spark.read.parquet(s"$stateOutDir/clusters")
+    writeLineage(stateOutDir, Seq(stateOutDir))
     val kept = keepFromClusters(deconS, clustersS).persist()
     val keptCount = kept.count()
     val (sampled, bins) = landOutputs(kept, outDir,
@@ -200,39 +227,43 @@ object CurationRun {
       "state is versioned by directory: reading and overwriting the same " +
         "state in one job would corrupt it")
     val spark = newDocs.sparkSession
-    val deconOld = spark.read.parquet(s"$stateInDir/decon")
-    val idxOld = spark.read.parquet(s"$stateInDir/index")
-    val sigOld = spark.read.parquet(s"$stateInDir/signatures")
+    val lineage = readLineage(stateInDir)
+    val deconOld = readSlices(spark, lineage, "decon_batch")
+    val idxOld = readSlices(spark, lineage, "index_batch")
+    val sigOld = readSlices(spark, lineage, "signatures_batch")
     val clustersOld = spark.read.parquet(s"$stateInDir/clusters")
 
+    // Batch-scale writes ONLY: this dir's slices plus the (small) full
+    // label table. The corpus-scale artifacts are never rewritten —
+    // readers compose them along the lineage.
     val deconNew = prepBatch(newDocs, benchmark, minQuality, minContaminatedShingles)
     Sinks.overwriteParquet(deconNew, s"$stateOutDir/decon_batch", numFiles = 2)
     val deconNewS = spark.read.parquet(s"$stateOutDir/decon_batch")
     val idxNew = TextDedup.buildIndex(deconNewS, "doc_id", "text", n = 3, bits = 32)
-    val sigNew = TextDedup.minhashSignatures(idxNew, NumHashes)
+    Sinks.overwriteParquet(idxNew.df, s"$stateOutDir/index_batch", numFiles = 2)
+    val idxNewS = spark.read.parquet(s"$stateOutDir/index_batch")
+    val sigNew = TextDedup.minhashSignatures(
+      TextDedup.indexFromFrame(idxNewS, bits = 32), NumHashes)
+    Sinks.overwriteParquet(sigNew, s"$stateOutDir/signatures_batch", numFiles = 2)
+    val sigNewS = spark.read.parquet(s"$stateOutDir/signatures_batch")
 
-    val idxAll = TextDedup.indexFromFrame(idxOld.unionByName(idxNew.df), bits = 32)
-    val sigAll = sigOld.unionByName(sigNew).persist()
-    try {
-      val newPairs = TextDedup.minhashLshPairsIncremental(idxAll, sigAll,
-        deconNewS.select(col("doc_id")), dedupThreshold, NumHashes, Bands)
-      val clusters = TextDedup.connectedComponentsIncremental(clustersOld, newPairs)
-      Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
-      val clustersS = spark.read.parquet(s"$stateOutDir/clusters")
-      val deconAll = deconOld.unionByName(deconNewS)
-      Sinks.overwriteParquet(deconAll, s"$stateOutDir/decon", numFiles = 4)
-      val deconAllS = spark.read.parquet(s"$stateOutDir/decon")
-      Sinks.overwriteParquet(idxAll.df, s"$stateOutDir/index", numFiles = 4)
-      Sinks.overwriteParquet(sigAll, s"$stateOutDir/signatures", numFiles = 4)
-      val kept = keepFromClusters(deconAllS, clustersS).persist()
-      val keptCount = kept.count()
-      val (sampled, bins) = landOutputs(kept, outDir,
-        fractions, defaultFraction, packBudget, packShards)
-      kept.unpersist()
-      Stats(input = newDocs.count(), gated = -1L,
-        decontaminated = deconAllS.count(), kept = keptCount,
-        sampled = sampled, bins = bins)
-    } finally sigAll.unpersist()
+    val idxAll = TextDedup.indexFromFrame(idxOld.unionByName(idxNewS), bits = 32)
+    val sigAll = sigOld.unionByName(sigNewS)
+    val newPairs = TextDedup.minhashLshPairsIncremental(idxAll, sigAll,
+      deconNewS.select(col("doc_id")), dedupThreshold, NumHashes, Bands)
+    val clusters = TextDedup.connectedComponentsIncremental(clustersOld, newPairs)
+    Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
+    val clustersS = spark.read.parquet(s"$stateOutDir/clusters")
+    writeLineage(stateOutDir, lineage :+ stateOutDir)
+    val deconAll = deconOld.unionByName(deconNewS)
+    val kept = keepFromClusters(deconAll, clustersS).persist()
+    val keptCount = kept.count()
+    val (sampled, bins) = landOutputs(kept, outDir,
+      fractions, defaultFraction, packBudget, packShards)
+    kept.unpersist()
+    Stats(input = newDocs.count(), gated = -1L,
+      decontaminated = deconAll.count(), kept = keptCount,
+      sampled = sampled, bins = bins)
   }
 
   /** Run the pass; outputs land under `outDir` as `curated/` (doc_id,
