@@ -52,6 +52,7 @@ object SparkEntry {
     "q66_repeated_spans"    -> (ExtQueries.q66RepeatedSpans(_, _)),
     "q67_corpus_sketch"     -> (ExtQueries.q67CorpusSketch(_, _)),
     "q68_bpe_segment"       -> (ExtQueries.q68BpeSegment(_, _)),
+    "q69_remove_spans"      -> (ExtQueries.q69RemoveSpans(_, _)),
     "q24_embedding_neardup" -> (ExtQueries.q24EmbeddingNearDup(_, _)),
     "q25_knn_brute_force"   -> (ExtQueries.q25KnnBruteForce(_, _)),
     "q26_knn_lsh"           -> (ExtQueries.q26KnnLsh(_, _)),

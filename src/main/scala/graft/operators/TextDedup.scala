@@ -688,6 +688,51 @@ object TextDedup {
     * of each maximal repeated span, span_tokens = end - start + k. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minDf: Int = 2): DataFrame = {
+    repeatedSpansImpl(docs, idCol, textCol, k, minDf)
+  }
+
+  /** The act half of substring dedup (Lee et al. 2022 removes the
+    * repeats it finds): every document's token stream with the
+    * [[repeatedSpans]] ranges cut out, rejoined on single spaces.
+    * All documents appear in the output (unaffected ones pass through
+    * with n_removed = 0); `clean_text` is the space-joined surviving
+    * token stream — the canonical whitespace form downstream operators
+    * tokenize identically.
+    *
+    * Shape: token stream with positions (posexplode — corpus-token
+    * scale), left-anti range join against the span frame (equi on
+    * doc_id; spans are few, AQE broadcasts), one per-doc aggregate
+    * (sort_array of (pos, token) structs) to reassemble. Work tracks
+    * corpus tokens + repeated-span hits, never corpus^2. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Int = 2): DataFrame = {
+    val spans = repeatedSpansImpl(docs, idCol, textCol, k, minDf)
+      .select(col("doc_id").as("__sd"), col("start_pos"),
+        (col("end_pos") + lit(k.toLong) - lit(1L)).as("last_tok"))
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("toks"))
+    val kept = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .join(spans,
+        col("doc_id") === col("__sd") &&
+          col("pos") >= col("start_pos") && col("pos") <= col("last_tok"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ordered"),
+        count(lit(1)).as("n_kept"))
+    // Left join keeps fully-removed documents in the output
+    // (clean_text = '', n_removed = every token).
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(array_join(col("ordered.tok"), " "), lit("")).as("clean_text"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  private def repeatedSpansImpl(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Int): DataFrame = {
     val grams = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= k) // the short-doc whole-seq gram is not a k-window

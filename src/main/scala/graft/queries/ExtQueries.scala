@@ -384,6 +384,12 @@ object ExtQueries {
   def q66RepeatedSpans(s: SparkSession, dir: String): DataFrame =
     TextDedup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
 
+  /** The act half of q66: every document with its repeated spans cut
+    * out — the find -> remove round trip of substring dedup. */
+  def q69RemoveSpans(s: SparkSession, dir: String): DataFrame =
+    TextDedup.removeRepeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+      k = 8)
+
   /** BPE segmentation at corpus scale: replay the q65-trained merges
     * over every token (the codegen'd kernel, merges as one reference
     * object) and rank the resulting subword symbols by occurrence —
@@ -736,6 +742,23 @@ object ExtQueries {
        |${round("w1", 2)},
        |${round("w2", 3)}""".stripMargin
   }
+
+  /** DuckDB repeated-span CTE chain (k=8, minDf=2): tokenized docs ->
+    * positional 8-grams -> distinct-doc df floor -> run-merged spans.
+    * Shared by the q66 finder oracle and the q69 remover oracle. */
+  private val duckSpans8: String =
+    s"""WITH tkk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')} for i in range(1, len(toks) - 6)]) AS u
+       |  FROM tkk WHERE len(toks) >= 8)),
+       |rep AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+       |        GROUP BY gram HAVING count(*) >= 2),
+       |rp AS (SELECT doc_id, pos FROM g JOIN rep USING (gram)),
+       |spanruns AS (SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos
+       |  FROM (SELECT doc_id, pos,
+       |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM rp)
+       |  GROUP BY doc_id, grp)""".stripMargin
 
   /** DuckDB word-3-gram shingle CTE (mirrors `wordShingles(tokens, 3)`). */
   private val duckShingles3 =
@@ -1131,19 +1154,26 @@ object ExtQueries {
     // partition at ~n^2/2^65 collision odds), distinct-doc df >= 2,
     // then the pos - row_number run merge.
     "q66_repeated_spans" ->
-      s"""WITH tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
-         |  SELECT doc_id, unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')} for i in range(1, len(toks) - 6)]) AS u
-         |  FROM tk WHERE len(toks) >= 8)),
-         |rep AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
-         |        GROUP BY gram HAVING count(*) >= 2),
-         |rp AS (SELECT doc_id, pos FROM g JOIN rep USING (gram))
-         |SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos,
-         |  max(pos) - min(pos) + 8 AS span_tokens
-         |FROM (SELECT doc_id, pos,
-         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |      FROM rp)
-         |GROUP BY doc_id, grp""".stripMargin,
+      s"""$duckSpans8
+         |SELECT doc_id, start_pos, end_pos,
+         |  end_pos - start_pos + 8 AS span_tokens
+         |FROM spanruns""".stripMargin,
+
+    // The act half: token positions covered by a span are cut, the
+    // survivors rejoin on single spaces; fully-removed documents stay
+    // in the output with clean_text = ''.
+    "q69_remove_spans" ->
+      s"""$duckSpans8,
+         |pos AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]} for i in range(1, len(toks) + 1)]) AS u FROM tkk)),
+         |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+         |  WHERE NOT EXISTS (SELECT 1 FROM spanruns s WHERE s.doc_id = p.doc_id
+         |    AND p.pos BETWEEN s.start_pos AND s.end_pos + 7)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM tkk t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // The q22 pair chain joined to the embedding table; cosine compared
     // with the q24/q25 discipline (DOUBLE[] cast, round to 6dp).

@@ -53,6 +53,34 @@ class RepeatedSpansSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("removeRepeatedSpans cuts exactly the span ranges and keeps the rest") {
+    val boiler = "all rights reserved contact the site administrator for details"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"$boiler zeta eta theta iota kappa wholly different tail text"),
+      (3L, "nothing shared here at all just unique words forever onward"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.removeRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("alpha beta gamma delta epsilon", 9L)))
+    assert(got(2L) == (("zeta eta theta iota kappa wholly different tail text", 9L)))
+    assert(got(3L) == (("nothing shared here at all just unique words forever onward", 0L)))
+  }
+
+  test("a fully-duplicated document empties but stays in the output") {
+    val phrase = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, phrase),
+      (2L, phrase),
+      (3L, s"prefix words before $phrase and suffix words after"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.removeRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("", 10L)) && got(2L) == (("", 10L)),
+      "both copies of the fully-shared doc must empty but remain present")
+    assert(got(3L) == (("prefix words before and suffix words after", 10L)))
+  }
+
   test("minDf floor: a 3-doc phrase survives minDf=3, a 2-doc one does not") {
     val phrase = "the quick brown fox jumps over the lazy dog again"
     val pair = "peter piper picked a peck of pickled peppers today yes"
