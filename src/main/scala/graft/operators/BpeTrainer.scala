@@ -102,10 +102,25 @@ object BpeTrainer {
     val stats = new java.util.HashMap[String, java.lang.Long]()
     val index = new java.util.HashMap[String, java.util.HashSet[Integer]]()
     // Heap of (pair, count-at-push) — stale entries dropped on pop.
+    // Ties compare by CODE POINT (== UTF-8 byte order, which is what
+    // Spark's UTF8String and DuckDB's binary collation sort by);
+    // String.compareTo is UTF-16 code-unit order, which inverts
+    // supplementary-plane vs [U+E000, U+FFFF] symbols and would let
+    // the driver regime diverge from the distributed/oracle order on
+    // non-BMP tokens.
+    def codePointCompare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
     val heap = new java.util.PriorityQueue[(String, Long)](11,
       (x: (String, Long), y: (String, Long)) =>
         if (x._2 != y._2) java.lang.Long.compare(y._2, x._2)
-        else x._1.compareTo(y._1))
+        else codePointCompare(x._1, y._1))
 
     var w = 0
     while (w < syms.length) {

@@ -32,7 +32,17 @@ object CacheLease {
   /** Return `result` with `release` armed to run after the first
     * driver action that executes it (success or failure). If the
     * caller never acts on the frame, the listener stays registered but
-    * idle — bounded, and gone with the session. */
+    * idle — bounded, and gone with the session.
+    *
+    * Matching is by node IDENTITY (`eq`), not `sameResult`: listener
+    * delivery is asynchronous, and semantic plan equality would let a
+    * PREVIOUS run's late-delivered event fire a lease armed on an
+    * identical plan built afterwards (bench reps re-invoke the query
+    * fn with byte-identical plans) — releasing a cache BEFORE the
+    * action that needs it. An action on the armed frame embeds the
+    * frame's analyzed tree by reference (re-analysis is idempotent on
+    * already-analyzed subtrees), so identity matches exactly the
+    * owning run. */
   def releaseAfterAction(result: DataFrame)(release: () => Unit): DataFrame = {
     val session = result.sparkSession
     val target = result.queryExecution.analyzed
@@ -41,7 +51,7 @@ object CacheLease {
       private def fire(qe: QueryExecution): Unit = {
         val hit =
           try qe.analyzed.collectFirst {
-            case p if p.sameResult(target) => ()
+            case p if p eq target => ()
           }.isDefined
           catch { case _: Throwable => false }
         if (hit && done.compareAndSet(false, true)) {

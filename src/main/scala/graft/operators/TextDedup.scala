@@ -688,7 +688,14 @@ object TextDedup {
     * of each maximal repeated span, span_tokens = end - start + k. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minDf: Int = 2): DataFrame = {
-    repeatedSpansImpl(docs, idCol, textCol, k, minDf)
+    // The positional gram frame (compact (long,long,long) rows) is
+    // read twice by the plan (df count + the position join) — persist
+    // it for the caller's action, released by the lease after it.
+    // Callers running several actions over the result should persist
+    // the RESULT themselves.
+    val grams = gramFrame(docs, idCol, textCol, k).persist()
+    CacheLease.releaseAfterAction(
+      spansFromGrams(grams, k, minDf))(() => { grams.unpersist(); () })
   }
 
   /** The act half of substring dedup (Lee et al. 2022 removes the
@@ -706,7 +713,10 @@ object TextDedup {
     * corpus tokens + repeated-span hits, never corpus^2. */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minDf: Int = 2): DataFrame = {
-    val spans = repeatedSpansImpl(docs, idCol, textCol, k, minDf)
+    // One persisted gram frame serves the span chain's two reads (the
+    // remover itself re-reads only the cheap span RESULT, not grams).
+    val grams = gramFrame(docs, idCol, textCol, k).persist()
+    val spans = spansFromGrams(grams, k, minDf)
       .select(col("doc_id").as("__sd"), col("start_pos"),
         (col("end_pos") + lit(k.toLong) - lit(1L)).as("last_tok"))
     val base = docs
@@ -725,21 +735,27 @@ object TextDedup {
         count(lit(1)).as("n_kept"))
     // Left join keeps fully-removed documents in the output
     // (clean_text = '', n_removed = every token).
-    base.join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(array_join(col("ordered.tok"), " "), lit("")).as("clean_text"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    CacheLease.releaseAfterAction(
+      base.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(array_join(col("ordered.tok"), " "), lit("")).as("clean_text"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    )(() => { grams.unpersist(); () })
   }
 
-  private def repeatedSpansImpl(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minDf: Int): DataFrame = {
-    val grams = docs
+  /** Positional k-gram frame: (doc_id, pos, 64-bit window hash). */
+  private def gramFrame(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= k) // the short-doc whole-seq gram is not a k-window
       .select(col("doc_id"),
         posexplode(wordNgramsNative(col("toks"), k)).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         xxhash64(col("gram")).as("h"))
+
+  /** Maximal repeated spans from a (ideally persisted) gram frame. */
+  private def spansFromGrams(grams: DataFrame, k: Int, minDf: Int): DataFrame = {
     val repeated = grams.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)

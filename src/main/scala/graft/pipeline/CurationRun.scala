@@ -65,16 +65,22 @@ object CurationRun {
   def keepSet(suite: DedupSuite, decon: DataFrame,
       dedupThreshold: Double): (DataFrame, Long) = {
     val clusters = suite.clusters(dedupThreshold)
-    val survivors = suite.survivors(clusters)
-      .select(col("canonical_id"), col("survivor_id"))
-    val k = decon
+    val k = survivorFilter(decon, clusters,
+        suite.survivors(clusters).select(col("canonical_id"), col("survivor_id")))
+      .persist() // feeds lang-id, the sample, packing, and the sink
+    (k, k.count()) // eager: materializes the cache; doubles as the audit stat
+  }
+
+  /** The one survivor-selection filter both cadences share (their
+    * equality is what IncrementalCurationSpec pins): keep a doc when
+    * unclustered or when it IS its cluster's survivor. */
+  private def survivorFilter(decon: DataFrame, clusters: DataFrame,
+      survivors: DataFrame): DataFrame =
+    decon
       .join(clusters, Seq("doc_id"), "left")
       .join(survivors, Seq("canonical_id"), "left")
       .where(col("survivor_id").isNull || col("survivor_id") === col("doc_id"))
       .select(col("doc_id"), col("text"), col("quality_score"))
-      .persist() // feeds lang-id, the sample, packing, and the sink
-    (k, k.count()) // eager: materializes the cache; doubles as the audit stat
-  }
 
   // ---------------------------------------------------------------
   // Weekly cadence (VERDICT r04 item 8): state-carrying init +
@@ -167,16 +173,11 @@ object CurationRun {
   /** Survivor keep set from explicit decon + clusters frames (the
     * suite-less twin of [[keepSet]], used by the state cadences where
     * quality already rides the stored decon frame). */
-  private def keepFromClusters(decon: DataFrame, clusters: DataFrame): DataFrame = {
-    val survivors = TextDedup.dedupSurvivors(clusters,
-        decon.select(col("doc_id"), col("quality_score")), "quality_score")
-      .select(col("canonical_id"), col("survivor_id"))
-    decon
-      .join(clusters, Seq("doc_id"), "left")
-      .join(survivors, Seq("canonical_id"), "left")
-      .where(col("survivor_id").isNull || col("survivor_id") === col("doc_id"))
-      .select(col("doc_id"), col("text"), col("quality_score"))
-  }
+  private def keepFromClusters(decon: DataFrame, clusters: DataFrame): DataFrame =
+    survivorFilter(decon, clusters,
+      TextDedup.dedupSurvivors(clusters,
+          decon.select(col("doc_id"), col("quality_score")), "quality_score")
+        .select(col("canonical_id"), col("survivor_id")))
 
   /** From-scratch run that WRITES the weekly state for later
     * [[runIncremental]] calls. Outputs match [[run]] semantics. The

@@ -321,9 +321,12 @@ object ExtQueries {
     * reference; this entry oracle-checks the round mechanics. */
   def q65BpeTrain(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.BpeTrainer
+    // minCount = 1 matches the oracle, which has no count floor — the
+    // default floor of 2 would refuse a count-1 pair the SQL replay
+    // happily learns (a data-dependent mismatch on sparse corpora).
     val merges = BpeTrainer.train(
       BpeTrainer.wordFrequencies(Tables.documents(s, dir), "doc_id", "text"),
-      maxMerges = 3)
+      maxMerges = 3, minCount = 1L)
     s.createDataFrame(merges.map(m =>
         (m.round, m.pair, m.merged, m.nOccurrences)))
       .toDF("round", "pair", "merged", "n_occurrences")
@@ -401,7 +404,8 @@ object ExtQueries {
     import graft.operators.BpeTrainer
     val docs = Tables.documents(s, dir)
     val merges = BpeTrainer.train(
-      BpeTrainer.wordFrequencies(docs, "doc_id", "text"), maxMerges = 3)
+      BpeTrainer.wordFrequencies(docs, "doc_id", "text"),
+      maxMerges = 3, minCount = 1L) // floorless like the oracle (see q65)
     topKByCount(
       docs.select(explode(tokens(col("text"))).as("token"))
         .select(explode(bpeApplyMergesNative(col("token"), merges.map(_.pair)))

@@ -70,6 +70,29 @@ class BpeTrainerSpec extends AnyFunSuite {
     } finally wf.unpersist()
   }
 
+  test("count ties with non-BMP symbols break identically in both regimes (UTF-8 order)") {
+    // (a, U+E001) vs (a, U+1F600): UTF-16 code-unit order puts the
+    // surrogate-pair emoji FIRST (0xD83D < 0xE001) while UTF-8 binary
+    // order — what Spark and DuckDB sort by — puts it LAST. A
+    // compareTo tie-break would learn the merges in a different order
+    // below vs above the driver threshold.
+    val emoji = new String(Character.toChars(0x1F600))
+    val priv = ""
+    val docs = Seq(
+      (1L, s"a$emoji a$emoji"),
+      (2L, s"a$priv a$priv")).toDF("doc_id", "text")
+    val wf = BpeTrainer.wordFrequencies(docs, "doc_id", "text").persist()
+    try {
+      val words = wf.select($"token", $"freq".cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val inMem = BpeTrainer.trainInMemory(words, maxMerges = 2, minCount = 2L)
+      val dist = BpeTrainer.trainDistributed(wf, maxMerges = 2, minCount = 2L)
+      assert(inMem == dist, s"tie-break diverged: $inMem vs $dist")
+      assert(inMem.head.pair == s"a $priv",
+        "UTF-8 order must sort the private-use char before the emoji")
+    } finally wf.unpersist()
+  }
+
   test("incremental-stats driver loop equals the distributed recount on a dense vocab") {
     // 300 hash-derived 6-hex-char words with varied freqs: rich shared
     // pair structure, deep merge chains, plenty of count ties — the
