@@ -432,6 +432,13 @@ object ExtQueries {
     VectorSim.ivfNearDup(Tables.embeddings(s, dir), k = 8, iters = 2,
       threshold = 0.35, initFactor = 4)
 
+  /** SemDeDup-style per-vector disposition: q39's quantizer + pairs,
+    * transitive grouping, keep-least-prototypical survivor — q60's
+    * decision row re-expressed in embedding space. */
+  def q70SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    VectorSim.semanticDedup(Tables.embeddings(s, dir), k = 8, iters = 2,
+      threshold = 0.35)
+
   def q45KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     VectorSim.knnIvf(emb.where(col("vec_id") < 5), emb, k = 5,
@@ -643,6 +650,54 @@ object ExtQueries {
        |FROM a$iters ax JOIN a$iters ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
        |JOIN e x ON x.vec_id = ax.vec_id JOIN e y ON y.vec_id = ay.vec_id
        |WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= $threshold""".stripMargin
+
+  /** DuckDB mirror of the SemDeDup disposition (q70): the Lloyd's
+    * chain, within-cell pairs, WITH-RECURSIVE transitive grouping
+    * (q53's oracle pattern), centroid-cosine scoring, and the
+    * keep-least-prototypical survivor pick. Cosines are written as
+    * explicit `list_sum` dot/norm forms — the SAME operation order as
+    * the codegen'd FloatDotProduct kernels — so equality holds
+    * pre-round and the round(...,6) boundary can never flake. */
+  private def semanticDedupOracleSql(k: Int, dim: Int, iters: Int,
+      threshold: Double): String = {
+    val ctes = kmeansCtes(k, dim, iters)
+      .replace("WITH e AS", "WITH RECURSIVE e AS")
+    def cos(a: String, b: String): String =
+      s"""round(list_sum([$a.emb[i+1]*$b[i+1] for i in range(0,$dim)])
+         |      / (sqrt(list_sum([$a.emb[i+1]*$a.emb[i+1] for i in range(0,$dim)]))
+         |         * sqrt(list_sum([$b[i+1]*$b[i+1] for i in range(0,$dim)]))), 6)""".stripMargin
+    s"""$ctes,
+       |cosd AS (
+       |  SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+       |    ${cos("x", "n.w")} AS cos_centroid
+       |  FROM a$iters a JOIN e x ON x.vec_id = a.vec_id
+       |  JOIN cen$iters n ON n.c = a.cluster),
+       |p AS (
+       |  SELECT ax.vec_id AS doc_a, ay.vec_id AS doc_b
+       |  FROM a$iters ax JOIN a$iters ay
+       |    ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
+       |  JOIN e x ON x.vec_id = ax.vec_id JOIN e y ON y.vec_id = ay.vec_id
+       |  WHERE ${cos("x", "y.emb")} >= $threshold),
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |        UNION SELECT doc_b, doc_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM und
+       |  UNION
+       |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+       |cl AS (SELECT src AS vec_id, min(dst) AS canonical_id
+       |       FROM reach GROUP BY src),
+       |g AS (SELECT cosd.vec_id, cosd.cluster, cosd.cos_centroid,
+       |    coalesce(cl.canonical_id, cosd.vec_id) AS group_id
+       |  FROM cosd LEFT JOIN cl ON cl.vec_id = cosd.vec_id),
+       |sv AS (SELECT group_id, vec_id AS surv_id FROM (
+       |    SELECT group_id, vec_id,
+       |      row_number() OVER (PARTITION BY group_id
+       |                         ORDER BY cos_centroid, vec_id) AS rn FROM g)
+       |  WHERE rn = 1)
+       |SELECT g.vec_id, g.cluster, g.group_id, g.cos_centroid,
+       |  CAST(g.vec_id = sv.surv_id AS INT) AS keep
+       |FROM g JOIN sv ON sv.group_id = g.group_id""".stripMargin
+  }
 
   /** DuckDB mirror of the IVF ANN search (q45): same Lloyd's chain,
     * then per-query probe ranking (rounded distance, lowest-index
@@ -1322,6 +1377,11 @@ object ExtQueries {
     "q55_kmeans_oversampled" ->
       kmeansIvfOracleSql(k = 8, dim = 64, iters = 2, threshold = 0.35,
         initFactor = 4),
+
+    // Same constants as q70SemanticDedup above — the SQL re-runs the
+    // quantizer, the recursive grouping, and the survivor pick.
+    "q70_semantic_dedup" ->
+      semanticDedupOracleSql(k = 8, dim = 64, iters = 2, threshold = 0.35),
 
     // Same constants as q45KnnIvf above.
     "q45_knn_ivf" ->

@@ -233,4 +233,48 @@ class VectorSimSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(buckets() == buckets())
   }
+
+  test("semanticDedup: one disposition row per vector, one survivor per group") {
+    // Two tight planted duplicate bundles + isolated singletons.
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Seq[Float]): Seq[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val bundleA = Seq(1f, 0f, 0f, 0f)
+    val bundleB = Seq(0f, 1f, 0f, 0f)
+    val rows =
+      (0L until 3L).map(i => (i, jitter(bundleA), 0)) ++
+      (3L until 6L).map(i => (i, jitter(bundleB), 0)) ++
+      Seq((6L, Seq(0f, 0f, 1f, 0f), 0), (7L, Seq(0f, 0f, 0f, 1f), 0))
+    val e = emb(rows: _*)
+    val out = VectorSim.semanticDedup(e, k = 4, iters = 2, threshold = 0.9)
+      .select("vec_id", "group_id", "cos_centroid", "keep")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.map(_._1).sorted.toSeq == (0L until 8L),
+      "every vector gets exactly one disposition row")
+    val byGroup = out.groupBy(_._2)
+    byGroup.foreach { case (g, members) =>
+      assert(members.count(_._4 == 1) == 1,
+        s"group $g must keep exactly one member")
+      val survivor = members.find(_._4 == 1).get
+      val best = members.minBy(m => (m._3, m._1))
+      assert(survivor._1 == best._1,
+        "survivor is the least-prototypical member (min cos_centroid, id tiebreak)")
+    }
+    // The planted bundles must collapse: <= 4 groups over 8 vectors
+    // (2 bundles + 2 singletons), and the singletons keep themselves.
+    assert(byGroup.size <= 4)
+    Seq(6L, 7L).foreach { id =>
+      assert(out.find(_._1 == id).get._4 == 1, s"singleton $id keeps itself")
+    }
+  }
+
+  test("semanticDedup is deterministic across invocations") {
+    val rnd = new scala.util.Random(23)
+    val e = emb((0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat), 0)): _*)
+    def run() = VectorSim.semanticDedup(e, k = 4, iters = 2, threshold = 0.5)
+      .select("vec_id", "cluster", "group_id", "cos_centroid", "keep")
+      .as[(Long, Int, Long, Double, Int)].collect().sortBy(_._1).toSeq
+    assert(run() == run())
+  }
 }
