@@ -133,4 +133,92 @@ object DataMix {
             sort_array(collect_list(struct(col(idCol).as("i"), col(textCol).as("t")))),
             x => x.getField("t")),
           "\n").as("packed_text"))
+
+  /** DSIR-style importance resampling (public technique: Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): select raw documents whose hashed-n-gram profile
+    * looks like a small TARGET corpus. Features are word unigrams +
+    * bigrams hashed into `buckets` md5 buckets; each bucket carries
+    * its add-one-smoothed log-ratio `ln p_target(b) - ln p_raw(b)`;
+    * a document's log-importance is the sum of its grams' bucket
+    * ratios; and `take` documents are drawn WITHOUT replacement,
+    * with probability proportional to importance, via the Gumbel
+    * top-k trick — the noise is md5-derived, so the whole draw is
+    * deterministic and the DuckDB oracle replays it.
+    *
+    * Determinism discipline (NOTES finding #18): per-bucket ratios
+    * are rounded to 8dp and summed as exact DECIMALs (the per-bucket
+    * gram count multiplies a DECIMAL(10,0), keeping the product
+    * exact); the Gumbel noise is itself 8dp-rounded before the
+    * decimal add; ordering happens on the exact decimal key, and
+    * doubles appear only in the rounded output columns.
+    *
+    * Scale shape: ONE gram scan of the raw corpus collapses to the
+    * compact (doc_id, bucket, n) frame, persisted under an
+    * action-scoped [[CacheLease]] for its two consumers (bucket
+    * marginals + per-doc scoring); the ratio table is at most
+    * `buckets` rows — a parameter, not a corpus-scaled frame — and is
+    * explicitly broadcast; the final cut is orderBy+limit, which
+    * plans as TakeOrderedAndProject (per-partition partial top-k,
+    * `take` rows cross the exchange — no global sort). */
+  def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int, take: Int): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, wordNgramsNative, shingleHash32}
+    def docBuckets(df: DataFrame): DataFrame = {
+      val toks = tokens(col(textCol))
+      df.select(col(idCol).as("doc_id"),
+          explode(concat(toks, wordNgramsNative(toks, 2))).as("g"))
+        .withColumn("b", shingleHash32(col("g")) % buckets)
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+    }
+    val rawB = docBuckets(raw).persist()
+    val tgt = docBuckets(target).groupBy(col("b")).agg(sum(col("n")).as("ct"))
+    val rawC = rawB.groupBy(col("b")).agg(sum(col("n")).as("cr"))
+    // 1-row totals ride a broadcast literal-key join (the LmStats
+    // vocab pattern) — no eager driver action in the plan build.
+    val nt = tgt.agg(sum(col("ct")).as("nt")).withColumn("__k", lit(1))
+    val nr = rawC.agg(sum(col("cr")).as("nr")).withColumn("__k", lit(1))
+    val ratio = rawC.withColumn("__k", lit(1))
+      .join(tgt, Seq("b"), "left")
+      .join(broadcast(nt), Seq("__k"))
+      .join(broadcast(nr), Seq("__k"))
+      .select(col("b"),
+        round(
+          log((coalesce(col("ct"), lit(0L)) + lit(1)) / (col("nt") + lit(buckets))) -
+          log((col("cr") + lit(1)) / (col("nr") + lit(buckets))), 8)
+          .cast("decimal(20,8)").as("r"))
+    val weights = rawB
+      .join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n").cast("decimal(10,0)") * col("r")).as("w_dec"))
+    // Gumbel key: u in (0,1) from the md5-32 bucket (exactly
+    // representable, never 0 or 1), g = -ln(-ln u) rounded to 8dp.
+    // w_dec (the decimal(38,8) sum) is cast down to decimal(30,8)
+    // first: adding at precision 38 would push the result past
+    // Spark's 38-digit cap, and Spark resolves that by REDUCING THE
+    // SCALE to 7 — a silent 1e-8 round that DuckDB (which keeps
+    // scale under its cap) does not perform, flipping 6dp-boundary
+    // keys. |w| is bounded by grams-per-doc x max|ratio| << 1e22, so
+    // the downcast itself is exact.
+    val u = (shingleHash32(concat(lit("dsir-"), col("doc_id").cast("string")))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val keyed = weights.withColumn("k",
+      col("w_dec").cast("decimal(30,8)") +
+        round(-log(-log(u)), 8).cast("decimal(20,8)"))
+    val top = keyed.orderBy(col("k").desc, col("doc_id")).limit(take)
+    // Round the DECIMALs, THEN cast: decimal round is half-away-from-
+    // zero in both engines, and a 6dp decimal converts to double
+    // exactly (numerator < 2^53). Casting first would round twice —
+    // DuckDB converts scaled-int128 / 1e8 in floating point — and a
+    // scale-8 half-boundary then flips the 6dp round (observed: five
+    // sel_key rows off by exactly 1e-6 at sf0.01).
+    CacheLease.releaseAfterAction(
+      top.select(
+        row_number().over(Window.orderBy(col("k").desc, col("doc_id")))
+          .cast("int").as("rank"),
+        col("doc_id"),
+        round(col("w_dec"), 6).cast("double").as("importance"),
+        round(col("k"), 6).cast("double").as("sel_key"))
+    )(() => rawB.unpersist())
+  }
 }

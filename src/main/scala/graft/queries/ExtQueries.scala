@@ -134,6 +134,17 @@ object ExtQueries {
       "doc_id", "text", n = 3)
   }
 
+  /** DSIR-style selection over the q47 split: the every-97th-doc
+    * benchmark slice plays the target distribution, the rest is the
+    * raw pool being filtered toward it. */
+  def q71ImportanceResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    DataMix.importanceResample(
+      docs.where(col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0),
+      "doc_id", "text", buckets = 1024, take = 100)
+  }
+
   def q43Repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text", n = 3)
 
@@ -650,6 +661,37 @@ object ExtQueries {
        |FROM a$iters ax JOIN a$iters ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
        |JOIN e x ON x.vec_id = ax.vec_id JOIN e y ON y.vec_id = ay.vec_id
        |WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= $threshold""".stripMargin
+
+  /** DuckDB mirror of the DSIR importance resampling (q71): same
+    * unigram+bigram features, md5 bucket hash, smoothed bucket
+    * log-ratios (8dp-rounded DECIMAL terms — the q57 discipline),
+    * exact-decimal doc sums, md5-Gumbel keys, and the top-`take`
+    * draw. Ordering happens on the exact decimal key in both
+    * engines, so the cut can never flake on a rounding boundary. */
+  private def importanceResampleOracleSql(buckets: Int, take: Int): String =
+    s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |gr AS (SELECT doc_id, unnest(list_concat(t, CASE WHEN len(t) - 1 >= 1
+       |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+       |  ELSE [array_to_string(t, ' ')] END)) AS g FROM tk),
+       |bk AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % $buckets AS b FROM gr),
+       |db AS (SELECT doc_id, b, count(*) AS n FROM bk WHERE doc_id % 97 != 0 GROUP BY 1, 2),
+       |ct AS (SELECT b, count(*) AS ct FROM bk WHERE doc_id % 97 = 0 GROUP BY 1),
+       |cr AS (SELECT b, sum(n) AS cr FROM db GROUP BY 1),
+       |nt AS (SELECT coalesce(sum(ct), 0) AS nt FROM ct),
+       |nr AS (SELECT sum(cr) AS nr FROM cr),
+       |rt AS (SELECT cr.b,
+       |  CAST(round(ln((coalesce(ct.ct, 0) + 1) / (nt.nt + $buckets))
+       |           - ln((cr.cr + 1) / (nr.nr + $buckets)), 8) AS DECIMAL(20,8)) AS r
+       |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN nt CROSS JOIN nr),
+       |w AS (SELECT db.doc_id, sum(CAST(db.n AS DECIMAL(10,0)) * rt.r) AS w_dec
+       |  FROM db JOIN rt ON rt.b = db.b GROUP BY 1),
+       |kq AS (SELECT doc_id, w_dec,
+       |  w_dec + CAST(round(-ln(-ln(((('0x' || substr(md5('dsir-' || doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE + 0.5) / 4294967296.0)), 8) AS DECIMAL(20,8)) AS k
+       |  FROM w)
+       |SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS rank,
+       |  doc_id, CAST(round(w_dec, 6) AS DOUBLE) AS importance,
+       |  CAST(round(k, 6) AS DOUBLE) AS sel_key
+       |FROM kq ORDER BY k DESC, doc_id LIMIT $take""".stripMargin
 
   /** DuckDB mirror of the SemDeDup disposition (q70): the Lloyd's
     * chain, within-cell pairs, WITH-RECURSIVE transitive grouping
@@ -1382,6 +1424,12 @@ object ExtQueries {
     // quantizer, the recursive grouping, and the survivor pick.
     "q70_semantic_dedup" ->
       semanticDedupOracleSql(k = 8, dim = 64, iters = 2, threshold = 0.35),
+
+    // Same constants as q71ImportanceResample above — the SQL replays
+    // the bucket distributions, the decimal doc sums, and the Gumbel
+    // draw.
+    "q71_importance_resample" ->
+      importanceResampleOracleSql(buckets = 1024, take = 100),
 
     // Same constants as q45KnnIvf above.
     "q45_knn_ivf" ->

@@ -90,4 +90,28 @@ class DataMixSpec extends AnyFunSuite {
       .as[Long].head() == 100L)
     assert(out.select("shard").distinct().count() == 4)
   }
+
+  test("importanceResample prefers target-profile docs, deterministic, no replacement") {
+    // Raw pool: 20 docs speaking the target's vocabulary, 20 speaking
+    // an alien one. Target: 5 docs of the first vocabulary.
+    val likeTarget = "the quick brown fox jumps over the lazy dog"
+    val alien = "zx qv wm kj pq rs tu vw xy zz"
+    val raw = ((0L until 20L).map(i => (i, likeTarget)) ++
+      (20L until 40L).map(i => (i, alien))).toDF("doc_id", "text")
+    val target = (100L until 105L).map(i => (i, likeTarget)).toDF("doc_id", "text")
+    def run() = DataMix.importanceResample(raw, target, "doc_id", "text",
+      buckets = 256, take = 10)
+      .select("rank", "doc_id", "importance", "sel_key")
+      .as[(Int, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    val out = run()
+    assert(out.map(_._1) == (1 to 10), "ranks are contiguous from 1")
+    assert(out.map(_._2).distinct.size == 10, "drawn without replacement")
+    // Gumbel noise can reorder near-ties, but the importance gap
+    // between vocabularies is large: every selected doc is target-like.
+    assert(out.forall(_._2 < 20L),
+      s"selection must prefer target-profile docs, got ${out.map(_._2)}")
+    assert(run() == out, "the draw is deterministic")
+    // sel_key = importance + Gumbel, monotone non-increasing in rank.
+    assert(out.map(_._4) == out.map(_._4).sorted.reverse)
+  }
 }
