@@ -74,6 +74,7 @@ object SparkEntry {
     "q64_token_budget_mix"  -> (ExtQueries.q64TokenBudgetMix(_, _)),
     "q49_pack_sequences"    -> (ExtQueries.q49PackSequences(_, _)),
     "q54_pack_contents"     -> (ExtQueries.q54PackContents(_, _)),
+    "q72_shard_manifest"    -> (ExtQueries.q72ShardManifest(_, _)),
     "q57_ngram_lm"          -> (ExtQueries.q57NgramLm(_, _)),
     "q59_ngram_lm_heldout"  -> (ExtQueries.q59NgramLmHeldout(_, _)),
     "q50_chunk_documents"   -> (ExtQueries.q50ChunkDocuments(_, _)),

@@ -134,6 +134,23 @@ object DataMix {
             x => x.getField("t")),
           "\n").as("packed_text"))
 
+  /** Writer-side shard manifest over a packed corpus
+    * ([[packSequenceContents]] output): one row per output shard with
+    * bin/doc/token totals and an order-invariant content checksum
+    * (exact long sum of per-bin packed-text hashes) — the record a
+    * distributed write job publishes so downstream loaders can
+    * validate shards without re-reading the text. One map pass over
+    * bins into a shards-row aggregate; the checksum is a sum, so it
+    * is independent of task/partition order by construction. */
+  def shardManifest(packed: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.shingleHash32
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        sum(shingleHash32(col("packed_text"))).as("checksum"))
+  }
+
   /** DSIR-style importance resampling (public technique: Xie et al.
     * 2023, "Data Selection for Language Models via Importance
     * Resampling"): select raw documents whose hashed-n-gram profile

@@ -64,6 +64,18 @@ object ExtQueries {
       "doc_id", "n_tokens", "text", budget = 4096L, shards = 8)
   }
 
+  /** Writer-side manifest over q54's packed shards: per-shard bin/doc/
+    * token totals plus the order-invariant packed-text checksum — the
+    * validation record the final write stage of a training-data run
+    * publishes. */
+  def q72ShardManifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    DataMix.shardManifest(DataMix.packSequenceContents(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", "text", budget = 4096L, shards = 8))
+  }
+
   /** Token-budget data mix: fill per-language token budgets (en 2000,
     * es 1500, others 1000) in the deterministic md5 order — the
     * tokens-per-domain form real pretraining mixes are specified in
@@ -1046,6 +1058,25 @@ object ExtQueries {
          | string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids,
          | string_agg(text, chr(10) ORDER BY doc_id) AS packed_text
          |FROM p GROUP BY shard, CAST(floor(prefix / 4096) AS BIGINT)""".stripMargin,
+
+    // q54's packing chain aggregated per shard; the checksum re-derives
+    // the md5-prefix hash of each bin's packed_text in SQL.
+    "q72_shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+         |s AS (SELECT doc_id, text, n_tokens, CAST(doc_id % 8 AS INT) AS shard FROM t),
+         |p AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix FROM s),
+         |pk AS (SELECT shard, CAST(floor(prefix / 4096) AS BIGINT) AS bin,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  string_agg(text, chr(10) ORDER BY doc_id) AS packed_text
+         | FROM p GROUP BY shard, CAST(floor(prefix / 4096) AS BIGINT))
+         |SELECT shard, count(*) AS n_bins,
+         | CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         | CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+         | CAST(sum(('0x' || substr(md5(packed_text), 1, 8))::BIGINT) AS BIGINT) AS checksum
+         |FROM pk GROUP BY shard""".stripMargin,
 
     // Same tokenization as the Spark side; inner joins are equivalent
     // to the operator's left joins under self-scoring (every bigram

@@ -91,6 +91,22 @@ class DataMixSpec extends AnyFunSuite {
     assert(out.select("shard").distinct().count() == 4)
   }
 
+  test("shardManifest totals match the packed frame; checksum ignores partition order") {
+    val docs = (0L until 40L).map(i => (i, s"doc number $i words", 4L))
+      .toDF("doc_id", "text", "n_tokens")
+    val packed = DataMix.packSequenceContents(docs, "doc_id", "n_tokens", "text",
+      budget = 10L, shards = 4)
+    def manifest(p: org.apache.spark.sql.DataFrame) =
+      DataMix.shardManifest(p)
+        .select("shard", "n_bins", "n_docs", "total_tokens", "checksum")
+        .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val m = manifest(packed)
+    assert(m.map(_._3).sum == 40L, "doc totals cover every input doc")
+    assert(m.map(_._4).sum == 160L, "token totals cover every input token")
+    assert(manifest(packed.repartition(7)) == m,
+      "the sum-of-hashes checksum is independent of partitioning")
+  }
+
   test("importanceResample prefers target-profile docs, deterministic, no replacement") {
     // Raw pool: 20 docs speaking the target's vocabulary, 20 speaking
     // an alien one. Target: 5 docs of the first vocabulary.
