@@ -178,24 +178,49 @@ object DataMix {
     * explicitly broadcast; the final cut is orderBy+limit, which
     * plans as TakeOrderedAndProject (per-partition partial top-k,
     * `take` rows cross the exchange — no global sort). */
-  def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int, take: Int): DataFrame = {
-    import graft.functions.TextFunctions.{tokens, wordNgramsNative, shingleHash32}
-    def docBuckets(df: DataFrame): DataFrame = {
-      val toks = tokens(col(textCol))
-      df.select(col(idCol).as("doc_id"),
-          explode(concat(toks, wordNgramsNative(toks, 2))).as("g"))
-        .withColumn("b", shingleHash32(col("g")) % buckets)
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+  /** Batch-trained importance distributions ([[importanceResample]]'s
+    * per-bucket smoothed log-ratios) — at most `buckets` rows. The
+    * caller owns the cache lifecycle, like
+    * [[graft.operators.TextAnalysis.LmStats]]: persist before reuse
+    * across scoring calls (or across micro-batches of the streaming
+    * twin, [[graft.streaming.StreamImportance]]), unpersist when done. */
+  final case class ImportanceStats(ratio: DataFrame, buckets: Int) {
+    def persist(): this.type = { ratio.persist(); this }
+    def unpersist(blocking: Boolean = false): this.type = {
+      ratio.unpersist(blocking); this
     }
-    val rawB = docBuckets(raw).persist()
-    val tgt = docBuckets(target).groupBy(col("b")).agg(sum(col("n")).as("ct"))
+  }
+
+  /** md5 feature-hash bucket of a gram (shared by the batch operator
+    * and the streaming twin — ONE feature definition). */
+  private[graft] def gramBucket(g: Column, buckets: Int): Column = {
+    import graft.functions.TextFunctions.shingleHash32
+    shingleHash32(g) % buckets
+  }
+
+  /** (doc_id, bucket, n) profile of a document frame under the
+    * unigram+bigram feature hash. */
+  private def docBuckets(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, wordNgramsNative}
+    val toks = tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"),
+        explode(concat(toks, wordNgramsNative(toks, 2))).as("g"))
+      .withColumn("b", gramBucket(col("g"), buckets))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-bucket add-one-smoothed log-ratio `ln p_target - ln p_raw`
+    * from the two bucket profiles, 8dp-rounded into exact DECIMALs. */
+  private def bucketRatios(rawB: DataFrame, tgtB: DataFrame,
+      buckets: Int): DataFrame = {
+    val tgt = tgtB.groupBy(col("b")).agg(sum(col("n")).as("ct"))
     val rawC = rawB.groupBy(col("b")).agg(sum(col("n")).as("cr"))
     // 1-row totals ride a broadcast literal-key join (the LmStats
     // vocab pattern) — no eager driver action in the plan build.
     val nt = tgt.agg(sum(col("ct")).as("nt")).withColumn("__k", lit(1))
     val nr = rawC.agg(sum(col("cr")).as("nr")).withColumn("__k", lit(1))
-    val ratio = rawC.withColumn("__k", lit(1))
+    rawC.withColumn("__k", lit(1))
       .join(tgt, Seq("b"), "left")
       .join(broadcast(nt), Seq("__k"))
       .join(broadcast(nr), Seq("__k"))
@@ -204,6 +229,26 @@ object DataMix {
           log((coalesce(col("ct"), lit(0L)) + lit(1)) / (col("nt") + lit(buckets))) -
           log((col("cr") + lit(1)) / (col("nr") + lit(buckets))), 8)
           .cast("decimal(20,8)").as("r"))
+  }
+
+  /** Train [[ImportanceStats]] for stream-side scoring: buckets seen
+    * in the raw pool carry their smoothed target/raw log-ratio.
+    * (Grams hashing to a bucket the raw pool never produced carry no
+    * trained ratio and score zero in the streaming twin.) */
+  def importanceTrain(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int): ImportanceStats =
+    ImportanceStats(
+      bucketRatios(
+        docBuckets(raw, idCol, textCol, buckets),
+        docBuckets(target, idCol, textCol, buckets), buckets),
+      buckets)
+
+  def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int, take: Int): DataFrame = {
+    import graft.functions.TextFunctions.shingleHash32
+    val rawB = docBuckets(raw, idCol, textCol, buckets).persist()
+    val ratio = bucketRatios(rawB, docBuckets(target, idCol, textCol, buckets),
+      buckets)
     val weights = rawB
       .join(broadcast(ratio), "b")
       .groupBy(col("doc_id"))

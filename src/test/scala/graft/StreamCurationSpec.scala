@@ -93,6 +93,45 @@ class StreamCurationSpec extends AnyFunSuite {
     } finally { q.stop(); stats.unpersist() }
   }
 
+  test("importance scoring: stream scored against batch-trained ratios == batch operator") {
+    implicit val sc = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[LmDoc]
+    // Train on the full doc set as raw, doc 2 as target, then stream
+    // the SAME raw docs — every bucket is trained, so scores must
+    // equal the batch operator's importance column exactly.
+    val raw = docs.toDF()
+    val target = docs.filter(_.doc_id == 2L).toDF()
+    val stats = DataMix.importanceTrain(raw, target, "doc_id", "text",
+      buckets = 256).persist()
+    val scored = StreamImportance.score(mem.toDF(), stats, "doc_id", "text",
+      "ts", delay = "5 seconds", windowDur = "1 minute")
+    val q = scored.writeStream
+      .format("memory").queryName("stream_importance")
+      .outputMode("append")
+      .option("checkpointLocation", s"${TestSpark.tmpDir("simp")}/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(docs.map(d => LmDoc(d.doc_id, t("2024-01-01 00:00:10"), d.text)): _*)
+      q.processAllAvailable()
+      mem.addData(LmDoc(99L, t("2024-01-01 00:30:00"), "late watermark sentinel"))
+      q.processAllAvailable()
+      mem.addData(LmDoc(98L, t("2024-01-01 00:31:00"), "second sentinel"))
+      q.processAllAvailable()
+      val streaming = spark.sql(
+        "SELECT doc_id, importance FROM stream_importance WHERE doc_id < 90")
+        .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+      val batch = DataMix.importanceResample(raw, target, "doc_id", "text",
+        buckets = 256, take = docs.size)
+        .select("doc_id", "importance")
+        .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+      assert(streaming == batch,
+        "streaming importance must equal the batch operator's, row for row")
+      assert(streaming.size == docs.size, "every on-time document must emit")
+    } finally { q.stop(); stats.unpersist() }
+  }
+
   test("decontamination: stream screened against static benchmark == batch operator") {
     implicit val sc = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s)
