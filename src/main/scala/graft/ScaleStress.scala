@@ -144,6 +144,28 @@ object ScaleStress {
         val cen = operators.VectorSim.kmeansCentroids(corpus, k = 1024, iters = 2)
         operators.VectorSim.kmeansAssignments(corpus, cen)
       }
+      // Semantic dedup (q70) at a dup-dense 55k: the 50k corpus plus
+      // 5k exact-duplicate replicas (distinct ids). k=256 keeps mean
+      // cell population ~215, so candidate scoring is ~6M pairs — the
+      // within-cell equi-join shape; grouping + survivor pick ride the
+      // same hybrid CC and struct-min as text dedup.
+      time("semantic dedup k=256 (5k dups)") {
+        val dups = corpus.where(col("vec_id") < 5000)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        operators.VectorSim.semanticDedup(corpus.unionByName(dups),
+          k = 256, iters = 2, threshold = 0.999)
+      }
+    }
+
+    // DSIR importance resampling (q71) over the 10x text corpus: two
+    // gram scans (target + raw) collapse to compact bucket profiles;
+    // the ratio table stays `buckets` rows regardless of corpus size;
+    // selection is a TakeOrderedAndProject top-k.
+    time("importance resample (10x corpus)") {
+      operators.DataMix.importanceResample(
+        big.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        big.where(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", buckets = 65536, take = 1000)
     }
 
     // End-to-end weekly cadence (VERDICT r04 item 8): init on 90% of
