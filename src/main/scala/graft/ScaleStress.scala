@@ -144,6 +144,17 @@ object ScaleStress {
         val cen = operators.VectorSim.kmeansCentroids(corpus, k = 1024, iters = 2)
         operators.VectorSim.kmeansAssignments(corpus, cen)
       }
+      // PQ (q73) at 50k: train 8x16 codebooks, encode the corpus, ADC
+      // top-10 for 100 queries. Per scored pair: 8 table lookups
+      // instead of 64 multiplies; the scored frame is still
+      // |queries| x |corpus| rows — pair IVF cells with PQ codes to cut
+      // that (the standard IVF-ADC composition; both halves are here).
+      time("pq train+encode+search (50k)") {
+        val m = operators.VectorSim.pqTrain(corpus, dim = 64, subspaces = 8,
+          k = 16, iters = 2)
+        operators.VectorSim.pqSearch(corpus.where(col("vec_id") < 100),
+          corpus, m, k = 10)
+      }
       // Semantic dedup (q70) at a dup-dense 55k: the 50k corpus plus
       // 5k exact-duplicate replicas (distinct ids). k=256 keeps mean
       // cell population ~215, so candidate scoring is ~6M pairs — the

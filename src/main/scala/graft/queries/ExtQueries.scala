@@ -468,6 +468,16 @@ object ExtQueries {
       kClusters = 8, iters = 2, nprobe = 2)
   }
 
+  /** PQ ADC search: 8x16 codebooks trained on the corpus, queries
+    * scored against 8-code encodings via per-subspace lookup tables —
+    * the FAISS-style compressed-corpus ANN path beside IVF (q45) and
+    * hyperplane LSH (q26). */
+  def q73PqSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val m = VectorSim.pqTrain(emb, dim = 64, subspaces = 8, k = 16, iters = 2)
+    VectorSim.pqSearch(emb.where(col("vec_id") < 5), emb, m, k = 5)
+  }
+
   def q25KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     VectorSim.knnBruteForce(emb.where(col("vec_id") < 5), emb, k = 5)
@@ -751,6 +761,71 @@ object ExtQueries {
        |SELECT g.vec_id, g.cluster, g.group_id, g.cos_centroid,
        |  CAST(g.vec_id = sv.surv_id AS INT) AS keep
        |FROM g JOIN sv ON sv.group_id = g.group_id""".stripMargin
+  }
+
+  /** DuckDB mirror of the PQ ADC search (q73): an independent Lloyd's
+    * chain per subspace over the SLICED embeddings (same md5-sampled
+    * init rows as the full-dim chains), codes = the final assignment
+    * CTE per subspace, lookup-table entries as 8dp DECIMALs in the
+    * exact Spark operation order `(qq - 2*qc) + cc`, decimal distance
+    * sums, and the `adist ASC, vec_id` top-k. */
+  private def pqSearchOracleSql(dim: Int, subspaces: Int, kw: Int,
+      iters: Int, topK: Int, queryPred: String): String = {
+    val dsub = dim / subspaces
+    def assign(s: Int, name: String, cen: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, list_indexof(l, list_min(l)) - 1 AS cluster FROM (
+         |    SELECT x.vec_id,
+         |      list(round(x.xx - 2*list_sum([x.emb[i+1]*n.w[i+1] for i in range(0,$dsub)])
+         |                 + list_sum([n.w[i+1]*n.w[i+1] for i in range(0,$dsub)]), 6)
+         |           ORDER BY n.c) AS l
+         |    FROM xx$s x CROSS JOIN $cen n GROUP BY x.vec_id))""".stripMargin
+    def update(s: Int, name: String, prevCen: String, prevAssign: String): String =
+      s"""$name AS (
+         |  SELECT o.c, coalesce(nw.w, o.w) AS w FROM $prevCen o LEFT JOIN (
+         |    SELECT cluster AS c, list(m ORDER BY d) AS w FROM (
+         |      SELECT a.cluster, dd.d, sum(e2.emb[dd.d+1]) / count(*) AS m
+         |      FROM $prevAssign a JOIN e$s e2 USING (vec_id) CROSS JOIN range(0,$dsub) dd(d)
+         |      GROUP BY a.cluster, dd.d) GROUP BY cluster) nw ON nw.c = o.c)""".stripMargin
+    val chains = (0 until subspaces).map { s =>
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      val rounds = (1 to iters).flatMap(t => Seq(
+        update(s, s"cen${t}_$s", s"cen${t - 1}_$s", s"a${t - 1}_$s"),
+        assign(s, s"a${t}_$s", s"cen${t}_$s")))
+      (Seq(
+        s"e$s AS (SELECT vec_id, (embedding::DOUBLE[])[$lo:$hi] AS emb FROM embeddings)",
+        s"""cen0_$s AS (
+           |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c, emb AS w
+           |  FROM e$s ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $kw)""".stripMargin,
+        s"""xx$s AS (SELECT vec_id, emb,
+           |  list_sum([emb[i+1]*emb[i+1] for i in range(0,$dsub)]) AS xx FROM e$s)""".stripMargin,
+        assign(s, s"a0_$s", s"cen0_$s")) ++ rounds).mkString(",\n")
+    }.mkString(",\n")
+    val codesUnion = (0 until subspaces)
+      .map(s => s"SELECT vec_id, $s AS s, cluster AS c FROM a${iters}_$s")
+      .mkString(" UNION ALL ")
+    val lutUnion = (0 until subspaces).map { s =>
+      s"""SELECT q.vec_id AS q_id, $s AS s, n.c,
+         |  CAST(round(list_sum([q.emb[i+1]*q.emb[i+1] for i in range(0,$dsub)])
+         |     - 2*list_sum([q.emb[i+1]*n.w[i+1] for i in range(0,$dsub)])
+         |     + list_sum([n.w[i+1]*n.w[i+1] for i in range(0,$dsub)]), 8) AS DECIMAL(20,8)) AS t
+         |FROM e$s q CROSS JOIN cen${iters}_$s n WHERE q.$queryPred""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH $chains,
+       |codes AS ($codesUnion),
+       |lut AS ($lutUnion),
+       |sc AS (
+       |  SELECT lut.q_id, codes.vec_id,
+       |    CAST(round(sum(lut.t), 6) AS DOUBLE) AS adist
+       |  FROM codes JOIN lut ON lut.s = codes.s AND lut.c = codes.c
+       |  WHERE lut.q_id != codes.vec_id
+       |  GROUP BY lut.q_id, codes.vec_id)
+       |SELECT * FROM (
+       |  SELECT q_id AS query_id, vec_id AS neighbor_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY adist, vec_id) AS INT) AS rank
+       |  FROM sc)
+       |WHERE rank <= $topK""".stripMargin
   }
 
   /** DuckDB mirror of the IVF ANN search (q45): same Lloyd's chain,
@@ -1461,6 +1536,12 @@ object ExtQueries {
     // draw.
     "q71_importance_resample" ->
       importanceResampleOracleSql(buckets = 1024, take = 100),
+
+    // Same constants as q73PqSearch above — the SQL re-runs all eight
+    // subspace Lloyd's chains, the encoding, and the ADC ranking.
+    "q73_pq_search" ->
+      pqSearchOracleSql(dim = 64, subspaces = 8, kw = 16, iters = 2,
+        topK = 5, queryPred = "vec_id < 5"),
 
     // Same constants as q45KnnIvf above.
     "q45_knn_ivf" ->

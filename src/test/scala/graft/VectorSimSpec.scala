@@ -234,6 +234,56 @@ class VectorSimSpec extends AnyFunSuite {
     assert(buckets() == buckets())
   }
 
+  test("pqSearch: exact distances when codewords capture the corpus") {
+    // 4 distinct vectors, k=4 codewords per subspace: training
+    // converges every codeword onto a vector, so ADC distance equals
+    // the true squared L2 for every pair.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f, 2f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 3f, 0f, 0f, 0f, 1f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 2f, 0f, 0f, 0f, 4f, 0f)),
+      (3L, Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 3f)))
+    val e = emb(vecs.map { case (i, v) => (i, v, 0) }: _*)
+    val m = VectorSim.pqTrain(e, dim = 8, subspaces = 2, k = 4, iters = 2)
+    val out = VectorSim.pqSearch(e, e, m, k = 3)
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 4 * 3, "every query ranks all other vectors")
+    val byId = vecs.toMap
+    out.foreach { case (q, n, adist) =>
+      val (a, b) = (byId(q), byId(n))
+      val l2 = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum.toDouble
+      assert(math.abs(adist - l2) < 1e-6,
+        s"ADC($q,$n)=$adist must equal true squared L2 $l2")
+    }
+  }
+
+  test("pqSearch recall on clustered vectors; deterministic") {
+    val rnd = new scala.util.Random(31)
+    val centers = Seq.fill(3)(Seq.fill(16)(rnd.nextGaussian().toFloat * 3))
+    val e = emb((0L until 60L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f), 0)
+    }: _*)
+    val queries = e.where($"vec_id" < 3)
+    val m = VectorSim.pqTrain(e, dim = 16, subspaces = 4, k = 8, iters = 2)
+    def run() = VectorSim.pqSearch(queries, e, m, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(t => (t._1, t._3))
+    val pq = run()
+    assert(run() == pq, "PQ search is deterministic")
+    // Brute-force squared-L2 top-5 per query (cosine ranking differs;
+    // compute L2 directly from the fixture).
+    val all = e.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val bruteTop = (0L until 3L).flatMap { q =>
+      all.keys.filter(_ != q).toSeq
+        .sortBy(n => (all(q).zip(all(n)).map { case (x, y) => (x - y) * (x - y) }.sum, n))
+        .take(5).map(n => (q, n))
+    }.toSet
+    val recall = (pq.map(t => (t._1, t._2)).toSet intersect bruteTop).size.toDouble / bruteTop.size
+    assert(recall >= 0.6, s"PQ recall@5 too low on well-clustered data: $recall")
+  }
+
   test("semanticDedup: one disposition row per vector, one survivor per group") {
     // Two tight planted duplicate bundles + isolated singletons.
     val rnd = new scala.util.Random(11)
