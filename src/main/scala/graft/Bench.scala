@@ -36,8 +36,16 @@ object Bench {
     // otherwise read as a speedup). Failed queries report err and are
     // EXCLUDED from the total so the headline number never improves by
     // breaking.
+    // When the post-catalog calibration probe drifts more than 1.5x
+    // over the pre-catalog probe, the box got loaded mid-run and the
+    // record is distorted (r05: probe 0.19->0.36 s flagged q58 at
+    // 15.5 s that reproduced at 3.7 s on a quiet box). Close the loop:
+    // auto-rerun the whole catalog once, min-merge with the first
+    // pass, and mark the record "rerun":true — BENCH_r{N}.json is then
+    // either clean (drift < 1.5x) or explicitly marked.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val driftLimit = sys.env.getOrElse("SPARK_GRAFT_DRIFT_LIMIT", "1.5").toDouble
     // Fixed synthetic probe — a constant-size hash+aggregate with no file
     // I/O — timed before / midway / after the catalog. Its drift across
     // the run, together with /proc/loadavg, lets any reader normalize a
@@ -61,35 +69,60 @@ object Bench {
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     var calMid = -1.0
-    val results = entries.zipWithIndex.map { case ((name, fn), idx) =>
-      val runs = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val err = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          None
-        } catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    def runCatalog(markMid: Boolean): Seq[(String, Double, Option[String])] =
+      entries.zipWithIndex.map { case ((name, fn), idx) =>
+        val runs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val err = try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            None
+          } catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          }
+          // The measured region ends HERE: cache/GC hygiene below is
+          // inter-query cleanup, not query work (ADVICE r04 — the old
+          // placement taxed every rep with a forced full-GC pause that
+          // min-of-reps could not filter).
+          val dt = (System.nanoTime() - t0) / 1e9
+          // A lease whose identity match never fired (armed on a frame
+          // the noop write re-analyzed into a copy) would leak its
+          // persisted intermediate across the rest of the catalog —
+          // reclaim explicitly at the rep boundary.
+          graft.operators.CacheLease.releaseAll()
+          spark.catalog.clearCache()
+          // localCheckpoint blocks (iterative operators) are RDD-level
+          // storage that clearCache does not drop; they free only when
+          // the async ContextCleaner sees the RDD object collected.
+          // Forcing a GC between queries releases them NOW, so late
+          // catalog entries aren't taxed by the accumulated blocks of
+          // 50 earlier queries (q53 measured 12-20 s in-catalog vs 7 s
+          // isolated before this, on the same box).
+          System.gc()
+          (dt, err)
         }
-        // The measured region ends HERE: cache/GC hygiene below is
-        // inter-query cleanup, not query work (ADVICE r04 — the old
-        // placement taxed every rep with a forced full-GC pause that
-        // min-of-reps could not filter).
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        // localCheckpoint blocks (iterative operators) are RDD-level
-        // storage that clearCache does not drop; they free only when
-        // the async ContextCleaner sees the RDD object collected.
-        // Forcing a GC between queries releases them NOW, so late
-        // catalog entries aren't taxed by the accumulated blocks of
-        // 50 earlier queries (q53 measured 12-20 s in-catalog vs 7 s
-        // isolated before this, on the same box).
-        System.gc()
-        (dt, err)
+        if (markMid && idx == entries.size / 2) calMid = calibrationProbe()
+        (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
       }
-      if (idx == entries.size / 2) calMid = calibrationProbe()
-      (name, runs.map(_._1).min, runs.flatMap(_._2).headOption)
-    }
-    val calPost = calibrationProbe()
+    val firstPass = runCatalog(markMid = true)
+    var calPost = calibrationProbe()
+    // Drift gate: distorted first pass -> one full catalog re-run,
+    // min-merged (an error clears if the rerun succeeds; a min time
+    // only improves). Exactly one rerun — no unbounded retry on a
+    // persistently loaded box, the mark tells the reader.
+    val drifted = calPre > 0 && calPost / calPre > driftLimit
+    val results =
+      if (!drifted) firstPass
+      else {
+        System.err.println(
+          f"[bench] calibration drift ${calPost / calPre}%.2fx > $driftLimit; re-running catalog once")
+        val second = runCatalog(markMid = false)
+        calPost = calibrationProbe()
+        firstPass.zip(second).map { case ((n1, t1, e1), (_, t2, e2)) =>
+          if (e1.isDefined && e2.isEmpty) (n1, t2, None)
+          else if (e2.isDefined && e1.isEmpty) (n1, t1, None)
+          else (n1, math.min(t1, t2), e1.orElse(e2))
+        }
+      }
     val loadPost = loadavg()
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -103,7 +136,7 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val cal = s"""{"pre":$calPre,"mid":$calMid,"post":$calPost}"""
+    val cal = s"""{"pre":$calPre,"mid":$calMid,"post":$calPost,"rerun":$drifted}"""
     val load = s"""{"pre":${loadPre.mkString("[", ",", "]")},"post":${loadPost.mkString("[", ",", "]")}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"calibration":$cal,"loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()

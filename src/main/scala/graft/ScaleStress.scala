@@ -219,7 +219,7 @@ object ScaleStress {
     // as one reference object).
     {
       import operators.BpeTrainer
-      val wf = BpeTrainer.wordFrequencies(big, "doc_id", "text").persist()
+      val wf = BpeTrainer.wordFrequencies(big, "text").persist()
       var t0 = System.nanoTime()
       val nWords = wf.count()
       println(f"bpe word-frequency aggregate ${(System.nanoTime() - t0) / 1e9}%7.1f s ($nWords distinct words)")

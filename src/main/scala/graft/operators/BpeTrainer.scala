@@ -44,8 +44,9 @@ object BpeTrainer {
     round: Int, pair: String, merged: String, nOccurrences: Long)
 
   /** Corpus-scale word-frequency aggregate — the only pass whose cost
-    * scales with the corpus. */
-  def wordFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * scales with the corpus. Frequencies are occurrence-weighted (one
+    * count per token occurrence), not per-document-distinct. */
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token"))

@@ -29,10 +29,47 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object CacheLease {
 
+  /** Armed-but-unfired leases, so a lease whose identity match never
+    * fires (e.g. a future analyzer starts copying already-analyzed
+    * subtrees) is observable and reclaimable instead of a silent
+    * session-long cache leak. */
+  private val pending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[PendingLease]()
+
+  private final case class PendingLease(
+      session: org.apache.spark.sql.SparkSession,
+      listener: QueryExecutionListener,
+      release: () => Unit)
+
+  /** Number of leases armed but not yet fired — a steadily growing
+    * value across a bench run means identity matching has stopped
+    * working and [[releaseAll]] should run between reps. */
+  def pendingCount: Int = pending.size()
+
+  /** Fallback cleanup hook: fire every still-pending lease's release
+    * and unregister its listener. Safe to call at any quiesce point
+    * (suite close, bench rep boundary); releases are unpersist calls,
+    * idempotent if a racing in-flight action fires the same lease.
+    * Returns how many leases were reclaimed. */
+  def releaseAll(): Int = {
+    var n = 0
+    val it = pending.iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (pending.remove(p)) {
+        try p.release() catch { case _: Throwable => () }
+        p.session.listenerManager.unregister(p.listener)
+        n += 1
+      }
+    }
+    n
+  }
+
   /** Return `result` with `release` armed to run after the first
     * driver action that executes it (success or failure). If the
     * caller never acts on the frame, the listener stays registered but
-    * idle — bounded, and gone with the session.
+    * idle — bounded, observable via [[pendingCount]], and reclaimable
+    * via [[releaseAll]].
     *
     * Matching is by node IDENTITY (`eq`), not `sameResult`: listener
     * delivery is asynchronous, and semantic plan equality would let a
@@ -57,6 +94,7 @@ object CacheLease {
         if (hit && done.compareAndSet(false, true)) {
           release()
           session.listenerManager.unregister(this)
+          pending.removeIf(p => p.listener eq this)
         }
       }
       override def onSuccess(funcName: String, qe: QueryExecution,
@@ -64,6 +102,7 @@ object CacheLease {
       override def onFailure(funcName: String, qe: QueryExecution,
           exception: Exception): Unit = fire(qe)
     }
+    pending.add(PendingLease(session, listener, release))
     session.listenerManager.register(listener)
     result
   }

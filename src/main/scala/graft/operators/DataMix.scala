@@ -218,7 +218,10 @@ object DataMix {
     val rawC = rawB.groupBy(col("b")).agg(sum(col("n")).as("cr"))
     // 1-row totals ride a broadcast literal-key join (the LmStats
     // vocab pattern) — no eager driver action in the plan build.
-    val nt = tgt.agg(sum(col("ct")).as("nt")).withColumn("__k", lit(1))
+    // coalesce to 0 so an empty target frame matches the oracle's
+    // coalesce(sum(ct), 0) — real smoothed ratios, not null keys.
+    val nt = tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+      .withColumn("__k", lit(1))
     val nr = rawC.agg(sum(col("cr")).as("nr")).withColumn("__k", lit(1))
     rawC.withColumn("__k", lit(1))
       .join(tgt, Seq("b"), "left")

@@ -348,7 +348,7 @@ object ExtQueries {
     // default floor of 2 would refuse a count-1 pair the SQL replay
     // happily learns (a data-dependent mismatch on sparse corpora).
     val merges = BpeTrainer.train(
-      BpeTrainer.wordFrequencies(Tables.documents(s, dir), "doc_id", "text"),
+      BpeTrainer.wordFrequencies(Tables.documents(s, dir), "text"),
       maxMerges = 3, minCount = 1L)
     s.createDataFrame(merges.map(m =>
         (m.round, m.pair, m.merged, m.nOccurrences)))
@@ -427,7 +427,7 @@ object ExtQueries {
     import graft.operators.BpeTrainer
     val docs = Tables.documents(s, dir)
     val merges = BpeTrainer.train(
-      BpeTrainer.wordFrequencies(docs, "doc_id", "text"),
+      BpeTrainer.wordFrequencies(docs, "text"),
       maxMerges = 3, minCount = 1L) // floorless like the oracle (see q65)
     topKByCount(
       docs.select(explode(tokens(col("text"))).as("token"))

@@ -38,7 +38,7 @@ class BpeTrainerSpec extends AnyFunSuite {
     // r2: (lo,w)=3, (w,e)=1, (e,r)=1 -> merge "lo w".
     // r3: (low,e)=1, (e,r)=1 -> tie at 1, pair asc -> "e r".
     val docs = Seq((1L, "lo lo lo low low lower")).toDF("doc_id", "text")
-    val wf = BpeTrainer.wordFrequencies(docs, "doc_id", "text")
+    val wf = BpeTrainer.wordFrequencies(docs, "text")
     val merges = BpeTrainer.train(wf, maxMerges = 3, minCount = 1L)
     assert(merges.map(m => (m.round, m.pair, m.merged, m.nOccurrences)) == Seq(
       (1, "l o", "lo", 6L), (2, "lo w", "low", 3L), (3, "e r", "er", 1L)))
@@ -46,7 +46,7 @@ class BpeTrainerSpec extends AnyFunSuite {
 
   test("minCount stops the loop; merged-out words stop contributing pairs") {
     val docs = Seq((1L, "ab ab ab c")).toDF("doc_id", "text")
-    val wf = BpeTrainer.wordFrequencies(docs, "doc_id", "text")
+    val wf = BpeTrainer.wordFrequencies(docs, "text")
     // r1 merges (a,b)=3; then every word is a single symbol -> no pairs.
     val merges = BpeTrainer.train(wf, maxMerges = 10)
     assert(merges.map(_.pair) == Seq("a b"))
@@ -58,7 +58,7 @@ class BpeTrainerSpec extends AnyFunSuite {
       (2L, "the quicker brown foxes jumped over lazy dogs today"),
       (3L, "pack my box with five dozen liquor jugs again"),
       (4L, "the the the quick quick brown")).toDF("doc_id", "text")
-    val wf = BpeTrainer.wordFrequencies(docs, "doc_id", "text").persist()
+    val wf = BpeTrainer.wordFrequencies(docs, "text").persist()
     try {
       val words = wf.select($"token", $"freq".cast("long"))
         .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -81,7 +81,7 @@ class BpeTrainerSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, s"a$emoji a$emoji"),
       (2L, s"a$priv a$priv")).toDF("doc_id", "text")
-    val wf = BpeTrainer.wordFrequencies(docs, "doc_id", "text").persist()
+    val wf = BpeTrainer.wordFrequencies(docs, "text").persist()
     try {
       val words = wf.select($"token", $"freq".cast("long"))
         .collect().map(r => (r.getString(0), r.getLong(1)))

