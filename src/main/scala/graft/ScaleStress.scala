@@ -155,6 +155,22 @@ object ScaleStress {
         operators.VectorSim.pqSearch(corpus.where(col("vec_id") < 100),
           corpus, m, k = 10)
       }
+      // IVFADC (q74) at 50k: the same PQ model under coarse pruning.
+      // The scored-pair frame drops from |q| x 50k to
+      // ~|q| x (nprobe/64) x 50k; the nprobe=4 vs nprobe=16 rows pin
+      // that runtime tracks the probe fraction (VERDICT r05 item 2
+      // done-criterion) — both pay the same fixed train+encode cost,
+      // so the delta isolates the pruned ADC scan.
+      locally {
+        val m = operators.VectorSim.pqTrain(corpus, dim = 64, subspaces = 8,
+          k = 16, iters = 2)
+        val qs = corpus.where(col("vec_id") < 100)
+        for (np <- Seq(4, 16))
+          time(f"ivfadc k=64 nprobe=$np%-2d (50k)") {
+            operators.VectorSim.pqSearchIvf(qs, corpus, m,
+              kClusters = 64, iters = 2, nprobe = np, k = 10)
+          }
+      }
       // Semantic dedup (q70) at a dup-dense 55k: the 50k corpus plus
       // 5k exact-duplicate replicas (distinct ids). k=256 keeps mean
       // cell population ~215, so candidate scoring is ~6M pairs — the

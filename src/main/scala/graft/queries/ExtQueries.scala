@@ -478,6 +478,17 @@ object ExtQueries {
     VectorSim.pqSearch(emb.where(col("vec_id") < 5), emb, m, k = 5)
   }
 
+  /** IVFADC: q73's PQ codebooks + q39's coarse quantizer — each query
+    * probes its 2 nearest of 8 cells and ADC-scans only those, the
+    * scan-the-whole-corpus ceiling VERDICT r05 flagged on q73 removed
+    * (cost ~ nprobe/kClusters of the corpus per query). */
+  def q74PqSearchIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val m = VectorSim.pqTrain(emb, dim = 64, subspaces = 8, k = 16, iters = 2)
+    VectorSim.pqSearchIvf(emb.where(col("vec_id") < 5), emb, m,
+      kClusters = 8, iters = 2, nprobe = 2, k = 5)
+  }
+
   def q25KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     VectorSim.knnBruteForce(emb.where(col("vec_id") < 5), emb, k = 5)
@@ -769,8 +780,14 @@ object ExtQueries {
     * CTE per subspace, lookup-table entries as 8dp DECIMALs in the
     * exact Spark operation order `(qq - 2*qc) + cc`, decimal distance
     * sums, and the `adist ASC, vec_id` top-k. */
-  private def pqSearchOracleSql(dim: Int, subspaces: Int, kw: Int,
-      iters: Int, topK: Int, queryPred: String): String = {
+  /** Shared CTE block for the PQ oracles: per-subspace Lloyd's chains
+    * over the sliced embeddings, the final `codes` union, and the
+    * query-side ADC lookup table `lut` — appended after any other
+    * CTEs the caller composes (the IVFADC oracle prepends the q39
+    * full-dim coarse chain; names don't collide: coarse uses
+    * e/xx/cen$t/a$t, subspace chains use e$s/xx$s/cen${t}_$s). */
+  private def pqCtes(dim: Int, subspaces: Int, kw: Int,
+      iters: Int, queryPred: String): String = {
     val dsub = dim / subspaces
     def assign(s: Int, name: String, cen: String): String =
       s"""$name AS (
@@ -811,22 +828,60 @@ object ExtQueries {
          |     + list_sum([n.w[i+1]*n.w[i+1] for i in range(0,$dsub)]), 8) AS DECIMAL(20,8)) AS t
          |FROM e$s q CROSS JOIN cen${iters}_$s n WHERE q.$queryPred""".stripMargin
     }.mkString(" UNION ALL ")
-    s"""WITH $chains,
+    s"""$chains,
        |codes AS ($codesUnion),
-       |lut AS ($lutUnion),
+       |lut AS ($lutUnion)""".stripMargin
+  }
+
+  private def pqAdcRankSql(topK: Int): String =
+    s"""SELECT * FROM (
+       |  SELECT q_id AS query_id, vec_id AS neighbor_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY adist, vec_id) AS INT) AS rank
+       |  FROM sc)
+       |WHERE rank <= $topK""".stripMargin
+
+  private def pqSearchOracleSql(dim: Int, subspaces: Int, kw: Int,
+      iters: Int, topK: Int, queryPred: String): String =
+    s"""WITH ${pqCtes(dim, subspaces, kw, iters, queryPred)},
        |sc AS (
        |  SELECT lut.q_id, codes.vec_id,
        |    CAST(round(sum(lut.t), 6) AS DOUBLE) AS adist
        |  FROM codes JOIN lut ON lut.s = codes.s AND lut.c = codes.c
        |  WHERE lut.q_id != codes.vec_id
        |  GROUP BY lut.q_id, codes.vec_id)
-       |SELECT * FROM (
-       |  SELECT q_id AS query_id, vec_id AS neighbor_id, adist,
-       |    CAST(row_number() OVER (PARTITION BY q_id
-       |                            ORDER BY adist, vec_id) AS INT) AS rank
-       |  FROM sc)
-       |WHERE rank <= $topK""".stripMargin
-  }
+       |${pqAdcRankSql(topK)}""".stripMargin
+
+  /** DuckDB mirror of the IVFADC search (q74): the q39 full-dim
+    * Lloyd's chain supplies coarse cells (CTEs e/xx/cen$t/a$t), the
+    * q73 per-subspace chains supply codes + ADC lookup table, the q45
+    * probe-ranking rule restricts candidates to each query's nprobe
+    * nearest cells, and the ADC sum/rank runs only over those
+    * candidates — scores identical to the flat q73 scan by
+    * construction. */
+  private def pqSearchIvfOracleSql(dim: Int, subspaces: Int, kw: Int,
+      iters: Int, kClusters: Int, cIters: Int, nprobe: Int, topK: Int,
+      queryPred: String): String =
+    s"""${kmeansCtes(kClusters, dim, cIters)},
+       |${pqCtes(dim, subspaces, kw, iters, queryPred)},
+       |pr AS (
+       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM (
+       |    SELECT x.vec_id, n.c,
+       |      round(x.xx - 2*list_sum([x.emb[i+1]*n.w[i+1] for i in range(0,$dim)])
+       |            + list_sum([n.w[i+1]*n.w[i+1] for i in range(0,$dim)]), 6) AS d
+       |    FROM xx x CROSS JOIN cen$cIters n WHERE x.$queryPred)),
+       |cand AS (
+       |  SELECT p.vec_id AS q_id, a.vec_id
+       |  FROM (SELECT vec_id, c FROM pr WHERE rn <= $nprobe) p
+       |  JOIN a$cIters a ON a.cluster = p.c AND a.vec_id != p.vec_id),
+       |sc AS (
+       |  SELECT cand.q_id, cand.vec_id,
+       |    CAST(round(sum(lut.t), 6) AS DOUBLE) AS adist
+       |  FROM cand
+       |  JOIN codes ON codes.vec_id = cand.vec_id
+       |  JOIN lut ON lut.q_id = cand.q_id AND lut.s = codes.s AND lut.c = codes.c
+       |  GROUP BY cand.q_id, cand.vec_id)
+       |${pqAdcRankSql(topK)}""".stripMargin
 
   /** DuckDB mirror of the IVF ANN search (q45): same Lloyd's chain,
     * then per-query probe ranking (rounded distance, lowest-index
@@ -1542,6 +1597,13 @@ object ExtQueries {
     "q73_pq_search" ->
       pqSearchOracleSql(dim = 64, subspaces = 8, kw = 16, iters = 2,
         topK = 5, queryPred = "vec_id < 5"),
+
+    // Same constants as q74PqSearchIvf above: q39 coarse chain + q73
+    // subspace chains + q45 probe rule, ADC restricted to candidates.
+    "q74_pq_search_ivf" ->
+      pqSearchIvfOracleSql(dim = 64, subspaces = 8, kw = 16, iters = 2,
+        kClusters = 8, cIters = 2, nprobe = 2, topK = 5,
+        queryPred = "vec_id < 5"),
 
     // Same constants as q45KnnIvf above.
     "q45_knn_ivf" ->

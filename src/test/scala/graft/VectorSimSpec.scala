@@ -301,6 +301,49 @@ class VectorSimSpec extends AnyFunSuite {
     assert(tuples >= 20, s"codebook utilization too low: $tuples tuples")
   }
 
+  test("pqSearchIvf: full probe == pqSearch; pruned probe scores match; same-cluster recall") {
+    val rnd = new scala.util.Random(47)
+    val centers = Seq.fill(4)(Seq.fill(16)(rnd.nextGaussian().toFloat * 4))
+    val e = emb((0L until 80L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.2f), 0)
+    }: _*)
+    val queries = e.where($"vec_id" < 4)
+    val m = VectorSim.pqTrain(e, dim = 16, subspaces = 4, k = 8, iters = 2)
+    // Probing every coarse cell must reproduce the unpruned ADC scan
+    // exactly — IVFADC is a prune, never a rescore.
+    val flat = VectorSim.pqSearch(queries, e, m, k = 5)
+      .select("query_id", "neighbor_id", "adist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val full = VectorSim.pqSearchIvf(queries, e, m,
+        kClusters = 4, iters = 2, nprobe = 4, k = 5)
+      .select("query_id", "neighbor_id", "adist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == flat, "nprobe = kClusters must equal the flat ADC scan")
+    // Pruned probes: every returned (query, neighbor) carries the SAME
+    // ADC distance as the flat scan (pruning changes the candidate
+    // set, never a score), and neighbors stay in the query's cluster.
+    val flatScores = VectorSim.pqSearch(queries, e, m, k = 79)
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, d) => (q, n) -> d }.toMap
+    val pruned = VectorSim.pqSearchIvf(queries, e, m,
+        kClusters = 4, iters = 2, nprobe = 2, k = 5)
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Double)].collect()
+    assert(pruned.length == 4 * 5, "every query still fills top-5 from probed cells")
+    pruned.foreach { case (q, n, d) =>
+      assert(flatScores((q, n)) == d, "pruned ADC scores must equal flat ADC scores")
+      assert(n % 4 == q % 4, s"probed neighbor $n of query $q crosses clusters")
+    }
+    // Deterministic across invocations.
+    val again = VectorSim.pqSearchIvf(queries, e, m,
+        kClusters = 4, iters = 2, nprobe = 2, k = 5)
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Double)].collect()
+    assert(again.toSeq.sorted == pruned.toSeq.sorted, "pqSearchIvf is deterministic")
+  }
+
   test("semanticDedup: one disposition row per vector, one survivor per group") {
     // Two tight planted duplicate bundles + isolated singletons.
     val rnd = new scala.util.Random(11)
