@@ -182,6 +182,21 @@ object ScaleStress {
         operators.VectorSim.semanticDedup(corpus.unionByName(dups),
           k = 256, iters = 2, threshold = 0.999)
       }
+      // Planted-skew semantic dedup (q75 guard): 20k EXACT replicas of
+      // one vector land in ONE cell (~29% of the 70k corpus) — the
+      // degenerate case VERDICT r05 flagged. Unguarded that cell alone
+      // is ~200M cosine pairs; cap=2000 salts it into ~11 sub-cells
+      // (~19M pairs), so the row stays in the same band as the
+      // non-skewed one above instead of going quadratic.
+      time("semantic dedup SKEW cap=2k (20k one-cell)") {
+        val one = corpus.where(col("vec_id") === 0)
+          .select(col("embedding").as("e0"))
+        val skewBlock = spark.range(20000).crossJoin(one)
+          .select((col("id") + 200000L).as("vec_id"),
+            col("e0").as("embedding"))
+        operators.VectorSim.semanticDedup(corpus.unionByName(skewBlock),
+          k = 256, iters = 2, threshold = 0.999, maxCellSize = 2000)
+      }
     }
 
     // DSIR importance resampling (q71) over the 10x text corpus: two

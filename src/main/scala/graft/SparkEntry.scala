@@ -61,6 +61,7 @@ object SparkEntry {
     "q45_knn_ivf"           -> (ExtQueries.q45KnnIvf(_, _)),
     "q55_kmeans_oversampled" -> (ExtQueries.q55KmeansOversampled(_, _)),
     "q70_semantic_dedup"    -> (ExtQueries.q70SemanticDedup(_, _)),
+    "q75_semantic_dedup_guarded" -> (ExtQueries.q75SemanticDedupGuarded(_, _)),
     "q71_importance_resample" -> (ExtQueries.q71ImportanceResample(_, _)),
     "q73_pq_search"         -> (ExtQueries.q73PqSearch(_, _)),
     "q74_pq_search_ivf"     -> (ExtQueries.q74PqSearchIvf(_, _)),

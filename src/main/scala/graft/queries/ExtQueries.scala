@@ -462,6 +462,15 @@ object ExtQueries {
     VectorSim.semanticDedup(Tables.embeddings(s, dir), k = 8, iters = 2,
       threshold = 0.35)
 
+  /** Cell-size-guarded SemDeDup: same disposition as q70 but with the
+    * degenerate-cell guard ACTIVE — cells above the cap salt into
+    * md5-derived sub-cells before pair generation, so one skewed cell
+    * can never go quadratic. The cap here sits below the mean cell
+    * population on purpose: the oracle replays the salting itself. */
+  def q75SemanticDedupGuarded(s: SparkSession, dir: String): DataFrame =
+    VectorSim.semanticDedup(Tables.embeddings(s, dir), k = 8, iters = 2,
+      threshold = 0.35, maxCellSize = 60)
+
   def q45KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     VectorSim.knnIvf(emb.where(col("vec_id") < 5), emb, k = 5,
@@ -734,23 +743,38 @@ object ExtQueries {
     * the codegen'd FloatDotProduct kernels — so equality holds
     * pre-round and the round(...,6) boundary can never flake. */
   private def semanticDedupOracleSql(k: Int, dim: Int, iters: Int,
-      threshold: Double): String = {
+      threshold: Double, maxCellSize: Int = Int.MaxValue): String = {
     val ctes = kmeansCtes(k, dim, iters)
       .replace("WITH e AS", "WITH RECURSIVE e AS")
     def cos(a: String, b: String): String =
       s"""round(list_sum([$a.emb[i+1]*$b[i+1] for i in range(0,$dim)])
          |      / (sqrt(list_sum([$a.emb[i+1]*$a.emb[i+1] for i in range(0,$dim)]))
          |         * sqrt(list_sum([$b[i+1]*$b[i+1] for i in range(0,$dim)]))), 6)""".stripMargin
+    // Salted pair domain: every assignment row carries a sub-cell salt
+    // (md5(vec_id) mod ceil(cell_pop / cap)); unguarded = one salt.
+    val saltCtes =
+      if (maxCellSize == Int.MaxValue)
+        s"sa AS (SELECT vec_id, cluster, 0 AS salt FROM a$iters)"
+      else
+        s"""cnt AS (SELECT cluster, count(*) AS cell_n
+           |        FROM a$iters GROUP BY cluster),
+           |sa AS (
+           |  SELECT a.vec_id, a.cluster,
+           |    ('0x' || substr(md5(a.vec_id::VARCHAR), 1, 8))::BIGINT
+           |      % ((cnt.cell_n + ${maxCellSize - 1}) // $maxCellSize) AS salt
+           |  FROM a$iters a JOIN cnt ON cnt.cluster = a.cluster)""".stripMargin
     s"""$ctes,
        |cosd AS (
        |  SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
        |    ${cos("x", "n.w")} AS cos_centroid
        |  FROM a$iters a JOIN e x ON x.vec_id = a.vec_id
        |  JOIN cen$iters n ON n.c = a.cluster),
+       |$saltCtes,
        |p AS (
        |  SELECT ax.vec_id AS doc_a, ay.vec_id AS doc_b
-       |  FROM a$iters ax JOIN a$iters ay
-       |    ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
+       |  FROM sa ax JOIN sa ay
+       |    ON ax.cluster = ay.cluster AND ax.salt = ay.salt
+       |      AND ax.vec_id < ay.vec_id
        |  JOIN e x ON x.vec_id = ax.vec_id JOIN e y ON y.vec_id = ay.vec_id
        |  WHERE ${cos("x", "y.emb")} >= $threshold),
        |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
@@ -1585,6 +1609,12 @@ object ExtQueries {
     // quantizer, the recursive grouping, and the survivor pick.
     "q70_semantic_dedup" ->
       semanticDedupOracleSql(k = 8, dim = 64, iters = 2, threshold = 0.35),
+
+    // Same constants as q75SemanticDedupGuarded above — the SQL also
+    // replays the md5 sub-cell salting of oversized cells.
+    "q75_semantic_dedup_guarded" ->
+      semanticDedupOracleSql(k = 8, dim = 64, iters = 2, threshold = 0.35,
+        maxCellSize = 60),
 
     // Same constants as q71ImportanceResample above — the SQL replays
     // the bucket distributions, the decimal doc sums, and the Gumbel

@@ -387,4 +387,55 @@ class VectorSimSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Double, Int)].collect().sortBy(_._1).toSeq
     assert(run() == run())
   }
+
+  test("semanticDedup cell guard: no-op under the cap, bounded + deterministic on planted skew") {
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cluster", "group_id", "cos_centroid", "keep")
+      .as[(Long, Int, Long, Double, Int)].collect().sortBy(_._1).toSeq
+    // Non-skewed input: a cap above every cell population must produce
+    // the IDENTICAL disposition — the guard is a pure no-op until a
+    // cell actually exceeds it.
+    val rnd = new scala.util.Random(31)
+    val even = emb((0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat), 0)): _*)
+    assert(
+      collect(VectorSim.semanticDedup(even, k = 4, iters = 2,
+        threshold = 0.5, maxCellSize = 40)) ==
+      collect(VectorSim.semanticDedup(even, k = 4, iters = 2,
+        threshold = 0.5)),
+      "cap above all cell sizes must equal the unguarded run")
+    // Planted skew: 60 of 80 vectors are EXACT duplicates — identical
+    // rows share every centroid distance, so they land in ONE cell no
+    // matter how the init sampled (the degenerate cell VERDICT r05
+    // flagged). cap=15 salts that cell into ceil(n_cell/15) sub-cells
+    // on md5(vec_id); the bundle then resolves to at most nsalt
+    // groups (the documented recall trade), one survivor each, and
+    // every vector still gets exactly one disposition row.
+    val base = Seq.fill(8)(1f)
+    val rows =
+      (0L until 60L).map(i => (i, base, 0)) ++
+      (60L until 80L).map(i =>
+        (i, Seq.fill(8)(rnd.nextGaussian().toFloat * 3), 0))
+    val skew = emb(rows: _*)
+    val guarded = collect(VectorSim.semanticDedup(skew, k = 8, iters = 2,
+      threshold = 0.99, maxCellSize = 15))
+    assert(guarded.map(_._1) == (0L until 80L),
+      "one disposition row per vector under the guard")
+    val bundleCell = guarded.find(_._1 == 0L).get._2
+    assert(guarded.count(r => r._1 < 60 && r._2 == bundleCell) == 60,
+      "exact duplicates must share one cell")
+    val cellN = guarded.count(_._2 == bundleCell)
+    val nsalt = (cellN + 14) / 15
+    assert(nsalt >= 4, s"guard must actually trigger (cell pop $cellN)")
+    val bundleGroups = guarded.filter(_._1 < 60).map(_._3).distinct
+    assert(bundleGroups.size <= nsalt,
+      s"salted bundle must form <= $nsalt groups, got ${bundleGroups.size}")
+    assert(bundleGroups.size > 1,
+      "salting must actually split the oversized cell's pair space")
+    assert(guarded.count(r => r._1 < 60 && r._5 == 1) == bundleGroups.size,
+      "exactly one survivor per salted sub-group")
+    assert(guarded == collect(VectorSim.semanticDedup(skew, k = 8,
+      iters = 2, threshold = 0.99, maxCellSize = 15)),
+      "guarded disposition is deterministic")
+  }
 }
