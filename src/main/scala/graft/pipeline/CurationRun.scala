@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DataMix, TextAnalysis, TextDedup}
+import graft.operators.{DataMix, TextAnalysis, TextDedup, VectorSim}
 import graft.sources.Sinks
 
 /** End-to-end training-data curation run — the extension tier's
@@ -14,14 +14,26 @@ import graft.sources.Sinks
   * Stage order is the one that minimizes downstream work: cheap map
   * passes (normalize, redact) first, then the quality gate (shrinks
   * everything after), decontamination (equi-join against the broadcast
-  * benchmark shingle set), near-dup clustering + quality-survivor
-  * selection over the survivors only (the [[DedupSuite]] shared
-  * artifacts — built once on the gated corpus), deterministic
-  * language-stratified sampling, and finally sequence packing over
-  * exactly the kept text. Every stage is an independently
-  * oracle-verified operator (q46/q42/q17/q47/q53/q58/q48/q54) —
-  * composition is the only thing this adds, like q32/q60 at catalog
-  * scale.
+  * benchmark shingle set), substring-level span removal (cuts
+  * cross-document boilerplate BEFORE near-dup signatures see it),
+  * near-dup clustering + quality-survivor selection over the survivors
+  * only (the [[DedupSuite]] shared artifacts — built once on the
+  * span-cleaned corpus), embedding-space semantic dedup over the
+  * survivors (paraphrase duplicates shingles can't see, when an
+  * embeddings frame is supplied), deterministic language-stratified
+  * sampling, and finally sequence packing over exactly the kept text.
+  * Every stage is an independently oracle-verified operator
+  * (q46/q42/q17/q47/q69/q53/q58/q70+q75/q48/q54) — composition is the
+  * only thing this adds, like q32/q60 at catalog scale.
+  *
+  * The weekly state cadences ([[runInit]]/[[runIncremental]]) apply
+  * the semantic stage too (after survivor selection, where the
+  * incremental-equality pin extends through it for free) but NOT span
+  * removal: span df counts are corpus-scale state that would need its
+  * own incremental cadence (per-batch positional-gram slices, df
+  * merged like the LSH banding) — documented future work, not silently
+  * approximated per-batch (a per-batch df undercounts cross-batch
+  * repeats and would break init+inc == scratch).
   *
   * All joins are key equi-joins; nothing here collects data to the
   * driver (the run returns row COUNTS per stage — each an aggregate —
@@ -48,9 +60,52 @@ object CurationRun {
     spark.stop()
   }
 
+  /** Per-stage audit counts. `spanCleaned` = docs that lost at least
+    * one repeated span (-1 when the stage didn't run — the state
+    * cadences, see [[runInit]]); `semDropped` = docs removed by
+    * embedding-space dedup (-1 when no embeddings were supplied). */
   final case class Stats(
-    input: Long, gated: Long, decontaminated: Long,
-    kept: Long, sampled: Long, bins: Long)
+    input: Long, gated: Long, decontaminated: Long, spanCleaned: Long,
+    kept: Long, semDropped: Long, sampled: Long, bins: Long)
+
+  /** Embedding-space dedup stage (SemDeDup, q70/q75) over a kept
+    * frame: join the supplied embeddings on doc_id, run the guarded
+    * disposition, and drop non-survivors. Docs WITHOUT an embedding
+    * row pass through untouched (the text stages already vetted them);
+    * the cell guard caps any skewed cell. Returns the filtered frame
+    * plus the dropped count (-1 when no embeddings were supplied).
+    *
+    * Both cadences call this AFTER survivor selection on the composed
+    * kept frame, so the incremental pin (init+inc == scratch) extends
+    * through it for free: the stage is a deterministic function of the
+    * already-pinned-equal kept set. v1 recomputes the disposition per
+    * run (embedding state = none); the batch-scale path — frozen
+    * centroids in state, per-batch cell assignment, incremental
+    * within-cell pairs like the LSH cadence — is the documented next
+    * step if profile shows this stage dominating a weekly run. */
+  private def semanticStage(kept: DataFrame, embeddings: Option[DataFrame],
+      semClusters: Int, semIters: Int, semThreshold: Double,
+      semMaxCellSize: Int): (DataFrame, Long, () => Unit) = embeddings match {
+    case None => (kept, -1L, () => ())
+    case Some(emb) =>
+      val vecs = kept.select(col("doc_id"))
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      // The disposition feeds the audit count and then every output
+      // action's anti-join — persist the compact (doc_id) drop list,
+      // not the kept corpus, and hand its release to the caller (the
+      // output tail runs several actions, so an after-first-action
+      // lease would force the pair join to recompute per action).
+      val dropped = VectorSim.semanticDedup(vecs, semClusters, semIters,
+          semThreshold, semMaxCellSize)
+        .where(col("keep") === 0)
+        .select(col("vec_id").as("doc_id"))
+        .persist()
+      val nDropped = dropped.count()
+      (kept.join(dropped, Seq("doc_id"), "left_anti"), nDropped,
+        () => { dropped.unpersist(); () })
+  }
 
   /** Survivor keep set over the decontaminated corpus: near-dup
     * clusters from the suite's shared artifacts, quality-best survivor
@@ -187,7 +242,10 @@ object CurationRun {
       stateOutDir: String, minQuality: Double = 0.5,
       dedupThreshold: Double = 0.25, minContaminatedShingles: Int = 1,
       fractions: Map[String, Double] = Map.empty, defaultFraction: Double = 1.0,
-      packBudget: Long = 4096L, packShards: Int = 8): Stats = {
+      packBudget: Long = 4096L, packShards: Int = 8,
+      embeddings: Option[DataFrame] = None, semClusters: Int = 16,
+      semIters: Int = 2, semThreshold: Double = 0.99,
+      semMaxCellSize: Int = 1000): Stats = {
     val spark = docs.sparkSession
     val decon = prepBatch(docs, benchmark, minQuality, minContaminatedShingles)
     Sinks.overwriteParquet(decon, s"$stateOutDir/decon_batch", numFiles = 4)
@@ -206,11 +264,14 @@ object CurationRun {
     writeLineage(stateOutDir, Seq(stateOutDir))
     val kept = keepFromClusters(deconS, clustersS).persist()
     val keptCount = kept.count()
-    val (sampled, bins) = landOutputs(kept, outDir,
+    val (semFinal, semDropped, semRelease) = semanticStage(kept, embeddings,
+      semClusters, semIters, semThreshold, semMaxCellSize)
+    val (sampled, bins) = landOutputs(semFinal, outDir,
       fractions, defaultFraction, packBudget, packShards)
-    kept.unpersist()
+    semRelease(); kept.unpersist()
     Stats(input = docs.count(), gated = -1L, decontaminated = deconS.count(),
-      kept = keptCount, sampled = sampled, bins = bins)
+      spanCleaned = -1L, kept = keptCount, semDropped = semDropped,
+      sampled = sampled, bins = bins)
   }
 
   /** Weekly incremental run: a NEW raw batch (doc ids disjoint from
@@ -223,7 +284,10 @@ object CurationRun {
       stateInDir: String, stateOutDir: String, minQuality: Double = 0.5,
       dedupThreshold: Double = 0.25, minContaminatedShingles: Int = 1,
       fractions: Map[String, Double] = Map.empty, defaultFraction: Double = 1.0,
-      packBudget: Long = 4096L, packShards: Int = 8): Stats = {
+      packBudget: Long = 4096L, packShards: Int = 8,
+      embeddings: Option[DataFrame] = None, semClusters: Int = 16,
+      semIters: Int = 2, semThreshold: Double = 0.99,
+      semMaxCellSize: Int = 1000): Stats = {
     require(stateInDir != stateOutDir,
       "state is versioned by directory: reading and overwriting the same " +
         "state in one job would corrupt it")
@@ -259,11 +323,14 @@ object CurationRun {
     val deconAll = deconOld.unionByName(deconNewS)
     val kept = keepFromClusters(deconAll, clustersS).persist()
     val keptCount = kept.count()
-    val (sampled, bins) = landOutputs(kept, outDir,
+    val (semFinal, semDropped, semRelease) = semanticStage(kept, embeddings,
+      semClusters, semIters, semThreshold, semMaxCellSize)
+    val (sampled, bins) = landOutputs(semFinal, outDir,
       fractions, defaultFraction, packBudget, packShards)
-    kept.unpersist()
+    semRelease(); kept.unpersist()
     Stats(input = newDocs.count(), gated = -1L,
-      decontaminated = deconAll.count(), kept = keptCount,
+      decontaminated = deconAll.count(), spanCleaned = -1L,
+      kept = keptCount, semDropped = semDropped,
       sampled = sampled, bins = bins)
   }
 
@@ -274,7 +341,11 @@ object CurationRun {
       minQuality: Double = 0.5, dedupThreshold: Double = 0.25,
       minContaminatedShingles: Int = 1,
       fractions: Map[String, Double] = Map.empty, defaultFraction: Double = 1.0,
-      packBudget: Long = 4096L, packShards: Int = 8): Stats = {
+      packBudget: Long = 4096L, packShards: Int = 8,
+      spanK: Int = 8, spanMinDf: Int = 2,
+      embeddings: Option[DataFrame] = None, semClusters: Int = 16,
+      semIters: Int = 2, semThreshold: Double = 0.99,
+      semMaxCellSize: Int = 1000): Stats = {
     val spark = docs.sparkSession
 
     // Map tier: canonicalize then strip PII/URLs.
@@ -299,21 +370,47 @@ object CurationRun {
         .where(col("n_contaminated_shingles") >= minContaminatedShingles)
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-      .persist() // read by the suite build, clustering, and the keep join
+      .persist() // read by the span chain's two passes + the quality join
 
-    // Near-dup dedup over the decontaminated corpus: shared artifacts,
+    // Substring-level span removal (q69, Lee et al. 2022) BEFORE
+    // near-dup clustering: cross-document repeated spans (boilerplate
+    // headers, license blocks, templated fragments) are cut from every
+    // carrier, so the near-dup signatures downstream see real content,
+    // not shared chrome. `spanMinDf` tunes how widespread a span must
+    // be; note its interplay with near-dup dedup — at minDf = 2 a pair
+    // of near-identical docs is ALSO a repeated-span pair, and cutting
+    // their shared text first can leave two distinct residues that
+    // near-dup then keeps both of. Corpora relying on the survivor
+    // pick for such pairs should set spanMinDf above the expected
+    // near-dup cluster size so spans only catch boilerplate-scale
+    // repetition.
+    val spanned = TextDedup
+      .removeRepeatedSpans(decon, "doc_id", "text", k = spanK, minDf = spanMinDf)
+      .join(decon.select(col("doc_id"), col("quality_score")), "doc_id")
+      .select(col("doc_id"), col("clean_text").as("text"),
+        col("quality_score"), col("n_removed"))
+      .persist() // audit count + suite build + keep join + outputs
+    val spanCleaned = spanned.where(col("n_removed") > 0).count()
+    val spanDocs = spanned.drop("n_removed")
+
+    // Near-dup dedup over the span-cleaned corpus: shared artifacts,
     // quality-best survivor per cluster, unclustered docs keep
     // themselves. MinHash at a low threshold subsumes exact dups
     // (identical signatures collide in every band).
-    val suite = DedupSuite(decon, "doc_id", "text", n = 3)
-    val (kept, keptCount) = try keepSet(suite, decon, dedupThreshold)
+    val suite = DedupSuite(spanDocs, "doc_id", "text", n = 3)
+    val (kept, keptCount) = try keepSet(suite, spanDocs, dedupThreshold)
       finally suite.close()
 
+    // Embedding-space dedup over the near-dup survivors (paraphrase
+    // duplicates shingles can't see).
+    val (semFinal, semDropped, semRelease) = semanticStage(kept, embeddings,
+      semClusters, semIters, semThreshold, semMaxCellSize)
+
     // Deterministic language-stratified mix.
-    val lang = TextAnalysis.languageId(kept, "doc_id", "text")
+    val lang = TextAnalysis.languageId(semFinal, "doc_id", "text")
       .select(col("doc_id"), col("detected_lang"))
     val sampled = DataMix.stratifiedSample(
-      kept.join(lang, "doc_id"), "doc_id", "detected_lang",
+      semFinal.join(lang, "doc_id"), "doc_id", "detected_lang",
       fractions, defaultFraction)
 
     // Land the curated corpus and its packed bins.
@@ -329,10 +426,11 @@ object CurationRun {
 
     val stats = Stats(
       input = docs.count(), gated = gated.count(),
-      decontaminated = decon.count(), kept = keptCount,
+      decontaminated = decon.count(), spanCleaned = spanCleaned,
+      kept = keptCount, semDropped = semDropped,
       sampled = spark.read.parquet(s"$outDir/curated").count(),
       bins = spark.read.parquet(s"$outDir/packed").count())
-    decon.unpersist(); kept.unpersist()
+    semRelease(); decon.unpersist(); spanned.unpersist(); kept.unpersist()
     stats
   }
 }

@@ -22,26 +22,66 @@ class CurationRunSpec extends AnyFunSuite {
     "el zorro marron salta sobre el perro perezoso mientras la luna " +
       "brilla sobre el valle y la gente duerme en la aldea tranquila"
 
+  private val boiler =
+    "subscribe to our newsletter today and follow our channels for " +
+      "fresh updates delivered straight to your inbox every single morning"
+
   test("each stage drops its planted casualty; outputs and stats agree") {
+    // Three docs share the boilerplate header (df = 3 >= spanMinDf = 3)
+    // — the span stage cuts it from all carriers; their distinct tails
+    // survive near-dup as three separate docs. The near-dup pair 1/2
+    // shares spans at df = 2 only, UNDER the floor, so it reaches the
+    // signature stage intact and collapses there (the documented
+    // minDf-vs-near-dup interplay). Docs 5 and 6 carry identical
+    // embeddings — the semantic stage drops the higher id.
     val docs = Seq(
       (1L, goodEn),
       (2L, goodEn.replace("today", "tonight")), // near-dup of 1
       (3L, benchText),                          // contaminated
       (4L, "z z z z z z"),                      // scores 0.0 at the gate
-      (5L, goodEs)).toDF("doc_id", "text")
+      (5L, goodEs),
+      (6L, boiler + " meanwhile the ancient lighthouse keeper counted " +
+        "ships gliding past the rocky northern shore at dusk"),
+      (7L, boiler + " elsewhere a young painter mixed bright colors " +
+        "beside the crowded market square under summer rain"),
+      (8L, boiler + " nearby the retired engineer repaired clocks in " +
+        "a small workshop behind the busy railway station")
+    ).toDF("doc_id", "text")
     val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    // Identical embeddings for 5 and 6: cosine 1 >= semThreshold; the
+    // keep-least-prototypical tie breaks to the LOWER id, so 5 stays.
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (5L, Seq(0f, 1f, 0f, 0f)),
+      (6L, Seq(0f, 1f, 0f, 0f)),
+      (7L, Seq(0f, 0f, 1f, 0f)),
+      (8L, Seq(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
     val out = TestSpark.tmpDir("curation_run")
 
-    val stats = CurationRun.run(docs, benchmark, out)
-    assert(stats.input == 5)
-    assert(stats.gated == 4, "only the low-quality doc falls at the gate")
-    assert(stats.decontaminated == 3, "the benchmark copy is stripped")
-    assert(stats.kept == 2, "the near-dup pair collapses to one survivor")
-    assert(stats.sampled == 2, "default fraction 1.0 keeps every survivor")
+    def go() = CurationRun.run(docs, benchmark, out,
+      spanMinDf = 3, embeddings = Some(emb), semClusters = 2)
+    val stats = go()
+    assert(stats.input == 8)
+    assert(stats.gated == 7, "only the low-quality doc falls at the gate")
+    assert(stats.decontaminated == 6, "the benchmark copy is stripped")
+    assert(stats.spanCleaned == 3, "the three boilerplate carriers are cleaned")
+    assert(stats.kept == 5, "the near-dup pair collapses to one survivor")
+    assert(stats.semDropped == 1, "one of the identical-embedding pair drops")
+    assert(stats.sampled == 4, "default fraction 1.0 keeps every survivor")
 
     val curated = spark.read.parquet(s"$out/curated")
-    assert(curated.select("doc_id").as[Long].collect().toSet == Set(1L, 5L),
-      "survivor = min id on a quality tie; the unique es doc survives")
+    val byId = curated.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(byId.keySet == Set(1L, 5L, 7L, 8L),
+      "near-dup survivor = min id on a quality tie; semantic dup 6 drops; " +
+        "unique docs survive")
+    // The span stage actually rewrote the carriers' text.
+    Seq(7L, 8L).foreach { id =>
+      assert(!byId(id).contains("newsletter"),
+        s"boilerplate must be cut from doc $id")
+    }
+    assert(byId(1L).contains("quick brown fox"),
+      "sub-floor spans stay in place")
     assert(curated.columns.toSet ==
       Set("doc_id", "text", "detected_lang", "quality_score"))
     val langs = curated.select("doc_id", "detected_lang")
@@ -54,12 +94,19 @@ class CurationRunSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.split(
           org.apache.spark.sql.functions.col("doc_ids"), ",")))
       .as[String].collect().map(_.toLong).toSeq
-    assert(packedIds.sorted == Seq(1L, 5L))
-    assert(stats.bins == packedIds.length || stats.bins <= 2)
+    assert(packedIds.sorted == Seq(1L, 5L, 7L, 8L))
+    assert(stats.bins == packedIds.length || stats.bins <= 4)
 
     // Idempotent: a re-run overwrites to the same state.
-    val again = CurationRun.run(docs, benchmark, out)
-    assert(again == stats)
+    assert(go() == stats)
+  }
+
+  test("run without embeddings skips the semantic stage (semDropped = -1)") {
+    val docs = Seq((1L, goodEn), (5L, goodEs)).toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    val out = TestSpark.tmpDir("curation_run_nosem")
+    val stats = CurationRun.run(docs, benchmark, out)
+    assert(stats.semDropped == -1L && stats.kept == 2 && stats.sampled == 2)
   }
 
   test("keepSet returns a frame already materialized in the cache (no post-close recompute)") {

@@ -82,4 +82,54 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(curated(s"$base/out_c") == curated(s"$base/out_scratch3"))
     assert(clusters(s"$base/state_3") == clusters(s"$base/state_scratch3"))
   }
+
+  test("semantic stage rides the incremental cadence: init+inc == scratch, cross-batch semantic dup dropped") {
+    // Doc 5 (batch A) and doc 13 (batch B) are paraphrases: different
+    // text (no shingle overlap), IDENTICAL embeddings — only the
+    // semantic stage can catch the pair, and only once both batches
+    // are in the corpus. The stage runs after survivor selection on
+    // the composed kept frame in both cadences, so the equality pin
+    // extends through it.
+    val batchA = Seq(
+      (1L, goodEn),
+      (3L, goodEs),
+      (5L, freshA)).toDF("doc_id", "text")
+    val batchB = Seq(
+      (11L, goodEn.replace("today", "right now")), // near-dup of 1
+      (13L, "entirely novel content about distant mountains and deep " +
+        "valleys that resembles nothing in the first weekly batch at all")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(0f, 1f, 0f, 0f)),
+      (11L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (13L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val semEmb = Some(emb)
+
+    val base = TestSpark.tmpDir("inc_curation_sem")
+    val scratch = CurationRun.runInit(
+      batchA.unionByName(batchB), benchmark,
+      s"$base/out_scratch", s"$base/state_scratch",
+      embeddings = semEmb, semClusters = 2)
+    val initA = CurationRun.runInit(batchA, benchmark,
+      s"$base/out_a", s"$base/state_1",
+      embeddings = semEmb, semClusters = 2)
+    val incr = CurationRun.runIncremental(batchB, benchmark,
+      s"$base/out_incr", s"$base/state_1", s"$base/state_2",
+      embeddings = semEmb, semClusters = 2)
+
+    def curated(dir: String): Set[Long] =
+      spark.read.parquet(s"$dir/curated")
+        .select("doc_id").as[Long].collect().toSet
+    assert(curated(s"$base/out_incr") == curated(s"$base/out_scratch"),
+      "curated corpus diverged from the from-scratch run")
+    assert(incr.semDropped == scratch.semDropped && incr.semDropped == 1,
+      "the cross-batch semantic dup must drop in both cadences")
+    assert(initA.semDropped == 0,
+      "batch A alone has no semantic dup — the pair only exists composed")
+    assert(curated(s"$base/out_incr") == Set(1L, 3L, 5L),
+      "near-dup 11 collapses into 1; semantic dup 13 drops against 5")
+  }
 }
