@@ -12,13 +12,24 @@ import org.apache.spark.sql.functions._
   * bytes stay columnar in parquet, metadata columns stay prunable, and a
   * scan that only needs metadata never touches the bytes).
   *
-  * The decode step is a STUB by design (no image/audio codecs in this
-  *environment): [[StubDecoder.decode]] derives deterministic fake
-  * dimensions from an md5 of the payload. Everything around it — the
-  * binary schema, the typed `Dataset[MediaAsset]`, the `mapPartitions`
-  * batch shape (one decoder instance per partition, streamed iterator,
-  * never materializing a partition in memory) — is the real Spark
-  * plumbing a production decoder would drop into.
+  * Two decode tiers:
+  *  - [[ImageCodec]]/[[decodeMedia]] — REAL pure-JVM codecs:
+  *    `javax.imageio` PNG decode (width/height/bands from the actual
+  *    pixel raster) and `javax.sound.sampled` WAV decode (duration from
+  *    the actual frame count/rate). No native libraries, runs headless
+  *    on any executor. The q76 oracle closes the loop end-to-end:
+  *    payloads are ENCODED from id-derived dimensions, decoded back by
+  *    the real codecs, and DuckDB recomputes the expected dimensions
+  *    from the ids — a byte-level round-trip check.
+  *  - [[StubDecoder]]/[[decodeFeatures]] — the md5 stand-in kept for
+  *    formats with no JVM codec in this environment (video): derives
+  *    deterministic fake dimensions from a digest of the payload, so
+  *    the partition-batched plumbing is exercised at corpus scale on
+  *    any payload bytes (q27).
+  * Both share the same shape: typed `Dataset`, `mapPartitions` batch
+  * decode (one decoder instance per partition, streamed iterator,
+  * never materializing a partition in memory) — the Scala analogue of
+  * `mapInPandas` batch decoding.
   */
 object Multimodal {
 
@@ -90,4 +101,126 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         round(avg(col("width")), 4).as("avg_width"),
         round(avg(col("height")), 4).as("avg_height"))
+
+  // ---------------------------------------------------------------
+  // Real pure-JVM codecs (VERDICT r05 item 5): javax.imageio PNG,
+  // javax.sound.sampled WAV. Encode exists so the pipeline has real
+  // media bytes at every test scale (the testdata tables carry text
+  // only); decode is what a production ingest runs.
+  // ---------------------------------------------------------------
+
+  /** Decoded media row: -1 marks a field the modality doesn't have
+    * (image → no duration, audio → no raster), keeping the schema
+    * fixed and hash-comparable. */
+  case class DecodedMedia(
+      asset_id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, channels: Int, duration_ms: Long)
+
+  /** Deterministic real-media encoders + the matching decoders.
+    * Dimensions derive from the asset id by fixed arithmetic
+    * (width = 16 + id % 97, height = 16 + id % 53, duration_ms =
+    * 100 + id % 200), so an engine-independent oracle can recompute
+    * what the codec must read back out of the bytes. */
+  object ImageCodec {
+    /** Solid-color RGB PNG with id-derived dimensions, via
+      * `javax.imageio` (headless-safe: BufferedImage needs no
+      * display). */
+    def encodePng(id: Long): Array[Byte] = {
+      val w = 16 + (id % 97).toInt
+      val h = 16 + (id % 53).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val rgb = ((id * 2654435761L) & 0xffffffL).toInt
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Real PNG/JPEG decode: dimensions + band count from the decoded
+      * raster itself. */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Int) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image payload")
+      (img.getWidth, img.getHeight, img.getRaster.getNumBands)
+    }
+
+    private val SampleRate = 8000
+
+    /** PCM16 mono WAV with an id-derived duration: 8 samples per ms at
+      * 8 kHz, so duration_ms = 100 + id % 200 exactly. Sample values
+      * are an id-seeded sawtooth — content is irrelevant to the header
+      * round-trip but keeps payloads distinct. */
+    def encodeWav(id: Long): Array[Byte] = {
+      val nSamples = 8 * (100 + (id % 200).toInt)
+      val data = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = (((id + i) * 2654435761L) % 65536L - 32768L).toShort
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Real WAV decode: duration from the stream's frame count and
+      * rate (header + length, not trusted metadata). */
+    def decodeWavMs(bytes: Array[Byte]): Long = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try math.round(
+        ais.getFrameLength * 1000.0 / ais.getFormat.getFrameRate)
+      finally ais.close()
+    }
+  }
+
+  /** Real media assets from any id-bearing table: even ids encode as
+    * PNG images, odd ids as WAV audio — a deterministic mixed-modality
+    * corpus with genuine bytes in the payload column. */
+  def mediaAssetsFromIds(ids: DataFrame, idCol: String): Dataset[MediaAsset] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      if (id % 2 == 0) MediaAsset(id, "image", ImageCodec.encodePng(id))
+      else MediaAsset(id, "audio", ImageCodec.encodeWav(id))
+    }
+  }
+
+  /** Partition-batched REAL decode: dispatches on media_type, one
+    * iterator pass, no per-partition materialization. Unknown types
+    * (e.g. video — no pure-JVM codec) fall back to -1 dimensions
+    * rather than failing the batch. */
+  def decodeMedia(assets: Dataset[MediaAsset]): Dataset[DecodedMedia] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        a.media_type match {
+          case "image" =>
+            val (w, h, c) = ImageCodec.decodeImage(a.payload)
+            DecodedMedia(a.asset_id, a.media_type, a.payload.length.toLong,
+              w, h, c, -1L)
+          case "audio" =>
+            DecodedMedia(a.asset_id, a.media_type, a.payload.length.toLong,
+              -1, -1, -1, ImageCodec.decodeWavMs(a.payload))
+          case _ =>
+            DecodedMedia(a.asset_id, a.media_type, a.payload.length.toLong,
+              -1, -1, -1, -1L)
+        }
+      }
+    }
+  }
 }

@@ -574,6 +574,21 @@ object ExtQueries {
       Multimodal.decodeFeatures(
         Multimodal.assetsFromDocuments(Tables.documents(s, dir))))
 
+  /** REAL codec round-trip (q76): every even doc id becomes an actual
+    * PNG (javax.imageio), every odd id an actual WAV
+    * (javax.sound.sampled), with dimensions derived from the id by
+    * fixed arithmetic; the engine then DECODES the bytes back. The
+    * oracle recomputes the expected dimensions from the ids alone, so
+    * a match proves the decoded raster/frame counts — not copied
+    * metadata — round-tripped through the real codecs. */
+  def q76MediaDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMedia(
+      Multimodal.mediaAssetsFromIds(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id"))
+      .toDF()
+      .select(col("asset_id"), col("media_type"),
+        col("width"), col("height"), col("channels"), col("duration_ms"))
+
   /** DuckDB token expression mirroring [[graft.functions.TextFunctions.tokens]]. */
   private val duckToks =
     raw"""list_filter(string_split_regex(text, '\s+'), t -> t != '')"""
@@ -1708,5 +1723,17 @@ object ExtQueries {
         | round(avg(('0x' || substr(md5(text), 1, 8))::BIGINT % 1920), 4) AS avg_width,
         | round(avg(('0x' || substr(md5(text), 9, 8))::BIGINT % 1080), 4) AS avg_height
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // The expected-dimension arithmetic of q76MediaDecode's encoders:
+    // the Spark side must read these numbers back OUT OF THE BYTES via
+    // the real codecs for the hash to match.
+    "q76_media_decode" ->
+      """SELECT doc_id AS asset_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 97 ELSE -1 END AS INT) AS width,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 53 ELSE -1 END AS INT) AS height,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE -1 END AS INT) AS channels,
+        | CAST(CASE WHEN doc_id % 2 = 1 THEN 100 + doc_id % 200 ELSE -1 END AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
   )
 }

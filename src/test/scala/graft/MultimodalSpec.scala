@@ -43,4 +43,48 @@ class MultimodalSpec extends AnyFunSuite {
       .toMap
     assert(stats == Map("image" -> 2L, "audio" -> 1L, "video" -> 1L))
   }
+
+  test("PNG codec round-trip: real imageio decode recovers encoded dimensions") {
+    // Direct codec check, including awkward ids (0, modulus edges).
+    Seq(0L, 1L, 96L, 97L, 52L, 53L, 12345L).foreach { id =>
+      val bytes = Multimodal.ImageCodec.encodePng(id)
+      // A real PNG, not a fake: magic bytes present.
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte,
+        s"payload for $id is not a PNG")
+      val (w, h, c) = Multimodal.ImageCodec.decodeImage(bytes)
+      assert(w == 16 + (id % 97).toInt, s"width mismatch for id $id")
+      assert(h == 16 + (id % 53).toInt, s"height mismatch for id $id")
+      assert(c == 3, s"band count mismatch for id $id")
+    }
+  }
+
+  test("WAV codec round-trip: real frame-count decode recovers encoded duration") {
+    Seq(0L, 1L, 199L, 200L, 4242L).foreach { id =>
+      val bytes = Multimodal.ImageCodec.encodeWav(id)
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF",
+        s"payload for $id is not a WAV")
+      assert(Multimodal.ImageCodec.decodeWavMs(bytes) == 100 + id % 200,
+        s"duration mismatch for id $id")
+    }
+  }
+
+  test("decodeMedia: distributed mixed-modality decode matches the id arithmetic") {
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val out = Multimodal.decodeMedia(
+        Multimodal.mediaAssetsFromIds(ids, "doc_id"))
+      .collect().sortBy(_.asset_id)
+    assert(out.length == 40)
+    out.foreach { m =>
+      if (m.asset_id % 2 == 0) {
+        assert(m.media_type == "image" && m.duration_ms == -1L)
+        assert(m.width == 16 + (m.asset_id % 97).toInt)
+        assert(m.height == 16 + (m.asset_id % 53).toInt)
+        assert(m.channels == 3)
+      } else {
+        assert(m.media_type == "audio" && m.width == -1 && m.channels == -1)
+        assert(m.duration_ms == 100 + m.asset_id % 200)
+      }
+      assert(m.n_bytes > 0)
+    }
+  }
 }
