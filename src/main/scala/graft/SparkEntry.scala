@@ -66,6 +66,7 @@ object SparkEntry {
     "q73_pq_search"         -> (ExtQueries.q73PqSearch(_, _)),
     "q74_pq_search_ivf"     -> (ExtQueries.q74PqSearchIvf(_, _)),
     "q76_media_decode"      -> (ExtQueries.q76MediaDecode(_, _)),
+    "q77_bpe_vocab"         -> (ExtQueries.q77BpeVocab(_, _)),
     "q28_sessionize"        -> (ExtQueries.q28Sessionize(_, _)),
     "q40_asof_join"         -> (ExtQueries.q40AsofJoin(_, _)),
     "q41_interval_join"     -> (ExtQueries.q41IntervalJoin(_, _)),

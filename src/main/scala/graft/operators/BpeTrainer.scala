@@ -54,17 +54,23 @@ object BpeTrainer {
 
   /** Train up to `maxMerges` merges; stops early when the best
     * remaining pair occurs fewer than `minCount` times (or no pair is
-    * left). `driverThreshold` picks the regime by distinct-word count. */
+    * left). `driverThreshold` picks the regime by distinct-word count.
+    * A wordFreq the CALLER already persisted is left cached on return
+    * (so e.g. [[vocabFrame]] can reuse it without a second corpus
+    * pass); an unpersisted one is cached for the duration of training
+    * only. */
   def train(wordFreq: DataFrame, maxMerges: Int, minCount: Long = 2L,
       driverThreshold: Long = 4000000L): Seq[MergeStep] = {
-    val wf = wordFreq.persist()
+    val callerCached =
+      wordFreq.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val wf = if (callerCached) wordFreq else wordFreq.persist()
     try {
       if (wf.count() <= driverThreshold) trainInMemory(
         wf.select(col("token"), col("freq").cast("long"))
           .collect().map(r => (r.getString(0), r.getLong(1))),
         maxMerges, minCount)
       else trainDistributed(wf, maxMerges, minCount)
-    } finally wf.unpersist()
+    } finally if (!callerCached) wf.unpersist()
   }
 
   /** In-memory regime: the classic loop over (word, freq), with the
@@ -204,6 +210,45 @@ object BpeTrainer {
     }
     out.toSeq
   }
+
+  /** The tokenizer-as-artifact surface (VERDICT r05 item 7): the
+    * trained vocab as ONE writable frame a training pipeline ships —
+    * merge rules (kind='merge', rank = apply order, weight = selection
+    * count) plus the final symbol inventory (kind='symbol', rank=-1,
+    * weight = corpus occurrence count of the symbol after all merges).
+    * Round-trips through parquet: [[mergesFromVocab]] reads the rules
+    * back in apply order and segmentation with them is spec-pinned
+    * equal to segmenting with the in-call merges. The inventory is one
+    * map + one shuffle over the (vocabulary-bounded) word-frequency
+    * table — no corpus pass. */
+  def vocabFrame(wordFreq: DataFrame, merges: Seq[MergeStep]): DataFrame = {
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    val mergeRows = merges
+      .map(m => ("merge", m.round, m.pair, m.merged, m.nOccurrences))
+      .toDF("kind", "rank", "pair", "symbol", "weight")
+      .select(col("kind"), col("rank").cast("int").as("rank"), col("pair"),
+        col("symbol"), col("weight").cast("long").as("weight"))
+    val symbolRows = wordFreq
+      .select(
+        explode(bpeApplyMergesNative(col("token"), merges.map(_.pair)))
+          .as("symbol"),
+        col("freq"))
+      .groupBy(col("symbol"))
+      .agg(sum(col("freq")).cast("long").as("weight"))
+      .select(lit("symbol").as("kind"), lit(-1).as("rank"),
+        lit("").as("pair"), col("symbol"), col("weight"))
+    mergeRows.unionByName(symbolRows)
+  }
+
+  /** Merge rules from a (persisted, read-back) vocab frame, in apply
+    * order — model-scale driver state, like the trained merges
+    * themselves. */
+  def mergesFromVocab(vocab: DataFrame): Seq[String] =
+    vocab.where(col("kind") === "merge")
+      .orderBy(col("rank"))
+      .select(col("pair"))
+      .collect().map(_.getString(0)).toSeq
 
   /** Distributed regime: one constant-shape pass per round. */
   private[graft] def trainDistributed(wordFreq: DataFrame,

@@ -416,24 +416,47 @@ object ExtQueries {
     TextDedup.removeRepeatedSpans(Tables.documents(s, dir), "doc_id", "text",
       k = 8)
 
-  /** BPE segmentation at corpus scale: replay the q65-trained merges
-    * over every token (the codegen'd kernel, merges as one reference
-    * object) and rank the resulting subword symbols by occurrence —
-    * the train -> encode round trip. The oracle replays the same 3
-    * merges on the wrapped-string representation and unnests w3's
-    * symbol state, weighted by word frequency. */
+  /** BPE segmentation at corpus scale — now consuming the PERSISTED
+    * vocab artifact (VERDICT r05 item 7): train, write the q77 vocab
+    * frame to parquet, read it back, extract the merge rules, and
+    * segment with THOSE (the codegen'd kernel, merges as one reference
+    * object). The tokenizer-as-artifact shape a training pipeline
+    * ships: the segmenter never touches the trainer, only the table.
+    * Output and oracle are unchanged from the in-call wiring — the
+    * round trip is the point. */
   def q68BpeSegment(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{bpeApplyMergesNative, tokens}
     import graft.operators.BpeTrainer
     val docs = Tables.documents(s, dir)
-    val merges = BpeTrainer.train(
-      BpeTrainer.wordFrequencies(docs, "text"),
+    val wf = BpeTrainer.wordFrequencies(docs, "text").persist()
+    val merges = BpeTrainer.train(wf,
       maxMerges = 3, minCount = 1L) // floorless like the oracle (see q65)
+    val vocabDir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_vocab").toString
+    BpeTrainer.vocabFrame(wf, merges)
+      .write.mode("overwrite").parquet(vocabDir)
+    wf.unpersist()
+    val pairs = BpeTrainer.mergesFromVocab(s.read.parquet(vocabDir))
     topKByCount(
       docs.select(explode(tokens(col("text"))).as("token"))
-        .select(explode(bpeApplyMergesNative(col("token"), merges.map(_.pair)))
+        .select(explode(bpeApplyMergesNative(col("token"), pairs))
           .as("symbol")),
       "symbol", 50)
+  }
+
+  /** The trained tokenizer as a writable artifact (q77): merge rules
+    * in apply order plus the final symbol inventory with corpus
+    * occurrence weights — one frame, parquet-shippable, consumed by
+    * q68's segmentation after a round trip through storage. */
+  def q77BpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BpeTrainer
+    // Persisted for its two consumers (train's collect + the symbol
+    // inventory) — released by the lease after the caller's action.
+    val wf = BpeTrainer
+      .wordFrequencies(Tables.documents(s, dir), "text").persist()
+    val merges = BpeTrainer.train(wf, maxMerges = 3, minCount = 1L)
+    CacheLease.releaseAfterAction(
+      BpeTrainer.vocabFrame(wf, merges))(() => { wf.unpersist(); () })
   }
 
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
@@ -1415,6 +1438,17 @@ object ExtQueries {
          |SELECT CAST(1 AS INT) AS round, pair, replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS n_occurrences FROM b1
          |UNION ALL SELECT CAST(2 AS INT), pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b2
          |UNION ALL SELECT CAST(3 AS INT), pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b3""".stripMargin,
+
+    // The artifact itself: q65's merge rows (rank = round) plus w3's
+    // symbol state unnested and weight-aggregated — the engine must
+    // produce the same frame it later ships to storage for q68.
+    "q77_bpe_vocab" ->
+      s"""$bpeRounds3,
+         |sym AS (SELECT unnest(string_split(trim(s), '  ')) AS symbol, freq FROM w3)
+         |SELECT 'merge' AS kind, CAST(1 AS INT) AS rank, pair, replace(pair, ' ', '') AS symbol, CAST(cnt AS BIGINT) AS weight FROM b1
+         |UNION ALL SELECT 'merge', CAST(2 AS INT), pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b2
+         |UNION ALL SELECT 'merge', CAST(3 AS INT), pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b3
+         |UNION ALL SELECT 'symbol', CAST(-1 AS INT), '', symbol, CAST(sum(freq) AS BIGINT) FROM sym GROUP BY symbol""".stripMargin,
 
     // The train -> encode round trip: w3 (the symbol state after the
     // q65 merges) unnested and counted with word-frequency weights ==

@@ -115,4 +115,40 @@ class BpeTrainerSpec extends AnyFunSuite {
       assert(inMem.size == 30, s"expected the full 30 merges, got ${inMem.size}")
     } finally wf.unpersist()
   }
+
+  test("vocab artifact round trip: train -> write -> read -> segment equals in-call") {
+    val docs = Seq(
+      (1L, "lo lo lo low low lower"),
+      (2L, "the slow glow of the low yellow meadow")).toDF("doc_id", "text")
+    val wf = BpeTrainer.wordFrequencies(docs, "text").persist()
+    try {
+      val merges = BpeTrainer.train(wf, maxMerges = 5, minCount = 1L)
+      assert(merges.nonEmpty)
+      val vocab = BpeTrainer.vocabFrame(wf, merges)
+      // Shape: one merge row per step in rank order + a symbol
+      // inventory whose weights sum to the corpus token-symbol count.
+      val mergeRows = vocab.where($"kind" === "merge")
+        .select("rank", "pair", "symbol", "weight")
+        .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      assert(mergeRows.toSeq == merges.map(m =>
+        (m.round, m.pair, m.merged, m.nOccurrences)))
+      val symWeight = vocab.where($"kind" === "symbol")
+        .agg(org.apache.spark.sql.functions.sum("weight")).as[Long].head()
+      val totalSymbols = docs
+        .selectExpr("explode(split(text, ' ')) AS t")
+        .select(bpeApplyMergesNative($"t", merges.map(_.pair)).as("s"))
+        .selectExpr("sum(size(s))").as[Long].head()
+      assert(symWeight == totalSymbols,
+        "inventory weights must sum to the corpus symbol count")
+      // Parquet round trip: the read-back rules segment identically to
+      // the in-call merges, and survive rank-order shuffling on read.
+      val dir = TestSpark.tmpDir("bpe_vocab_rt")
+      vocab.write.mode("overwrite").parquet(dir)
+      val pairs = BpeTrainer.mergesFromVocab(spark.read.parquet(dir))
+      assert(pairs == merges.map(_.pair),
+        "read-back merge rules must come out in apply order")
+      val inCall = applied("lower", merges.map(_.pair))
+      assert(applied("lower", pairs) == inCall)
+    } finally wf.unpersist()
+  }
 }
