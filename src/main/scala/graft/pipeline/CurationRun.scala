@@ -334,6 +334,39 @@ object CurationRun {
       sampled = sampled, bins = bins)
   }
 
+  /** Lineage compaction — the state rebase (VERDICT r05 item 8). The
+    * lineage manifest grows by one state dir per weekly batch; after
+    * enough weeks every reader unions N slice dirs per artifact.
+    * Rebase rewrites the composed state as ONE consolidated dir whose
+    * lineage is just itself, so subsequent incrementals read a single
+    * slice again.
+    *
+    * Because the state is APPEND-STRUCTURED, the rebase is pure IO:
+    * union each artifact's batch slices along the lineage and rewrite
+    * (decon/index/signatures), copy the full label table (clusters is
+    * never sliced). No recompute — prep, LSH banding, and clustering
+    * are NOT re-run, which at 100 TB is the difference between one
+    * read+write pass and re-paying the whole dedup front. Equivalence
+    * holds by construction: composing slices along the lineage IS the
+    * corpus state (IncrementalCurationSpec pins post-rebase
+    * incremental == pre-rebase incremental). */
+  def rebaseState(spark: org.apache.spark.sql.SparkSession,
+      stateInDir: String, stateOutDir: String): Unit = {
+    require(stateInDir != stateOutDir,
+      "rebase writes a new state version: reading and overwriting the " +
+        "same state in one job would corrupt it")
+    val lineage = readLineage(stateInDir)
+    Sinks.overwriteParquet(readSlices(spark, lineage, "decon_batch"),
+      s"$stateOutDir/decon_batch", numFiles = 4)
+    Sinks.overwriteParquet(readSlices(spark, lineage, "index_batch"),
+      s"$stateOutDir/index_batch", numFiles = 4)
+    Sinks.overwriteParquet(readSlices(spark, lineage, "signatures_batch"),
+      s"$stateOutDir/signatures_batch", numFiles = 4)
+    Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/clusters"),
+      s"$stateOutDir/clusters", numFiles = 1)
+    writeLineage(stateOutDir, Seq(stateOutDir))
+  }
+
   /** Run the pass; outputs land under `outDir` as `curated/` (doc_id,
     * text, detected_lang, quality_score) and `packed/` (per-bin member
     * ids + packed text). Overwrite semantics — re-runs are idempotent. */

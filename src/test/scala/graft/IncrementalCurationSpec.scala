@@ -132,4 +132,62 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(curated(s"$base/out_incr") == Set(1L, 3L, 5L),
       "near-dup 11 collapses into 1; semantic dup 13 drops against 5")
   }
+
+  test("lineage compaction: post-rebase incremental equals pre-rebase incremental") {
+    // init(A) + inc(B) builds a 2-entry lineage; rebase collapses it to
+    // one consolidated dir. A third batch incremented over BOTH states
+    // must land identical outputs and cluster state — including a
+    // cross-batch merge whose partner doc entered in batch A (so the
+    // rebased slices, not just the label table, must carry it).
+    val batchA = Seq(
+      (1L, goodEn),
+      (3L, goodEs),
+      (5L, freshA)).toDF("doc_id", "text")
+    val batchB = Seq(
+      (11L, goodEn.replace("today", "right now")), // near-dup of 1
+      (13L, "entirely novel content about distant mountains and deep " +
+        "valleys that resembles nothing in the first weekly batch at all")
+    ).toDF("doc_id", "text")
+    val batchC = Seq(
+      (21L, goodEs.replace("luna", "estrella")),   // near-dup of 3 (batch A!)
+      (22L, "completely fresh third week material describing bright " +
+        "harbors and tall ships sailing toward the northern islands now")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+
+    val base = TestSpark.tmpDir("inc_curation_rebase")
+    CurationRun.runInit(batchA, benchmark, s"$base/out_a", s"$base/state_1")
+    CurationRun.runIncremental(
+      batchB, benchmark, s"$base/out_b", s"$base/state_1", s"$base/state_2")
+
+    CurationRun.rebaseState(spark, s"$base/state_2", s"$base/state_r")
+    val lineage = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$base/state_r/lineage.txt"))
+    assert(lineage.size == 1 && lineage.get(0) == s"$base/state_r",
+      "rebase must truncate the lineage to the consolidated dir itself")
+
+    val viaOld = CurationRun.runIncremental(
+      batchC, benchmark, s"$base/out_c_old", s"$base/state_2", s"$base/state_3o")
+    val viaRebased = CurationRun.runIncremental(
+      batchC, benchmark, s"$base/out_c_reb", s"$base/state_r", s"$base/state_3r")
+
+    def curated(dir: String): Set[(Long, String)] =
+      spark.read.parquet(s"$dir/curated")
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+    def clusters(stateDir: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$stateDir/clusters")
+        .as[(Long, Long)].collect().toSet
+    assert(curated(s"$base/out_c_reb") == curated(s"$base/out_c_old"),
+      "curated output diverged across the rebase")
+    assert(clusters(s"$base/state_3r") == clusters(s"$base/state_3o"),
+      "cluster state diverged across the rebase")
+    assert(viaRebased.kept == viaOld.kept &&
+      viaRebased.sampled == viaOld.sampled &&
+      viaRebased.decontaminated == viaOld.decontaminated)
+    // The cross-batch merge through the rebased slices happened: 21
+    // joined 3's cluster even though 3's index slice was consolidated.
+    val c = clusters(s"$base/state_3r").toMap
+    assert(c(21L) == c(3L),
+      "post-rebase incremental must still merge against pre-rebase docs")
+  }
 }
