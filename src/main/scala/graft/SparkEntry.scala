@@ -67,6 +67,10 @@ object SparkEntry {
     "q74_pq_search_ivf"     -> (ExtQueries.q74PqSearchIvf(_, _)),
     "q76_media_decode"      -> (ExtQueries.q76MediaDecode(_, _)),
     "q77_bpe_vocab"         -> (ExtQueries.q77BpeVocab(_, _)),
+    "q78_perplexity_buckets" -> (ExtQueries.q78PerplexityBuckets(_, _)),
+    "q79_gopher_rules"      -> (ExtQueries.q79GopherRules(_, _)),
+    "q80_source_cap"        -> (ExtQueries.q80SourceCap(_, _)),
+    "q81_tokenizer_fertility" -> (ExtQueries.q81TokenizerFertility(_, _)),
     "q28_sessionize"        -> (ExtQueries.q28Sessionize(_, _)),
     "q40_asof_join"         -> (ExtQueries.q40AsofJoin(_, _)),
     "q41_interval_join"     -> (ExtQueries.q41IntervalJoin(_, _)),

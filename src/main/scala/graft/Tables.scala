@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated synthetic star schema (TESTDATA.md).
   * One parquet folder per table under a scale-factor directory.
@@ -22,21 +22,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong so
-    * it arrives as a long, and we truncate nanos → micros (exactly what
-    * DuckDB's reader does) to get a genuine timestamp column.
+  /** events.parquet's ts annotation has varied across driver testdata
+    * generations, so normalize every shape to a plain TIMESTAMP:
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it; sessions set
+    *    spark.sql.legacy.parquet.nanosAsLong so it arrives as a long,
+    *    truncated here nanos → micros (exactly what DuckDB's reader
+    *    does);
+    *  - TIMESTAMP(micros, isAdjustedToUTC=false): Spark infers
+    *    TIMESTAMP_NTZ, which time-arithmetic functions (unix_millis)
+    *    reject; under the UTC session zone a cast to TIMESTAMP is a
+    *    pure re-annotation of the same wall-clock instant — the naive
+    *    reading DuckDB uses.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -286,4 +286,39 @@ object DataMix {
         round(col("k"), 6).cast("double").as("sel_key"))
     )(() => rawB.unpersist())
   }
+
+  /** RefinedWeb-style per-source cap (Penedo et al. 2023 §3.1 apply a
+    * per-domain cap to stop any single site from dominating the
+    * corpus): keep at most `cap` documents per `groupCol` value,
+    * chosen by a deterministic md5-derived draw so the kept set is a
+    * uniform sample of the group, reproducible on any engine.
+    *
+    * The selection runs through the bounded
+    * [[graft.functions.expr.TopKByScore]] aggregate, NOT a
+    * `row_number()` window: the window form shuffles and sorts every
+    * row of a group just to discard all but `cap` — for a hot domain
+    * holding 30% of a 100 TB crawl that is one executor sorting 30 TB.
+    * As a partial aggregate each map task keeps <= cap rows per group,
+    * so only cap * |groups| rows cross the exchange and the hot group
+    * costs the same as any other.
+    *
+    * Ordering key: the first 13 hex chars of md5(id) as a numeric
+    * draw — 52 bits, exactly representable in the aggregate's double
+    * score (15+ hex chars would round and could reorder), ties (~2^-52)
+    * broken by id ASC. Emits (doc_id, groupCol, rank). */
+  def groupCap(docs: DataFrame, idCol: String, groupCol: String,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // TopKByScore ranks score DESC; negate so the smallest md5 wins.
+    val draw = -conv(substring(md5(col(idCol).cast("string")), 1, 13),
+      16, 10).cast("long").cast("double")
+    val agg = ColumnBridge.column(graft.functions.expr.TopKByScore(
+      ColumnBridge.expression(draw),
+      ColumnBridge.expression(col(idCol)), cap).toAggregateExpression())
+    docs.groupBy(col(groupCol))
+      .agg(agg.as("topk"))
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("e.id").as("doc_id"), col(groupCol),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -275,4 +275,122 @@ object TextAnalysis {
       col(idCol).as("doc_id"),
       md5(col(textCol)).as("md5_hash"),
       minShingleHash(col(textCol), 5, 0).as("min_shingle_hash"))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * facebookresearch/cc_net `perplexity.py`): score every document
+    * with the [[ngramLmScore]] LM trained on a target-domain corpus,
+    * then split the corpus into `head`/`middle`/`tail` by score — the
+    * standard quality stratification applied to web data before
+    * sampling a training mix (head = most target-like).
+    *
+    * Bucket boundaries are VALUE quantiles computed from the score
+    * DISTRIBUTION, not a per-row rank: a groupBy histogram over the
+    * (6dp-rounded, hence bounded-cardinality) scores, a cumulative
+    * window over that small histogram, and a broadcast join of the
+    * score→bucket map back onto the per-doc frame. At 100 TB this is
+    * one map-side-combined groupBy plus a broadcast hash join — never
+    * a global sort or single-partition window over corpus rows, which
+    * is what `ntile()` over an unpartitioned window would cost. Ties
+    * (equal scores) land in one bucket by construction, so the split
+    * is deterministic and engine-invariant with no id tiebreak needed:
+    * bucket(s) = ceil(cum(s) * nBuckets / N) where cum(s) = number of
+    * docs scoring >= s. */
+  def perplexityBuckets(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val scored = ngramLmScore(train, docs, idCol, textCol)
+      .select(col("doc_id"), col("avg_logprob"))
+    // Histogram over distinct 6dp scores: small (bounded by the score
+    // grid), so the unpartitioned cumulative window is over a frame
+    // ~|distinct scores|, not |docs|.
+    val hist = scored.groupBy(col("avg_logprob"))
+      .agg(count(lit(1)).as("nb"))
+    val cum = hist
+      .withColumn("cum", sum(col("nb"))
+        .over(Window.orderBy(col("avg_logprob").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_total", sum(col("nb")).over(Window.partitionBy()))
+      // ceil(cum * nB / N) in integer arithmetic: exact in any engine.
+      .select(col("avg_logprob"),
+        ((col("cum") * nBuckets + col("n_total") - 1) / col("n_total"))
+          .cast("long").as("bucket_idx"))
+    val named = cum.withColumn("ppl_bucket",
+      when(col("bucket_idx") === 1, "head")
+        .when(col("bucket_idx") === nBuckets, "tail")
+        .otherwise("middle"))
+      .drop("bucket_idx")
+    scored.join(broadcast(named), Seq("avg_logprob"))
+      .select(col("doc_id"), col("avg_logprob"), col("ppl_bucket"))
+  }
+
+  /** Stop words for the Gopher "contains common English words" rule —
+    * the published list (Rae et al. 2021, appendix A1.1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rule set (Rae et al. 2021, appendix A1.1)
+    * — the published heuristic gates applied to MassiveWeb before
+    * training: word-count band, mean-word-length band, symbol-to-word
+    * ratio ('#' and '...'), bullet-line and ellipsis-line shares,
+    * alphabetic-word fraction, and a minimum count of distinct common
+    * stop words. Emits one row per document with every measured ratio
+    * (6dp), a per-rule boolean, and the conjunctive `pass` — keeping
+    * the per-rule columns is what makes the gate auditable (which rule
+    * kills how much of a corpus is the first question asked of it).
+    *
+    * Thresholds are parameters; the defaults here follow the paper
+    * except the word-count band, which is scaled to the fixture corpus
+    * (10-99-word synthetic docs vs the paper's 50-100k band for web
+    * pages).
+    *
+    * Scale shape: a pure per-row expression pipeline over codegen'd
+    * higher-order functions — no shuffle, no UDF; fuses into the scan
+    * like [[qualityScore]]. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 20, maxWords: Int = 10000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
+      minAlphaRatio: Double = 0.8, minStopwords: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nw = size(toks)
+    val lines = split(col(textCol), "\n")
+    val nl = size(lines)
+    // '#' occurrences + non-overlapping '...' occurrences, per word.
+    val hashes = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val ellipses = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3)
+    val meanLen = round(
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        nw, 6)
+    val symRatio = round((hashes + ellipses).cast("double") / nw, 6)
+    val bulletRatio = round(
+      size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") /
+        nl, 6)
+    val ellipsisRatio = round(
+      size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("double") / nl, 6)
+    val alphaRatio = round(
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") / nw, 6)
+    val stopHits = size(filter(
+      array(gopherStopwords.map(lit): _*), w => array_contains(toks, w)))
+    docs.select(
+        col(idCol).as("doc_id"), nw.as("n_words"),
+        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+        bulletRatio.as("bullet_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+        alphaRatio.as("alpha_ratio"), stopHits.as("stopword_hits"))
+      .withColumn("words_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("word_len_ok", col("mean_word_len") >= minMeanWordLen &&
+        col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("symbol_ok", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("bullet_ok", col("bullet_ratio") <= maxBulletRatio)
+      .withColumn("ellipsis_ok", col("ellipsis_ratio") <= maxEllipsisRatio)
+      .withColumn("alpha_ok", col("alpha_ratio") >= minAlphaRatio)
+      .withColumn("stopword_ok", col("stopword_hits") >= minStopwords)
+      .withColumn("pass", col("words_ok") && col("word_len_ok") &&
+        col("symbol_ok") && col("bullet_ok") && col("ellipsis_ok") &&
+        col("alpha_ok") && col("stopword_ok"))
+  }
 }

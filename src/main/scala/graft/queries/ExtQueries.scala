@@ -111,6 +111,26 @@ object ExtQueries {
       "doc_id", "text")
   }
 
+  /** CCNet-style quality stratification (q78): LM statistics trained
+    * on the English slice (the "target domain" stand-in for CCNet's
+    * Wikipedia LM), every document scored, corpus split head/middle/
+    * tail by score-distribution tertiles. */
+  def q78PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TextAnalysis.perplexityBuckets(
+      d.where(col("lang") === "en"), d, "doc_id", "text")
+  }
+
+  /** Gopher document-quality rule gate (q79): the published heuristic
+    * rule set with the word-count band scaled to the fixture corpus. */
+  def q79GopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+
+  /** RefinedWeb-style per-source cap (q80): at most 12 documents per
+    * source, chosen by the deterministic md5 draw. */
+  def q80SourceCap(s: SparkSession, dir: String): DataFrame =
+    DataMix.groupCap(Tables.documents(s, dir), "doc_id", "source", cap = 12)
+
   /** RAG/embedding chunking: 64-token windows, 8-token overlap. */
   def q50ChunkDocuments(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
@@ -442,6 +462,38 @@ object ExtQueries {
         .select(explode(bpeApplyMergesNative(col("token"), pairs))
           .as("symbol")),
       "symbol", 50)
+  }
+
+  /** Tokenizer fertility by language (q81): symbols-per-word of the
+    * trained BPE tokenizer, grouped by detected language — the
+    * standard tokenizer-evaluation metric (how many subword pieces a
+    * word costs, per language; SentencePiece/XLM-R analyses report
+    * exactly this table). Consumes the persisted q77 vocab artifact
+    * through the same round trip as q68, so it also exercises the
+    * artifact contract. One map pass (lang-ID + segmentation are both
+    * codegen'd kernels) and one small groupBy — at 100 TB the
+    * aggregate is |languages| rows. */
+  def q81TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{bpeApplyMergesNative, tokens}
+    import graft.operators.BpeTrainer
+    val docs = Tables.documents(s, dir)
+    val wf = BpeTrainer.wordFrequencies(docs, "text").persist()
+    val merges = BpeTrainer.train(wf, maxMerges = 3, minCount = 1L)
+    val vocabDir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_vocab_fert").toString
+    BpeTrainer.vocabFrame(wf, merges)
+      .write.mode("overwrite").parquet(vocabDir)
+    wf.unpersist()
+    val pairs = BpeTrainer.mergesFromVocab(s.read.parquet(vocabDir))
+    docs
+      .select(TextAnalysis.detectedLang(tokens(col("text"))).as("lang"),
+        explode(tokens(col("text"))).as("token"))
+      .select(col("lang"),
+        size(bpeApplyMergesNative(col("token"), pairs)).as("nsym"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nsym")).as("n_symbols"))
+      .withColumn("fertility",
+        round(col("n_symbols").cast("double") / col("n_words"), 6))
   }
 
   /** The trained tokenizer as a writable artifact (q77): merge rules
@@ -1309,6 +1361,82 @@ object ExtQueries {
          |  CROSS JOIN vv
          |GROUP BY doc_id""".stripMargin,
 
+    // q78: q59's trained-LM LEFT-join scoring (train = the en slice,
+    // scored = all docs), then value-quantile bucketing from the score
+    // histogram: cum(s) = docs scoring >= s, bucket = ceil(cum*3/N) in
+    // integer-exact arithmetic, ties share a bucket by construction.
+    "q78_perplexity_buckets" ->
+      s"""WITH tr AS (SELECT doc_id, $duckToks AS t FROM documents WHERE lang = 'en'),
+         |al AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |bgt AS (SELECT doc_id, unnest(CASE WHEN len(t) - 1 >= 1
+         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END) AS bg FROM tr),
+         |bc AS (SELECT bg, count(*) AS c12 FROM bgt GROUP BY 1),
+         |un AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM un),
+         |bga AS (SELECT doc_id, unnest(CASE WHEN len(t) - 1 >= 1
+         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END) AS bg FROM al),
+         |sc AS (SELECT doc_id,
+         |  round(CAST(sum(CAST(round(ln((coalesce(bc.c12, 0) + 1) / (coalesce(un.c1, 0) + vv.v)), 8) AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_logprob
+         |FROM bga LEFT JOIN bc USING (bg)
+         |  LEFT JOIN un ON un.w = split_part(bga.bg, ' ', 1)
+         |  CROSS JOIN vv
+         |GROUP BY doc_id),
+         |hist AS (SELECT avg_logprob, count(*) AS nb FROM sc GROUP BY 1),
+         |cum AS (SELECT avg_logprob,
+         |  sum(nb) OVER (ORDER BY avg_logprob DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         |  sum(nb) OVER () AS n_total FROM hist),
+         |bk AS (SELECT avg_logprob,
+         |  CAST(floor((c * 3 + n_total - 1) / n_total) AS BIGINT) AS bucket_idx FROM cum)
+         |SELECT sc.doc_id, sc.avg_logprob,
+         |  CASE WHEN bucket_idx = 1 THEN 'head'
+         |       WHEN bucket_idx = 3 THEN 'tail'
+         |       ELSE 'middle' END AS ppl_bucket
+         |FROM sc JOIN bk USING (avg_logprob)""".stripMargin,
+
+    // q79: the Gopher rule measurements as list-lambda mirrors of the
+    // engine's codegen'd HOFs; booleans compare as-is.
+    "q79_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks,
+         |  string_split(text, chr(10)) AS lines FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS INT) AS n_words,
+         |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_word_len,
+         |  round(((length(text) - length(replace(text, '#', ''))) +
+         |    (length(text) - length(replace(text, '...', ''))) / 3) / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+         |  round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines), 6) AS bullet_ratio,
+         |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) / len(lines), 6) AS ellipsis_ratio,
+         |  round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6) AS alpha_ratio,
+         |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(toks, w))) AS INT) AS stopword_hits
+         |FROM t)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         |  ellipsis_ratio, alpha_ratio, stopword_hits,
+         |  n_words >= 20 AND n_words <= 10000 AS words_ok,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS word_len_ok,
+         |  symbol_ratio <= 0.1 AS symbol_ok,
+         |  bullet_ratio <= 0.9 AS bullet_ok,
+         |  ellipsis_ratio <= 0.3 AS ellipsis_ok,
+         |  alpha_ratio >= 0.8 AS alpha_ok,
+         |  stopword_hits >= 2 AS stopword_ok,
+         |  (n_words >= 20 AND n_words <= 10000) AND
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AND
+         |  symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND
+         |  ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 AND
+         |  stopword_hits >= 2 AS pass
+         |FROM m""".stripMargin,
+
+    // q80: the window form IS the oracle (row_number over the md5
+    // draw); the engine computes the same kept set + rank through the
+    // bounded TopKByScore aggregate instead of a per-group sort.
+    "q80_source_cap" ->
+      """SELECT doc_id, source, rank FROM (
+        |  SELECT doc_id, source, CAST(row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS INT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 12""".stripMargin,
+
     "q47_decontaminate" ->
       s"""$duckShingles3,
          |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
@@ -1462,6 +1590,34 @@ object ExtQueries {
          |  FROM (SELECT symbol, CAST(sum(freq) AS BIGINT) AS n_occurrences
          |        FROM sym GROUP BY symbol))
          |WHERE rank <= 50""".stripMargin,
+
+    // q81: per-word-type symbol counts fall out of bpeRounds3's w3
+    // (token reconstructed by stripping the separator spaces), joined
+    // to the doc token stream and grouped by the q18 language pick.
+    "q81_tokenizer_fertility" ->
+      s"""$bpeRounds3,
+         |wsym AS (SELECT replace(trim(s), ' ', '') AS token,
+         |  CAST(len(string_split(trim(s), '  ')) AS INT) AS nsym FROM w3),
+         |tl AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |hh AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS hits_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS INT) AS hits_es,
+         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) AS hits_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(['le','les','et','des','un'], x))) AS INT) AS hits_fr
+         |  FROM tl),
+         |lg AS (SELECT doc_id,
+         | CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+         |      WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+         |      WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+         |      WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+         |      ELSE 'fr' END AS lang
+         |FROM hh),
+         |tkd AS (SELECT doc_id, unnest(toks) AS token FROM tl)
+         |SELECT lg.lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(wsym.nsym) AS BIGINT) AS n_symbols,
+         |  round(CAST(sum(wsym.nsym) AS DOUBLE) / count(*), 6) AS fertility
+         |FROM tkd JOIN wsym USING (token) JOIN lg USING (doc_id)
+         |GROUP BY lg.lang""".stripMargin,
 
     // Exact mirrors + literal true flags: the engine's sketch values
     // are compared against its own exact columns IN the query, so the

@@ -130,4 +130,29 @@ class DataMixSpec extends AnyFunSuite {
     // sel_key = importance + Gumbel, monotone non-increasing in rank.
     assert(out.map(_._4) == out.map(_._4).sorted.reverse)
   }
+
+  test("groupCap equals the row_number-window reference, incl. a skewed group") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Group "hot" holds 80% of rows — the shape the bounded-aggregate
+    // form exists for.
+    val df = (0L until 500L).map(i =>
+      (i, if (i < 400) "hot" else s"g${i % 7}")).toDF("doc_id", "source")
+    val got = DataMix.groupCap(df, "doc_id", "source", cap = 10)
+      .select("doc_id", "source", "rank")
+      .as[(Long, String, Int)].collect().toSet
+    val want = df
+      .withColumn("rank", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+          16, 10).cast("long"), col("doc_id"))).cast("int"))
+      .filter(col("rank") <= 10)
+      .select("doc_id", "source", "rank")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == want, "bounded top-k must equal the window form")
+    assert(got.count(_._2 == "hot") == 10, "hot group capped at 10")
+    assert(got.groupBy(_._2).values.forall(_.size <= 10))
+    // Groups under the cap keep every row, ranked 1..n.
+    val small = got.filter(_._2 == "g0").toSeq.sortBy(_._3)
+    assert(small.map(_._3) == (1 to small.size))
+  }
 }

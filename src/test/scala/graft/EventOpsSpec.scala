@@ -92,4 +92,18 @@ class EventOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
       s"banded interval join must be an equi-join:\n$plan")
   }
+
+  test("Tables.events normalizes the driver parquet's ts to TIMESTAMP") {
+    // The driver's testdata generations have shipped ts as
+    // TIMESTAMP(NANOS) and as TIMESTAMP_NTZ(micros); either way the
+    // loader must hand downstream operators a plain TIMESTAMP that
+    // unix_millis accepts (q28/q36/q41 all call it).
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"got ${ev.schema("ts").dataType}")
+    val n = ev.select(org.apache.spark.sql.functions.unix_millis($"ts").as("ms"))
+      .filter($"ms".isNotNull).count()
+    assert(n > 0)
+  }
 }
