@@ -199,9 +199,11 @@ object DataMix {
   }
 
   /** (doc_id, bucket, n) profile of a document frame under the
-    * unigram+bigram feature hash. */
-  private def docBuckets(df: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame = {
+    * unigram+bigram feature hash. Shared with the fastText-style
+    * [[QualityClassifier]], which learns weights over exactly this
+    * feature space. */
+  private[operators] def docBuckets(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
     import graft.functions.TextFunctions.{tokens, wordNgramsNative}
     val toks = tokens(col(textCol))
     df.select(col(idCol).as("doc_id"),

@@ -1,0 +1,112 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** fastText-style model-based quality filter (Joulin et al. 2016;
+  * the filtering family of GPT-3 appendix A, LLaMA, and FineWeb-Edu):
+  * logistic regression over hashed unigram+bigram counts, positives =
+  * a curated target corpus, negatives = the raw pool; the trained
+  * model scores every candidate document and the score gates or
+  * stratifies the corpus.
+  *
+  * This sits beside the repo's other two published quality-scoring
+  * families — DSIR importance ratios ([[DataMix.importanceResample]])
+  * and the CCNet perplexity LM ([[TextAnalysis.perplexityBuckets]]) —
+  * and shares the DSIR feature space ([[DataMix.docBuckets]]).
+  *
+  * Training is FIXED-ITERATION full-batch gradient descent with an
+  * 8dp decimal rounding at every engine boundary (per-doc sigmoid,
+  * per-bucket update), so a run is bit-deterministic and the DuckDB
+  * oracle replays it iteration by iteration (the q65 BPE merge-loop
+  * discipline applied to model training).
+  *
+  * Scale shape: one corpus pass builds the hashed feature frame
+  * (persisted across iterations); each iteration is two
+  * map-side-combined groupBys (per-doc margin, per-bucket gradient)
+  * against a BROADCAST weight table. Driver state is the weight
+  * vector only — <= `buckets` rows, model state under the same
+  * bounded-collect rule as k-means centroids and BPE merge tables,
+  * never corpus rows. */
+object QualityClassifier {
+
+  private val weightSchema = StructType(Seq(
+    StructField("b", LongType, nullable = false),
+    StructField("w", DecimalType(20, 8), nullable = false)))
+
+  private def weightsFrame(spark: SparkSession,
+      w: Map[Long, JBigDecimal]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(w.toSeq.sortBy(_._1)
+        .map { case (b, v) => Row(b, v.setScale(8)) }: _*),
+      weightSchema)
+
+  /** Per-doc 8dp-rounded sigmoid scores under a weight table:
+    * z = sum(n * w) over the doc's hashed grams (exact decimal),
+    * p = round(1/(1+e^-z), 8). Buckets without a trained weight
+    * contribute zero (left join + coalesce). */
+  private def docScores(feat: DataFrame, wDf: DataFrame): DataFrame =
+    feat
+      .join(broadcast(wDf), Seq("b"), "left")
+      .withColumn("nw", col("n").cast("decimal(10,0)") *
+        coalesce(col("w"), lit(0).cast("decimal(20,8)")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nw")).as("z"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 8)
+          .cast("decimal(20,8)").as("p"))
+
+  /** Train the logistic model: `labeled` must carry a 0/1 `labelCol`.
+    * Returns the weight table (b, w decimal(20,8)) — a writable
+    * artifact frame (the q77 tokenizer-as-artifact shape), consumed
+    * by [[score]]. */
+  def train(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int, iters: Int = 3,
+      lr: Double = 0.5): DataFrame = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in (0, 65536], got $buckets (driver holds one weight per bucket)")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = labeled.sparkSession
+    val feat = DataMix.docBuckets(labeled, idCol, textCol, buckets).persist()
+    val lab = labeled.select(col(idCol).as("doc_id"),
+      col(labelCol).cast("int").as("y"))
+    val nDocs = lab.count()
+    var w: Map[Long, JBigDecimal] = Map.empty
+    for (_ <- 1 to iters) {
+      val p = docScores(feat, weightsFrame(spark, w))
+      // Per-bucket update: u_b = round(lr * sum(n*(p-y)) / N, 8).
+      // The sum is an exact decimal (order-invariant); the division
+      // happens once in double on the exact total (q57 discipline).
+      val upd = feat
+        .join(p, Seq("doc_id"))
+        .join(lab, Seq("doc_id"))
+        .groupBy(col("b"))
+        .agg(sum(col("n").cast("decimal(10,0)") * (col("p") - col("y")))
+          .as("gsum"))
+        .select(col("b"),
+          round(lit(lr) * col("gsum").cast("double") / nDocs, 8)
+            .cast("decimal(20,8)").as("u"))
+        .collect() // <= buckets rows: model state, never corpus rows
+      w = upd.map { r =>
+        val b = r.getLong(0)
+        val u = r.getDecimal(1)
+        b -> w.getOrElse(b, JBigDecimal.ZERO).subtract(u)
+      }.toMap
+    }
+    feat.unpersist()
+    weightsFrame(spark, w)
+  }
+
+  /** Score documents under a trained weight table: (doc_id, score,
+    * predicted). One map pass + one groupBy against the broadcast
+    * weights — the 100 TB filtering pass. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int): DataFrame =
+    docScores(DataMix.docBuckets(docs, idCol, textCol, buckets), weights)
+      .select(col("doc_id"),
+        col("p").cast("double").as("score"),
+        (col("p") >= 0.5).as("predicted"))
+}

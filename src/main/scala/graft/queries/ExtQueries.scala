@@ -131,6 +131,35 @@ object ExtQueries {
   def q80SourceCap(s: SparkSession, dir: String): DataFrame =
     DataMix.groupCap(Tables.documents(s, dir), "doc_id", "source", cap = 12)
 
+  /** Model-based quality filter (q82): fastText-style logistic
+    * classifier over hashed unigram+bigram counts — positives = the
+    * en slice (the same target domain as q71's DSIR ratios and q78's
+    * CCNet LM, completing the three published quality-scoring
+    * families), 3 fixed GD iterations at lr 0.5 over 256 buckets,
+    * then the whole corpus scored. */
+  def q82QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val docs = Tables.documents(s, dir)
+    val labeled = docs.withColumn("y",
+      when(col("lang") === "en", 1).otherwise(0))
+    val w = QualityClassifier.train(labeled, "doc_id", "text", "y",
+      buckets = 256, iters = 3, lr = 0.5)
+    QualityClassifier.score(docs, "doc_id", "text", w, buckets = 256)
+  }
+
+  /** The trained classifier as a writable artifact (q83): the weight
+    * table the q82 run ships — the q77 tokenizer-as-artifact shape
+    * for model state. */
+  def q83ClassifierWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val docs = Tables.documents(s, dir)
+    val labeled = docs.withColumn("y",
+      when(col("lang") === "en", 1).otherwise(0))
+    QualityClassifier.train(labeled, "doc_id", "text", "y",
+        buckets = 256, iters = 3, lr = 0.5)
+      .select(col("b"), col("w").cast("double").as("w"))
+  }
+
   /** RAG/embedding chunking: 64-token windows, 8-token overlap. */
   def q50ChunkDocuments(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions._
@@ -824,6 +853,60 @@ object ExtQueries {
        |  doc_id, CAST(round(w_dec, 6) AS DOUBLE) AS importance,
        |  CAST(round(k, 6) AS DOUBLE) AS sel_key
        |FROM kq ORDER BY k DESC, doc_id LIMIT $take""".stripMargin
+
+  /** DuckDB replay of the q82/q83 classifier training: the hashed
+    * feature frame (q71's bucket CTEs), then one CTE block per GD
+    * iteration — per-doc sigmoid (8dp decimal), per-bucket update
+    * (exact decimal sum, one double division, 8dp round), weight
+    * subtraction recast to DECIMAL(20,8) — the q65 merge-loop
+    * unrolling discipline applied to model training. */
+  private def classifierCtes(buckets: Int, iters: Int, lr: Double): String = {
+    val base =
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |gr AS (SELECT doc_id, unnest(list_concat(t, CASE WHEN len(t) - 1 >= 1
+         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END)) AS g FROM tk),
+         |bk AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % $buckets AS b FROM gr),
+         |db AS (SELECT doc_id, b, count(*) AS n FROM bk GROUP BY 1, 2),
+         |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         |nn AS (SELECT count(*) AS n_docs FROM documents)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val p =
+        if (t == 1)
+          s"p1 AS (SELECT doc_id, CAST(0.5 AS DECIMAL(20,8)) AS p FROM documents)"
+        else
+          s"""z$t AS (SELECT db.doc_id, sum(CAST(db.n AS DECIMAL(10,0)) * w${t - 1}.w) AS z
+             |  FROM db JOIN w${t - 1} USING (b) GROUP BY 1),
+             |p$t AS (SELECT doc_id, CAST(round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 8) AS DECIMAL(20,8)) AS p FROM z$t)""".stripMargin
+      val g =
+        s"""g$t AS (SELECT db.b,
+           |  CAST(round($lr * CAST(sum(CAST(db.n AS DECIMAL(10,0)) * (p$t.p - lab.y)) AS DOUBLE) / nn.n_docs, 8) AS DECIMAL(20,8)) AS u
+           |  FROM db JOIN p$t USING (doc_id) JOIN lab USING (doc_id) CROSS JOIN nn
+           |  GROUP BY db.b, nn.n_docs)""".stripMargin
+      val w =
+        if (t == 1)
+          s"w1 AS (SELECT b, CAST(0 - u AS DECIMAL(20,8)) AS w FROM g1)"
+        else
+          s"""w$t AS (SELECT w${t - 1}.b, CAST(w${t - 1}.w - g$t.u AS DECIMAL(20,8)) AS w
+             |  FROM w${t - 1} JOIN g$t USING (b))""".stripMargin
+      s"$p,\n$g,\n$w"
+    }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
+  private def qualityClassifierOracleSql(buckets: Int, iters: Int,
+      lr: Double): String =
+    s"""${classifierCtes(buckets, iters, lr)},
+       |zf AS (SELECT db.doc_id, sum(CAST(db.n AS DECIMAL(10,0)) * w$iters.w) AS z
+       |  FROM db JOIN w$iters USING (b) GROUP BY 1),
+       |pf AS (SELECT doc_id, CAST(round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 8) AS DECIMAL(20,8)) AS p FROM zf)
+       |SELECT doc_id, CAST(p AS DOUBLE) AS score, p >= 0.5 AS predicted
+       |FROM pf""".stripMargin
+
+  private def classifierWeightsOracleSql(buckets: Int, iters: Int,
+      lr: Double): String =
+    s"""${classifierCtes(buckets, iters, lr)}
+       |SELECT b, CAST(w AS DOUBLE) AS w FROM w$iters""".stripMargin
 
   /** DuckDB mirror of the SemDeDup disposition (q70): the Lloyd's
     * chain, within-cell pairs, WITH-RECURSIVE transitive grouping
@@ -1826,6 +1909,12 @@ object ExtQueries {
     // draw.
     "q71_importance_resample" ->
       importanceResampleOracleSql(buckets = 1024, take = 100),
+
+    // Same constants as q82QualityClassifier / q83ClassifierWeights.
+    "q82_quality_classifier" ->
+      qualityClassifierOracleSql(buckets = 256, iters = 3, lr = 0.5),
+    "q83_classifier_weights" ->
+      classifierWeightsOracleSql(buckets = 256, iters = 3, lr = 0.5),
 
     // Same constants as q73PqSearch above — the SQL re-runs all eight
     // subspace Lloyd's chains, the encoding, and the ADC ranking.
