@@ -58,6 +58,68 @@ class StreamCurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gopher rules run unchanged on a stream (stateless parity)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[CurDoc]
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.gopherRules(df, "doc_id", "text", minWords = 3)
+    val q = gate(mem.toDF()).writeStream
+      .format("memory").queryName("stream_gopher")
+      .outputMode("append")
+      .option("checkpointLocation", s"${TestSpark.tmpDir("sgph")}/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streaming = spark.sql("SELECT * FROM stream_gopher")
+        .orderBy("doc_id").collect().toSeq
+      val batch = gate(docs.toDF()).orderBy("doc_id").collect().toSeq
+      assert(streaming == batch)
+      assert(streaming.size == docs.size)
+    } finally q.stop()
+  }
+
+  test("classifier scoring: stream scored under batch-trained weights == batch operator") {
+    implicit val sc = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    import graft.operators.QualityClassifier
+    val mem = MemoryStream[LmDoc]
+    // Train on the full doc set (doc 2's vocabulary positive): every
+    // stream gram is trained, so stream scores must equal batch.
+    val labeled = docs.toDF().withColumn("y",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("doc_id") === 2L, 1).otherwise(0))
+    val w = QualityClassifier.train(labeled, "doc_id", "text", "y",
+      buckets = 128, iters = 2, lr = 0.5).persist()
+    val scored = StreamClassifier.score(mem.toDF(), w, buckets = 128,
+      "doc_id", "text", "ts", delay = "5 seconds", windowDur = "1 minute")
+    val q = scored.writeStream
+      .format("memory").queryName("stream_classifier")
+      .outputMode("append")
+      .option("checkpointLocation", s"${TestSpark.tmpDir("sclf")}/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(docs.map(d => LmDoc(d.doc_id, t("2024-01-01 00:00:10"), d.text)): _*)
+      q.processAllAvailable()
+      mem.addData(LmDoc(99L, t("2024-01-01 00:30:00"), "late watermark sentinel"))
+      q.processAllAvailable()
+      mem.addData(LmDoc(98L, t("2024-01-01 00:31:00"), "second sentinel"))
+      q.processAllAvailable()
+      val streaming = spark.sql(
+        "SELECT doc_id, score, predicted FROM stream_classifier WHERE doc_id < 90")
+        .orderBy("doc_id").as[(Long, Double, Boolean)].collect().toSeq
+      val batch = QualityClassifier.score(docs.toDF(), "doc_id", "text", w,
+          buckets = 128)
+        .select("doc_id", "score", "predicted")
+        .orderBy("doc_id").as[(Long, Double, Boolean)].collect().toSeq
+      assert(streaming == batch,
+        "streaming scores must equal the batch operator's, row for row")
+      assert(streaming.size == docs.size, "every on-time document must emit")
+    } finally { q.stop(); w.unpersist() }
+  }
+
   test("LM scoring: stream scored against batch-trained counts == batch operator") {
     implicit val sc = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s)
