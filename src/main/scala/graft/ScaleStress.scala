@@ -210,6 +210,41 @@ object ScaleStress {
         "doc_id", "text", buckets = 65536, take = 1000)
     }
 
+    // Quality classifier (q82) at 10x: training is iters x (margin
+    // groupBy + gradient groupBy) over the persisted compact feature
+    // frame; the weight table stays `buckets` rows regardless of
+    // corpus size. The timed frame is train + full-corpus scoring.
+    time("quality classifier 3 iters (10x)") {
+      val labeled = big.withColumn("y",
+        (pmod(col("doc_id"), lit(97)) === 0).cast("int"))
+      val w = operators.QualityClassifier.train(labeled, "doc_id", "text",
+        "y", buckets = 65536, iters = 3, lr = 0.5)
+      operators.QualityClassifier.score(big, "doc_id", "text", w,
+        buckets = 65536)
+    }
+
+    // CCNet perplexity bucketing (q78) at 10x: LM chain + score
+    // histogram + broadcast map-back — the row pins that the bucket
+    // assignment adds only a histogram groupBy on top of LM scoring
+    // (no global sort / single-partition window at any size).
+    time("perplexity buckets (10x)") {
+      operators.TextAnalysis.perplexityBuckets(
+        big.where(pmod(col("doc_id"), lit(97)) === 0), big,
+        "doc_id", "text")
+    }
+
+    // Per-source cap (q80) with planted 80% skew: the bounded
+    // aggregate keeps <= cap rows per group per task, so the hot
+    // group costs map-side what any other does — the row the window
+    // row_number() form would pay a one-partition sort for.
+    time("source cap=1000 (80% hot group)") {
+      operators.DataMix.groupCap(
+        big.withColumn("source",
+          when(pmod(col("doc_id"), lit(5)) =!= 0, "hot")
+            .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(1000))))),
+        "doc_id", "source", cap = 1000)
+    }
+
     // End-to-end weekly cadence (VERDICT r04 item 8): init on 90% of
     // the corpus plays "last week" (untimed), then the timed 10% batch
     // through runIncremental vs a timed from-scratch runInit over 100%.

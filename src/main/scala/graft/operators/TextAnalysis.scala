@@ -299,8 +299,13 @@ object TextAnalysis {
       idCol: String, textCol: String, nBuckets: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    // Persisted under a lease: the scored frame feeds BOTH the
+    // histogram and the final join — unpersisted, the whole LM
+    // scoring chain would execute twice (observed in the q78 plan:
+    // 38 exchanges vs 20 with the lease).
     val scored = ngramLmScore(train, docs, idCol, textCol)
       .select(col("doc_id"), col("avg_logprob"))
+      .persist()
     // Histogram over distinct 6dp scores: small (bounded by the score
     // grid), so the unpartitioned cumulative window is over a frame
     // ~|distinct scores|, not |docs|.
@@ -320,8 +325,10 @@ object TextAnalysis {
         .when(col("bucket_idx") === nBuckets, "tail")
         .otherwise("middle"))
       .drop("bucket_idx")
-    scored.join(broadcast(named), Seq("avg_logprob"))
-      .select(col("doc_id"), col("avg_logprob"), col("ppl_bucket"))
+    CacheLease.releaseAfterAction(
+      scored.join(broadcast(named), Seq("avg_logprob"))
+        .select(col("doc_id"), col("avg_logprob"), col("ppl_bucket"))
+    )(() => { scored.unpersist(); () })
   }
 
   /** Stop words for the Gopher "contains common English words" rule —

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DataMix, TextAnalysis, TextDedup, VectorSim}
+import graft.operators.{DataMix, QualityClassifier, TextAnalysis, TextDedup, VectorSim}
 import graft.sources.Sinks
 
 /** End-to-end training-data curation run — the extension tier's
@@ -63,10 +63,34 @@ object CurationRun {
   /** Per-stage audit counts. `spanCleaned` = docs that lost at least
     * one repeated span (-1 when the stage didn't run — the state
     * cadences, see [[runInit]]); `semDropped` = docs removed by
-    * embedding-space dedup (-1 when no embeddings were supplied). */
+    * embedding-space dedup (-1 when no embeddings were supplied);
+    * `modelGated` = docs surviving the model-based quality gate (-1
+    * when no classifier weights were supplied). */
   final case class Stats(
-    input: Long, gated: Long, decontaminated: Long, spanCleaned: Long,
-    kept: Long, semDropped: Long, sampled: Long, bins: Long)
+    input: Long, gated: Long, modelGated: Long, decontaminated: Long,
+    spanCleaned: Long, kept: Long, semDropped: Long, sampled: Long,
+    bins: Long)
+
+  /** Model-based quality gate (q82, the fastText-style filter) over a
+    * gated frame, under PRE-TRAINED weights — the q83 artifact. Taking
+    * weights (not a training set) keeps the stage a pure per-doc map,
+    * so it slots into the weekly cadences with the incremental
+    * equality pin intact (training inside the pipeline would make the
+    * negatives corpus-scale state, the span-removal problem). Docs
+    * below `minScore` drop; returns the filtered frame + survivor
+    * count (-1 when no classifier was supplied). */
+  private def classifierStage(gated: DataFrame,
+      classifier: Option[(DataFrame, Int)],
+      minScore: Double): (DataFrame, Long) = classifier match {
+    case None => (gated, -1L)
+    case Some((weights, buckets)) =>
+      val keep = gated.join(
+        QualityClassifier.score(gated, "doc_id", "text", weights, buckets)
+          .where(col("score") >= minScore)
+          .select(col("doc_id")),
+        "doc_id")
+      (keep, keep.count())
+  }
 
   /** Embedding-space dedup stage (SemDeDup, q70/q75) over a kept
     * frame: join the supplied embeddings on doc_id, run the guarded
@@ -185,7 +209,9 @@ object CurationRun {
   /** Map tier + quality gate + benchmark decontamination for one batch
     * of raw docs — the batch-scale front of both cadences. */
   private def prepBatch(docs: DataFrame, benchmark: DataFrame,
-      minQuality: Double, minContaminatedShingles: Int): DataFrame = {
+      minQuality: Double, minContaminatedShingles: Int,
+      classifier: Option[(DataFrame, Int)] = None,
+      minClassifierScore: Double = 0.5): DataFrame = {
     val normalized = TextAnalysis.normalize(docs, "doc_id", "text")
       .select(col("doc_id"), col("norm_text").as("text"))
     val redacted = TextAnalysis.redact(normalized, "doc_id", "text")
@@ -194,8 +220,11 @@ object CurationRun {
       .select(col("doc_id"), col("quality_score"))
     val gated = redacted
       .join(quality.where(col("quality_score") >= minQuality), "doc_id")
-    gated.join(
-      TextDedup.contaminated(gated, benchmark, "doc_id", "text", n = 3)
+    // Model-based gate under pre-trained weights: per-doc, so the
+    // cadence equality pin extends through it (fused, not counted).
+    val (clsGated, _) = classifierStage(gated, classifier, minClassifierScore)
+    clsGated.join(
+      TextDedup.contaminated(clsGated, benchmark, "doc_id", "text", n = 3)
         .where(col("n_contaminated_shingles") >= minContaminatedShingles)
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
@@ -245,9 +274,12 @@ object CurationRun {
       packBudget: Long = 4096L, packShards: Int = 8,
       embeddings: Option[DataFrame] = None, semClusters: Int = 16,
       semIters: Int = 2, semThreshold: Double = 0.99,
-      semMaxCellSize: Int = 1000): Stats = {
+      semMaxCellSize: Int = 1000,
+      classifier: Option[(DataFrame, Int)] = None,
+      minClassifierScore: Double = 0.5): Stats = {
     val spark = docs.sparkSession
-    val decon = prepBatch(docs, benchmark, minQuality, minContaminatedShingles)
+    val decon = prepBatch(docs, benchmark, minQuality,
+      minContaminatedShingles, classifier, minClassifierScore)
     Sinks.overwriteParquet(decon, s"$stateOutDir/decon_batch", numFiles = 4)
     val deconS = spark.read.parquet(s"$stateOutDir/decon_batch")
     val idx = TextDedup.buildIndex(deconS, "doc_id", "text", n = 3, bits = 32)
@@ -269,7 +301,8 @@ object CurationRun {
     val (sampled, bins) = landOutputs(semFinal, outDir,
       fractions, defaultFraction, packBudget, packShards)
     semRelease(); kept.unpersist()
-    Stats(input = docs.count(), gated = -1L, decontaminated = deconS.count(),
+    Stats(input = docs.count(), gated = -1L, modelGated = -1L,
+      decontaminated = deconS.count(),
       spanCleaned = -1L, kept = keptCount, semDropped = semDropped,
       sampled = sampled, bins = bins)
   }
@@ -287,7 +320,9 @@ object CurationRun {
       packBudget: Long = 4096L, packShards: Int = 8,
       embeddings: Option[DataFrame] = None, semClusters: Int = 16,
       semIters: Int = 2, semThreshold: Double = 0.99,
-      semMaxCellSize: Int = 1000): Stats = {
+      semMaxCellSize: Int = 1000,
+      classifier: Option[(DataFrame, Int)] = None,
+      minClassifierScore: Double = 0.5): Stats = {
     require(stateInDir != stateOutDir,
       "state is versioned by directory: reading and overwriting the same " +
         "state in one job would corrupt it")
@@ -301,7 +336,8 @@ object CurationRun {
     // Batch-scale writes ONLY: this dir's slices plus the (small) full
     // label table. The corpus-scale artifacts are never rewritten —
     // readers compose them along the lineage.
-    val deconNew = prepBatch(newDocs, benchmark, minQuality, minContaminatedShingles)
+    val deconNew = prepBatch(newDocs, benchmark, minQuality,
+      minContaminatedShingles, classifier, minClassifierScore)
     Sinks.overwriteParquet(deconNew, s"$stateOutDir/decon_batch", numFiles = 2)
     val deconNewS = spark.read.parquet(s"$stateOutDir/decon_batch")
     val idxNew = TextDedup.buildIndex(deconNewS, "doc_id", "text", n = 3, bits = 32)
@@ -328,7 +364,7 @@ object CurationRun {
     val (sampled, bins) = landOutputs(semFinal, outDir,
       fractions, defaultFraction, packBudget, packShards)
     semRelease(); kept.unpersist()
-    Stats(input = newDocs.count(), gated = -1L,
+    Stats(input = newDocs.count(), gated = -1L, modelGated = -1L,
       decontaminated = deconAll.count(), spanCleaned = -1L,
       kept = keptCount, semDropped = semDropped,
       sampled = sampled, bins = bins)
@@ -378,7 +414,9 @@ object CurationRun {
       spanK: Int = 8, spanMinDf: Int = 2,
       embeddings: Option[DataFrame] = None, semClusters: Int = 16,
       semIters: Int = 2, semThreshold: Double = 0.99,
-      semMaxCellSize: Int = 1000): Stats = {
+      semMaxCellSize: Int = 1000,
+      classifier: Option[(DataFrame, Int)] = None,
+      minClassifierScore: Double = 0.5): Stats = {
     val spark = docs.sparkSession
 
     // Map tier: canonicalize then strip PII/URLs.
@@ -390,8 +428,12 @@ object CurationRun {
     // Quality gate: keep the score for the survivor pick + audit.
     val quality = TextAnalysis.qualityScore(redacted, "doc_id", "text")
       .select(col("doc_id"), col("quality_score"))
-    val gated = redacted
+    val heurGated = redacted
       .join(quality.where(col("quality_score") >= minQuality), "doc_id")
+
+    // Model-based quality gate (optional, pre-trained weights).
+    val (gated, modelGated) =
+      classifierStage(heurGated, classifier, minClassifierScore)
 
     // Benchmark decontamination (left-anti against the flagged set).
     // The overlap floor matters on corpora with a dense shared
@@ -458,7 +500,8 @@ object CurationRun {
     Sinks.overwriteParquet(packed, s"$outDir/packed", numFiles = 1)
 
     val stats = Stats(
-      input = docs.count(), gated = gated.count(),
+      input = docs.count(), gated = heurGated.count(),
+      modelGated = modelGated,
       decontaminated = decon.count(), spanCleaned = spanCleaned,
       kept = keptCount, semDropped = semDropped,
       sampled = spark.read.parquet(s"$outDir/curated").count(),

@@ -515,8 +515,12 @@ object ExtQueries {
     wf.unpersist()
     val pairs = BpeTrainer.mergesFromVocab(s.read.parquet(vocabDir))
     docs
+      // Language pick in its own projection BELOW the explode —
+      // a generator re-evaluates sibling EXPRESSIONS per exploded
+      // token (NOTES finding #14); an attribute is replicated free.
       .select(TextAnalysis.detectedLang(tokens(col("text"))).as("lang"),
-        explode(tokens(col("text"))).as("token"))
+        tokens(col("text")).as("toks"))
+      .select(col("lang"), explode(col("toks")).as("token"))
       .select(col("lang"),
         size(bpeApplyMergesNative(col("token"), pairs)).as("nsym"))
       .groupBy(col("lang"))

@@ -109,6 +109,61 @@ class CurationRunSpec extends AnyFunSuite {
     assert(stats.semDropped == -1L && stats.kept == 2 && stats.sampled == 2)
   }
 
+  test("classifier stage drops distribution-alien docs under pre-trained weights") {
+    import graft.operators.QualityClassifier
+    // Passes the heuristic gate (length + type-token bands) but speaks
+    // an alien vocabulary: only the model-based gate can catch it.
+    val alien = "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll zz"
+    val docs = Seq((1L, goodEn), (2L, goodEs), (3L, alien))
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    // Weights trained OUTSIDE the run (the q83 artifact contract):
+    // positives = target-domain prose, negatives = the alien register.
+    val trainSet = Seq((10L, goodEn, 1), (11L, goodEs, 1), (12L, alien, 0))
+      .toDF("doc_id", "text", "y")
+    val w = QualityClassifier.train(trainSet, "doc_id", "text", "y",
+      buckets = 128, iters = 3, lr = 0.5)
+    val out = TestSpark.tmpDir("curation_cls")
+    val stats = CurationRun.run(docs, benchmark, out,
+      classifier = Some((w, 128)))
+    assert(stats.gated == 3, "the heuristic gate passes all three")
+    assert(stats.modelGated == 2, "the model gate drops the alien doc")
+    val ids = spark.read.parquet(s"$out/curated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L))
+    // Without a classifier the stage is skipped and reported -1.
+    val out2 = TestSpark.tmpDir("curation_nocls")
+    val stats2 = CurationRun.run(docs, benchmark, out2)
+    assert(stats2.modelGated == -1L && stats2.sampled == 3)
+  }
+
+  test("classifier stage rides the incremental cadence: init+inc == scratch") {
+    import graft.operators.QualityClassifier
+    val alien = "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll zz"
+    val w = QualityClassifier.train(
+      Seq((10L, goodEn, 1), (11L, goodEs, 1), (12L, alien, 0))
+        .toDF("doc_id", "text", "y"),
+      "doc_id", "text", "y", buckets = 128, iters = 3, lr = 0.5)
+    val cls = Some((w, 128))
+    val batchA = Seq((1L, goodEn), (3L, alien)).toDF("doc_id", "text")
+    val batchB = Seq((11L, goodEs),
+      (13L, alien.replace("zz", "xx"))).toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    val base = TestSpark.tmpDir("inc_cls")
+    CurationRun.runInit(batchA.unionByName(batchB), benchmark,
+      s"$base/out_scratch", s"$base/state_scratch", classifier = cls)
+    CurationRun.runInit(batchA, benchmark, s"$base/out_a", s"$base/state_1",
+      classifier = cls)
+    CurationRun.runIncremental(batchB, benchmark, s"$base/out_incr",
+      s"$base/state_1", s"$base/state_2", classifier = cls)
+    def curated(dir: String) =
+      spark.read.parquet(s"$dir/curated")
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(curated(s"$base/out_incr") == curated(s"$base/out_scratch"))
+    assert(curated(s"$base/out_scratch").map(_._1) == Set(1L, 11L),
+      "both alien docs fall at the model gate in both cadences")
+  }
+
   test("keepSet returns a frame already materialized in the cache (no post-close recompute)") {
     // VERDICT r04 item 2: the survivors join reads the suite's quality
     // frame; a frame persisted lazily and first materialized AFTER
