@@ -73,6 +73,8 @@ object SparkEntry {
     "q81_tokenizer_fertility" -> (ExtQueries.q81TokenizerFertility(_, _)),
     "q82_quality_classifier" -> (ExtQueries.q82QualityClassifier(_, _)),
     "q83_classifier_weights" -> (ExtQueries.q83ClassifierWeights(_, _)),
+    "q84_corpus_datasheet"  -> (ExtQueries.q84CorpusDatasheet(_, _)),
+    "q85_embedding_profile" -> (ExtQueries.q85EmbeddingProfile(_, _)),
     "q28_sessionize"        -> (ExtQueries.q28Sessionize(_, _)),
     "q40_asof_join"         -> (ExtQueries.q40AsofJoin(_, _)),
     "q41_interval_join"     -> (ExtQueries.q41IntervalJoin(_, _)),

@@ -131,6 +131,63 @@ object ExtQueries {
   def q80SourceCap(s: SparkSession, dir: String): DataFrame =
     DataMix.groupCap(Tables.documents(s, dir), "doc_id", "source", cap = 12)
 
+  /** Embedding-space profile (q85): per-dimension n/mean/variance/
+    * min/max over the embeddings table — the statistics an embedding
+    * normalization step consumes and a production pipeline monitors
+    * for drift. One posexplode + one d-row groupBy with map-side
+    * combine: shuffle volume is partitions x dim rows regardless of
+    * corpus size. Determinism: float sums in doubles are exact (the
+    * kmeansCentroids precondition), squares are 8dp-rounded into
+    * exact decimal sums (the q73 ADC discipline). */
+  def q85EmbeddingProfile(s: SparkSession, dir: String): DataFrame = {
+    val x = col("x").cast("double")
+    val n = count(lit(1))
+    val sum1 = sum(x)
+    val sumsq = sum(round(x * x, 8).cast("decimal(20,8)"))
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(n.as("n"), sum1.as("s1"), sumsq.as("s2"),
+        min(x).as("mn"), max(x).as("mx"))
+      .select(col("dim"), col("n"),
+        round(col("s1") / col("n"), 6).as("mean"),
+        round(col("s2").cast("double") / col("n") -
+          (col("s1") / col("n")) * (col("s1") / col("n")), 6).as("variance"),
+        round(col("mn"), 6).as("min_x"),
+        round(col("mx"), 6).as("max_x"))
+  }
+
+  /** Corpus datasheet (q84): the per-language data card a curation
+    * run publishes beside the corpus (the measurable rows of
+    * Datasheets for Datasets, Gebru et al. 2018): document/token
+    * volume, mean quality, exact-duplicate count, mean length. One
+    * scan through the map-tier kernels, one canonical-key groupBy for
+    * the dup flag, one |languages|-row aggregate — at 100 TB this is
+    * a single corpus pass. */
+  def q84CorpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lang = TextAnalysis.languageId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("detected_lang"))
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val keyed = docs.select(col("doc_id"),
+      md5(lower(trim(col("text")))).as("k"),
+      length(col("text")).cast("long").as("n_chars"))
+    val copies = keyed.groupBy(col("k")).agg(count(lit(1)).as("copies"))
+    keyed
+      .join(lang, "doc_id").join(q, "doc_id").join(copies, "k")
+      .groupBy(col("detected_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        // 2dp scores sum exactly in decimal; one double division.
+        round(sum(col("quality_score").cast("decimal(10,2)")).cast("double") /
+          count(lit(1)), 6).as("mean_quality"),
+        sum(when(col("copies") >= 2, 1L).otherwise(0L)).as("dup_docs"),
+        round(sum(col("n_chars")).cast("double") /
+          count(lit(1)), 6).as("mean_chars"))
+  }
+
   /** Model-based quality filter (q82): fastText-style logistic
     * classifier over hashed unigram+bigram counts — positives = the
     * en slice (the same target domain as q71's DSIR ratios and q78's
@@ -1919,6 +1976,61 @@ object ExtQueries {
       qualityClassifierOracleSql(buckets = 256, iters = 3, lr = 0.5),
     "q83_classifier_weights" ->
       classifierWeightsOracleSql(buckets = 256, iters = 3, lr = 0.5),
+
+    // q85: per-dimension moments; float sums are exact doubles, the
+    // squares ride the 8dp-decimal discipline, variance re-derives
+    // from the same raw sums in the same operation order.
+    "q85_embedding_profile" ->
+      """WITH v AS (SELECT u.d AS dim, u.x AS x FROM (
+        |  SELECT unnest([{'d': (i - 1)::INT, 'x': CAST(embedding[i] AS DOUBLE)}
+        |    for i in range(1, len(embedding) + 1)]) AS u FROM embeddings))
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(x) / count(*), 6) AS mean,
+        |  round(CAST(sum(CAST(round(x * x, 8) AS DECIMAL(20,8))) AS DOUBLE) / count(*)
+        |    - (sum(x) / count(*)) * (sum(x) / count(*)), 6) AS variance,
+        |  round(min(x), 6) AS min_x,
+        |  round(max(x), 6) AS max_x
+        |FROM v GROUP BY dim""".stripMargin,
+
+    // q84: q18's language pick + q17's quality replay + the q32
+    // canonical dup key, rolled up per language. Decimal-exact mean
+    // of the 2dp quality scores; integer-exact token/char sums.
+    "q84_corpus_datasheet" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks, CAST(len(text) AS DOUBLE) AS nc FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS nt,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','el','la','de','que','y','der','die','und','das','ist','le','les','et','des','un'], x))) AS DOUBLE) AS nstop,
+         |  nc FROM t),
+         |q AS (SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+         |  round((CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.25 ELSE 0.0 END) +
+         |        (CASE WHEN nd / nt >= 0.3 THEN 0.25 ELSE 0.0 END) +
+         |        (CASE WHEN (nc - (nt - 1)) / nt >= 3.0 AND (nc - (nt - 1)) / nt <= 10.0 THEN 0.25 ELSE 0.0 END) +
+         |        (CASE WHEN nstop / nt > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+         |  FROM m),
+         |hh AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS hits_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS INT) AS hits_es,
+         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) AS hits_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(['le','les','et','des','un'], x))) AS INT) AS hits_fr
+         |  FROM t),
+         |lg AS (SELECT doc_id,
+         | CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+         |      WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+         |      WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+         |      WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+         |      ELSE 'fr' END AS detected_lang
+         |FROM hh),
+         |c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  md5(lower(trim(text))) AS k FROM documents),
+         |cp AS (SELECT k, count(*) AS copies FROM c GROUP BY 1)
+         |SELECT detected_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(CAST(q.quality_score AS DECIMAL(10,2))) AS DOUBLE) / count(*), 6) AS mean_quality,
+         |  CAST(sum(CASE WHEN cp.copies >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+         |  round(CAST(sum(c.n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+         |FROM c JOIN lg USING (doc_id) JOIN q USING (doc_id) JOIN cp USING (k)
+         |GROUP BY detected_lang""".stripMargin,
 
     // Same constants as q73PqSearch above — the SQL re-runs all eight
     // subspace Lloyd's chains, the encoding, and the ADC ranking.
