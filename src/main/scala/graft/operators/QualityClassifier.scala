@@ -102,7 +102,13 @@ object QualityClassifier {
 
   /** Score documents under a trained weight table: (doc_id, score,
     * predicted). One map pass + one groupBy against the broadcast
-    * weights — the 100 TB filtering pass. */
+    * weights — the 100 TB filtering pass.
+    *
+    * A document with NO grams (empty/whitespace text) has no feature
+    * rows and is absent from the output — callers gating on the score
+    * thereby drop empty docs, which is the right curation default;
+    * union a sigmoid(0) = 0.5 row for them explicitly if they must
+    * pass through. */
   def score(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, buckets: Int): DataFrame =
     docScores(DataMix.docBuckets(docs, idCol, textCol, buckets), weights)

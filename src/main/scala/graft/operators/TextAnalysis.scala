@@ -369,17 +369,20 @@ object TextAnalysis {
       length(regexp_replace(col(textCol), "#", ""))
     val ellipses = (length(col(textCol)) -
       length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3)
-    val meanLen = round(
-      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-        nw, 6)
-    val symRatio = round((hashes + ellipses).cast("double") / nw, 6)
+    // Per-word ratios are null for empty documents (ANSI mode errors
+    // on the zero divisor otherwise); the word-count rule still fails
+    // them, so `pass` stays a real false (false AND null = false).
+    def perWord(c: Column): Column =
+      when(nw === 0, lit(null)).otherwise(round(c.cast("double") / nw, 6))
+    val meanLen = perWord(
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)))
+    val symRatio = perWord(hashes + ellipses)
     val bulletRatio = round(
       size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") /
         nl, 6)
     val ellipsisRatio = round(
       size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("double") / nl, 6)
-    val alphaRatio = round(
-      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") / nw, 6)
+    val alphaRatio = perWord(size(filter(toks, w => w.rlike("[A-Za-z]"))))
     val stopHits = size(filter(
       array(gopherStopwords.map(lit): _*), w => array_contains(toks, w)))
     docs.select(

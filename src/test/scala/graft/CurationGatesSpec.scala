@@ -53,6 +53,22 @@ class CurationGatesSpec extends AnyFunSuite {
     assert(out(1L).getAs[Int]("stopword_hits") == 3)
   }
 
+  test("gopher rules on empty/whitespace text: pass is false, never null") {
+    // A 100 TB crawl contains empty documents; the gate must emit a
+    // usable verdict for them (three-valued logic would leak null
+    // through `pass` if words_ok were computed from a null ratio —
+    // the count comparison keeps it a real boolean).
+    val out = rules(Seq(1L -> "", 2L -> "   ", 3L -> "\n\n"))
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[Int]("n_words") == 0)
+      assert(!out(id).getAs[Boolean]("words_ok"))
+      assert(!out(id).isNullAt(out(id).fieldIndex("pass")),
+        s"doc $id: pass must be a real boolean, not null")
+      assert(!out(id).getAs[Boolean]("pass"),
+        s"doc $id: empty text must FAIL the gate")
+    }
+  }
+
   test("perplexity buckets: ordered, exhaustive, deterministic") {
     // 60 fluent docs in 6 composition groups (k extra "the cat"
     // repetitions shift the mean bigram log-prob, giving 6 distinct
