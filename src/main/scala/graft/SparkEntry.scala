@@ -75,6 +75,8 @@ object SparkEntry {
     "q83_classifier_weights" -> (ExtQueries.q83ClassifierWeights(_, _)),
     "q84_corpus_datasheet"  -> (ExtQueries.q84CorpusDatasheet(_, _)),
     "q85_embedding_profile" -> (ExtQueries.q85EmbeddingProfile(_, _)),
+    "q86_lsh_calibration"   -> (ExtQueries.q86LshCalibration(_, _)),
+    "q87_dedup_threshold_sweep" -> (ExtQueries.q87DedupThresholdSweep(_, _)),
     "q28_sessionize"        -> (ExtQueries.q28Sessionize(_, _)),
     "q40_asof_join"         -> (ExtQueries.q40AsofJoin(_, _)),
     "q41_interval_join"     -> (ExtQueries.q41IntervalJoin(_, _)),

@@ -276,6 +276,65 @@ object ExtQueries {
         numHashes = 32, bands = 16))(() => sig.unpersist())
   }
 
+  /** LSH banding calibration (q86): the operating table for choosing
+    * dedup parameters — per estimated-Jaccard grid bucket, the
+    * MEASURED candidate-pair count under the current banding
+    * (numHashes=32, bands=16, rows=2) beside the ANALYTIC s-curve
+    * collision probability 1-(1-s^rows)^bands at the bucket's lower
+    * edge. Powers are written as explicit squaring chains so both
+    * engines run the identical IEEE sequence (pow() implementations
+    * may differ in the last ulp). One signature pass; the candidate
+    * join is the banded equi-join, never all pairs. */
+  def q86LshCalibration(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, bits = 32)
+    val sig = TextDedup.minhashSignatures(idx, 32)
+    sig.persist()
+    val est = TextDedup.minhashEstimatePairs(sig, minEstimate = 0.0,
+      numHashes = 32, bands = 16)
+    val sLow = col("bucket")
+    val y = lit(1.0) - sLow * sLow        // 1 - s^rows (rows = 2)
+    val y2 = y * y
+    val y4 = y2 * y2
+    val y8 = y4 * y4
+    val y16 = y8 * y8                      // (1 - s^2)^bands (bands = 16)
+    CacheLease.releaseAfterAction(
+      est
+        .withColumn("bucket", floor(col("est_jaccard") * 20) / 20)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+        .withColumn("collision_prob", round(lit(1.0) - y16, 6))
+    )(() => sig.unpersist())
+  }
+
+  /** Dedup threshold sweep (q87): pair and doc counts at three
+    * candidate thresholds from ONE signature pass — what a curation
+    * run consults before committing to a dedup threshold. The
+    * three-row threshold frame broadcasts against the estimate pairs;
+    * docs are counted distinct over both pair sides. */
+  def q87DedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, bits = 32)
+    val sig = TextDedup.minhashSignatures(idx, 32)
+    sig.persist()
+    val est = TextDedup.minhashEstimatePairs(sig, minEstimate = 0.25,
+      numHashes = 32, bands = 16).persist()
+    val thresholds = Seq(0.25, 0.5, 0.75).toDF("threshold")
+    val pairs = est.join(broadcast(thresholds),
+      col("est_jaccard") >= col("threshold"))
+    CacheLease.releaseAfterAction(
+      pairs.groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .join(
+          pairs.select(col("threshold"),
+              explode(array(col("doc_a"), col("doc_b"))).as("d"))
+            .groupBy(col("threshold"))
+            .agg(countDistinct(col("d")).as("n_docs")),
+          Seq("threshold"))
+    )(() => { sig.unpersist(); est.unpersist(); () })
+  }
+
   // q21/q22/q53/q56/q61 persist their compact (long,long) index (read
   // 3-6x within the query's single action) and release it through a
   // CacheLease: the cache lives exactly as long as the caller's action
@@ -914,6 +973,35 @@ object ExtQueries {
        |  doc_id, CAST(round(w_dec, 6) AS DOUBLE) AS importance,
        |  CAST(round(k, 6) AS DOUBLE) AS sel_key
        |FROM kq ORDER BY k DESC, doc_id LIMIT $take""".stripMargin
+
+  /** Shared DuckDB CTE chain replaying MinHash signatures, banded
+    * candidates, and the per-pair Jaccard estimate (unfiltered `est`)
+    * — consumed by the q44/q86/q87 oracles. */
+  private lazy val minhashEstCtes: String = {
+    val coeffs = graft.functions.TextFunctions.minhashCoefficients(32)
+    val p = graft.functions.TextFunctions.MinhashPrime
+    val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(((h::HUGEINT*$a + $b) % $p)::BIGINT) AS m$i"
+    }.mkString(",\n  ")
+    val bandEntries = (0 until 16).map { bd =>
+      s"'$bd|' || md5(m${2 * bd}::VARCHAR || ',' || m${2 * bd + 1}::VARCHAR)"
+    }.mkString(",\n    ")
+    val agree = (0 until 32)
+      .map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$duckShingles3,
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM ex),
+       |sig AS (SELECT doc_id,
+       |  $minCols
+       |  FROM hh GROUP BY doc_id),
+       |bands AS (SELECT doc_id,
+       |  unnest([$bandEntries]) AS bucket
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (SELECT doc_a, doc_b, round(($agree) / 32.0, 6) AS est_jaccard
+       |  FROM cand JOIN sig x ON x.doc_id = cand.doc_a JOIN sig y ON y.doc_id = cand.doc_b)""".stripMargin
+  }
 
   /** DuckDB replay of the q82/q83 classifier training: the hashed
     * feature frame (q71's bucket CTEs), then one CTE block per GD
@@ -1606,32 +1694,41 @@ object ExtQueries {
     // Candidate generation identical to q22; verify swapped for the
     // signature-agreement estimator, so the estimator itself is
     // oracle-checked column by column.
-    "q44_minhash_estimate" -> {
-      val coeffs = graft.functions.TextFunctions.minhashCoefficients(32)
-      val p = graft.functions.TextFunctions.MinhashPrime
-      val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
-        s"min(((h::HUGEINT*$a + $b) % $p)::BIGINT) AS m$i"
-      }.mkString(",\n  ")
-      val bandEntries = (0 until 16).map { bd =>
-        s"'$bd|' || md5(m${2 * bd}::VARCHAR || ',' || m${2 * bd + 1}::VARCHAR)"
-      }.mkString(",\n    ")
-      val agree = (0 until 32)
-        .map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""$duckShingles3,
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-         |hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM ex),
-         |sig AS (SELECT doc_id,
-         |  $minCols
-         |  FROM hh GROUP BY doc_id),
-         |bands AS (SELECT doc_id,
-         |  unnest([$bandEntries]) AS bucket
-         |  FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, round(($agree) / 32.0, 6) AS est_jaccard
-         |FROM cand JOIN sig x ON x.doc_id = cand.doc_a JOIN sig y ON y.doc_id = cand.doc_b
-         |WHERE round(($agree) / 32.0, 6) >= 0.25""".stripMargin
-    },
+    "q44_minhash_estimate" ->
+      s"""$minhashEstCtes
+         |SELECT doc_a, doc_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.25""".stripMargin,
+
+    // q86: measured candidate counts per estimate bucket + the
+    // analytic s-curve at the bucket edge, powers as the SAME
+    // squaring chain the engine runs.
+    "q86_lsh_calibration" ->
+      s"""$minhashEstCtes,
+         |bk AS (SELECT floor(est_jaccard * 20) / 20 AS bucket FROM est),
+         |g AS (SELECT bucket, count(*) AS n FROM bk GROUP BY 1),
+         |p1 AS (SELECT bucket, n, 1.0 - bucket * bucket AS y FROM g),
+         |p2 AS (SELECT bucket, n, y, y * y AS y2 FROM p1),
+         |p3 AS (SELECT bucket, n, y2 * y2 AS y4 FROM p2),
+         |p4 AS (SELECT bucket, n, y4 * y4 AS y8 FROM p3),
+         |p5 AS (SELECT bucket, n, y8 * y8 AS y16 FROM p4)
+         |SELECT bucket, CAST(n AS BIGINT) AS n_candidate_pairs,
+         |  round(1.0 - y16, 6) AS collision_prob
+         |FROM p5""".stripMargin,
+
+    // q87: pair + distinct-doc counts at three thresholds from the
+    // same estimate chain.
+    "q87_dedup_threshold_sweep" ->
+      s"""$minhashEstCtes,
+         |th AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS threshold),
+         |pe AS (SELECT th.threshold, e.doc_a, e.doc_b
+         |  FROM est e JOIN th ON e.est_jaccard >= th.threshold),
+         |np AS (SELECT threshold, count(*) AS n_pairs FROM pe GROUP BY 1),
+         |nd AS (SELECT threshold, count(DISTINCT d) AS n_docs
+         |  FROM (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM pe)
+         |  GROUP BY 1)
+         |SELECT threshold, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(n_docs AS BIGINT) AS n_docs
+         |FROM np JOIN nd USING (threshold)""".stripMargin,
 
     "q21_ngram_jaccard" ->
       s"""$duckShingles3
