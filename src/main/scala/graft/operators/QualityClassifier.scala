@@ -2,7 +2,7 @@ package graft.operators
 
 import java.math.{BigDecimal => JBigDecimal}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -102,17 +102,52 @@ object QualityClassifier {
 
   /** Score documents under a trained weight table: (doc_id, score,
     * predicted). One map pass + one groupBy against the broadcast
-    * weights — the 100 TB filtering pass.
+    * weights — the 100 TB filtering pass. (Empty/whitespace docs stay
+    * in the output: the all-positions bigram kernel's shorter-than-2
+    * edge gives them a single '' gram, so they score like any other
+    * document — sigmoid of that bucket's weight.)
     *
-    * A document with NO grams (empty/whitespace text) has no feature
-    * rows and is absent from the output — callers gating on the score
-    * thereby drop empty docs, which is the right curation default;
-    * union a sigmoid(0) = 0.5 row for them explicitly if they must
-    * pass through. */
+    * For a shuffle-free alternative see [[scoreInline]]. */
   def score(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, buckets: Int): DataFrame =
     docScores(DataMix.docBuckets(docs, idCol, textCol, buckets), weights)
       .select(col("doc_id"),
         col("p").cast("double").as("score"),
         (col("p") >= 0.5).as("predicted"))
+
+  /** Collect a weight table into the referenced-object model the
+    * map-tier scoring kernel consumes — <= `buckets` rows of model
+    * state (the CentroidMatrix rule), stored as exact scaled longs. */
+  def weightsModel(weights: DataFrame,
+      buckets: Int): graft.functions.expr.ClassifierWeights = {
+    val w = new Array[Long](buckets)
+    weights.select(col("b"), col("w").cast("decimal(20,8)"))
+      .collect().foreach { r =>
+        w(r.getLong(0).toInt) =
+          r.getDecimal(1).setScale(8).unscaledValue().longValueExact()
+      }
+    new graft.functions.expr.ClassifierWeights(buckets, w)
+  }
+
+  /** The classifier score as a pure map-tier COLUMN over a token
+    * array — no explode, no join, no shuffle; spec-pinned bit-equal
+    * to the relational [[score]] path. This is what the stateless
+    * streaming curation chain and inline gates use. */
+  def scoreCol(toks: Column,
+      model: graft.functions.expr.ClassifierWeights): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.ClassifierScore(
+      ColumnBridge.expression(toks), model))
+  }
+
+  /** Shuffle-free twin of [[score]] under a collected model: one
+    * codegen map pass — the shape for scoring inside a larger
+    * per-row pipeline (or a stream). */
+  def scoreInline(docs: DataFrame, idCol: String, textCol: String,
+      model: graft.functions.expr.ClassifierWeights): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    docs.select(col(idCol).as("doc_id"),
+        scoreCol(tokens(col(textCol)), model).as("score"))
+      .withColumn("predicted", col("score") >= 0.5)
+  }
 }

@@ -76,19 +76,22 @@ object CurationRun {
     * weights (not a training set) keeps the stage a pure per-doc map,
     * so it slots into the weekly cadences with the incremental
     * equality pin intact (training inside the pipeline would make the
-    * negatives corpus-scale state, the span-removal problem). Docs
-    * below `minScore` drop; returns the filtered frame + survivor
-    * count (-1 when no classifier was supplied). */
+    * negatives corpus-scale state, the span-removal problem). The
+    * score is the [[graft.functions.expr.ClassifierScore]] kernel
+    * COLUMN (spec-pinned bit-equal to the relational scoring path),
+    * so the gate is a filter fused into the scan — no explode, no
+    * join, no shuffle. Docs below `minScore` drop; returns the
+    * filtered frame + survivor count (-1 when no classifier was
+    * supplied). */
   private def classifierStage(gated: DataFrame,
       classifier: Option[(DataFrame, Int)],
       minScore: Double): (DataFrame, Long) = classifier match {
     case None => (gated, -1L)
     case Some((weights, buckets)) =>
-      val keep = gated.join(
-        QualityClassifier.score(gated, "doc_id", "text", weights, buckets)
-          .where(col("score") >= minScore)
-          .select(col("doc_id")),
-        "doc_id")
+      import graft.functions.TextFunctions.tokens
+      val model = QualityClassifier.weightsModel(weights, buckets)
+      val keep = gated.where(
+        QualityClassifier.scoreCol(tokens(col("text")), model) >= minScore)
       (keep, keep.count())
   }
 

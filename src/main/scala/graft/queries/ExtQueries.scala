@@ -201,7 +201,11 @@ object ExtQueries {
       when(col("lang") === "en", 1).otherwise(0))
     val w = QualityClassifier.train(labeled, "doc_id", "text", "y",
       buckets = 256, iters = 3, lr = 0.5)
-    QualityClassifier.score(docs, "doc_id", "text", w, buckets = 256)
+    // Scoring through the map-tier kernel (spec-pinned bit-equal to
+    // the relational path the oracle replays): one codegen pass, no
+    // explode/join/shuffle for the corpus-scale half of the entry.
+    QualityClassifier.scoreInline(docs, "doc_id", "text",
+      QualityClassifier.weightsModel(w, buckets = 256))
   }
 
   /** The trained classifier as a writable artifact (q83): the weight

@@ -34,18 +34,30 @@ import graft.operators.{DataMix, TextAnalysis, TextDedup}
 object StreamCuration {
 
   /** Stream of (doc_id, ts, text, quality_score, detected_lang) rows
-    * that pass the quality gate, are the first sighting of their
-    * normalized content within the horizon, and survive the
+    * that pass the quality gate (and, when a collected classifier
+    * model is supplied, the model-based gate — the
+    * [[graft.functions.expr.ClassifierScore]] kernel keeps it a pure
+    * map stage, no stream-static join needed), are the first sighting
+    * of their normalized content within the horizon, and survive the
     * deterministic sample. */
   def curate(docs: DataFrame, idCol: String, textCol: String, tsCol: String,
       delay: String, minQuality: Double = 0.5,
       fractions: Map[String, Double] = Map.empty,
-      defaultFraction: Double = 1.0): DataFrame = {
-    val curated = docs
+      defaultFraction: Double = 1.0,
+      classifier: Option[graft.functions.expr.ClassifierWeights] = None,
+      minClassifierScore: Double = 0.5): DataFrame = {
+    val gated = docs
       .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
         TextAnalysis.redactedText(col(textCol)).as("text"))
       .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("text")))
       .where(col("quality_score") >= minQuality)
+    val modelGated = classifier match {
+      case None => gated
+      case Some(m) => gated.where(
+        graft.operators.QualityClassifier.scoreCol(tokens(col("text")), m) >=
+          minClassifierScore)
+    }
+    val curated = modelGated
       .withColumn("content_hash", TextDedup.contentHash(col("text")))
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("content_hash")

@@ -44,6 +44,41 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(out.forall(_ == 0.5))
   }
 
+  test("inline kernel scoring is bit-equal to the relational path, incl. edge docs") {
+    val labeled = (pos ++ neg).toDF("doc_id", "text", "y")
+    val w = QualityClassifier.train(labeled, "doc_id", "text", "y",
+      buckets = 128, iters = 3, lr = 0.5)
+    val model = QualityClassifier.weightsModel(w, buckets = 128)
+    // Mixed shapes: normal docs, a single-token doc (the whole-join
+    // bigram edge), an empty and a whitespace doc (the '' gram).
+    val docs = (pos.take(3).map(t => (t._1, t._2)) ++
+      neg.take(3).map(t => (t._1, t._2)) ++
+      Seq((100L, "the"), (101L, ""), (102L, "   ")))
+      .toDF("doc_id", "text")
+    val rel = QualityClassifier.score(docs, "doc_id", "text", w, buckets = 128)
+      .select("doc_id", "score", "predicted")
+      .as[(Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    val inl = QualityClassifier.scoreInline(docs, "doc_id", "text", model)
+      .select("doc_id", "score", "predicted")
+      .as[(Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(inl == rel, "kernel path must be bit-equal to the relational path")
+    assert(rel.map(_._1).contains(101L),
+      "empty docs score through the '' gram on both paths")
+    // Interpreted evaluation agrees with the codegen path.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.TextFunctions.tokens
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val expr = graft.functions.expr.ClassifierScore(
+      Literal.create(Seq("the", "quick"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)), model)
+    val interpreted = expr.eval(null).asInstanceOf[Double]
+    val viaDf = Seq((1L, "the quick")).toDF("doc_id", "text")
+    val codegen = QualityClassifier.scoreInline(viaDf, "doc_id", "text", model)
+      .select("score").as[Double].collect().head
+    assert(interpreted == codegen)
+  }
+
   test("weight table is bounded by the bucket count and typed decimal(20,8)") {
     val labeled = (pos ++ neg).toDF("doc_id", "text", "y")
     val w = QualityClassifier.train(labeled, "doc_id", "text", "y",

@@ -268,4 +268,43 @@ class StreamCurationSpec extends AnyFunSuite {
       assert(rows.forall(_.getDouble(2) >= 0.5))
     } finally q.stop()
   }
+
+  test("composed streaming curation with the model gate stays join-free") {
+    implicit val sc = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    import graft.operators.QualityClassifier
+    val goodEn = "the quick brown fox jumps over the lazy dog while the calm " +
+      "river flows past the old stone bridge near the quiet village green"
+    // Alien vocabulary long enough to PASS the heuristic gate; only
+    // the model gate can drop it.
+    val alien = "qq1 ww2 ee3 rr4 tt5 yy6 uu7 ii8 oo9 pp0 aa1 ss2 dd3 ff4 " +
+      "gg5 hh6 jj7 kk8 ll9 zz0 qq2 ww3 ee4 rr5"
+    val w = QualityClassifier.train(
+      Seq((10L, goodEn, 1), (12L, alien, 0)).toDF("doc_id", "text", "y"),
+      "doc_id", "text", "y", buckets = 128, iters = 3, lr = 0.5)
+    val model = QualityClassifier.weightsModel(w, buckets = 128)
+    val mem = MemoryStream[LmDoc]
+    val out = StreamCuration.curate(mem.toDF(), "doc_id", "text", "ts",
+      delay = "10 minutes", classifier = Some(model))
+    // Still no joins: the model gate is a kernel column, not a
+    // stream-static join.
+    val q = out.writeStream
+      .format("memory").queryName("stream_curate_model")
+      .outputMode("append")
+      .option("checkpointLocation", s"${TestSpark.tmpDir("scm")}/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(
+        LmDoc(1L, t("2024-01-01 00:00:10"), goodEn),
+        LmDoc(2L, t("2024-01-01 00:00:11"), alien))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM stream_curate_model")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L), "the model gate drops the alien doc on-stream")
+      val plan = out.queryExecution.analyzed.toString
+      assert(!plan.toLowerCase.contains("join"),
+        s"model-gated streaming curation must stay join-free:\n$plan")
+    } finally q.stop()
+  }
 }
