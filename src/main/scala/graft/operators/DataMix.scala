@@ -215,9 +215,21 @@ object DataMix {
   /** Per-bucket add-one-smoothed log-ratio `ln p_target - ln p_raw`
     * from the two bucket profiles, 8dp-rounded into exact DECIMALs. */
   private def bucketRatios(rawB: DataFrame, tgtB: DataFrame,
+      buckets: Int): DataFrame =
+    ratiosFromCounts(
+      rawB.groupBy(col("b")).agg(sum(col("n")).as("cr")),
+      tgtB.groupBy(col("b")).agg(sum(col("n")).as("ct")), buckets)
+
+  /** The ratio computation from PRE-AGGREGATED per-bucket counts —
+    * the incremental-cadence entry point: bucket counts are ADDITIVE,
+    * so a weekly batch writes its own (b, cr) slice and the composed
+    * statistics come from summing slices (see
+    * [[importanceTrainFromCounts]]), never from re-scanning old
+    * batches' text. */
+  private def ratiosFromCounts(rawAgg: DataFrame, tgtAgg: DataFrame,
       buckets: Int): DataFrame = {
-    val tgt = tgtB.groupBy(col("b")).agg(sum(col("n")).as("ct"))
-    val rawC = rawB.groupBy(col("b")).agg(sum(col("n")).as("cr"))
+    val tgt = tgtAgg
+    val rawC = rawAgg
     // 1-row totals ride a broadcast literal-key join (the LmStats
     // vocab pattern) — no eager driver action in the plan build.
     // coalesce to 0 so an empty target frame matches the oracle's
@@ -246,6 +258,32 @@ object DataMix {
       bucketRatios(
         docBuckets(raw, idCol, textCol, buckets),
         docBuckets(target, idCol, textCol, buckets), buckets),
+      buckets)
+
+  /** One batch's aggregated (b, cr) bucket counts — the weekly
+    * cadence's writable slice for importance statistics. Counts are
+    * additive, so slices compose by union + re-sum: the same
+    * append-structured state shape as the curation cadence's
+    * index/signature slices (batch-scale writes only, nothing
+    * corpus-scale ever rewritten). */
+  def importanceCounts(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docBuckets(df, idCol, textCol, buckets)
+      .groupBy(col("b")).agg(sum(col("n")).as("cr"))
+
+  /** Importance statistics from composed count slices: union the
+    * per-batch [[importanceCounts]] frames along the state lineage
+    * and pass them here with the (fixed) target corpus — spec-pinned
+    * equal to [[importanceTrain]] over the concatenated raw batches. */
+  def importanceTrainFromCounts(rawCountSlices: DataFrame,
+      target: DataFrame, idCol: String, textCol: String,
+      buckets: Int): ImportanceStats =
+    ImportanceStats(
+      ratiosFromCounts(
+        rawCountSlices.groupBy(col("b")).agg(sum(col("cr")).as("cr")),
+        docBuckets(target, idCol, textCol, buckets)
+          .groupBy(col("b")).agg(sum(col("n")).as("ct")),
+        buckets),
       buckets)
 
   def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,

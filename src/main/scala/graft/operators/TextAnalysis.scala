@@ -246,6 +246,21 @@ object TextAnalysis {
     LmStats(bgCounts, prefixCounts, vocab, n)
   }
 
+  /** LM statistics from composed count slices — the weekly-cadence
+    * entry point: n-gram and history counts are ADDITIVE, so each
+    * batch's [[lmTrain]] frames are writable state slices and the
+    * corpus statistics come from union + re-sum (the smoothing
+    * vocabulary is the distinct-history count of the MERGED frame).
+    * Spec-pinned equal to [[lmTrain]] over the concatenated batches;
+    * the same append-structured shape as the curation cadence's
+    * index/signature slices. */
+  def lmStatsFromCounts(bgSlices: DataFrame, prefixSlices: DataFrame,
+      n: Int = 2): LmStats = {
+    val bg = bgSlices.groupBy(col("bg")).agg(sum(col("c12")).as("c12"))
+    val pre = prefixSlices.groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+    LmStats(bg, pre, pre.agg(count(lit(1)).as("v")), n)
+  }
+
   /** Per-n-gram smoothed log-probs for a pre-exploded frame with a `bg`
     * column: left joins against the count frames (unseen grams fall to
     * add-one smoothing), the 1-row vocab joined on a literal key with a

@@ -131,6 +131,29 @@ class DataMixSpec extends AnyFunSuite {
     assert(out.map(_._4) == out.map(_._4).sorted.reverse)
   }
 
+  test("importance statistics compose additively from batch count slices") {
+    // The weekly-cadence pin for quality-model state: ratios from
+    // union-of-slices must equal ratios trained on the concatenated
+    // raw corpus — so a batch writes only ITS bucket counts, and old
+    // batches' text is never re-scanned.
+    val mk = (r: Range, t: String) => r.map(i => (i.toLong, t))
+    val batchA = (mk(0 until 20, "the quick brown fox jumps high") ++
+      mk(20 until 30, "zx qv wm kj pq")).toDF("doc_id", "text")
+    val batchB = (mk(30 until 40, "the lazy dog sleeps under trees") ++
+      mk(40 until 45, "zx qv wm kj pq")).toDF("doc_id", "text")
+    val target = mk(100 until 105, "the quick dog runs").toDF("doc_id", "text")
+    val sliceA = DataMix.importanceCounts(batchA, "doc_id", "text", 256)
+    val sliceB = DataMix.importanceCounts(batchB, "doc_id", "text", 256)
+    val composed = DataMix.importanceTrainFromCounts(
+      sliceA.unionByName(sliceB), target, "doc_id", "text", 256)
+    val scratch = DataMix.importanceTrain(
+      batchA.unionByName(batchB), target, "doc_id", "text", 256)
+    def ratios(s: DataMix.ImportanceStats) = s.ratio
+      .select($"b", $"r".cast("string")).as[(Long, String)].collect().toSet
+    assert(ratios(composed) == ratios(scratch),
+      "slice-composed ratios must equal from-scratch training")
+  }
+
   test("groupCap equals the row_number-window reference, incl. a skewed group") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -397,4 +397,39 @@ class TextOpsSpec extends AnyFunSuite {
       assert(math.abs(e - exact(k)) < 0.35, s"estimate $e far from exact ${exact(k)} for $k")
     }
   }
+
+  test("LM statistics compose additively from batch count slices") {
+    // The weekly-cadence pin for LM state: a batch's lmTrain frames
+    // are writable slices; union + re-sum must equal training on the
+    // concatenated corpus (scoring follows since it is a pure
+    // function of the count frames).
+    val batchA = Seq((1L, "the cat sat on the mat"),
+      (2L, "the dog ran to the cat")).toDF("doc_id", "text")
+    val batchB = Seq((3L, "the cat ran and the dog sat"),
+      (4L, "a bird flew over the mat")).toDF("doc_id", "text")
+    val a = TextAnalysis.lmTrain(batchA, "text")
+    val b = TextAnalysis.lmTrain(batchB, "text")
+    val composed = TextAnalysis.lmStatsFromCounts(
+      a.bgCounts.unionByName(b.bgCounts),
+      a.prefixCounts.unionByName(b.prefixCounts))
+    val scratch = TextAnalysis.lmTrain(batchA.unionByName(batchB), "text")
+    def bg(m: TextAnalysis.LmStats) =
+      m.bgCounts.as[(String, Long)].collect().toSet
+    def pre(m: TextAnalysis.LmStats) =
+      m.prefixCounts.as[(String, Long)].collect().toSet
+    def v(m: TextAnalysis.LmStats) = m.vocab.as[Long].collect().head
+    assert(bg(composed) == bg(scratch))
+    assert(pre(composed) == pre(scratch))
+    assert(v(composed) == v(scratch))
+    // And per-gram scoring under the composed stats is identical.
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.TextFunctions.{tokens, wordNgramsNative}
+    val grams = batchA.unionByName(batchB)
+      .select(col("doc_id"),
+        explode(wordNgramsNative(tokens(col("text")), 2)).as("bg"))
+    def lps(m: TextAnalysis.LmStats) =
+      TextAnalysis.lmLogProbs(grams, m)
+        .select($"doc_id", $"lp").as[(Long, Double)].collect().toSeq.sorted
+    assert(lps(composed) == lps(scratch))
+  }
 }
