@@ -165,17 +165,19 @@ object ExtQueries {
     * the dup flag, one |languages|-row aggregate — at 100 TB this is
     * a single corpus pass. */
   def q84CorpusDatasheet(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val lang = TextAnalysis.languageId(docs, "doc_id", "text")
-      .select(col("doc_id"), col("detected_lang"))
-    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    val keyed = docs.select(col("doc_id"),
+    import graft.functions.TextFunctions.tokens
+    // All map-tier measures in ONE projection (lang pick and quality
+    // are single kernel calls) — one corpus scan, one canonical-key
+    // join for the dup flag, one small rollup; no doc_id self-joins.
+    val keyed = Tables.documents(s, dir).select(
+      TextAnalysis.detectedLang(tokens(col("text"))).as("detected_lang"),
+      size(tokens(col("text"))).as("n_tokens"),
+      TextAnalysis.qualityScoreCol(col("text")).as("quality_score"),
       md5(lower(trim(col("text")))).as("k"),
       length(col("text")).cast("long").as("n_chars"))
     val copies = keyed.groupBy(col("k")).agg(count(lit(1)).as("copies"))
     keyed
-      .join(lang, "doc_id").join(q, "doc_id").join(copies, "k")
+      .join(copies, "k")
       .groupBy(col("detected_lang"))
       .agg(
         count(lit(1)).as("n_docs"),
