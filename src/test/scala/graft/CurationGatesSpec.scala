@@ -53,6 +53,36 @@ class CurationGatesSpec extends AnyFunSuite {
     assert(out(1L).getAs[Int]("stopword_hits") == 3)
   }
 
+  test("gopher kernel is row-equal to the declarative HOF reference") {
+    // Adversarial shapes: multibyte words, a '•' bullet, tabs, runs
+    // of dots (non-overlap counting), trailing newline (Spark split
+    // keeps the empty line), leading/trailing spaces around bullets.
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over that lazy dog with style",
+      2L -> "zürich café naïve über señor 東京 mañana crème",
+      3L -> ("• bullet one\n  - spaced dash\n* star line\nplain line\n" +
+        "ends with dots...\n...."),
+      4L -> "#tag ## ...... .... ... and the rest of it",
+      5L -> "a\tb\tc d  e",
+      6L -> "trailing newline\n",
+      7L -> "",
+      8L -> "   ",
+      9L -> "•",
+      10L -> ("the quick... brown#fox... jumps #over... the lazy dogs " +
+        "with that very fine style indeed today")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    val kernel = rows(TextAnalysis.gopherRules(docs, "doc_id", "text",
+      minWords = 3))
+    val decl = rows(TextAnalysis.gopherRulesDeclarative(docs, "doc_id", "text",
+      minWords = 3))
+    assert(kernel.keySet == decl.keySet)
+    kernel.keySet.foreach { id =>
+      assert(kernel(id) == decl(id),
+        s"doc $id: kernel ${kernel(id)} != declarative ${decl(id)}")
+    }
+  }
+
   test("gopher rules on empty/whitespace text: pass is false, never null") {
     // A 100 TB crawl contains empty documents; the gate must emit a
     // usable verdict for them (three-valued logic would leak null
