@@ -62,7 +62,15 @@ object QualityClassifier {
   /** Train the logistic model: `labeled` must carry a 0/1 `labelCol`.
     * Returns the weight table (b, w decimal(20,8)) — a writable
     * artifact frame (the q77 tokenizer-as-artifact shape), consumed
-    * by [[score]]. */
+    * by [[score]].
+    *
+    * 100 TB posture: training runs over whatever `labeled` frame the
+    * caller passes — production quality filters train on a BOUNDED
+    * labeled sample (fastText-style filters use ~1e5..1e6 docs:
+    * positives from the curated target, negatives drawn from the raw
+    * pool with [[DataMix.stratifiedSample]]), then [[score]] /
+    * [[scoreInline]] sweeps the full corpus. Nothing in the loop
+    * requires the training set to be corpus-scale. */
   def train(labeled: DataFrame, idCol: String, textCol: String,
       labelCol: String, buckets: Int, iters: Int = 3,
       lr: Double = 0.5): DataFrame = {
