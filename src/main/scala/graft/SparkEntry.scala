@@ -85,6 +85,7 @@ object SparkEntry {
     "q44_minhash_estimate"  -> (ExtQueries.q44MinhashEstimate(_, _)),
     "q46_normalize"         -> (ExtQueries.q46Normalize(_, _)),
     "q47_decontaminate"     -> (ExtQueries.q47Decontaminate(_, _)),
+    "q88_decon_audit"       -> (ExtQueries.q88DeconAudit(_, _)),
     "q48_stratified_sample" -> (ExtQueries.q48StratifiedSample(_, _)),
     "q64_token_budget_mix"  -> (ExtQueries.q64TokenBudgetMix(_, _)),
     "q49_pack_sequences"    -> (ExtQueries.q49PackSequences(_, _)),

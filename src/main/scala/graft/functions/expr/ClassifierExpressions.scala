@@ -41,17 +41,24 @@ final class ClassifierWeights(val buckets: Int, val w: Array[Long])
   * code; the gram loop is a JIT-compiled byte walk. */
 object ClassifierKernel {
 
-  private def bucketOf(md: MessageDigest, m: ClassifierWeights,
-      parts: Array[Byte]*): Int = {
-    var i = 0
-    while (i < parts.length) { md.update(parts(i)); i += 1 }
+  private def digestBucket(md: MessageDigest, m: ClassifierWeights): Int = {
     val d = md.digest() // digest() resets the instance
     val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     (v % m.buckets).toInt
   }
 
-  private val Space = Array[Byte](' ')
+  private def bucketOf(md: MessageDigest, m: ClassifierWeights,
+      g: Array[Byte]): Int = {
+    md.update(g)
+    digestBucket(md, m)
+  }
+
+  private def bucketOf2(md: MessageDigest, m: ClassifierWeights,
+      a: Array[Byte], b: Array[Byte]): Int = {
+    md.update(a); md.update(' '.toByte); md.update(b)
+    digestBucket(md, m)
+  }
 
   /** Spark `round(double, 8)` semantics (RoundBase / the
     * [[CentroidKernel.round6]] rationale, at scale 8). */
@@ -71,8 +78,8 @@ object ClassifierKernel {
     if (cnt >= 2) {
       i = 0
       while (i + 2 <= cnt) {
-        z += m.w(bucketOf(md, m,
-          toks.getUTF8String(i).getBytes, Space,
+        z += m.w(bucketOf2(md, m,
+          toks.getUTF8String(i).getBytes,
           toks.getUTF8String(i + 1).getBytes))
         i += 1
       }

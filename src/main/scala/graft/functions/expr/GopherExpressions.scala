@@ -120,19 +120,18 @@ object GopherKernel {
     }
     closeLine(n)
 
-    val r6 = CentroidKernel.round6 _
     val out = new GenericInternalRow(7)
     out.setInt(0, nw)
     if (nw == 0) { out.setNullAt(1); out.setNullAt(2); out.setNullAt(5) }
     else {
-      out.setDouble(1, r6(lenSum.toDouble / nw))
+      out.setDouble(1, CentroidKernel.round6(lenSum.toDouble / nw))
       // = round((hashes + (3*ellipses)/3.0) / nw, 6): the declarative
       // (len - len(replace))/3 is exactly the occurrence count.
-      out.setDouble(2, r6((hashes + ellipses).toDouble / nw))
-      out.setDouble(5, r6(alpha.toDouble / nw))
+      out.setDouble(2, CentroidKernel.round6((hashes + ellipses).toDouble / nw))
+      out.setDouble(5, CentroidKernel.round6(alpha.toDouble / nw))
     }
-    out.setDouble(3, r6(bulletLines.toDouble / nl))
-    out.setDouble(4, r6(ellipsisLines.toDouble / nl))
+    out.setDouble(3, CentroidKernel.round6(bulletLines.toDouble / nl))
+    out.setDouble(4, CentroidKernel.round6(ellipsisLines.toDouble / nl))
     out.setInt(6, stopHits)
     out
   }

@@ -119,6 +119,27 @@ object TextDedup {
       .agg(count(lit(1)).as("n_contaminated_shingles"))
   }
 
+  /** The decontamination AUDIT — [[contaminated]] from the benchmark
+    * owner's side: per benchmark item, how many corpus documents
+    * share at least one n-shingle with it and how many (corpus-doc,
+    * shingle) overlap instances there are. This is the report an eval
+    * owner reads to see WHICH benchmark items leak into a training
+    * corpus (an item leaking into thousands of docs is compromised;
+    * one stray match is noise), complementing q47's per-corpus-doc
+    * strip decision. Same join shape as [[contaminated]]; the
+    * aggregate keys on the (small) benchmark side. */
+  def contaminationByBenchmark(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val c = buildIndex(corpus, idCol, textCol, n, bits = 64).df
+    val b = buildIndex(benchmark, idCol, textCol, n, bits = 64).df
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    c.join(b, "sh")
+      .groupBy(col("bench_id"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_leaked_docs"),
+        count(lit(1)).as("n_overlap_instances"))
+  }
+
   /** Near-dup pairs -> dedup CLUSTERS: connected components over the
     * pair graph by iterative min-label propagation, the step that
     * turns pairwise detectors into an actual dedup decision (one

@@ -258,6 +258,17 @@ object ExtQueries {
       "doc_id", "text", n = 3)
   }
 
+  /** Decontamination audit (q88): q47's overlap from the benchmark
+    * owner's side — per benchmark item, how many corpus docs it leaks
+    * into and how many shingle-overlap instances. */
+  def q88DeconAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextDedup.contaminationByBenchmark(
+      docs.where(col("doc_id") % 97 =!= 0),
+      docs.where(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3)
+  }
+
   /** DSIR-style selection over the q47 split: the every-97th-doc
     * benchmark slice plays the target distribution, the rest is the
     * raw pool being filtered toward it. */
@@ -1683,6 +1694,19 @@ object ExtQueries {
          |FROM ex e JOIN bsh USING (s)
          |WHERE e.doc_id % 97 != 0
          |GROUP BY e.doc_id""".stripMargin,
+
+    // q88: the benchmark-side audit over the same shingle overlap
+    // (per-doc shingle lists are already distinct).
+    "q88_decon_audit" ->
+      s"""$duckShingles3,
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |co AS (SELECT doc_id, s FROM ex WHERE doc_id % 97 != 0),
+         |be AS (SELECT doc_id AS bench_id, s FROM ex WHERE doc_id % 97 = 0)
+         |SELECT bench_id,
+         |  CAST(count(DISTINCT co.doc_id) AS BIGINT) AS n_leaked_docs,
+         |  CAST(count(*) AS BIGINT) AS n_overlap_instances
+         |FROM co JOIN be USING (s)
+         |GROUP BY bench_id""".stripMargin,
 
     "q46_normalize" ->
       """SELECT doc_id,
