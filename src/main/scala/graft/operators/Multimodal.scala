@@ -188,6 +188,116 @@ object Multimodal {
     }
   }
 
+  /** Patterned-PNG tooling for the image near-dup pipeline (q89):
+    * decode → average-pool resize → perceptual average-hash → dedup.
+    *
+    * The encoder paints an 8x8 MACRO-GRID scaled to an id-derived
+    * pixel size (both dimensions multiples of 8), with cell
+    * intensities a fixed function of the id's pattern class
+    * (`id % classes`). Exact average-pooling back to 8x8 therefore
+    * recovers the macro-grid precisely regardless of pixel size, so
+    * the aHash is a pure function of the class — and the dedup
+    * expectation is SQL-expressible (`min(id) per id % classes`) even
+    * though the engine must earn it through real codec + resize +
+    * hash work (the q76 oracle trick extended to image CONTENT). */
+  object PatternCodec {
+    /** Grayscale macro-cell intensity for pattern class c — fixed
+      * arithmetic, distinct thresholded bit patterns per class
+      * (spec-pinned). */
+    private def cell(i: Int, j: Int, c: Int): Int =
+      ((i * 8 + j) * 31 + c * 97 + (i * j + c * c) * 13) % 251
+
+    def encodePatternPng(id: Long, classes: Int): Array[Byte] = {
+      val w = 8 * (1 + (id % 4).toInt)
+      val h = 8 * (1 + ((id / 4) % 4).toInt)
+      val c = (id % classes).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val cw = w / 8
+      val ch = h / 8
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = cell(x / cw, y / ch, c)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode + EXACT average-pool to the 8x8 grid (integer sums over
+      * uniform cells — dimensions are multiples of 8 by construction,
+      * and PNG is lossless, so pooling reproduces the macro grid) +
+      * 64-bit average-hash: bit = cell mean STRICTLY above the global
+      * mean (scaled-integer compare, no float thresholds). */
+    def ahashPng(bytes: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w % 8 == 0 && h % 8 == 0, s"dims not 8-divisible: ${w}x$h")
+      val cw = w / 8
+      val ch = h / 8
+      val sums = new Array[Long](64) // per-cell intensity sums
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sums((y / ch) * 8 + (x / cw)) += img.getRGB(x, y) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val cellPx = cw.toLong * ch
+      var total = 0L
+      var k = 0
+      while (k < 64) { total += sums(k); k += 1 }
+      // bit_k = mean_k > mean_all  <=>  sums(k) * 64 * cellPx-units:
+      // compare sums(k) / cellPx > total / (64 * cellPx) in integers.
+      var hash = 0L
+      k = 0
+      while (k < 64) {
+        if (sums(k) * 64L > total) hash |= (1L << k)
+        k += 1
+      }
+      hash
+    }
+  }
+
+  /** Perceptual image dedup over patterned assets: partition-batched
+    * decode+resize+hash, then the q20 canonical-survivor shape on the
+    * 64-bit aHash (hash equi-groupBy — pairs never materialize; at
+    * near-dup thresholds > 0 the hash would feed the SimHash byte-band
+    * join instead). */
+  def imageNearDup(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    val hashed = assets.mapPartitions { it =>
+      it.map(a => (a.asset_id, PatternCodec.ahashPng(a.payload)))
+    }.toDF("asset_id", "ahash")
+    hashed.join(
+      hashed.groupBy(col("ahash"))
+        .agg(org.apache.spark.sql.functions.min(col("asset_id"))
+          .as("canonical_id")),
+      "ahash")
+      .select(col("asset_id"), col("canonical_id"))
+  }
+
+  /** Patterned-PNG assets for [[imageNearDup]]. */
+  def patternAssetsFromIds(ids: DataFrame, idCol: String,
+      classes: Int): Dataset[MediaAsset] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      MediaAsset(id, "image", PatternCodec.encodePatternPng(id, classes))
+    }
+  }
+
   /** Real media assets from any id-bearing table: even ids encode as
     * PNG images, odd ids as WAV audio — a deterministic mixed-modality
     * corpus with genuine bytes in the payload column. */

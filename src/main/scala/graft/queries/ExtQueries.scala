@@ -830,6 +830,19 @@ object ExtQueries {
       .select(col("asset_id"), col("media_type"),
         col("width"), col("height"), col("channels"), col("duration_ms"))
 
+  /** Perceptual image dedup (q89): ids paint patterned PNGs whose
+    * content class is `id % 6` at id-varied pixel sizes; the engine
+    * must DECODE the real bytes, average-pool resize to the 8x8 grid,
+    * aHash, and group — the oracle recomputes the expected canonical
+    * (min id per class) from ids alone, so a match proves the whole
+    * decode→resize→hash pipeline (the q76 trick extended to image
+    * CONTENT). */
+  def q89ImageNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDup(
+      Multimodal.patternAssetsFromIds(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+        classes = 6))
+
   /** DuckDB token expression mirroring [[graft.functions.TextFunctions.tokens]]. */
   private val duckToks =
     raw"""list_filter(string_split_regex(text, '\s+'), t -> t != '')"""
@@ -1694,6 +1707,15 @@ object ExtQueries {
          |FROM ex e JOIN bsh USING (s)
          |WHERE e.doc_id % 97 != 0
          |GROUP BY e.doc_id""".stripMargin,
+
+    // q89: the engine earns this via real PNG decode + average-pool +
+    // aHash; the oracle only knows the construction (class = id % 6).
+    "q89_image_neardup" ->
+      """SELECT d.doc_id AS asset_id, m.canonical_id
+        |FROM documents d JOIN (
+        |  SELECT doc_id % 6 AS cls, CAST(min(doc_id) AS BIGINT) AS canonical_id
+        |  FROM documents GROUP BY 1) m
+        |ON d.doc_id % 6 = m.cls""".stripMargin,
 
     // q88: the benchmark-side audit over the same shingle overlap
     // (per-doc shingle lists are already distinct).

@@ -87,4 +87,33 @@ class MultimodalSpec extends AnyFunSuite {
       assert(m.n_bytes > 0)
     }
   }
+
+  test("pattern aHash: size-invariant within a class, distinct across classes") {
+    import graft.operators.Multimodal.PatternCodec
+    // Six pattern classes at sixteen different pixel sizes each (ids
+    // 0..95 sweep all (w, h, class) combos): the hash must depend on
+    // the CONTENT class only — exact average-pooling recovers the
+    // macro grid at every size.
+    val byClass = (0L until 96L).groupBy(_ % 6).map { case (c, ids) =>
+      c -> ids.map(id =>
+        PatternCodec.ahashPng(PatternCodec.encodePatternPng(id, 6))).toSet
+    }
+    byClass.foreach { case (c, hashes) =>
+      assert(hashes.size == 1, s"class $c hashes vary with pixel size: $hashes")
+    }
+    assert(byClass.values.map(_.head).toSet.size == 6,
+      "the six pattern classes must produce six distinct hashes")
+  }
+
+  test("imageNearDup groups real decoded pixels by content class") {
+    val ids = spark.range(0, 60).toDF("doc_id")
+    val out = Multimodal.imageNearDup(
+        Multimodal.patternAssetsFromIds(ids, "doc_id", classes = 6))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 60)
+    out.foreach { case (id, canon) =>
+      assert(canon == id % 6,
+        s"asset $id: canonical $canon != class representative ${id % 6}")
+    }
+  }
 }
