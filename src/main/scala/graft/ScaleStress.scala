@@ -233,6 +233,22 @@ object ScaleStress {
         "doc_id", "text")
     }
 
+    // Gopher gate (q79) over the 10x corpus: one gopher_measures
+    // kernel call per row — the map-tier quality gate priced at 50k
+    // docs (the declarative HOF form measured ~3x slower at sf0.1).
+    time("gopher rule gate (10x)") {
+      operators.TextAnalysis.gopherRules(big, "doc_id", "text")
+    }
+
+    // Perceptual image dedup (q89) at 50k assets: encode+decode+
+    // resize+hash per image inside mapPartitions, then the hash
+    // groupBy — prices real codec throughput distributed.
+    time("image near-dup 50k PNGs") {
+      operators.Multimodal.imageNearDup(
+        operators.Multimodal.patternAssetsFromIds(
+          big.select(col("doc_id")), "doc_id", classes = 6))
+    }
+
     // Per-source cap (q80) with planted 80% skew: the bounded
     // aggregate keeps <= cap rows per group per task, so the hot
     // group costs map-side what any other does — the row the window
