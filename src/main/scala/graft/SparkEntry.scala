@@ -67,6 +67,7 @@ object SparkEntry {
     "q74_pq_search_ivf"     -> (ExtQueries.q74PqSearchIvf(_, _)),
     "q76_media_decode"      -> (ExtQueries.q76MediaDecode(_, _)),
     "q89_image_neardup"     -> (ExtQueries.q89ImageNearDup(_, _)),
+    "q90_video_framesample" -> (ExtQueries.q90VideoFrameSample(_, _)),
     "q77_bpe_vocab"         -> (ExtQueries.q77BpeVocab(_, _)),
     "q78_perplexity_buckets" -> (ExtQueries.q78PerplexityBuckets(_, _)),
     "q79_gopher_rules"      -> (ExtQueries.q79GopherRules(_, _)),

@@ -298,6 +298,87 @@ object Multimodal {
     }
   }
 
+  /** One sampled video frame: real decoded dimensions. */
+  case class SampledFrame(asset_id: Long, frame_idx: Int,
+      width: Int, height: Int)
+
+  /** Video frame-sampling (the brief's last multimodal op). There is
+    * no pure-JVM codec for real video containers, so the container is
+    * a DEFINED trivial format — "GVID", frame count, then
+    * length-prefixed REAL PNG frames — and everything around the
+    * container choice is the genuine article: the sampler parses the
+    * byte layout, seeks to every k-th frame, and decodes THOSE frames
+    * only with `javax.imageio` (the point of frame sampling — touch a
+    * fraction of the payload). Frame dimensions derive from
+    * (id, frame) by fixed arithmetic, so the q90 oracle recomputes
+    * expected (frame_idx, width, height) rows from ids alone and a
+    * match proves container parsing + selective real decode. */
+  object VideoCodec {
+    private val Magic = Array[Byte]('G', 'V', 'I', 'D')
+
+    def frameCount(id: Long): Int = 4 + (id % 5).toInt
+
+    def encodeVideo(id: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write(Magic)
+      val n = frameCount(id)
+      out.writeInt(n)
+      var f = 0
+      while (f < n) {
+        val frame = ImageCodec.encodePng(id * 31 + f)
+        out.writeInt(frame.length)
+        out.write(frame)
+        f += 1
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Parse the container and REAL-decode every `every`-th frame. */
+    def sampleFrames(assetId: Long, bytes: Array[Byte],
+        every: Int): Seq[SampledFrame] = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(java.util.Arrays.equals(magic, Magic), "not a GVID payload")
+      val n = in.readInt()
+      val out = Seq.newBuilder[SampledFrame]
+      var f = 0
+      while (f < n) {
+        val len = in.readInt()
+        if (f % every == 0) {
+          val frame = new Array[Byte](len)
+          in.readFully(frame)
+          val (w, h, _) = ImageCodec.decodeImage(frame)
+          out += SampledFrame(assetId, f, w, h)
+        } else {
+          var skipped = 0L
+          while (skipped < len) skipped += in.skip(len - skipped)
+        }
+        f += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Synthetic GVID assets from an id-bearing table. */
+  def videoAssetsFromIds(ids: DataFrame, idCol: String): Dataset[MediaAsset] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .map(id => MediaAsset(id, "video", VideoCodec.encodeVideo(id)))
+  }
+
+  /** Partition-batched frame sampling: every `every`-th frame of each
+    * video really decoded, one row per sampled frame. */
+  def sampleVideoFrames(assets: Dataset[MediaAsset],
+      every: Int): Dataset[SampledFrame] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap(a => VideoCodec.sampleFrames(a.asset_id, a.payload, every))
+  }
+
   /** Real media assets from any id-bearing table: even ids encode as
     * PNG images, odd ids as WAV audio — a deterministic mixed-modality
     * corpus with genuine bytes in the payload column. */

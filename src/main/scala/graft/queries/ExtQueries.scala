@@ -843,6 +843,16 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id")), "doc_id",
         classes = 6))
 
+  /** Video frame-sampling (q90): GVID containers of real PNG frames,
+    * every 2nd frame parsed out and REALLY decoded; the oracle
+    * recomputes (frame_idx, width, height) from ids alone, proving
+    * container parsing + selective decode. */
+  def q90VideoFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleVideoFrames(
+      Multimodal.videoAssetsFromIds(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id"),
+      every = 2).toDF()
+
   /** DuckDB token expression mirroring [[graft.functions.TextFunctions.tokens]]. */
   private val duckToks =
     raw"""list_filter(string_split_regex(text, '\s+'), t -> t != '')"""
@@ -1707,6 +1717,16 @@ object ExtQueries {
          |FROM ex e JOIN bsh USING (s)
          |WHERE e.doc_id % 97 != 0
          |GROUP BY e.doc_id""".stripMargin,
+
+    // q90: sampled frames (every 2nd of 4 + id%5) with per-frame dims
+    // from the id arithmetic — the engine earns each row through
+    // container parsing + real PNG decode of that frame.
+    "q90_video_framesample" ->
+      """SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(16 + (doc_id * 31 + f) % 97 AS INT) AS width,
+        |  CAST(16 + (doc_id * 31 + f) % 53 AS INT) AS height
+        |FROM (SELECT doc_id, unnest(range(0, 4 + doc_id % 5, 2)) AS f
+        |      FROM documents)""".stripMargin,
 
     // q89: the engine earns this via real PNG decode + average-pool +
     // aHash; the oracle only knows the construction (class = id % 6).

@@ -105,6 +105,28 @@ class MultimodalSpec extends AnyFunSuite {
       "the six pattern classes must produce six distinct hashes")
   }
 
+  test("video frame sampling decodes exactly every k-th frame with real dims") {
+    import graft.operators.Multimodal.VideoCodec
+    // Direct codec check: id 7 -> 4 + 7%5 = 6 frames, stride 2 ->
+    // frames 0, 2, 4 with the (id*31 + f) dimension arithmetic.
+    val sampled = VideoCodec.sampleFrames(7L, VideoCodec.encodeVideo(7L), 2)
+    assert(sampled.map(_.frame_idx) == Seq(0, 2, 4))
+    sampled.foreach { fr =>
+      val seed = 7L * 31 + fr.frame_idx
+      assert(fr.width == 16 + (seed % 97).toInt)
+      assert(fr.height == 16 + (seed % 53).toInt)
+    }
+    // Distributed: row counts follow ceil(nFrames / 2) per id.
+    val ids = spark.range(0, 25).toDF("doc_id")
+    val out = Multimodal.sampleVideoFrames(
+      Multimodal.videoAssetsFromIds(ids, "doc_id"), every = 2).collect()
+    val perId = out.groupBy(_.asset_id).view.mapValues(_.length).toMap
+    (0L until 25L).foreach { id =>
+      val n = 4 + (id % 5).toInt
+      assert(perId(id) == (n + 1) / 2, s"id $id sampled ${perId(id)} of $n")
+    }
+  }
+
   test("imageNearDup groups real decoded pixels by content class") {
     val ids = spark.range(0, 60).toDF("doc_id")
     val out = Multimodal.imageNearDup(
