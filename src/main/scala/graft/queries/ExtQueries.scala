@@ -848,9 +848,14 @@ object ExtQueries {
     * recomputes (frame_idx, width, height) from ids alone, proving
     * container parsing + selective decode. */
   def q90VideoFrameSample(s: SparkSession, dir: String): DataFrame =
+    // Every 4th document carries a video: the fixture ENCODE (5-8
+    // real PNG frames per asset) dominates the entry's cost, and a
+    // quarter-slice prices the sampler fairly — a real pipeline reads
+    // stored containers, it doesn't synthesize them per query.
     Multimodal.sampleVideoFrames(
       Multimodal.videoAssetsFromIds(
-        Tables.documents(s, dir).select(col("doc_id")), "doc_id"),
+        Tables.documents(s, dir).select(col("doc_id"))
+          .where(col("doc_id") % 4 === 0), "doc_id"),
       every = 2).toDF()
 
   /** DuckDB token expression mirroring [[graft.functions.TextFunctions.tokens]]. */
@@ -1726,7 +1731,7 @@ object ExtQueries {
         |  CAST(16 + (doc_id * 31 + f) % 97 AS INT) AS width,
         |  CAST(16 + (doc_id * 31 + f) % 53 AS INT) AS height
         |FROM (SELECT doc_id, unnest(range(0, 4 + doc_id % 5, 2)) AS f
-        |      FROM documents)""".stripMargin,
+        |      FROM documents WHERE doc_id % 4 = 0)""".stripMargin,
 
     // q89: the engine earns this via real PNG decode + average-pool +
     // aHash; the oracle only knows the construction (class = id % 6).
