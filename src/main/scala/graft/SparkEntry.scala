@@ -39,6 +39,7 @@ object SparkEntry {
     "q18_lang_id"           -> (ExtQueries.q18LangId(_, _)),
     "q19_fingerprint"       -> (ExtQueries.q19Fingerprint(_, _)),
     "q20_exact_dedup"       -> (ExtQueries.q20ExactDedup(_, _)),
+    "q91_bloom_dedup"       -> (ExtQueries.q91BloomDedup(_, _)),
     "q21_ngram_jaccard"     -> (ExtQueries.q21NgramJaccard(_, _)),
     "q22_minhash_lsh"       -> (ExtQueries.q22MinhashLsh(_, _)),
     "q23_simhash"           -> (ExtQueries.q23Simhash(_, _)),

@@ -775,6 +775,68 @@ object TextDedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         xxhash64(col("gram")).as("h"))
 
+  /** Incremental exact dedup against corpus HISTORY, gated by a
+    * broadcast Bloom filter (the Dolma/CCNet-scale ingest shape): the
+    * documents of a new batch that do NOT already exist in the
+    * historical corpus, where "exists" is [[contentHash]] equality.
+    *
+    * Why not a plain anti-join? At 100 TB the history key set is
+    * billions of rows — an anti-join shuffles ALL of it for every
+    * incremental batch. The Bloom sketch (~1.44·log2(1/fpp) bits/key;
+    * ~1.2 GB per 10^9 keys at 1% fpp) ships to executors as ONE
+    * reference object, and `bloom_might_contain` splits the batch on a
+    * pure map-tier predicate:
+    *
+    *  - bloom-NEGATIVE rows are definitely new (no false negatives) —
+    *    they bypass the join entirely. For a mostly-novel batch this
+    *    is the vast mass of the data.
+    *  - bloom-POSITIVE rows (true duplicates + an fpp sliver of new
+    *    rows) pay the exact confirm: a left_anti join against the
+    *    distinct history hashes. Only this sliver shuffles.
+    *
+    * The result is EXACT — the Bloom filter only routes; every
+    * positive is confirmed — so the operator equals the plain
+    * anti-join (spec-pinned), and the DuckDB oracle is NOT EXISTS.
+    * (Pipelines that tolerate losing an fpp fraction of new docs, as
+    * Dolma's Bloom dedup does, can skip the confirm join; this
+    * catalog keeps determinism.) Null text never matches anything
+    * (anti-join null semantics == NOT EXISTS) and is kept.
+    *
+    * Driver state: the Bloom bit array only (built by one
+    * `stat.bloomFilter` aggregate over the distinct history hashes,
+    * which are persisted for the build action + confirm join and
+    * lease-released after the caller's action). */
+  def bloomGatedNew(history: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.SketchFunctions.bloomMightContain
+    import graft.functions.expr.BloomRef
+
+    val histKeys = history
+      .select(contentHash(col(textCol)).as("content_hash"))
+      .distinct()
+      .persist()
+    val nHist = histKeys.count() // materializes the persist
+    // stat.bloomFilter NPEs on zero rows (its BloomFilterAggregate
+    // yields null) — an empty history means an empty filter.
+    val bloom = new BloomRef(
+      if (nHist == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else histKeys.select(xxhash64(col("content_hash")).as("h64"))
+        .stat.bloomFilter("h64", nHist, fpp))
+
+    val hashed = batch
+      .select(col(idCol).as("doc_id"), contentHash(col(textCol)).as("content_hash"))
+      .withColumn("might", bloomMightContain(bloom, xxhash64(col("content_hash"))))
+    val negatives = hashed.where(!col("might"))
+      .select(col("doc_id"), col("content_hash"))
+    val positives = hashed.where(col("might"))
+      .join(histKeys, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+
+    CacheLease.releaseAfterAction(negatives.unionAll(positives)) { () =>
+      histKeys.unpersist(); ()
+    }
+  }
+
   /** Maximal repeated spans from a (ideally persisted) gram frame. */
   private def spansFromGrams(grams: DataFrame, k: Int, minDf: Int): DataFrame = {
     val repeated = grams.select(col("doc_id"), col("h")).distinct()

@@ -30,6 +30,19 @@ object ExtQueries {
   def q20ExactDedup(s: SparkSession, dir: String): DataFrame =
     TextDedup.exact(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Bloom-gated incremental dedup (q91): the doc_id%3==0 slice as the
+    * incoming batch, the rest as corpus history — batch docs whose
+    * normalized content hash is NOT already in history. The broadcast
+    * Bloom prefilter routes; an exact confirm join keeps the result
+    * deterministic (== plain anti-join, the NOT EXISTS oracle). */
+  def q91BloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TextDedup.bloomGatedNew(
+      d.where(pmod(col("doc_id"), lit(3)) =!= 0),
+      d.where(pmod(col("doc_id"), lit(3)) === 0),
+      "doc_id", "text")
+  }
+
   def q42Redact(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.redact(Tables.documents(s, dir), "doc_id", "text")
 
@@ -1460,6 +1473,17 @@ object ExtQueries {
         | min(doc_id) AS canonical_id,
         | count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // q91: NOT EXISTS (null-safe, matching Spark left_anti) rather
+    // than NOT IN (whose null-key trap q04 preserves deliberately).
+    "q91_bloom_dedup" ->
+      """SELECT b.doc_id, md5(lower(trim(b.text))) AS content_hash
+        |FROM documents b
+        |WHERE b.doc_id % 3 = 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents h
+        |    WHERE h.doc_id % 3 != 0
+        |      AND md5(lower(trim(h.text))) = md5(lower(trim(b.text))))""".stripMargin,
 
     "q42_redact" -> {
       val em = graft.operators.TextAnalysis.EmailPattern
