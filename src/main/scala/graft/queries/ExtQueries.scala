@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{CacheLease, DataMix, EventOps, Multimodal, TextAnalysis, TextDedup, VectorSim}
+import graft.operators.{CacheLease, DataMix, EventOps, Multimodal, TextAnalysis, TextDedup, UrlOps, VectorSim}
 
 /** Extension-tier query catalog: the LLM-data-pipeline operators
   * (BASELINE.json north star) over the `documents` and `embeddings`
@@ -41,6 +41,25 @@ object ExtQueries {
       d.where(pmod(col("doc_id"), lit(3)) =!= 0),
       d.where(pmod(col("doc_id"), lit(3)) === 0),
       "doc_id", "text")
+  }
+
+  /** URL canonicalization (q92): deterministic messy URLs synthesized
+    * from doc_id/source (mixed-case scheme+host, www prefix, default
+    * and nonstandard ports, trailing slashes, tracking params,
+    * fragments — the q90 derived-fixture pattern), normalized by
+    * [[UrlOps.normalize]]; the oracle replays construction + every
+    * rule in SQL. */
+  def q92UrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val url = concat(
+      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM"),
+      when(pmod(col("doc_id"), lit(6)) === 0, lit(":8443")).otherwise(lit(":443")),
+      lit("/docs/"), col("doc_id").cast("string"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&z="), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit("&ref=track&a="), pmod(col("doc_id"), lit(5)).cast("string"),
+      lit("#sec"), pmod(col("doc_id"), lit(3)).cast("string"))
+    UrlOps.normalize(d.select(col("doc_id"), url.as("url")), "doc_id", "url")
   }
 
   def q42Redact(s: SparkSession, dir: String): DataFrame =
@@ -1473,6 +1492,50 @@ object ExtQueries {
         | min(doc_id) AS canonical_id,
         | count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // q92: construction + every canonicalization rule replayed CTE-by-
+    // CTE. Backreference-free regexes (RE2 vs java.util.regex replace
+    // syntax differs); list_filter/list_sort mirror filter/array_sort.
+    "q92_url_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || upper(source) || '.Example.COM' ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ':8443' ELSE ':443' END ||
+        |    '/docs/' || CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |    '?utm_source=feed&z=' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '&ref=track&a=' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM raw),
+        |p2 AS (
+        |  SELECT doc_id, nf,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS auth,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(nf, '[?]([^#]*)', 1) AS q0
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
+        |         ELSE auth END AS host,
+        |    CASE WHEN path0 = '' THEN '/'
+        |         WHEN length(path0) > 1 AND path0 LIKE '%/' THEN substr(path0, 1, length(path0) - 1)
+        |         ELSE path0 END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid|msclkid)='))), '&') AS qn
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT doc_id, scheme, host, path, qn,
+        |    regexp_replace(host, ':[0-9]+$', '') AS host_only
+        |  FROM p3)
+        |SELECT doc_id, host,
+        |  CASE WHEN regexp_extract(host_only, '([^.]+\.[^.]+)$', 1) = '' THEN host_only
+        |       ELSE regexp_extract(host_only, '([^.]+\.[^.]+)$', 1) END AS domain,
+        |  scheme || '://' || host || path ||
+        |    CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS norm_url
+        |FROM p4""".stripMargin,
 
     // q91: NOT EXISTS (null-safe, matching Spark left_anti) rather
     // than NOT IN (whose null-key trap q04 preserves deliberately).
