@@ -808,33 +808,50 @@ object TextDedup {
     * lease-released after the caller's action). */
   def bloomGatedNew(history: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, fpp: Double = 0.01): DataFrame = {
-    import graft.functions.SketchFunctions.bloomMightContain
-    import graft.functions.expr.BloomRef
-
     val histKeys = history
       .select(contentHash(col(textCol)).as("content_hash"))
       .distinct()
       .persist()
     val nHist = histKeys.count() // materializes the persist
+    val hashed = batch
+      .select(col(idCol).as("doc_id"), contentHash(col(textCol)).as("content_hash"))
+    CacheLease.releaseAfterAction(
+      bloomGatedNewByKeys(histKeys, hashed, "content_hash", nHist, fpp)) { () =>
+      histKeys.unpersist(); ()
+    }
+  }
+
+  /** Keys-level core of [[bloomGatedNew]] — the form the weekly
+    * curation cadence uses, where history hashes are a COMPACT state
+    * artifact (`hash_batch` slices, 16 bytes/doc) instead of re-hashed
+    * corpus text. `histKeys` must hold the distinct history hashes in
+    * column `hashCol` and be persisted by the caller (it feeds the
+    * bloom build and the confirm join); `nHist` its materialized
+    * count. Returns the rows of `batch` (all columns kept) whose
+    * `hashCol` is not in `histKeys` — bloom-negatives bypass the join,
+    * positives are exactly confirmed. */
+  def bloomGatedNewByKeys(histKeys: DataFrame, batch: DataFrame,
+      hashCol: String, nHist: Long, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.SketchFunctions.bloomMightContain
+    import graft.functions.expr.BloomRef
+
     // stat.bloomFilter NPEs on zero rows (its BloomFilterAggregate
     // yields null) — an empty history means an empty filter.
     val bloom = new BloomRef(
       if (nHist == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-      else histKeys.select(xxhash64(col("content_hash")).as("h64"))
+      else histKeys.select(xxhash64(col(hashCol)).as("h64"))
         .stat.bloomFilter("h64", nHist, fpp))
 
-    val hashed = batch
-      .select(col(idCol).as("doc_id"), contentHash(col(textCol)).as("content_hash"))
-      .withColumn("might", bloomMightContain(bloom, xxhash64(col("content_hash"))))
-    val negatives = hashed.where(!col("might"))
-      .select(col("doc_id"), col("content_hash"))
-    val positives = hashed.where(col("might"))
-      .join(histKeys, Seq("content_hash"), "left_anti")
-      .select(col("doc_id"), col("content_hash"))
-
-    CacheLease.releaseAfterAction(negatives.unionAll(positives)) { () =>
-      histKeys.unpersist(); ()
-    }
+    // A using-column join moves the join column first in its output —
+    // re-select the batch's column order on both branches so the
+    // union stays positional-safe.
+    val cols = batch.columns.map(col(_))
+    val probed = batch.withColumn("__might",
+      bloomMightContain(bloom, xxhash64(col(hashCol))))
+    probed.where(!col("__might")).select(cols: _*)
+      .unionAll(probed.where(col("__might"))
+        .join(histKeys.select(col(hashCol)), Seq(hashCol), "left_anti")
+        .select(cols: _*))
   }
 
   /** Maximal repeated spans from a (ideally persisted) gram frame. */

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DataMix, QualityClassifier, TextAnalysis, TextDedup, VectorSim}
+import graft.operators.{CacheLease, DataMix, QualityClassifier, TextAnalysis, TextDedup, VectorSim}
 import graft.sources.Sinks
 
 /** End-to-end training-data curation run — the extension tier's
@@ -285,6 +285,9 @@ object CurationRun {
       minContaminatedShingles, classifier, minClassifierScore)
     Sinks.overwriteParquet(decon, s"$stateOutDir/decon_batch", numFiles = 4)
     val deconS = spark.read.parquet(s"$stateOutDir/decon_batch")
+    Sinks.overwriteParquet(
+      deconS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
+      s"$stateOutDir/hash_batch", numFiles = 1)
     val idx = TextDedup.buildIndex(deconS, "doc_id", "text", n = 3, bits = 32)
     Sinks.overwriteParquet(idx.df, s"$stateOutDir/index_batch", numFiles = 4)
     val idxS = TextDedup.indexFromFrame(
@@ -325,7 +328,8 @@ object CurationRun {
       semIters: Int = 2, semThreshold: Double = 0.99,
       semMaxCellSize: Int = 1000,
       classifier: Option[(DataFrame, Int)] = None,
-      minClassifierScore: Double = 0.5): Stats = {
+      minClassifierScore: Double = 0.5,
+      exactGate: Boolean = false): Stats = {
     require(stateInDir != stateOutDir,
       "state is versioned by directory: reading and overwriting the same " +
         "state in one job would corrupt it")
@@ -341,8 +345,34 @@ object CurationRun {
     // readers compose them along the lineage.
     val deconNew = prepBatch(newDocs, benchmark, minQuality,
       minContaminatedShingles, classifier, minClassifierScore)
-    Sinks.overwriteParquet(deconNew, s"$stateOutDir/decon_batch", numFiles = 2)
+
+    // Optional exact-recrawl gate (the Bloom route, q91's shape): drop
+    // batch docs whose normalized content ALREADY exists in state
+    // before they pay the shingle/signature/LSH front. History keys
+    // come from the COMPACT hash_batch slices (16 bytes/doc), not from
+    // re-hashing corpus text. Output-preserving under monotonic ingest
+    // ids (batch ids > history ids): an exact dup has identical
+    // shingles, so LSH links it to its history twin, identical quality
+    // score, and the lower-id twin wins the survivor tie-break — the
+    // gate drops exactly the docs survivor selection would drop
+    // (BloomGateCurationSpec pins all three cadences equal).
+    val deconRouted =
+      if (!exactGate) deconNew
+      else {
+        val histKeys = readSlices(spark, lineage, "hash_batch")
+          .select(col("content_hash")).distinct().persist()
+        val nHist = histKeys.count()
+        val novel = TextDedup.bloomGatedNewByKeys(histKeys,
+          deconNew.withColumn("content_hash", TextDedup.contentHash(col("text"))),
+          "content_hash", nHist)
+          .drop("content_hash")
+        CacheLease.releaseAfterAction(novel) { () => histKeys.unpersist(); () }
+      }
+    Sinks.overwriteParquet(deconRouted, s"$stateOutDir/decon_batch", numFiles = 2)
     val deconNewS = spark.read.parquet(s"$stateOutDir/decon_batch")
+    Sinks.overwriteParquet(
+      deconNewS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
+      s"$stateOutDir/hash_batch", numFiles = 1)
     val idxNew = TextDedup.buildIndex(deconNewS, "doc_id", "text", n = 3, bits = 32)
     Sinks.overwriteParquet(idxNew.df, s"$stateOutDir/index_batch", numFiles = 2)
     val idxNewS = spark.read.parquet(s"$stateOutDir/index_batch")
@@ -401,6 +431,8 @@ object CurationRun {
       s"$stateOutDir/index_batch", numFiles = 4)
     Sinks.overwriteParquet(readSlices(spark, lineage, "signatures_batch"),
       s"$stateOutDir/signatures_batch", numFiles = 4)
+    Sinks.overwriteParquet(readSlices(spark, lineage, "hash_batch"),
+      s"$stateOutDir/hash_batch", numFiles = 1)
     Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/clusters"),
       s"$stateOutDir/clusters", numFiles = 1)
     writeLineage(stateOutDir, Seq(stateOutDir))
