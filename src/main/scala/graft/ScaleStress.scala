@@ -77,6 +77,20 @@ object ScaleStress {
       operators.TextDedup.repeatedSpans(big, "doc_id", "text", k = 8)
     }
 
+    // Bloom-gated incremental exact dedup (q91): history = the whole
+    // replicated corpus; batch = same size, half exact recrawls of
+    // history, half novel. Timed work = one history-hash pass (bloom
+    // build), the map-tier probe over the batch, and a confirm join
+    // whose left side is only the recrawl half + the fpp sliver —
+    // the full batch never shuffles against history.
+    time("bloom_gated_new (50% recrawl)") {
+      val batch = big.select(
+        (col("doc_id") + lit(100000000L)).as("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" novelmarker"))).as("text"))
+      operators.TextDedup.bloomGatedNew(big, batch, "doc_id", "text")
+    }
+
     // Incremental clustering cadence: last week's corpus is the 90%
     // with doc_id % 10 != 0; the weekly batch adds the other 10%.
     // Incremental = contract new pairs through the existing labels and

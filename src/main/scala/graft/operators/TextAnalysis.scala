@@ -137,6 +137,37 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
         .as("n_urls"))
 
+  /** Tag blocks whose CONTENT is boilerplate, dropped wholesale.
+    * One pattern per tag (RE2 has no backreferences, so a combined
+    * `<(a|b)>.*?</\1>` form would break DuckDB-oracle parity). */
+  val HtmlDropTags: Seq[String] = Seq("head", "script", "style", "nav", "footer", "aside")
+
+  /** HTML → text extraction as a column (the crawl-pipeline extract
+    * step, a simplified Trafilatura-style rule set): boilerplate
+    * blocks dropped wholesale, remaining tags stripped to spaces,
+    * the common entities decoded (`&amp;` LAST, the standard order —
+    * `&amp;lt;` must yield the literal `&lt;`), whitespace collapsed.
+    * Pure codegen string work: lazy `(?s).*?` block matches, no
+    * backreferences, no UDF — runs at scan speed. */
+  def htmlExtractedText(html: Column): Column = {
+    val noBlocks = HtmlDropTags.foldLeft(html) { (c, t) =>
+      regexp_replace(c, s"(?s)<$t[^>]*>.*?</$t>", " ")
+    }
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** HTML extraction over a corpus: (doc_id, clean_text, n_chars). */
+  def htmlExtract(docs: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      htmlExtractedText(col(htmlCol)).as("clean_text"))
+      .withColumn("n_chars", length(col("clean_text")))
+
   /** Text canonicalization for dedup/exactness boundaries: Unicode NFC
     * (native codegen'd expression — Spark has no builtin), lowercase,
     * whitespace runs collapsed to single spaces, trimmed. The standard

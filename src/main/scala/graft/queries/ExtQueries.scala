@@ -62,6 +62,26 @@ object ExtQueries {
     UrlOps.normalize(d.select(col("doc_id"), url.as("url")), "doc_id", "url")
   }
 
+  /** HTML text extraction (q93): deterministic page markup wrapped
+    * around each document (title/style head, nav, script, entity-laden
+    * paragraph, footer — the q92 derived-fixture pattern) and stripped
+    * back to text by [[TextAnalysis.htmlExtract]]; the oracle replays
+    * construction and every strip/decode rule. */
+  def q93HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p{margin:0}</style></head><body>" +
+        "<nav>home | about | contact</nav><p>"),
+      col("text"),
+      lit("</p><script>var t = 1 < 2;</script><p>Tom &amp; Jerry &lt;3 " +
+        "&quot;ok&quot;</p><footer>&copy; 2024 "),
+      upper(col("source")),
+      lit("</footer></body></html>"))
+    TextAnalysis.htmlExtract(
+      d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+  }
+
   def q42Redact(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.redact(Tables.documents(s, dir), "doc_id", "text")
 
@@ -1536,6 +1556,41 @@ object ExtQueries {
         |  scheme || '://' || host || path ||
         |    CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS norm_url
         |FROM p4""".stripMargin,
+
+    // q93: per-tag lazy block drops (RE2 has no backreferences, so no
+    // combined <(a|b)>.*?</\1> form on either side), literal replace()
+    // for entities (&amp; LAST), 'g' on every regexp_replace.
+    "q93_html_extract" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>p{margin:0}</style></head><body><nav>home | about | contact</nav><p>' ||
+        |    text ||
+        |    '</p><script>var t = 1 < 2;</script><p>Tom &amp; Jerry &lt;3 &quot;ok&quot;</p><footer>&copy; 2024 ' ||
+        |    upper(source) || '</footer></body></html>' AS html
+        |  FROM documents),
+        |blocks AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?s)<head[^>]*>.*?</head>', ' ', 'g'),
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+        |      '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+        |      '(?s)<aside[^>]*>.*?</aside>', ' ', 'g') AS h
+        |  FROM raw),
+        |stripped AS (
+        |  SELECT doc_id, regexp_replace(h, '<[^>]+>', ' ', 'g') AS h FROM blocks),
+        |decoded AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(h,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS h
+        |  FROM stripped)
+        |SELECT doc_id,
+        |  trim(regexp_replace(h, '[ \t\r\n]+', ' ', 'g')) AS clean_text,
+        |  CAST(length(trim(regexp_replace(h, '[ \t\r\n]+', ' ', 'g'))) AS INT) AS n_chars
+        |FROM decoded""".stripMargin,
 
     // q91: NOT EXISTS (null-safe, matching Spark left_anti) rather
     // than NOT IN (whose null-key trap q04 preserves deliberately).

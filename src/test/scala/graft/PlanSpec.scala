@@ -180,4 +180,20 @@ class PlanSpec extends AnyFunSuite {
       buckets = 8, saltExpr = hash($"v"))
     assert(out.count() == 500, "no rows may be dropped for negative salts")
   }
+
+  test("bloom gate: exactly one join (the confirm); probe is a map-tier predicate") {
+    val plan = planOf(ExtQueries.q91BloomDedup(spark, sf))
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)"
+      .r.findAllIn(plan).size
+    assert(joins == 1,
+      s"bloom-negatives must bypass every join; expected 1 confirm join, got $joins:\n$plan")
+    assert(plan.contains("bloom_might_contain"),
+      s"the bloom probe must appear as a plan predicate:\n$plan")
+  }
+
+  test("url normalization is shuffle-free map tier") {
+    val plan = planOf(ExtQueries.q92UrlNormalize(spark, sf))
+    assert(!plan.contains("Exchange"),
+      s"canonicalization must not shuffle — pure projection over the scan:\n$plan")
+  }
 }
