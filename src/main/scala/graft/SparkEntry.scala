@@ -42,6 +42,7 @@ object SparkEntry {
     "q91_bloom_dedup"       -> (ExtQueries.q91BloomDedup(_, _)),
     "q92_url_normalize"     -> (ExtQueries.q92UrlNormalize(_, _)),
     "q93_html_extract"      -> (ExtQueries.q93HtmlExtract(_, _)),
+    "q94_domain_cap"        -> (ExtQueries.q94DomainCap(_, _)),
     "q21_ngram_jaccard"     -> (ExtQueries.q21NgramJaccard(_, _)),
     "q22_minhash_lsh"       -> (ExtQueries.q22MinhashLsh(_, _)),
     "q23_simhash"           -> (ExtQueries.q23Simhash(_, _)),

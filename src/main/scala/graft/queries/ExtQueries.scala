@@ -49,17 +49,33 @@ object ExtQueries {
     * fragments — the q90 derived-fixture pattern), normalized by
     * [[UrlOps.normalize]]; the oracle replays construction + every
     * rule in SQL. */
+  /** The q92/q94 derived URL fixture (one definition, both entries). */
+  private def syntheticUrl: Column = concat(
+    lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM"),
+    when(pmod(col("doc_id"), lit(6)) === 0, lit(":8443")).otherwise(lit(":443")),
+    lit("/docs/"), col("doc_id").cast("string"),
+    when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+    lit("?utm_source=feed&z="), pmod(col("doc_id"), lit(7)).cast("string"),
+    lit("&ref=track&a="), pmod(col("doc_id"), lit(5)).cast("string"),
+    lit("#sec"), pmod(col("doc_id"), lit(3)).cast("string"))
+
   def q92UrlNormalize(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
-    val url = concat(
-      lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM"),
-      when(pmod(col("doc_id"), lit(6)) === 0, lit(":8443")).otherwise(lit(":443")),
-      lit("/docs/"), col("doc_id").cast("string"),
-      when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
-      lit("?utm_source=feed&z="), pmod(col("doc_id"), lit(7)).cast("string"),
-      lit("&ref=track&a="), pmod(col("doc_id"), lit(5)).cast("string"),
-      lit("#sec"), pmod(col("doc_id"), lit(3)).cast("string"))
-    UrlOps.normalize(d.select(col("doc_id"), url.as("url")), "doc_id", "url")
+    UrlOps.normalize(
+      d.select(col("doc_id"), syntheticUrl.as("url")), "doc_id", "url")
+  }
+
+  /** Per-host document cap (q94): the crawl-side composition of q92 +
+    * q80 — canonicalize URLs, then cap documents per cleaned HOST via
+    * the bounded top-k over the deterministic md5 draw (RefinedWeb
+    * caps by the URL-derived domain, not a source label). */
+  def q94DomainCap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    DataMix.groupCap(
+      UrlOps.normalize(
+        d.select(col("doc_id"), syntheticUrl.as("url")), "doc_id", "url")
+        .select(col("doc_id"), col("host")),
+      "doc_id", "host", cap = 12)
   }
 
   /** HTML text extraction (q93): deterministic page markup wrapped
@@ -1556,6 +1572,38 @@ object ExtQueries {
         |  scheme || '://' || host || path ||
         |    CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS norm_url
         |FROM p4""".stripMargin,
+
+    // q94: q92's construction + host rules, then the q80 window form
+    // partitioned by the CLEANED host.
+    "q94_domain_cap" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || upper(source) || '.Example.COM' ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ':8443' ELSE ':443' END ||
+        |    '/docs/' || CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |    '?utm_source=feed&z=' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '&ref=track&a=' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM raw),
+        |p2 AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS auth
+        |  FROM p1),
+        |h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         WHEN scheme = 'http'  THEN regexp_replace(auth, ':80$', '')
+        |         ELSE auth END AS host
+        |  FROM p2)
+        |SELECT doc_id, host, rank FROM (
+        |  SELECT doc_id, host, CAST(row_number() OVER (
+        |    PARTITION BY host
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS INT) AS rank
+        |  FROM h)
+        |WHERE rank <= 12""".stripMargin,
 
     // q93: per-tag lazy block drops (RE2 has no backreferences, so no
     // combined <(a|b)>.*?</\1> form on either side), literal replace()
