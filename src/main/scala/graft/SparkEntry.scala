@@ -43,6 +43,8 @@ object SparkEntry {
     "q92_url_normalize"     -> (ExtQueries.q92UrlNormalize(_, _)),
     "q93_html_extract"      -> (ExtQueries.q93HtmlExtract(_, _)),
     "q94_domain_cap"        -> (ExtQueries.q94DomainCap(_, _)),
+    "q95_unigram_vocab"     -> (ExtQueries.q95UnigramVocab(_, _)),
+    "q96_unigram_segment"   -> (ExtQueries.q96UnigramSegment(_, _)),
     "q21_ngram_jaccard"     -> (ExtQueries.q21NgramJaccard(_, _)),
     "q22_minhash_lsh"       -> (ExtQueries.q22MinhashLsh(_, _)),
     "q23_simhash"           -> (ExtQueries.q23Simhash(_, _)),

@@ -230,6 +230,26 @@ object TextFunctions {
       ColumnBridge.expression(token), merges))
   }
 
+  /** Native Viterbi segmentation under a referenced unigram-LM model
+    * (plan O(1) in vocabulary size — the [[bpeApplyMergesNative]]
+    * discipline for the SentencePiece family). */
+  def unigramSegmentNative(word: Column,
+      model: graft.functions.expr.UnigramModel): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.UnigramSegment(
+      ColumnBridge.expression(word), model))
+  }
+
+  /** Native left-fold probability product of a piece array under a
+    * referenced unigram-LM model — equals the Viterbi DP score for
+    * kernel-produced segmentations. */
+  def unigramPieceScoreNative(pieces: Column,
+      model: graft.functions.expr.UnigramModel): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.UnigramPieceScore(
+      ColumnBridge.expression(pieces), model))
+  }
+
   /** Native one-pass repetition ratio (already rounded to 6dp) — the
     * filter-safe single-kernel form of
     * `round(1 - distinct_shingles/positions, 6)`. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{CacheLease, DataMix, EventOps, Multimodal, TextAnalysis, TextDedup, UrlOps, VectorSim}
+import graft.operators.{BpeTrainer, CacheLease, DataMix, EventOps, Multimodal, TextAnalysis, TextDedup, UnigramTrainer, UrlOps, VectorSim}
 
 /** Extension-tier query catalog: the LLM-data-pipeline operators
   * (BASELINE.json north star) over the `documents` and `embeddings`
@@ -96,6 +96,32 @@ object ExtQueries {
       lit("</footer></body></html>"))
     TextAnalysis.htmlExtract(
       d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+  }
+
+  /** Unigram-LM tokenizer vocabulary (q95): deterministic Viterbi-EM
+    * over the corpus word frequencies ([[UnigramTrainer]] — the
+    * SentencePiece family next to q65's BPE); output is the trained
+    * piece table (piece, final E-step uses, add-one probability). */
+  def q95UnigramVocab(s: SparkSession, dir: String): DataFrame = {
+    val wf = BpeTrainer.wordFrequencies(Tables.documents(s, dir), "text")
+    val (_, counts) = UnigramTrainer.train(wf,
+      UnigramSql.MaxPieceLen, UnigramSql.SeedMulti, UnigramSql.EmIters)
+    val t = counts.map(_._2).sum
+    val denom = (t + counts.length).toDouble
+    import s.implicits._
+    counts.toSeq
+      .map { case (p, c) => (p, c, (c + 1).toDouble / denom) }
+      .toDF("piece", "n_uses", "prob")
+  }
+
+  /** Unigram-LM segmentation (q96): every distinct corpus word's
+    * Viterbi-best piece sequence and exact DP probability under the
+    * q95 model — one referenced-model map pass over the word table. */
+  def q96UnigramSegment(s: SparkSession, dir: String): DataFrame = {
+    val wf = BpeTrainer.wordFrequencies(Tables.documents(s, dir), "text")
+    val (model, _) = UnigramTrainer.train(wf,
+      UnigramSql.MaxPieceLen, UnigramSql.SeedMulti, UnigramSql.EmIters)
+    UnigramTrainer.segment(wf, model)
   }
 
   def q42Redact(s: SparkSession, dir: String): DataFrame =
@@ -1572,6 +1598,11 @@ object ExtQueries {
         |  scheme || '://' || host || path ||
         |    CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS norm_url
         |FROM p4""".stripMargin,
+
+    // q95/q96: generated position-unrolled Viterbi-EM replay
+    // (UnigramSql) — IEEE double products only, never logs.
+    "q95_unigram_vocab" -> UnigramSql.vocabSql,
+    "q96_unigram_segment" -> UnigramSql.segmentSql,
 
     // q94: q92's construction + host rules, then the q80 window form
     // partitioned by the CLEANED host.
