@@ -66,7 +66,13 @@ object Plans {
       "q86_lsh_calibration" ->
         "one signature pass -> banded candidate equi-join -> bucket histogram; the analytic s-curve rides the same small aggregate",
       "q79_gopher_rules" ->
-        "ONE gopher_measures kernel call per row inside the scan projection (no interpreted HOF lambdas); flags are comparisons over the struct fields")
+        "ONE gopher_measures kernel call per row inside the scan projection (no interpreted HOF lambdas); flags are comparisons over the struct fields",
+      "q91_bloom_dedup" ->
+        "bloom_might_contain routes as a map-tier predicate: the negatives branch is scan+filter only; exactly ONE join in the whole plan (the positives' exact confirm against the leased history hashes)",
+      "q92_url_normalize" ->
+        "pure projection over the scan — every canonicalization rule a codegen string function, zero Exchange at any corpus size",
+      "q96_unigram_segment" ->
+        "word-frequency aggregate feeds ONE unigram_segment kernel map (referenced model, plan O(1) in |V|) — segmentation adds no shuffle beyond the word count")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `graft.Plans`, sf0.001)\n")
     picks.foreach { case (name, note) =>
