@@ -71,6 +71,7 @@ object SparkEntry {
     "q71_importance_resample" -> (ExtQueries.q71ImportanceResample(_, _)),
     "q73_pq_search"         -> (ExtQueries.q73PqSearch(_, _)),
     "q74_pq_search_ivf"     -> (ExtQueries.q74PqSearchIvf(_, _)),
+    "q97_ivf_recall_sweep"  -> (ExtQueries.q97IvfRecallSweep(_, _)),
     "q76_media_decode"      -> (ExtQueries.q76MediaDecode(_, _)),
     "q89_image_neardup"     -> (ExtQueries.q89ImageNearDup(_, _)),
     "q90_video_framesample" -> (ExtQueries.q90VideoFrameSample(_, _)),

@@ -833,6 +833,31 @@ object ExtQueries {
       kClusters = 8, iters = 2, nprobe = 2, k = 5)
   }
 
+  /** IVFADC operating table (q97): recall@5 against exact brute-force
+    * at nprobe ∈ {1, 2, 4} from ONE trained model + coarse quantizer —
+    * the parameter-planning table for operating ANN at scale (the q86
+    * calibration idea applied to the q74 index): read it to pick the
+    * cheapest nprobe that clears a recall target. */
+  def q97IvfRecallSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") < 5)
+    val m = VectorSim.pqTrain(emb, dim = 64, subspaces = 8, k = 16, iters = 2)
+    val cen = VectorSim.kmeansCentroids(emb, 8, 2)
+    val exact = VectorSim.knnBruteForce(queries, emb, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val tot = exact.agg(count(lit(1)).as("n_exact"))
+    Seq(1, 2, 4).map { np =>
+      VectorSim.pqSearchIvf(queries, emb, m, cen, nprobe = np, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).cast("int").as("nprobe"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(tot)
+      .select(col("nprobe"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall"))
+  }
+
   def q25KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     VectorSim.knnBruteForce(emb.where(col("vec_id") < 5), emb, k = 5)
@@ -1367,6 +1392,61 @@ object ExtQueries {
        |  JOIN lut ON lut.q_id = cand.q_id AND lut.s = codes.s AND lut.c = codes.c
        |  GROUP BY cand.q_id, cand.vec_id)
        |${pqAdcRankSql(topK)}""".stripMargin
+
+  /** DuckDB mirror of the q97 recall sweep: ONE kmeans + PQ chain, the
+    * nprobe-independent probe ranking, then per-nprobe candidate/ADC/
+    * top-k CTEs and exact-top-k hit counts. */
+  private def ivfRecallSweepOracleSql(dim: Int, subspaces: Int, kw: Int,
+      iters: Int, kClusters: Int, cIters: Int, nprobes: Seq[Int], topK: Int,
+      queryPred: String): String = {
+    val perNp = nprobes.map { np =>
+      s"""cand$np AS (
+         |  SELECT p.vec_id AS q_id, a.vec_id
+         |  FROM (SELECT vec_id, c FROM pr WHERE rn <= $np) p
+         |  JOIN a$cIters a ON a.cluster = p.c AND a.vec_id != p.vec_id),
+         |sc$np AS (
+         |  SELECT cand$np.q_id, cand$np.vec_id,
+         |    CAST(round(sum(lut.t), 6) AS DOUBLE) AS adist
+         |  FROM cand$np
+         |  JOIN codes ON codes.vec_id = cand$np.vec_id
+         |  JOIN lut ON lut.q_id = cand$np.q_id AND lut.s = codes.s AND lut.c = codes.c
+         |  GROUP BY cand$np.q_id, cand$np.vec_id),
+         |tk$np AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q_id AS query_id, vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rank
+         |    FROM sc$np)
+         |  WHERE rank <= $topK)""".stripMargin
+    }.mkString(",\n")
+    val hitsUnion = nprobes.map(np =>
+      s"SELECT $np AS nprobe, count(*) AS n_hits FROM tk$np JOIN ex USING (query_id, neighbor_id)")
+      .mkString("\n  UNION ALL ")
+    s"""${kmeansCtes(kClusters, dim, cIters)},
+       |${pqCtes(dim, subspaces, kw, iters, queryPred)},
+       |pr AS (
+       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM (
+       |    SELECT x.vec_id, n.c,
+       |      round(x.xx - 2*list_sum([x.emb[i+1]*n.w[i+1] for i in range(0,$dim)])
+       |            + list_sum([n.w[i+1]*n.w[i+1] for i in range(0,$dim)]), 6) AS d
+       |    FROM xx x CROSS JOIN cen$cIters n WHERE x.$queryPred)),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (
+       |        PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+       |                 c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       |    WHERE q.$queryPred)
+       |  WHERE rank <= $topK),
+       |ext AS (SELECT count(*) AS n_exact FROM ex),
+       |$perNp,
+       |hits AS (
+       |  $hitsUnion)
+       |SELECT CAST(nprobe AS INT) AS nprobe, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+       |FROM hits, ext""".stripMargin
+  }
 
   /** DuckDB mirror of the IVF ANN search (q45): same Lloyd's chain,
     * then per-query probe ranking (rounded distance, lowest-index
@@ -2438,6 +2518,13 @@ object ExtQueries {
     "q74_pq_search_ivf" ->
       pqSearchIvfOracleSql(dim = 64, subspaces = 8, kw = 16, iters = 2,
         kClusters = 8, cIters = 2, nprobe = 2, topK = 5,
+        queryPred = "vec_id < 5"),
+
+    // Same model constants as q97IvfRecallSweep; one trained chain,
+    // per-nprobe candidate CTEs, recall vs the q25 exact top-k.
+    "q97_ivf_recall_sweep" ->
+      ivfRecallSweepOracleSql(dim = 64, subspaces = 8, kw = 16, iters = 2,
+        kClusters = 8, cIters = 2, nprobes = Seq(1, 2, 4), topK = 5,
         queryPred = "vec_id < 5"),
 
     // Same constants as q45KnnIvf above.
