@@ -62,6 +62,27 @@ class UnigramTrainerSpec extends AnyFunSuite {
     assert(out._2 == model.unkProb * model.unkProb)
   }
 
+  test("word-frequency state is additive: slice-composed training == from-scratch") {
+    // The weekly cadence for tokenizer state: each batch writes only
+    // its word-count slice; training reads union + re-sum. Pinned for
+    // BOTH tokenizer families (they share the frequency frame).
+    val batchA = corpus("abcd abcd ab xyz", "abcd cd cd")
+    val batchB = corpus("abcd ab ab q xyz xyz")
+    val scratch = BpeTrainer.wordFrequencies(
+      batchA.unionByName(batchB.select(col("doc_id") + 100, col("text"))
+        .toDF("doc_id", "text")), "text")
+    val composed = BpeTrainer.wordFrequencies(batchA, "text")
+      .unionByName(BpeTrainer.wordFrequencies(batchB, "text"))
+      .groupBy("token").agg(sum("freq").as("freq"))
+    val (mS, cS) = UnigramTrainer.train(scratch)
+    val (mC, cC) = UnigramTrainer.train(composed)
+    assert(mS == mC && cS.toSeq == cC.toSeq,
+      "unigram training must be invariant to slice composition")
+    assert(BpeTrainer.train(scratch, maxMerges = 3, minCount = 1L) ==
+      BpeTrainer.train(composed, maxMerges = 3, minCount = 1L),
+      "BPE training must be invariant to slice composition")
+  }
+
   test("interpreted eval matches the codegen kernel") {
     val wf = BpeTrainer.wordFrequencies(corpus("abab abab ab ba baba"), "text")
     val (model, _) = UnigramTrainer.train(wf)
