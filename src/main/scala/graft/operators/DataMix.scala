@@ -361,4 +361,38 @@ object DataMix {
       .select(col("e.id").as("doc_id"), col(groupCol),
         (col("pos") + 1).cast("int").as("rank"))
   }
+
+  /** Leakage-safe train/val/test split: the split key is the doc's
+    * near-dup CLUSTER canonical (its own id when unclustered), so
+    * near-duplicate documents can never straddle a split boundary —
+    * the guarantee that keeps a held-out split honest when the corpus
+    * contains near-dups (splitting by raw doc id silently leaks
+    * paraphrases of training docs into eval).
+    *
+    * Assignment is the deterministic md5 draw (the [[groupCap]] 13-hex
+    * discipline): bucket = md5(split_key) mod 100, split = the first
+    * name whose cumulative weight exceeds the bucket. One broadcast-
+    * able cluster join + map-tier hashing — no shuffle beyond the
+    * join; scales with the cluster table, not the corpus.
+    *
+    * `splits` are (name, percent) with percents summing to 100. */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split weights must sum to 100: $splits")
+    val key = coalesce(col("canonical_id"), col("doc_id"))
+    val cums = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val splitExpr = splits.map(_._1).zip(cums).foldLeft(Option.empty[Column]) {
+      case (acc, (name, hi)) =>
+        Some(acc.fold(when(col("bucket") < hi, name))(
+          _.when(col("bucket") < hi, name)))
+    }.get
+    docs.select(col(idCol).as("doc_id"))
+      .join(clusters.select(col("doc_id"), col("canonical_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), key.as("split_key"))
+      .withColumn("bucket", pmod(
+        conv(substring(md5(col("split_key").cast("string")), 1, 13), 16, 10)
+          .cast("long"), lit(100)).cast("int"))
+      .withColumn("split", splitExpr)
+  }
 }

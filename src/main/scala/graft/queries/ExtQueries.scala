@@ -858,6 +858,20 @@ object ExtQueries {
         (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall"))
   }
 
+  /** Leakage-safe split (q98): 96/2/2 train/val/test where the split
+    * key is the q53 near-dup cluster canonical — paraphrases of a
+    * training doc can never land in eval. */
+  def q98LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, bits = 32).persist()
+    val clusters = TextDedup.connectedComponents(
+      TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32,
+        bands = 16))
+    CacheLease.releaseAfterAction(
+      DataMix.leakageSafeSplit(Tables.documents(s, dir), clusters, "doc_id",
+        Seq("train" -> 96, "val" -> 2, "test" -> 2)))(() => idx.unpersist())
+  }
+
   def q25KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     VectorSim.knnBruteForce(emb.where(col("vec_id") < 5), emb, k = 5)
@@ -2363,6 +2377,30 @@ object ExtQueries {
     // Connected components over the q22 pair graph: DuckDB replays the
     // pair SQL, then WITH RECURSIVE transitive closure; canonical =
     // min reachable id, exactly the fixpoint of min-label propagation.
+    // q98: the q53 closure + md5-bucket split on the cluster-safe key.
+    "q98_leakage_safe_split" ->
+      s"""WITH RECURSIVE pairsq AS ($minhashLshSql),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairsq
+         |        UNION SELECT doc_b, doc_a FROM pairsq),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM und
+         |  UNION
+         |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+         |cl AS (SELECT src AS doc_id, min(dst) AS canonical_id
+         |       FROM reach GROUP BY src),
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(cl.canonical_id, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN cl USING (doc_id)),
+         |bucketed AS (
+         |  SELECT doc_id, split_key,
+         |    CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 13))::BIGINT % 100 AS INT) AS bucket
+         |  FROM keyed)
+         |SELECT doc_id, split_key, bucket,
+         |  CASE WHEN bucket < 96 THEN 'train'
+         |       WHEN bucket < 98 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM bucketed""".stripMargin,
+
     "q53_dedup_clusters" ->
       s"""WITH RECURSIVE pairsq AS ($minhashLshSql),
          |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairsq

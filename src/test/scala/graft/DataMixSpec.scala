@@ -178,4 +178,33 @@ class DataMixSpec extends AnyFunSuite {
     val small = got.filter(_._2 == "g0").toSeq.sortBy(_._3)
     assert(small.map(_._3) == (1 to small.size))
   }
+
+  test("leakage-safe split: cluster-mates always share a split; weights honored") {
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // Clusters pair 2k with 2k+1 (canonical = 2k): 200 clusters of 2.
+    val clusters = (1L to 400L)
+      .map(i => (i, if (i % 2 == 0) i else i - 1))
+      .filter { case (d, c) => c >= 1 } // doc 1 pairs down to 0 -> keep unclustered
+      .toDF("doc_id", "canonical_id")
+    val out = DataMix.leakageSafeSplit(docs, clusters, "doc_id",
+      Seq("train" -> 96, "val" -> 2, "test" -> 2))
+      .select("doc_id", "split_key", "bucket", "split")
+      .as[(Long, Long, Int, String)].collect()
+    assert(out.length == 400)
+    // The guarantee: one split per split_key.
+    out.groupBy(_._2).foreach { case (k, rows) =>
+      assert(rows.map(_._4).distinct.length == 1,
+        s"cluster $k straddles splits: ${rows.toSeq}")
+    }
+    // Buckets map to the declared bounds.
+    out.foreach { case (_, _, b, s) =>
+      assert(b >= 0 && b < 100)
+      val expect = if (b < 96) "train" else if (b < 98) "val" else "test"
+      assert(s == expect)
+    }
+    // All three splits are nonempty at this size and roughly weighted.
+    val bySplit = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > 300)
+  }
 }
