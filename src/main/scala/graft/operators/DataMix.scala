@@ -362,6 +362,38 @@ object DataMix {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Epoch-based source upsampling — the data-recipe form pretraining
+    * mixes are published in (e.g. the LLaMA table: Wikipedia 2.45
+    * epochs, CommonCrawl 1.10): each document of group g appears
+    * floor(e_g) times, plus once more for the deterministic
+    * frac(e_g)-fraction of its docs (md5 draw with a salt, so the
+    * fractional subset is independent of the q48/q80 draws). e_g < 1
+    * degenerates to plain subsampling. Output: (doc_id, group, epoch)
+    * — the replicated corpus listing a shard writer consumes.
+    *
+    * `epochs` values are given in PERCENT (245 = 2.45 epochs) so
+    * fractional-part arithmetic stays integer-exact on both engines. */
+  def epochMix(docs: DataFrame, idCol: String, groupCol: String,
+      epochsPct: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((epochsPct.values ++ Seq(defaultPct)).forall(_ >= 0))
+    val pct = epochsPct.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (g, p)) =>
+        Some(acc.fold(when(col(groupCol) === g, p))(_.when(col(groupCol) === g, p)))
+    }.fold(lit(defaultPct))(_.otherwise(defaultPct))
+    val draw = pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit("#epoch"))),
+        1, 13), 16, 10).cast("long"), lit(100))
+    docs
+      .select(col(idCol).as("doc_id"), col(groupCol), pct.as("pct"))
+      .withColumn("n_epochs",
+        (col("pct") / 100).cast("int") +
+          when(draw < pmod(col("pct"), lit(100)), 1).otherwise(0))
+      .where(col("n_epochs") >= 1)
+      .select(col("doc_id"), col(groupCol),
+        explode(sequence(lit(1), col("n_epochs"))).as("epoch"))
+      .withColumn("epoch", col("epoch").cast("int"))
+  }
+
   /** Leakage-safe train/val/test split: the split key is the doc's
     * near-dup CLUSTER canonical (its own id when unclustered), so
     * near-duplicate documents can never straddle a split boundary —

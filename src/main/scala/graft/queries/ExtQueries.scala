@@ -872,6 +872,13 @@ object ExtQueries {
         Seq("train" -> 96, "val" -> 2, "test" -> 2)))(() => idx.unpersist())
   }
 
+  /** Epoch mix (q99): LLaMA-style per-source epoch counts — src1 3.0,
+    * src2 2.45, src3 0.50, everything else 1.0 — as the replicated
+    * (doc, epoch) corpus listing. */
+  def q99EpochMix(s: SparkSession, dir: String): DataFrame =
+    DataMix.epochMix(Tables.documents(s, dir), "doc_id", "source",
+      Map("src1" -> 300, "src2" -> 245, "src3" -> 50), defaultPct = 100)
+
   def q25KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     VectorSim.knnBruteForce(emb.where(col("vec_id") < 5), emb, k = 5)
@@ -2377,6 +2384,23 @@ object ExtQueries {
     // Connected components over the q22 pair graph: DuckDB replays the
     // pair SQL, then WITH RECURSIVE transitive closure; canonical =
     // min reachable id, exactly the fixpoint of min-label propagation.
+    // q99: per-source epoch percents as a CASE; fractional epoch by
+    // the salted md5 draw; epochs via a range comprehension.
+    "q99_epoch_mix" ->
+      """WITH pcts AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src1' THEN 300 WHEN 'src2' THEN 245
+        |                WHEN 'src3' THEN 50 ELSE 100 END AS pct,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#epoch'), 1, 13))::BIGINT % 100 AS draw
+        |  FROM documents),
+        |ne AS (
+        |  SELECT doc_id, source,
+        |    (pct // 100) + CASE WHEN draw < (pct % 100) THEN 1 ELSE 0 END AS n_epochs
+        |  FROM pcts)
+        |SELECT doc_id, source, CAST(e AS INT) AS epoch FROM (
+        |  SELECT doc_id, source, unnest([e for e in range(1, n_epochs + 1)]) AS e
+        |  FROM ne WHERE n_epochs >= 1)""".stripMargin,
+
     // q98: the q53 closure + md5-bucket split on the cluster-safe key.
     "q98_leakage_safe_split" ->
       s"""WITH RECURSIVE pairsq AS ($minhashLshSql),

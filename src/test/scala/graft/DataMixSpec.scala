@@ -179,6 +179,35 @@ class DataMixSpec extends AnyFunSuite {
     assert(small.map(_._3) == (1 to small.size))
   }
 
+  test("epoch mix: whole epochs replicate, fractional epochs subset, zero drops") {
+    val docs = (1L to 400L).map { i =>
+      (i, i % 4 match { case 0 => "a"; case 1 => "b"; case 2 => "c"; case _ => "d" })
+    }.toDF("doc_id", "source")
+    val out = DataMix.epochMix(docs, "doc_id", "source",
+      Map("a" -> 250, "b" -> 100, "c" -> 50, "d" -> 0), defaultPct = 100)
+      .select("doc_id", "source", "epoch")
+      .as[(Long, String, Int)].collect()
+    val byDoc = out.groupBy(_._1)
+    // a: 2.5 epochs -> every doc 2 or 3 times, epochs contiguous 1..n.
+    val aDocs = (1L to 400L).filter(_ % 4 == 0)
+    aDocs.foreach { d =>
+      val es = byDoc(d).map(_._3).sorted.toSeq
+      assert(es == (1 to es.length) && (es.length == 2 || es.length == 3))
+    }
+    val aExtra = aDocs.count(d => byDoc(d).length == 3)
+    assert(aExtra > 25 && aExtra < 75, s"~half of 'a' get the 3rd epoch: $aExtra/100")
+    // b: exactly once; c: at most once, roughly half; d: dropped.
+    assert((1L to 400L).filter(_ % 4 == 1).forall(d => byDoc(d).map(_._3).toSeq == Seq(1)))
+    val cKept = (1L to 400L).filter(_ % 4 == 2).count(byDoc.contains)
+    assert(cKept > 25 && cKept < 75, s"c subsampled at ~50%: $cKept/100")
+    assert((1L to 400L).filter(_ % 4 == 3).forall(d => !byDoc.contains(d)))
+    // Deterministic.
+    val again = DataMix.epochMix(docs, "doc_id", "source",
+      Map("a" -> 250, "b" -> 100, "c" -> 50, "d" -> 0), defaultPct = 100)
+      .select("doc_id", "source", "epoch").as[(Long, String, Int)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("leakage-safe split: cluster-mates always share a split; weights honored") {
     val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // Clusters pair 2k with 2k+1 (canonical = 2k): 200 clusters of 2.
