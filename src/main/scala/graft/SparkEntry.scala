@@ -108,6 +108,7 @@ object SparkEntry {
     "q53_dedup_clusters"    -> (ExtQueries.q53DedupClusters(_, _)),
     "q98_leakage_safe_split" -> (ExtQueries.q98LeakageSafeSplit(_, _)),
     "q99_epoch_mix"         -> (ExtQueries.q99EpochMix(_, _)),
+    "q100_decon_spans"      -> (ExtQueries.q100DeconSpans(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

@@ -737,7 +737,35 @@ object TextDedup {
     // One persisted gram frame serves the span chain's two reads (the
     // remover itself re-reads only the cheap span RESULT, not grams).
     val grams = gramFrame(docs, idCol, textCol, k).persist()
-    val spans = spansFromGrams(grams, k, minDf)
+    removeSpansImpl(docs, idCol, textCol, spansFromGrams(grams, k, minDf),
+      k, () => { grams.unpersist(); () })
+  }
+
+  /** Sequence-level benchmark decontamination — the STRIP alternative
+    * to [[contaminated]]'s drop decision (the PaLM-style hygiene pass:
+    * cut the overlapping sequence, keep the document): every corpus
+    * token covered by a word k-gram that appears anywhere in the
+    * benchmark set is removed, contiguous hits merged into maximal
+    * spans first. Same candidate shape as [[contaminated]] (benchmark
+    * hashes collapse to a distinct set and broadcast), same removal
+    * shape as [[removeRepeatedSpans]]; all corpus docs appear in the
+    * output (n_removed = 0 when untouched). */
+  def removeContaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val grams = gramFrame(corpus, idCol, textCol, k).persist()
+    val bench = gramFrame(benchmark, idCol, textCol, k)
+      .select(col("h")).distinct()
+    val spans = spanRuns(
+      grams.join(bench, "h").select(col("doc_id"), col("pos")), k)
+    removeSpansImpl(corpus, idCol, textCol, spans,
+      k, () => { grams.unpersist(); () })
+  }
+
+  /** Shared removal body: cut `spans` (start_pos/end_pos in k-gram
+    * positions) out of every document's token stream. */
+  private def removeSpansImpl(docs: DataFrame, idCol: String, textCol: String,
+      spanFrame: DataFrame, k: Int, release: () => Unit): DataFrame = {
+    val spans = spanFrame
       .select(col("doc_id").as("__sd"), col("start_pos"),
         (col("end_pos") + lit(k.toLong) - lit(1L)).as("last_tok"))
     val base = docs
@@ -761,7 +789,7 @@ object TextDedup {
         .select(col("doc_id"),
           coalesce(array_join(col("ordered.tok"), " "), lit("")).as("clean_text"),
           (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
-    )(() => { grams.unpersist(); () })
+    )(() => { release(); () })
   }
 
   /** Positional k-gram frame: (doc_id, pos, 64-bit window hash). */
@@ -854,19 +882,25 @@ object TextDedup {
         .select(cols: _*))
   }
 
+  /** Merge flagged (doc_id, pos) k-gram positions into maximal runs —
+    * the islands step shared by repeated-span dedup and benchmark span
+    * decontamination. */
+  private def spanRuns(positions: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    positions
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + lit(k.toLong)).as("span_tokens"))
+  }
+
   /** Maximal repeated spans from a (ideally persisted) gram frame. */
   private def spansFromGrams(grams: DataFrame, k: Int, minDf: Int): DataFrame = {
     val repeated = grams.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select(col("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(repeated, "h")
-      .select(col("doc_id"), col("pos"))
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"))
-      .select(col("doc_id"), col("start_pos"), col("end_pos"),
-        (col("end_pos") - col("start_pos") + lit(k.toLong)).as("span_tokens"))
+    spanRuns(grams.join(repeated, "h").select(col("doc_id"), col("pos")), k)
   }
 }

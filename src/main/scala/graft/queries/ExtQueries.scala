@@ -872,6 +872,17 @@ object ExtQueries {
         Seq("train" -> 96, "val" -> 2, "test" -> 2)))(() => idx.unpersist())
   }
 
+  /** Span decontamination (q100): the STRIP alternative to q47's drop
+    * decision — benchmark = the doc_id%97==0 slice (the q47 split),
+    * every corpus token under a benchmark-overlapping 3-gram cut out. */
+  def q100DeconSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TextDedup.removeContaminatedSpans(
+      d.where(pmod(col("doc_id"), lit(97)) =!= 0),
+      d.where(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", k = 3)
+  }
+
   /** Epoch mix (q99): LLaMA-style per-source epoch counts — src1 3.0,
     * src2 2.45, src3 0.50, everything else 1.0 — as the replicated
     * (doc, epoch) corpus listing. */
@@ -2384,6 +2395,34 @@ object ExtQueries {
     // Connected components over the q22 pair graph: DuckDB replays the
     // pair SQL, then WITH RECURSIVE transitive closure; canonical =
     // min reachable id, exactly the fixpoint of min-label propagation.
+    // q100: bench-gram membership (strings, not hashes — collision-
+    // free mirror of the xxhash64 join), islands, then the q69
+    // removal replay at k=3 over the corpus slice.
+    "q100_decon_spans" ->
+      s"""WITH tkk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |  SELECT doc_id, unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+2], ' ')} for i in range(1, len(toks) - 1)]) AS u
+         |  FROM tkk WHERE len(toks) >= 3)),
+         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |cpos AS (SELECT g.doc_id, g.pos FROM g JOIN bg USING (gram)
+         |         WHERE g.doc_id % 97 != 0),
+         |spanruns AS (SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos
+         |  FROM (SELECT doc_id, pos,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |        FROM cpos)
+         |  GROUP BY doc_id, grp),
+         |ct AS (SELECT doc_id, toks FROM tkk WHERE doc_id % 97 != 0),
+         |pos AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]} for i in range(1, len(toks) + 1)]) AS u FROM ct)),
+         |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+         |  WHERE NOT EXISTS (SELECT 1 FROM spanruns s WHERE s.doc_id = p.doc_id
+         |    AND p.pos BETWEEN s.start_pos AND s.end_pos + 2)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM ct t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     // q99: per-source epoch percents as a CASE; fractional epoch by
     // the salted md5 draw; epochs via a range comprehension.
     "q99_epoch_mix" ->

@@ -91,4 +91,22 @@ class RepeatedSpansSpec extends AnyFunSuite {
     assert(got.map(_._1) == Set(1L, 2L, 3L),
       "only the 3-doc phrase clears the floor")
   }
+
+  test("benchmark span strip removes exactly the overlapping region, keeps the doc") {
+    import org.apache.spark.sql.functions.col
+    val leak = "question four what is the capital of freedonia"
+    val corpus = Seq(
+      (1L, s"intro words here $leak outro words trail"),
+      (2L, "totally clean document with no benchmark overlap at all"),
+      (3L, leak)) // fully-contaminated doc -> empty but PRESENT
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, s"$leak answer key")).toDF("doc_id", "text")
+    val out = TextDedup.removeContaminatedSpans(
+      corpus, benchmark, "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out(0) == ((1L, "intro words here outro words trail", 8L)))
+    assert(out(1) == ((2L, "totally clean document with no benchmark overlap at all", 0L)))
+    assert(out(2) == ((3L, "", 8L)))
+  }
 }
