@@ -72,7 +72,15 @@ object Plans {
       "q92_url_normalize" ->
         "pure projection over the scan — every canonicalization rule a codegen string function, zero Exchange at any corpus size",
       "q96_unigram_segment" ->
-        "word-frequency aggregate feeds ONE unigram_segment kernel map (referenced model, plan O(1) in |V|) — segmentation adds no shuffle beyond the word count")
+        "word-frequency aggregate feeds ONE unigram_segment kernel map (referenced model, plan O(1) in |V|) — segmentation adds no shuffle beyond the word count",
+      "q101_source_overlap" ->
+        "distinct (shingle-hash, source) frame self-joined on the hash — per-key fanout bounded by |sources|; totals broadcast back",
+      "q104_hard_negatives" ->
+        "queries (with cell ids) broadcast; ONE corpus pass scores cross-cell rows through referenced-matrix nearest_centroid + partial top_k_by_score — no shuffle of corpus rows",
+      "q105_cdc_chunks" ->
+        "token posexplode + window-gram cut set; per-doc running-sum window (one doc per partition); two hash-keyed aggregations — work tracks corpus tokens, never corpus^2",
+      "q106_length_profile" ->
+        "per-group ranking window; follow-up aggregate reuses the window's hash partitioning — one exchange total")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `graft.Plans`, sf0.001)\n")
     picks.foreach { case (name, note) =>

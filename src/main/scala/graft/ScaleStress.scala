@@ -77,6 +77,13 @@ object ScaleStress {
       operators.TextDedup.repeatedSpans(big, "doc_id", "text", k = 8)
     }
 
+    // CDC chunk inventory on the dup-dense corpus: work is one token
+    // explode + per-doc windows + two hash-keyed aggregations — must
+    // track corpus tokens + duplicated-chunk mass, never corpus^2.
+    time("cdc chunk dups w=4 mod=8") {
+      operators.TextDedup.cdcChunkDups(big, "doc_id", "text", w = 4, modulus = 8)
+    }
+
     // Bloom-gated incremental exact dedup (q91): history = the whole
     // replicated corpus; batch = same size, half exact recrawls of
     // history, half novel. Timed work = one history-hash pass (bloom
@@ -366,6 +373,16 @@ object ScaleStress {
       val init = operators.VectorSim.kmeansInitOversampled(corpus, k = 4096)
       println(f"oversampled init k=4096 d=512 ${(System.nanoTime() - t0) / 1e9}%7.1f s" +
         s" (${init.length} seeds)")
+
+      // Hard-negative mining at the same scale: 100 broadcast queries
+      // against the 50k-vector corpus (one corpus pass, bounded top-k
+      // aggregate — no shuffle of corpus rows, no sort).
+      val cen = operators.VectorSim.kmeansCentroidsFrom(
+        corpus, init.take(64).toSeq, iters = 1)
+      time("hard negatives 100q x 50k d=512") {
+        operators.VectorSim.hardNegatives(
+          corpus.where(col("vec_id") < 100), corpus, cen, k = 10)
+      }
     }
     spark.stop()
   }

@@ -109,6 +109,17 @@ object SparkEntry {
     "q98_leakage_safe_split" -> (ExtQueries.q98LeakageSafeSplit(_, _)),
     "q99_epoch_mix"         -> (ExtQueries.q99EpochMix(_, _)),
     "q100_decon_spans"      -> (ExtQueries.q100DeconSpans(_, _)),
+    "q101_source_overlap"   -> (ExtQueries.q101SourceOverlap(_, _)),
+    "q102_temperature_mix"  -> (ExtQueries.q102TemperatureMix(_, _)),
+    "q103_balanced_shards"  -> (ExtQueries.q103BalancedShards(_, _)),
+    "q104_hard_negatives"   -> (ExtQueries.q104HardNegatives(_, _)),
+    "q105_cdc_chunks"       -> (ExtQueries.q105CdcChunks(_, _)),
+    "q106_length_profile"   -> (ExtQueries.q106LengthProfile(_, _)),
+    "q107_packing_efficiency" -> (ExtQueries.q107PackingEfficiency(_, _)),
+    "q108_classifier_calibration" -> (ExtQueries.q108ClassifierCalibration(_, _)),
+    "q109_tokenizer_compare" -> (ExtQueries.q109TokenizerCompare(_, _)),
+    "q110_epoch_plan"       -> (ExtQueries.q110EpochPlan(_, _)),
+    "q111_dedup_savings"    -> (ExtQueries.q111DedupSavings(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

@@ -380,11 +380,33 @@ object DataMix {
       case (acc, (g, p)) =>
         Some(acc.fold(when(col(groupCol) === g, p))(_.when(col(groupCol) === g, p)))
     }.fold(lit(defaultPct))(_.otherwise(defaultPct))
+    epochReplicate(
+      docs.select(col(idCol).as("doc_id"), col(groupCol), pct.as("pct")),
+      groupCol)
+  }
+
+  /** [[epochMix]] driven by a PLAN FRAME `(group, pct)` instead of a
+    * static map — the composition target for COMPUTED recipes (e.g.
+    * the [[temperatureMixHalf]] table exported as epoch percents).
+    * Same draw and replication arithmetic; groups absent from the
+    * plan fall back to `defaultPct`. The plan is |groups| rows —
+    * broadcast by AQE; the corpus side stays one map pass. */
+  def epochMixByPlan(docs: DataFrame, idCol: String, groupCol: String,
+      plan: DataFrame, defaultPct: Int): DataFrame =
+    epochReplicate(
+      docs.select(col(idCol).as("doc_id"), col(groupCol))
+        .join(plan.select(col(groupCol), col("pct")), Seq(groupCol), "left")
+        .select(col("doc_id"), col(groupCol),
+          coalesce(col("pct"), lit(defaultPct)).as("pct")),
+      groupCol)
+
+  /** Shared replication tail: integer-percent epochs + the salted md5
+    * fractional draw over a (doc_id, group, pct) frame. */
+  private def epochReplicate(keyed: DataFrame, groupCol: String): DataFrame = {
     val draw = pmod(
       conv(substring(md5(concat(col("doc_id").cast("string"), lit("#epoch"))),
         1, 13), 16, 10).cast("long"), lit(100))
-    docs
-      .select(col(idCol).as("doc_id"), col(groupCol), pct.as("pct"))
+    keyed
       .withColumn("n_epochs",
         (col("pct") / 100).cast("int") +
           when(draw < pmod(col("pct"), lit(100)), 1).otherwise(0))
@@ -427,4 +449,93 @@ object DataMix {
           .cast("long"), lit(100)).cast("int"))
       .withColumn("split", splitExpr)
   }
+
+  /** Temperature-scaled source mixing at alpha = 1/2 (the multilingual
+    * /multi-source rebalance rule: sampling weight proportional to
+    * size^alpha, so small sources are upweighted relative to their
+    * share — the published mBERT/XLM-R exponent family). alpha = 1/2
+    * exactly, because `sqrt` is a CORRECTLY-ROUNDED IEEE-754 operation
+    * (unlike `pow`/`exp`/`ln`, which vary by libm — the q86
+    * squaring-chain rule): every arithmetic step here is bit-identical
+    * across engines, so the DuckDB oracle replays the mix table
+    * without tolerance.
+    *
+    * Determinism discipline: per-group token totals are integer-exact;
+    * weights are 6dp-rounded doubles cast to DECIMAL so the total
+    * weight is an EXACT sum (order-invariant); shares divide the two
+    * decimal-exact values as doubles (one correctly-rounded division);
+    * target token counts floor a double product of exact inputs.
+    *
+    * Scale shape: one groupBy(group) over the corpus (map-side
+    * combined), then all arithmetic happens on the |groups|-row frame
+    * — the cross join against the 1-row total is trivially broadcast.
+    * Output: (group, n_tokens, weight, share, target_tokens). */
+  def temperatureMixHalf(docs: DataFrame, groupCol: String,
+      nTokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val tot = docs.groupBy(col(groupCol))
+      .agg(sum(col(nTokensCol)).as("n_tokens"))
+      .withColumn("w",
+        round(sqrt(col("n_tokens").cast("double")), 6).cast("decimal(24,6)"))
+    val wTotal = tot.agg(sum(col("w")).as("w_total"))
+    tot.crossJoin(wTotal)
+      .select(col(groupCol), col("n_tokens"),
+        col("w").cast("double").as("weight"),
+        round(col("w").cast("double") / col("w_total").cast("double"), 6)
+          .as("share"))
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * col("share")).cast("long"))
+  }
+
+  /** Balanced shard assignment: per-group round-robin over documents
+    * in descending token order (the relational cousin of LPT greedy
+    * bin balancing — the heaviest docs spread across shards first, so
+    * per-shard token totals stay within one max-document of each
+    * other per group). The window partitions by GROUP, not globally:
+    * ranking parallelizes across groups and no single sort sees the
+    * whole corpus; at 100 TB the group column is the natural write
+    * unit (source, language, date bucket).
+    *
+    * Output: one row per document with its shard id — the frame a
+    * distributed writer partitions by. */
+  def balancedShards(docs: DataFrame, idCol: String, groupCol: String,
+      nTokensCol: String, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(nTokensCol).desc, col(idCol))
+    docs.withColumn("shard",
+      pmod(row_number().over(w) - 1, lit(shards)).cast("int"))
+  }
+
+  /** Shard balance report over a [[balancedShards]] assignment: per-
+    * shard doc/token totals plus each shard's fill ratio against the
+    * heaviest shard — the skew number a write job publishes (a ratio
+    * near 1.0 for every shard means no straggler executor at read
+    * time). The over-all-shards max is a window over a |shards|-row
+    * aggregate, not the corpus. */
+  def shardBalance(assigned: DataFrame, nTokensCol: String): DataFrame = {
+    val perShard = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(nTokensCol)).as("total_tokens"))
+    perShard
+      .withColumn("fill_ratio",
+        round(col("total_tokens").cast("double") /
+          max(col("total_tokens")).over(Window.partitionBy()).cast("double"), 6))
+  }
+
+  /** Packing efficiency report over a [[packSequences]] packing: per
+    * shard, how full the fixed-budget bins actually are — the padding
+    * -waste number that decides whether a packing recipe ships (every
+    * bin is padded to `budget` tokens at training time, so
+    * 1 - fill_ratio IS the wasted compute fraction). Aggregates the
+    * (shard, bin) frame — already tiny — into |shards| rows. */
+  def packingEfficiency(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("total_tokens")).as("total_tokens"))
+      .withColumn("capacity_tokens", col("n_bins") * budget)
+      .withColumn("fill_ratio",
+        round(col("total_tokens").cast("double") /
+          col("capacity_tokens").cast("double"), 6))
 }

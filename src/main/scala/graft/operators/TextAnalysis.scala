@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -450,6 +451,44 @@ object TextAnalysis {
       .withColumn("pass", col("words_ok") && col("word_len_ok") &&
         col("symbol_ok") && col("bullet_ok") && col("ellipsis_ok") &&
         col("alpha_ok") && col("stopword_ok"))
+
+  /** Per-group sequence-length distribution with EXACT order-statistic
+    * percentiles (p50/p90/p99 as the ceil(q*n)-th smallest value — the
+    * `quantile_disc` rule, written out as row_number arithmetic so
+    * both engines pick the IDENTICAL order statistic; `percentile_
+    * approx` is a sketch and cross-engine unstable). The number that
+    * sizes packing budgets and max_seq_len: p99 token length per
+    * source decides truncation loss.
+    *
+    * Scale shape: the ranking window partitions by GROUP (parallel
+    * across groups, no global sort); the follow-up aggregation groups
+    * by the same key, so Catalyst reuses the window's hash
+    * partitioning — one shuffle total. The rank targets are integer
+    * arithmetic (ceil(q*n) = (q*100*n + 99) div 100) over counts,
+    * exact on both engines. */
+  def lengthProfile(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val rankW = Window.partitionBy(col("grp"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val cntW = Window.partitionBy(col("grp"))
+    def target(pct: Int): Column =
+      floor((col("n") * pct + lit(99)) / lit(100)).cast("long")
+    def pick(pct: Int): Column =
+      max(when(col("rn") === target(pct), col("n_tokens")))
+    docs
+      .select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(rankW).cast("long"))
+      .withColumn("n", count(lit(1)).over(cntW))
+      .groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        pick(50).as("p50_tokens"),
+        pick(90).as("p90_tokens"),
+        pick(99).as("p99_tokens"))
+  }
 
   /** The declarative HOF reference implementation of the Gopher
     * measures — kept (the TextFunctions convention) as the readable

@@ -792,6 +792,110 @@ object TextDedup {
     )(() => { release(); () })
   }
 
+  /** Cross-source overlap matrix (the datasheet number for "how much
+    * of source B is already in source A"): for every ordered source
+    * pair, the count of distinct content keys present in BOTH, plus
+    * each side's distinct-key total and the resulting key-set Jaccard.
+    *
+    * `shingleK` picks the key granularity: 0 = whole-document
+    * normalized content hash (exact cross-source duplication); k > 0 =
+    * k-token shingles (vocabulary/phrase overlap — the diversity and
+    * soft-contamination diagnostic that stays informative when no
+    * exact cross-source copies exist). Shingle keys are xxhash64
+    * (the q66/[[gramFrame]] stance: collision odds ~distinct²/2^65,
+    * immaterial); the oracle counts the gram strings themselves.
+    *
+    * The join is an equi-join on the key — per-key fanout is bounded
+    * by the source count, never corpus^2 — and the per-source totals
+    * frame is |sources| rows (AQE broadcasts it). Output rows exist
+    * only for pairs that share at least one key (identical in both
+    * engines). */
+  def crossSourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, shingleK: Int = 0): DataFrame = {
+    val keyed =
+      if (shingleK <= 0)
+        docs.select(contentHash(col(textCol)).as("k"), col(groupCol).as("src"))
+      else
+        docs
+          .select(col(groupCol).as("src"), tokens(col(textCol)).as("toks"))
+          .where(size(col("toks")) >= shingleK)
+          .select(col("src"),
+            explode(wordNgramsNative(col("toks"), shingleK)).as("gram"))
+          .select(xxhash64(col("gram")).as("k"), col("src"))
+    val sk = keyed.distinct()
+    val tot = sk.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    sk.as("a")
+      .join(sk.as("b"),
+        col("a.k") === col("b.k") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(tot.select(col("src").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(tot.select(col("src").as("source_b"), col("n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("hash_jaccard"))
+  }
+
+  /** Content-defined chunk inventory (the FastCDC/LBFS idea lifted to
+    * token streams — public technique: Muthitacharoen et al. 2001,
+    * "A Low-Bandwidth Network File System"): chunk boundaries fall
+    * AFTER any `w`-token window whose portable hash is ≡ 0 mod
+    * `modulus`, so boundaries are content-anchored — an insertion
+    * early in a document shifts every fixed-window frame but only
+    * LOCAL chunk boundaries, which is why storage dedup uses CDC
+    * instead of fixed blocks. Expected chunk length ~`modulus`
+    * windows. The boundary hash is the md5-13-hex draw (not
+    * xxhash64) so the DuckDB oracle replays the exact cut set.
+    *
+    * Output: one row per duplicated chunk content (md5 of the space-
+    * joined chunk, its token length, distinct-document count, total
+    * occurrences) — the chunk-level dup mass a storage/transfer layer
+    * would actually deduplicate. Work: one token explode + one window
+    * per document partition + two hash-keyed aggregations; never
+    * corpus^2. */
+  def cdcChunkDups(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, modulus: Int): DataFrame = {
+    require(w >= 1 && modulus >= 1, "window and modulus must be positive")
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 1)
+    val toksPos = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    // Cut set: window positions whose md5 draw hits the modulus; the
+    // cut lands after the window's LAST token (p + w - 1).
+    val cuts = base
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(wordNgramsNative(col("toks"), w)).as(Seq("p", "gram")))
+      .where(pmod(conv(substring(md5(col("gram")), 1, 13), 16, 10)
+        .cast("long"), lit(modulus)) === 0)
+      .select(col("doc_id"),
+        (col("p").cast("long") + lit(w.toLong) - 1L).as("cut_end"))
+    val flagged = toksPos
+      .join(cuts.withColumnRenamed("cut_end", "pos")
+        .withColumn("is_cut", lit(1L)), Seq("doc_id", "pos"), "left")
+      .withColumn("is_cut", coalesce(col("is_cut"), lit(0L)))
+    val chunkW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = flagged
+      .withColumn("chunk_id", coalesce(sum(col("is_cut")).over(chunkW), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ordered"))
+      .select(col("doc_id"),
+        md5(array_join(col("ordered.tok"), " ")).as("chunk_hash"),
+        size(col("ordered")).cast("int").as("chunk_tokens"))
+    chunks.groupBy(col("chunk_hash"))
+      .agg(min(col("chunk_tokens")).as("chunk_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") >= 2)
+      .select(col("chunk_hash"), col("chunk_tokens"), col("n_docs"),
+        col("n_occurrences"))
+  }
+
   /** Positional k-gram frame: (doc_id, pos, 64-bit window hash). */
   private def gramFrame(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =

@@ -253,8 +253,20 @@ object CurationRun {
         size(tokens(col("text"))).cast("long").as("n_tokens")),
       "doc_id", "n_tokens", "text", budget = packBudget, shards = packShards)
     Sinks.overwriteParquet(packed, s"$outDir/packed", numFiles = 1)
+    // Writer-side validation record (q72/q107): per-shard totals +
+    // order-invariant checksum + bin fill, derived from the LANDED
+    // bins (read back, so the manifest describes exactly what a
+    // loader will see). Loaders validate shards without re-reading
+    // the packed text.
+    val landedBins = spark.read.parquet(s"$outDir/packed")
+    Sinks.overwriteParquet(
+      DataMix.shardManifest(landedBins)
+        .join(DataMix.packingEfficiency(landedBins, packBudget)
+          .select(col("shard"), col("capacity_tokens"), col("fill_ratio")),
+          Seq("shard")),
+      s"$outDir/manifest", numFiles = 1)
     (spark.read.parquet(s"$outDir/curated").count(),
-      spark.read.parquet(s"$outDir/packed").count())
+      landedBins.count())
   }
 
   /** Survivor keep set from explicit decon + clusters frames (the
@@ -516,31 +528,17 @@ object CurationRun {
     val (semFinal, semDropped, semRelease) = semanticStage(kept, embeddings,
       semClusters, semIters, semThreshold, semMaxCellSize)
 
-    // Deterministic language-stratified mix.
-    val lang = TextAnalysis.languageId(semFinal, "doc_id", "text")
-      .select(col("doc_id"), col("detected_lang"))
-    val sampled = DataMix.stratifiedSample(
-      semFinal.join(lang, "doc_id"), "doc_id", "detected_lang",
-      fractions, defaultFraction)
-
-    // Land the curated corpus and its packed bins.
-    import graft.functions.TextFunctions.tokens
-    val curated = sampled
-      .select(col("doc_id"), col("text"), col("detected_lang"), col("quality_score"))
-    Sinks.overwriteParquet(curated, s"$outDir/curated", numFiles = 4)
-    val packed = DataMix.packSequenceContents(
-      curated.select(col("doc_id"), col("text"),
-        size(tokens(col("text"))).cast("long").as("n_tokens")),
-      "doc_id", "n_tokens", "text", budget = packBudget, shards = packShards)
-    Sinks.overwriteParquet(packed, s"$outDir/packed", numFiles = 1)
+    // Deterministic language-stratified mix + the curated/packed/
+    // manifest sinks — the shared output tail of all three cadences.
+    val (sampledCount, binCount) = landOutputs(semFinal, outDir,
+      fractions, defaultFraction, packBudget, packShards)
 
     val stats = Stats(
       input = docs.count(), gated = heurGated.count(),
       modelGated = modelGated,
       decontaminated = decon.count(), spanCleaned = spanCleaned,
       kept = keptCount, semDropped = semDropped,
-      sampled = spark.read.parquet(s"$outDir/curated").count(),
-      bins = spark.read.parquet(s"$outDir/packed").count())
+      sampled = sampledCount, bins = binCount)
     semRelease(); decon.unpersist(); spanned.unpersist(); kept.unpersist()
     stats
   }

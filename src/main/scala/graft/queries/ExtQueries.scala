@@ -890,6 +890,178 @@ object ExtQueries {
     DataMix.epochMix(Tables.documents(s, dir), "doc_id", "source",
       Map("src1" -> 300, "src2" -> 245, "src3" -> 50), defaultPct = 100)
 
+  /** Cross-source overlap matrix (q101): distinct 3-token-shingle
+    * overlap between every source pair — the datasheet diversity/
+    * soft-contamination number (the whole-doc-hash mode is empty on
+    * this corpus: no source copies another verbatim). */
+  def q101SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    TextDedup.crossSourceOverlap(Tables.documents(s, dir),
+      "doc_id", "text", "source", shingleK = 3)
+
+  /** Temperature mix at alpha = 1/2 (q102): per-source sampling weights
+    * proportional to sqrt(token count) under a 1M-token budget —
+    * sqrt is correctly-rounded IEEE, so the mix table is bit-exact
+    * across engines (unlike any pow()-based alpha). */
+  def q102TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    DataMix.temperatureMixHalf(
+      Tables.documents(s, dir).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+      "source", "n_tokens", budgetTokens = 1000000L)
+  }
+
+  /** Balanced shard report (q103): per-source round-robin over docs in
+    * descending token order (relational LPT), rolled up to per-shard
+    * totals + fill ratio vs the heaviest shard. */
+  def q103BalancedShards(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    DataMix.shardBalance(
+      DataMix.balancedShards(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "source", "n_tokens", shards = 8),
+      "n_tokens")
+  }
+
+  /** Hard-negative mining (q104): per query, top-5 most-similar
+    * vectors OUTSIDE the query's k-means cell — the closest
+    * non-positives a dense-retriever trainer wants (same coarse
+    * quantizer constants as q39). */
+  def q104HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorSim.hardNegatives(emb.where(col("vec_id") < 5), emb,
+      VectorSim.kmeansCentroids(emb, 8, 2), k = 5)
+  }
+
+  /** Content-defined chunk inventory (q105): FastCDC-style boundaries
+    * (4-token windows, cut where the md5 draw ≡ 0 mod 8), duplicated
+    * chunk contents counted across documents. */
+  def q105CdcChunks(s: SparkSession, dir: String): DataFrame =
+    TextDedup.cdcChunkDups(Tables.documents(s, dir), "doc_id", "text",
+      w = 4, modulus = 8)
+
+  /** Per-source length profile (q106): doc/token totals plus EXACT
+    * p50/p90/p99 token-length order statistics — the distribution that
+    * sizes packing budgets and max_seq_len. */
+  def q106LengthProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthProfile(Tables.documents(s, dir),
+      "doc_id", "text", "source")
+
+  /** Packing efficiency (q107): the q49 packing rolled up to per-shard
+    * bin fill — 1 - fill_ratio is the padding-waste compute fraction. */
+  def q107PackingEfficiency(s: SparkSession, dir: String): DataFrame =
+    DataMix.packingEfficiency(
+      DataMix.packSequences(
+        TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 4096L, shards = 8),
+      budget = 4096L)
+
+  /** Tokenizer comparison (q109): per-source fertility of BOTH trained
+    * subword families — q65's BPE merges and q95's unigram-LM model —
+    * from one corpus scan. The per-word symbol counts come from the
+    * two referenced-model kernels over the (vocabulary-bounded) word
+    * table; the corpus-scale half is one token explode joined against
+    * that small frame. The table that decides which tokenizer a
+    * pretraining run ships. */
+  def q109TokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{bpeApplyMergesNative, tokens}
+    val docs = Tables.documents(s, dir)
+    val wf = BpeTrainer.wordFrequencies(docs, "text").persist()
+    val merges = BpeTrainer.train(wf, maxMerges = 3, minCount = 1L)
+    val (model, _) = UnigramTrainer.train(wf,
+      UnigramSql.MaxPieceLen, UnigramSql.SeedMulti, UnigramSql.EmIters)
+    val perWord = UnigramTrainer.segment(wf, model)
+      .select(col("word").as("token"), col("n_pieces"))
+      .join(wf.select(col("token"),
+        size(bpeApplyMergesNative(col("token"), merges.map(_.pair)))
+          .as("nbpe")), "token")
+    CacheLease.releaseAfterAction(
+      docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+        .join(perWord, "token")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("nbpe")).as("n_bpe_symbols"),
+          sum(col("n_pieces")).as("n_uni_pieces"))
+        .select(col("source"), col("n_words"), col("n_bpe_symbols"),
+          round(col("n_bpe_symbols").cast("double") / col("n_words"), 6)
+            .as("bpe_fertility"),
+          col("n_uni_pieces"),
+          round(col("n_uni_pieces").cast("double") / col("n_words"), 6)
+            .as("uni_fertility"))
+    )(() => { wf.unpersist(); () })
+  }
+
+  /** Epoch plan executed (q110): the q102 temperature mix exported as
+    * integer epoch percents (pct = 100·target/actual, integer-exact)
+    * and run through the q99 replication machinery — recipe
+    * computation COMPOSING into corpus materialization. */
+  def q110EpochPlan(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(s, dir)
+    val plan = DataMix.temperatureMixHalf(
+      docs.select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+      "source", "n_tokens", budgetTokens = 1000000L)
+      .select(col("source"),
+        expr("CAST((100 * target_tokens) DIV n_tokens AS INT)").as("pct"))
+    DataMix.epochMixByPlan(docs, "doc_id", "source", plan, defaultPct = 100)
+  }
+
+  /** Dedup savings planner (q111): removable-token mass under the
+    * three dedup granularities side by side — whole-document exact
+    * (q20), content-defined chunks (q105), repeated spans (q69) —
+    * the cost/benefit table that picks a dedup strategy before the
+    * expensive pass runs at full scale. */
+  def q111DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(s, dir)
+    val withTok = docs.select(col("doc_id"), col("text"),
+      size(tokens(col("text"))).cast("long").as("nt"))
+    val corpus = withTok.agg(sum(col("nt")).as("corpus_tokens"))
+    val exactSav = withTok
+      .select(TextDedup.contentHash(col("text")).as("h"), col("nt"))
+      .groupBy(col("h"))
+      .agg(((count(lit(1)) - 1) * min(col("nt"))).as("sav"))
+      .agg(coalesce(sum(col("sav")), lit(0L)).as("tokens_removable"))
+      .select(lit("exact_doc").as("strategy"), col("tokens_removable"))
+    val cdcSav = TextDedup.cdcChunkDups(docs, "doc_id", "text",
+      w = 4, modulus = 8)
+      .agg(coalesce(sum((col("n_occurrences") - 1) * col("chunk_tokens")),
+        lit(0L)).as("tokens_removable"))
+      .select(lit("cdc_chunk").as("strategy"), col("tokens_removable"))
+    val spanSav = TextDedup.removeRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .agg(coalesce(sum(col("n_removed")), lit(0L)).as("tokens_removable"))
+      .select(lit("span_k8").as("strategy"), col("tokens_removable"))
+    exactSav.unionByName(cdcSav).unionByName(spanSav)
+      .crossJoin(corpus)
+      .select(col("strategy"), col("tokens_removable"),
+        round(col("tokens_removable").cast("double") /
+          col("corpus_tokens").cast("double"), 6).as("removable_frac"))
+  }
+
+  /** Classifier calibration crosstab (q108): q82's score QUARTILES
+    * (rank-based ntile with a doc_id tiebreak — absolute deciles
+    * collapse when GD scores cluster) against the q79 Gopher gate —
+    * do the two quality families agree? Mean scores ride the
+    * decimal-exact-sum discipline. The ntile is a global sort of the
+    * |docs|-row SCORE frame — a report-tier cost (the corpus-scale
+    * work is the upstream scoring pass, which stays map-tier). */
+  def q108ClassifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = q82QualityClassifier(s, dir)
+      .select(col("doc_id"), col("score"))
+    val gate = TextAnalysis.gopherRules(Tables.documents(s, dir),
+      "doc_id", "text").select(col("doc_id"), col("pass"))
+    scored.join(gate, "doc_id")
+      .withColumn("quartile",
+        ntile(4).over(Window.orderBy(col("score"), col("doc_id"))))
+      .groupBy(col("quartile"), col("pass"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast("decimal(20,8)")).cast("double") /
+          count(lit(1)), 6).as("mean_score"))
+  }
+
   def q25KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     VectorSim.knnBruteForce(emb.where(col("vec_id") < 5), emb, k = 5)
@@ -1599,6 +1771,35 @@ object ExtQueries {
        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
        |        FROM rp)
        |  GROUP BY doc_id, grp)""".stripMargin
+
+  /** DuckDB mirror of `TextDedup.cdcChunkDups(w=4, modulus=8)` —
+    * shared by the q105 entry and the q111 savings planner (nested
+    * subquery there). */
+  private lazy val cdcChunksSql: String =
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents
+       |  WHERE len($duckToks) >= 1),
+       |tp AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]} for i in range(1, len(toks) + 1)]) AS u FROM t)),
+       |cut AS (SELECT doc_id, CAST(u.p + 3 AS BIGINT) AS pos FROM (
+       |  SELECT doc_id, unnest([{'p': i - 1, 'g': array_to_string(toks[i:i+3], ' ')} for i in range(1, len(toks) - 2)]) AS u
+       |  FROM t WHERE len(toks) >= 4)
+       |  WHERE ('0x' || substr(md5(u.g), 1, 13))::BIGINT % 8 = 0),
+       |fl AS (SELECT tp.doc_id, tp.pos, tp.tok,
+       |  CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END AS is_cut
+       |  FROM tp LEFT JOIN cut c ON c.doc_id = tp.doc_id AND c.pos = tp.pos),
+       |ch AS (SELECT doc_id, pos, tok,
+       |  coalesce(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM fl),
+       |ck AS (SELECT doc_id, chunk_id,
+       |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+       |  CAST(count(*) AS INT) AS chunk_tokens
+       |  FROM ch GROUP BY doc_id, chunk_id)
+       |SELECT chunk_hash, min(chunk_tokens) AS chunk_tokens,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_occurrences
+       |FROM ck GROUP BY chunk_hash
+       |HAVING count(DISTINCT doc_id) >= 2""".stripMargin
 
   /** DuckDB word-3-gram shingle CTE (mirrors `wordShingles(tokens, 3)`). */
   private val duckShingles3 =
@@ -2422,6 +2623,217 @@ object ExtQueries {
          |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
          |  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
          |FROM ct t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // q101: distinct (3-shingle, source) frame self-joined on the
+    // gram; per-source totals re-joined for the set Jaccard. The
+    // engine keys on xxhash64 of the same gram strings — counts agree
+    // exactly barring a ~2^-65-odds collision (the q66 stance).
+    "q101_source_overlap" ->
+      s"""WITH t AS (SELECT source AS src, $duckToks AS toks FROM documents),
+         |c AS (SELECT DISTINCT src, gram FROM (
+         |  SELECT src, unnest([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS gram
+         |  FROM t WHERE len(toks) >= 3)),
+         |tot AS (SELECT src, count(*) AS n FROM c GROUP BY 1)
+         |SELECT a.src AS source_a, b.src AS source_b,
+         |  count(*) AS n_shared, ta.n AS n_a, tb.n AS n_b,
+         |  round(CAST(count(*) AS DOUBLE) /
+         |        CAST(ta.n + tb.n - count(*) AS DOUBLE), 6) AS hash_jaccard
+         |FROM c a JOIN c b ON a.gram = b.gram AND a.src < b.src
+         |JOIN tot ta ON ta.src = a.src JOIN tot tb ON tb.src = b.src
+         |GROUP BY a.src, b.src, ta.n, tb.n""".stripMargin,
+
+    // q102: integer-exact token totals -> 6dp sqrt weights as exact
+    // DECIMALs -> one double division per share. sqrt is correctly
+    // rounded IEEE, so no tolerance anywhere.
+    "q102_temperature_mix" ->
+      s"""WITH t AS (SELECT source, CAST(sum(len($duckToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source, n_tokens,
+         |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(24,6)) AS w FROM t),
+         |tw AS (SELECT sum(w) AS wt FROM w)
+         |SELECT source, n_tokens, CAST(w AS DOUBLE) AS weight,
+         |  round(CAST(w AS DOUBLE) / CAST(wt AS DOUBLE), 6) AS share,
+         |  CAST(floor(1000000.0 * round(CAST(w AS DOUBLE) / CAST(wt AS DOUBLE), 6)) AS BIGINT) AS target_tokens
+         |FROM w CROSS JOIN tw""".stripMargin,
+
+    // q103: the per-source descending-token round-robin, rolled up per
+    // shard with the max-shard window ratio.
+    "q103_balanced_shards" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+         |a AS (SELECT doc_id, n_tokens,
+         |  CAST((row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) - 1) % 8 AS INT) AS shard
+         |  FROM d),
+         |p AS (SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM a GROUP BY 1)
+         |SELECT shard, n_docs, total_tokens,
+         |  round(CAST(total_tokens AS DOUBLE) /
+         |        CAST(max(total_tokens) OVER () AS DOUBLE), 6) AS fill_ratio
+         |FROM p""".stripMargin,
+
+    // q104: the q39 Lloyd's chain for cell ids, then the q25 exact
+    // ranking restricted to CROSS-cell candidates.
+    "q104_hard_negatives" ->
+      s"""${kmeansCtes(8, 64, 2)}
+         |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY q.vec_id
+         |      ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+         |               c.vec_id) AS INT) AS rank
+         |  FROM e q JOIN a2 aq ON aq.vec_id = q.vec_id
+         |  JOIN a2 ac ON ac.cluster != aq.cluster
+         |  JOIN e c ON c.vec_id = ac.vec_id
+         |  WHERE q.vec_id < 5)
+         |WHERE rank <= 5""".stripMargin,
+
+    // q105: 4-token windows, md5-13-hex cut draw mod 8, running-sum
+    // chunk ids, chunk contents re-joined and counted across docs.
+    "q105_cdc_chunks" -> cdcChunksSql,
+
+    // q106: rank targets as integer arithmetic (ceil(q*n) = (100q*n+99)
+    // div 100) so both engines pick the identical order statistic.
+    "q106_length_profile" ->
+      s"""WITH d AS (SELECT source, doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+         |r AS (SELECT source, n_tokens,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+         |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+         |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_tokens END) AS p50_tokens,
+         |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_tokens END) AS p90_tokens,
+         |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_tokens END) AS p99_tokens
+         |FROM r GROUP BY source""".stripMargin,
+
+    // q107: the q49 binning chain aggregated per shard with the
+    // capacity/fill arithmetic.
+    "q107_packing_efficiency" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+         |s AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard FROM t),
+         |p AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix FROM s),
+         |pk AS (SELECT shard, CAST(floor(prefix / 4096) AS BIGINT) AS bin,
+         |  count(*) AS nd, CAST(sum(n_tokens) AS BIGINT) AS tt
+         |  FROM p GROUP BY 1, 2)
+         |SELECT shard, count(*) AS n_bins,
+         |  CAST(sum(nd) AS BIGINT) AS n_docs,
+         |  CAST(sum(tt) AS BIGINT) AS total_tokens,
+         |  CAST(count(*) * 4096 AS BIGINT) AS capacity_tokens,
+         |  round(CAST(sum(tt) AS DOUBLE) / CAST(count(*) * 4096 AS DOUBLE), 6) AS fill_ratio
+         |FROM pk GROUP BY shard""".stripMargin,
+
+    // q108: the q82 classifier replay joined against the q79 gopher
+    // gate; decile floor over the identical score doubles; mean score
+    // as the exact-decimal sum divided once.
+    "q108_classifier_calibration" ->
+      s"""${classifierCtes(256, 3, 0.5)},
+         |zf AS (SELECT db.doc_id, sum(CAST(db.n AS DECIMAL(10,0)) * w3.w) AS z
+         |  FROM db JOIN w3 USING (b) GROUP BY 1),
+         |pf AS (SELECT doc_id, CAST(round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 8) AS DECIMAL(20,8)) AS p FROM zf),
+         |gt AS (SELECT doc_id, text, $duckToks AS toks,
+         |  string_split(text, chr(10)) AS lines FROM documents),
+         |gm AS (SELECT doc_id,
+         |  CAST(len(toks) AS INT) AS n_words,
+         |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_word_len,
+         |  round(((length(text) - length(replace(text, '#', ''))) +
+         |    (length(text) - length(replace(text, '...', ''))) / 3) / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+         |  round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines), 6) AS bullet_ratio,
+         |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) / len(lines), 6) AS ellipsis_ratio,
+         |  round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6) AS alpha_ratio,
+         |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(toks, w))) AS INT) AS stopword_hits
+         |  FROM gt),
+         |gp AS (SELECT doc_id,
+         |  (n_words >= 20 AND n_words <= 10000) AND
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AND
+         |  symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND
+         |  ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 AND
+         |  stopword_hits >= 2 AS pass
+         |  FROM gm),
+         |qt AS (SELECT pf.doc_id, pf.p, gp.pass,
+         |  CAST(ntile(4) OVER (ORDER BY pf.p, pf.doc_id) AS INT) AS quartile
+         |  FROM pf JOIN gp USING (doc_id))
+         |SELECT quartile, pass, count(*) AS n_docs,
+         |  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS mean_score
+         |FROM qt GROUP BY 1, 2""".stripMargin,
+
+    // q109: both tokenizer family replays as self-contained derived
+    // tables (each with its own WITH chain — DuckDB allows nested
+    // WITH in subqueries), joined per source.
+    "q109_tokenizer_compare" ->
+      s"""SELECT b.source, b.n_words, b.n_bpe_symbols,
+         |  round(CAST(b.n_bpe_symbols AS DOUBLE) / b.n_words, 6) AS bpe_fertility,
+         |  u.n_uni_pieces,
+         |  round(CAST(u.n_uni_pieces AS DOUBLE) / u.n_words, 6) AS uni_fertility
+         |FROM (
+         |  $bpeRounds3,
+         |  wsym AS (SELECT replace(trim(s), ' ', '') AS token,
+         |    CAST(len(string_split(trim(s), '  ')) AS INT) AS nsym FROM w3),
+         |  tkd AS (SELECT source, unnest($duckToks) AS token FROM documents)
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(wsym.nsym) AS BIGINT) AS n_bpe_symbols
+         |  FROM tkd JOIN wsym USING (token) GROUP BY source
+         |) b JOIN (
+         |  WITH useg AS (SELECT word AS token, n_pieces FROM (
+         |    ${UnigramSql.segmentSql})),
+         |  tkd2 AS (SELECT source, unnest($duckToks) AS token FROM documents)
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(useg.n_pieces) AS BIGINT) AS n_uni_pieces
+         |  FROM tkd2 JOIN useg USING (token) GROUP BY source
+         |) u ON b.source = u.source""".stripMargin,
+
+    // q110: the q102 mix chain -> integer epoch percents -> the q99
+    // replication arithmetic.
+    "q110_epoch_plan" ->
+      s"""WITH t AS (SELECT source, CAST(sum(len($duckToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source, n_tokens,
+         |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(24,6)) AS w FROM t),
+         |tw AS (SELECT sum(w) AS wt FROM w),
+         |mix AS (SELECT source, n_tokens,
+         |  CAST(floor(1000000.0 * round(CAST(w AS DOUBLE) / CAST(wt AS DOUBLE), 6)) AS BIGINT) AS target_tokens
+         |  FROM w CROSS JOIN tw),
+         |plan AS (SELECT source, CAST((100 * target_tokens) // n_tokens AS INT) AS pct FROM mix),
+         |pcts AS (SELECT d.doc_id, d.source, coalesce(p.pct, 100) AS pct,
+         |  ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#epoch'), 1, 13))::BIGINT % 100 AS draw
+         |  FROM documents d LEFT JOIN plan p USING (source)),
+         |ne AS (SELECT doc_id, source,
+         |  (pct // 100) + CASE WHEN draw < (pct % 100) THEN 1 ELSE 0 END AS n_epochs
+         |  FROM pcts)
+         |SELECT doc_id, source, CAST(e AS INT) AS epoch FROM (
+         |  SELECT doc_id, source, unnest([e for e in range(1, n_epochs + 1)]) AS e
+         |  FROM ne WHERE n_epochs >= 1)""".stripMargin,
+
+    // q111: each strategy's removable mass as a self-contained derived
+    // table (the q105 chain nested verbatim; the q69 span chain
+    // reduced to its token count).
+    "q111_dedup_savings" ->
+      s"""WITH ct AS (SELECT CAST(sum(len($duckToks)) AS BIGINT) AS corpus_tokens FROM documents),
+         |ex AS (SELECT 'exact_doc' AS strategy,
+         |  CAST(coalesce(sum(sav), 0) AS BIGINT) AS tokens_removable FROM (
+         |    SELECT (count(*) - 1) * min(nt) AS sav FROM (
+         |      SELECT md5(lower(trim(text))) AS h, CAST(len($duckToks) AS BIGINT) AS nt
+         |      FROM documents)
+         |    GROUP BY h)),
+         |cdc AS (SELECT 'cdc_chunk' AS strategy,
+         |  CAST(coalesce(sum((n_occurrences - 1) * chunk_tokens), 0) AS BIGINT) AS tokens_removable
+         |  FROM ($cdcChunksSql)),
+         |sp AS (SELECT 'span_k8' AS strategy,
+         |  CAST(tot - kept AS BIGINT) AS tokens_removable FROM (
+         |    $duckSpans8,
+         |    pos AS (SELECT doc_id, u.pos AS pos FROM (
+         |      SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]} for i in range(1, len(toks) + 1)]) AS u FROM tkk)),
+         |    kept AS (SELECT p.doc_id, p.pos FROM pos p
+         |      WHERE NOT EXISTS (SELECT 1 FROM spanruns s WHERE s.doc_id = p.doc_id
+         |        AND p.pos BETWEEN s.start_pos AND s.end_pos + 7))
+         |    SELECT (SELECT sum(len(toks)) FROM tkk) AS tot,
+         |           (SELECT count(*) FROM kept) AS kept))
+         |SELECT strategy, tokens_removable,
+         |  round(CAST(tokens_removable AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 6) AS removable_frac
+         |FROM (SELECT * FROM ex UNION ALL SELECT * FROM cdc UNION ALL SELECT * FROM sp)
+         |CROSS JOIN ct""".stripMargin,
 
     // q99: per-source epoch percents as a CASE; fractional epoch by
     // the salted md5 draw; epochs via a range comprehension.

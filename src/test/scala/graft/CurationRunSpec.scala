@@ -97,6 +97,22 @@ class CurationRunSpec extends AnyFunSuite {
     assert(packedIds.sorted == Seq(1L, 5L, 7L, 8L))
     assert(stats.bins == packedIds.length || stats.bins <= 4)
 
+    // The landed shard manifest describes the landed bins exactly:
+    // totals agree with packed/ and the fill ratio is capped by 1.
+    val packed = spark.read.parquet(s"$out/packed")
+    val manifest = spark.read.parquet(s"$out/manifest")
+    assert(manifest.columns.toSet == Set("shard", "n_bins", "n_docs",
+      "total_tokens", "checksum", "capacity_tokens", "fill_ratio"))
+    val (mBins, mDocs) = manifest
+      .agg(org.apache.spark.sql.functions.sum("n_bins"),
+        org.apache.spark.sql.functions.sum("n_docs"))
+      .as[(Long, Long)].collect().head
+    assert(mBins == packed.count() && mDocs == packedIds.length.toLong)
+    // (fill can exceed 1 only by the crossing-doc overshoot; this
+    // fixture is far under budget, so it is a plain fraction here)
+    assert(manifest.select("fill_ratio").as[Double].collect()
+      .forall(f => f > 0.0 && f <= 1.0))
+
     // Idempotent: a re-run overwrites to the same state.
     assert(go() == stats)
   }

@@ -236,4 +236,66 @@ class DataMixSpec extends AnyFunSuite {
     assert(bySplit.keySet == Set("train", "val", "test"))
     assert(bySplit("train") > 300)
   }
+
+  test("epochMixByPlan equals epochMix for the equivalent static map; default fills gaps") {
+    val docs = (0L until 300L).map(i =>
+      (i, "s" + (i % 3))).toDF("doc_id", "source")
+    val byMap = DataMix.epochMix(docs, "doc_id", "source",
+      Map("s0" -> 250, "s1" -> 40), defaultPct = 100)
+      .as[(Long, String, Int)].collect().toSet
+    val plan = Seq(("s0", 250), ("s1", 40)).toDF("source", "pct")
+    val byPlan = DataMix.epochMixByPlan(docs, "doc_id", "source", plan,
+      defaultPct = 100)
+      .as[(Long, String, Int)].collect().toSet
+    assert(byPlan == byMap,
+      "plan-frame routing must replicate exactly like the static map")
+    assert(byPlan.exists(_._2 == "s2"),
+      "sources absent from the plan ride the default percent")
+  }
+
+  test("temperatureMixHalf: sqrt weights, exact-decimal total, floored targets") {
+    val docs = Seq(
+      (0L, "a", 100L), (1L, "b", 400L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = DataMix.temperatureMixHalf(docs, "source", "n_tokens",
+      budgetTokens = 900L)
+      .select("source", "n_tokens", "weight", "share", "target_tokens")
+      .as[(String, Long, Double, Double, Long)].collect().sortBy(_._1)
+    // weights sqrt(100)=10, sqrt(400)=20; shares 10/30, 20/30 at 6dp;
+    // targets floor(900 * share).
+    assert(out.toSeq == Seq(
+      ("a", 100L, 10.0, 0.333333, 299L),
+      ("b", 400L, 20.0, 0.666667, 600L)))
+  }
+
+  test("balancedShards round-robins descending token order; shardBalance reports fill") {
+    val docs = Seq(
+      (0L, "g", 10L), (1L, "g", 9L), (2L, "g", 8L), (3L, "g", 7L))
+      .toDF("doc_id", "source", "n_tokens")
+    val assigned = DataMix.balancedShards(docs, "doc_id", "source",
+      "n_tokens", shards = 2)
+    val byDoc = assigned.select("doc_id", "shard").as[(Long, Int)]
+      .collect().toMap
+    // rank order by tokens desc: 10 -> shard 0, 9 -> 1, 8 -> 0, 7 -> 1.
+    assert(byDoc == Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1))
+    val bal = DataMix.shardBalance(assigned, "n_tokens")
+      .select("shard", "n_docs", "total_tokens", "fill_ratio")
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(bal.toSeq == Seq(
+      (0, 2L, 18L, 1.0), (1, 2L, 16L, 0.888889)))
+  }
+
+  test("packingEfficiency reports per-shard bin fill against the budget") {
+    val docs = Seq((0L, 60L), (1L, 60L), (2L, 60L), (3L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val out = DataMix.packingEfficiency(
+      DataMix.packSequences(docs, "doc_id", "n_tokens",
+        budget = 100L, shards = 1),
+      budget = 100L)
+      .select("shard", "n_bins", "n_docs", "total_tokens",
+        "capacity_tokens", "fill_ratio")
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+    // bins (0: 120 tokens, 1: 70) -> 190/200 = 0.95 fill.
+    assert(out.toSeq == Seq((0, 2L, 4L, 190L, 200L, 0.95)))
+  }
 }

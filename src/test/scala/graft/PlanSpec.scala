@@ -196,4 +196,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"canonicalization must not shuffle — pure projection over the scan:\n$plan")
   }
+
+  test("hard negatives: queries broadcast, corpus never sorted, partial top-k") {
+    val plan = planOf(ExtQueries.q104HardNegatives(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the (tiny) query side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unpartitioned cartesian product allowed:\n$plan")
+    assert("top_k_by_score".r.findAllIn(plan).size >= 2,
+      s"partial+final top_k_by_score expected:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort "),
+      s"scored pairs must not be sorted just to keep k of them:\n$plan")
+  }
+
+  test("cross-source overlap: candidates from a hash equi-join, no nested loop") {
+    val plan = planOf(ExtQueries.q101SourceOverlap(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must be a key equi-join on the shingle hash:\n$plan")
+  }
+
+  test("cdc chunking: no cartesian; per-doc windows only") {
+    val plan = planOf(ExtQueries.q105CdcChunks(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cut-set join must be an equi-join on (doc_id, pos):\n$plan")
+    // Every window/sort in the plan partitions by doc_id — bounded by
+    // one document's tokens, never a global sort.
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(doc_id"),
+      s"chunk-id windows must partition per document:\n$plan")
+  }
 }

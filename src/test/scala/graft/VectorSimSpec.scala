@@ -83,6 +83,43 @@ class VectorSimSpec extends AnyFunSuite {
       s"blobs not cleanly separated: $byBlob")
   }
 
+  test("hardNegatives excludes the query's own cell and ranks cross-cell by cosine") {
+    val rnd = new scala.util.Random(11)
+    val e = emb((0L until 60L).map { i =>
+      val axis = (i % 3).toInt
+      val v = Seq.tabulate(8)(d =>
+        (if (d == axis) 10f else 0f) + rnd.nextGaussian().toFloat * 0.1f)
+      (i, v, axis)
+    }: _*)
+    val cen = VectorSim.kmeansCentroids(e, k = 3, iters = 3)
+    val assign = VectorSim.kmeansAssignments(e, cen)
+      .as[(Long, Int)].collect().toMap
+    val queries = e.where($"vec_id" < 2)
+    val out = VectorSim.hardNegatives(queries, e, cen, k = 5)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length == 10, "two queries x k=5")
+    out.foreach { case (q, n, _, _) =>
+      assert(assign(n) != assign(q),
+        s"neighbor $n shares query $q's cell — not a hard negative")
+    }
+    // Per query: ranks 1..5, cosine non-increasing, and the result
+    // equals the brute-force top-k restricted to cross-cell rows.
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5))
+      assert(sorted.sliding(2).forall(p => p(0)._3 >= p(1)._3))
+      val bruteCross = VectorSim.knnBruteForce(
+        e.where($"vec_id" === q),
+        e.where(!$"vec_id".isin(
+          assign.filter(_._2 == assign(q)).keys.toSeq.map(Long.box): _*)),
+        k = 5)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(sorted.map(_._2).toSet == bruteCross,
+        s"query $q: hard negatives differ from cross-cell brute force")
+    }
+  }
+
   test("dense treeAggregate round == row-shaped explode/groupBy reduction, bit-exact") {
     val rnd = new scala.util.Random(23)
     val e = emb((0L until 97L).map(i =>
