@@ -120,6 +120,11 @@ object SparkEntry {
     "q109_tokenizer_compare" -> (ExtQueries.q109TokenizerCompare(_, _)),
     "q110_epoch_plan"       -> (ExtQueries.q110EpochPlan(_, _)),
     "q111_dedup_savings"    -> (ExtQueries.q111DedupSavings(_, _)),
+    "q112_mix_drift"        -> (ExtQueries.q112MixDrift(_, _)),
+    "q113_contrastive_pairs" -> (ExtQueries.q113ContrastivePairs(_, _)),
+    "q114_split_audit"      -> (ExtQueries.q114SplitAudit(_, _)),
+    "q115_curriculum_order" -> (ExtQueries.q115CurriculumOrder(_, _)),
+    "q116_ann_method_compare" -> (ExtQueries.q116AnnMethodCompare(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

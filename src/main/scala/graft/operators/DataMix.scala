@@ -523,6 +523,35 @@ object DataMix {
           max(col("total_tokens")).over(Window.partitionBy()).cast("double"), 6))
   }
 
+  /** Mix drift monitor: per-group token share of batch A vs batch B
+    * and the share delta — the ops dashboard number that catches a
+    * crawl source silently changing volume between ingest waves
+    * (upstream outages, crawler policy changes, spam floods all show
+    * up here first). One corpus pass: conditional sums per group,
+    * 1-row batch totals cross-joined back; shares are single double
+    * divisions of exact integer sums, so the table is engine-exact.
+    * `flagThreshold` marks |drift| above the alerting bar. */
+  def mixDrift(docs: DataFrame, groupCol: String, nTokensCol: String,
+      batchCol: String, flagThreshold: Double): DataFrame = {
+    val perGroup = docs.groupBy(col(groupCol))
+      .agg(
+        sum(when(col(batchCol) === 0, col(nTokensCol)).otherwise(0L))
+          .as("tokens_a"),
+        sum(when(col(batchCol) =!= 0, col(nTokensCol)).otherwise(0L))
+          .as("tokens_b"))
+    val totals = perGroup.agg(
+      sum(col("tokens_a")).as("total_a"),
+      sum(col("tokens_b")).as("total_b"))
+    perGroup.crossJoin(totals)
+      .select(col(groupCol), col("tokens_a"), col("tokens_b"),
+        round(col("tokens_a").cast("double") / col("total_a").cast("double"), 6)
+          .as("share_a"),
+        round(col("tokens_b").cast("double") / col("total_b").cast("double"), 6)
+          .as("share_b"))
+      .withColumn("share_drift", round(col("share_b") - col("share_a"), 6))
+      .withColumn("drift_flag", abs(col("share_drift")) > flagThreshold)
+  }
+
   /** Packing efficiency report over a [[packSequences]] packing: per
     * shard, how full the fixed-budget bins actually are — the padding
     * -waste number that decides whether a packing recipe ships (every

@@ -1008,6 +1008,102 @@ object ExtQueries {
     DataMix.epochMixByPlan(docs, "doc_id", "source", plan, defaultPct = 100)
   }
 
+  /** Mix drift monitor (q112): per-source token share of ingest wave A
+    * (doc_id even) vs wave B (odd) with the share delta and an alert
+    * flag — the dashboard row that catches a source silently changing
+    * volume between waves. */
+  def q112MixDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    DataMix.mixDrift(
+      Tables.documents(s, dir).select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(2)).as("batch")),
+      "source", "n_tokens", "batch", flagThreshold = 0.01)
+  }
+
+  /** Contrastive pairs (q113): per query its top same-cell positive
+    * plus the 4 closest cross-cell hard negatives — the (anchor,
+    * positive, negatives) rows an embedding trainer consumes (same
+    * quantizer constants as q39/q104). */
+  def q113ContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorSim.contrastivePairs(emb.where(col("vec_id") < 5), emb,
+      VectorSim.kmeansCentroids(emb, 8, 2), kNeg = 4)
+  }
+
+  /** Split integrity audit (q114): does the q98 leakage-safe split
+    * actually hold at SEQUENCE level? Per eval split: how many docs
+    * share at least one 3-shingle with the train split (near-dup
+    * clustering guards paraphrase leakage; this measures the residual
+    * phrase-level overlap a benchmark-decon pass would still cut). */
+  def q114SplitAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // The split labels feed three consumers (train index, eval index,
+    // final rollup) — persist the compact (doc_id, split) frame so the
+    // LSH+CC chain underneath runs once, released after the action.
+    val split = q98LeakageSafeSplit(s, dir)
+      .select(col("doc_id"), col("split")).persist()
+    val joined = docs.join(split, "doc_id")
+    val train = joined.where(col("split") === "train")
+    val eval = joined.where(col("split") =!= "train")
+    val flagged = TextDedup.contaminated(eval, train, "doc_id", "text", n = 3)
+      .select(col("doc_id"), lit(1L).as("c"))
+    CacheLease.releaseAfterAction(
+      eval.join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("c"), lit(0L))).as("overlapping_docs"))
+        .withColumn("clean_docs", col("n_docs") - col("overlapping_docs"))
+    )(() => { split.unpersist(); () })
+  }
+
+  /** Curriculum ordering (q115): every document assigned a training
+    * stage by quality band (stage = 4·quality_score — exact dyadic
+    * arithmetic, 0..4) plus a deterministic md5 order key — the
+    * quality-annealed training order listing (low-quality mass early,
+    * highest-quality band last) a loader sorts by (stage, order_key).
+    * Pure map pass; the loader's sort is its own business. */
+  def q115CurriculumOrder(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("quality_score") * 4).cast("int").as("stage"),
+        substring(md5(concat(col("doc_id").cast("string"), lit("#curr"))),
+          1, 13).as("order_key"))
+
+  /** ANN method comparison (q116): recall@5 of all four index
+    * families — hyperplane LSH (q26), IVF (q45), PQ ADC (q73),
+    * IVFADC (q74) — against the exact top-k on one query set and one
+    * set of trained models; the q97 sweep's method axis. The "pick
+    * your index" operating table. */
+  def q116AnnMethodCompare(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") < 5)
+    val exact = VectorSim.knnBruteForce(queries, emb, 5)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    def recallOf(method: String, df: DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"), col("n_hits"))
+    val m = VectorSim.pqTrain(emb, dim = 64, subspaces = 8, k = 16, iters = 2)
+    val cen = VectorSim.kmeansCentroids(emb, 8, 2)
+    CacheLease.releaseAfterAction(
+      Seq(
+        recallOf("lsh", VectorSim.knnLsh(queries, emb, k = 5,
+          dim = 64, bits = 2, tables = 8)),
+        recallOf("ivf", VectorSim.knnIvf(queries, emb, k = 5,
+          kClusters = 8, iters = 2, nprobe = 2)),
+        recallOf("pq", VectorSim.pqSearch(queries, emb, m, k = 5)),
+        recallOf("ivfadc", VectorSim.pqSearchIvf(queries, emb, m, cen,
+          nprobe = 2, k = 5)))
+        .reduce(_ unionByName _)
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(col("method"), col("n_hits"), col("n_exact"),
+          round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
+            .as("recall"))
+    )(() => { exact.unpersist(); () })
+  }
+
   /** Dedup savings planner (q111): removable-token mass under the
     * three dedup granularities side by side — whole-document exact
     * (q20), content-defined chunks (q105), repeated spans (q69) —
@@ -2834,6 +2930,151 @@ object ExtQueries {
          |  round(CAST(tokens_removable AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 6) AS removable_frac
          |FROM (SELECT * FROM ex UNION ALL SELECT * FROM cdc UNION ALL SELECT * FROM sp)
          |CROSS JOIN ct""".stripMargin,
+
+    // q115: the q17 quality replay; stage = 4 * the exact-dyadic
+    // score; md5-prefix order key.
+    "q115_curriculum_order" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks, CAST(len(text) AS DOUBLE) AS nc FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS DOUBLE) AS nt,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','el','la','de','que','y','der','die','und','das','ist','le','les','et','des','un'], x))) AS DOUBLE) AS nstop,
+         |  nc FROM t)
+         |SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+         |  CAST(round(
+         |    (CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.25 ELSE 0.0 END) +
+         |    (CASE WHEN nd / nt >= 0.3 THEN 0.25 ELSE 0.0 END) +
+         |    (CASE WHEN (nc - (nt - 1)) / nt >= 3.0 AND (nc - (nt - 1)) / nt <= 10.0 THEN 0.25 ELSE 0.0 END) +
+         |    (CASE WHEN nstop / nt > 0.0 THEN 0.25 ELSE 0.0 END), 2) * 4 AS INT) AS stage,
+         |  substr(md5(doc_id::VARCHAR || '#curr'), 1, 13) AS order_key
+         |FROM m""".stripMargin,
+
+    // q116: each index family's full oracle chain as a nested derived
+    // table, hit-joined against the shared exact top-k.
+    "q116_ann_method_compare" -> {
+      val exactPairs =
+        """SELECT query_id, neighbor_id FROM (
+          | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |  CAST(row_number() OVER (
+          |    PARTITION BY q.vec_id
+          |    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+          |             c.vec_id) AS INT) AS rank
+          | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          | WHERE q.vec_id < 5)
+          |WHERE rank <= 5""".stripMargin
+      def hits(method: String, chain: String) =
+        s"""SELECT '$method' AS method, CAST(count(*) AS BIGINT) AS n_hits FROM (
+           |  SELECT query_id, neighbor_id FROM ($chain)) a
+           |JOIN ($exactPairs) e USING (query_id, neighbor_id)""".stripMargin
+      s"""SELECT method, n_hits, n_exact,
+         |  round(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
+         |FROM (
+         |${hits("lsh", knnLshOracleSql(dim = 64, bits = 2, tables = 8,
+               seed = 42L, k = 5, queryPred = "vec_id < 5"))}
+         |UNION ALL
+         |${hits("ivf", knnIvfOracleSql(k = 5, dim = 64, kClusters = 8,
+               iters = 2, nprobe = 2, queryPred = "vec_id < 5"))}
+         |UNION ALL
+         |${hits("pq", pqSearchOracleSql(dim = 64, subspaces = 8, kw = 16,
+               iters = 2, topK = 5, queryPred = "vec_id < 5"))}
+         |UNION ALL
+         |${hits("ivfadc", pqSearchIvfOracleSql(dim = 64, subspaces = 8,
+               kw = 16, iters = 2, kClusters = 8, cIters = 2, nprobe = 2,
+               topK = 5, queryPred = "vec_id < 5"))})
+         |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_exact
+         |            FROM ($exactPairs))""".stripMargin
+    },
+
+    // q112: conditional per-wave sums, 1-row totals, one double
+    // division per share; drift over the rounded shares (wrapper
+    // subquery — no lateral aliases, the dialect-safety rule).
+    "q112_mix_drift" ->
+      s"""WITH d AS (SELECT source, doc_id % 2 AS batch,
+         |  CAST(len($duckToks) AS BIGINT) AS nt FROM documents),
+         |g AS (SELECT source,
+         |  CAST(sum(CASE WHEN batch = 0 THEN nt ELSE 0 END) AS BIGINT) AS tokens_a,
+         |  CAST(sum(CASE WHEN batch != 0 THEN nt ELSE 0 END) AS BIGINT) AS tokens_b
+         |  FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(tokens_a) AS BIGINT) AS ta,
+         |  CAST(sum(tokens_b) AS BIGINT) AS tb FROM g)
+         |SELECT source, tokens_a, tokens_b, share_a, share_b, share_drift,
+         |  abs(share_drift) > 0.01 AS drift_flag
+         |FROM (SELECT source, tokens_a, tokens_b,
+         |  round(CAST(tokens_a AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS share_a,
+         |  round(CAST(tokens_b AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS share_b,
+         |  round(round(CAST(tokens_b AS DOUBLE) / CAST(tb AS DOUBLE), 6) -
+         |        round(CAST(tokens_a AS DOUBLE) / CAST(ta AS DOUBLE), 6), 6) AS share_drift
+         |  FROM g CROSS JOIN t)""".stripMargin,
+
+    // q113: the q104 chain emitting BOTH sides of the contrastive
+    // pair — same-cluster rank-1 positive, cross-cluster top-4
+    // negatives.
+    "q113_contrastive_pairs" ->
+      s"""${kmeansCtes(8, 64, 2)}
+         |SELECT query_id, pair_type, neighbor_id, cos_sim, rank FROM (
+         |  SELECT query_id, 'positive' AS pair_type, neighbor_id, cos_sim, rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim,
+         |      CAST(row_number() OVER (
+         |        PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+         |                 c.vec_id) AS INT) AS rank
+         |    FROM e q JOIN a2 aq ON aq.vec_id = q.vec_id
+         |    JOIN a2 ac ON ac.cluster = aq.cluster AND ac.vec_id != aq.vec_id
+         |    JOIN e c ON c.vec_id = ac.vec_id
+         |    WHERE q.vec_id < 5)
+         |  WHERE rank <= 1
+         |  UNION ALL
+         |  SELECT query_id, 'negative' AS pair_type, neighbor_id, cos_sim, rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      round(list_cosine_similarity(q.emb, c.emb), 6) AS cos_sim,
+         |      CAST(row_number() OVER (
+         |        PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+         |                 c.vec_id) AS INT) AS rank
+         |    FROM e q JOIN a2 aq ON aq.vec_id = q.vec_id
+         |    JOIN a2 ac ON ac.cluster != aq.cluster
+         |    JOIN e c ON c.vec_id = ac.vec_id
+         |    WHERE q.vec_id < 5)
+         |  WHERE rank <= 4)""".stripMargin,
+
+    // q114: the q98 split chain + the q47 shingle-overlap shape,
+    // rolled up per eval split.
+    "q114_split_audit" ->
+      s"""WITH RECURSIVE pairsq AS ($minhashLshSql),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairsq
+         |        UNION SELECT doc_b, doc_a FROM pairsq),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM und
+         |  UNION
+         |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+         |cl AS (SELECT src AS doc_id, min(dst) AS canonical_id
+         |       FROM reach GROUP BY src),
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(cl.canonical_id, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN cl USING (doc_id)),
+         |spl AS (SELECT doc_id,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 13))::BIGINT % 100 AS INT) < 96 THEN 'train'
+         |       WHEN CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 13))::BIGINT % 100 AS INT) < 98 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM keyed),
+         |tk2 AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh2 AS (SELECT doc_id,
+         |  CASE WHEN len(t) - 2 >= 1
+         |    THEN list_distinct([array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t)-2)])
+         |    ELSE [array_to_string(t, ' ')] END AS sh
+         |  FROM tk2),
+         |ex2 AS (SELECT doc_id, unnest(sh) AS s3 FROM sh2),
+         |tsh AS (SELECT DISTINCT s3 FROM ex2 JOIN spl USING (doc_id)
+         |        WHERE split = 'train'),
+         |ov AS (SELECT DISTINCT e.doc_id FROM ex2 e JOIN spl USING (doc_id)
+         |       JOIN tsh USING (s3) WHERE split != 'train')
+         |SELECT spl.split, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN ov.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS overlapping_docs,
+         |  CAST(count(*) - sum(CASE WHEN ov.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS clean_docs
+         |FROM spl LEFT JOIN ov USING (doc_id)
+         |WHERE spl.split != 'train'
+         |GROUP BY spl.split""".stripMargin,
 
     // q99: per-source epoch percents as a CASE; fractional epoch by
     // the salted md5 draw; epochs via a range comprehension.

@@ -285,6 +285,22 @@ class DataMixSpec extends AnyFunSuite {
       (0, 2L, 18L, 1.0), (1, 2L, 16L, 0.888889)))
   }
 
+  test("mixDrift: exact shares per wave, drift over rounded shares, flag") {
+    val docs = Seq(
+      ("x", 30L, 0L), ("x", 10L, 1L),   // x: 30 of wave A, 10 of wave B
+      ("y", 70L, 0L), ("y", 90L, 1L))   // y: 70 of A, 90 of B
+      .toDF("source", "n_tokens", "batch")
+    val out = DataMix.mixDrift(docs, "source", "n_tokens", "batch",
+      flagThreshold = 0.01)
+      .select("source", "tokens_a", "tokens_b", "share_a", "share_b",
+        "share_drift", "drift_flag")
+      .as[(String, Long, Long, Double, Double, Double, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("x", 30L, 10L, 0.3, 0.1, -0.2, true),
+      ("y", 70L, 90L, 0.7, 0.9, 0.2, true)))
+  }
+
   test("packingEfficiency reports per-shard bin fill against the budget") {
     val docs = Seq((0L, 60L), (1L, 60L), (2L, 60L), (3L, 10L))
       .toDF("doc_id", "n_tokens")

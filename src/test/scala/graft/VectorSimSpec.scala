@@ -120,6 +120,32 @@ class VectorSimSpec extends AnyFunSuite {
     }
   }
 
+  test("contrastivePairs: one same-cell positive (not self), negatives == hardNegatives") {
+    val rnd = new scala.util.Random(11)
+    val e = emb((0L until 60L).map { i =>
+      val axis = (i % 3).toInt
+      val v = Seq.tabulate(8)(d =>
+        (if (d == axis) 10f else 0f) + rnd.nextGaussian().toFloat * 0.1f)
+      (i, v, axis)
+    }: _*)
+    val cen = VectorSim.kmeansCentroids(e, k = 3, iters = 3)
+    val assign = VectorSim.kmeansAssignments(e, cen)
+      .as[(Long, Int)].collect().toMap
+    val queries = e.where($"vec_id" < 2)
+    val out = VectorSim.contrastivePairs(queries, e, cen, kNeg = 4)
+      .select("query_id", "pair_type", "neighbor_id", "rank")
+      .as[(Long, String, Long, Int)].collect()
+    val pos = out.filter(_._2 == "positive")
+    assert(pos.length == 2 && pos.forall(p => p._4 == 1 && p._3 != p._1),
+      "exactly one rank-1 positive per query, never the anchor itself")
+    pos.foreach(p => assert(assign(p._3) == assign(p._1),
+      "the positive must come from the anchor's own cell"))
+    val negs = out.filter(_._2 == "negative").map(p => (p._1, p._3)).toSet
+    val hn = VectorSim.hardNegatives(queries, e, cen, k = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(negs == hn, "the negative half must equal the hardNegatives mining")
+  }
+
   test("dense treeAggregate round == row-shaped explode/groupBy reduction, bit-exact") {
     val rnd = new scala.util.Random(23)
     val e = emb((0L until 97L).map(i =>
