@@ -102,6 +102,7 @@ object SparkEntry {
     "q72_shard_manifest"    -> (ExtQueries.q72ShardManifest(_, _)),
     "q57_ngram_lm"          -> (ExtQueries.q57NgramLm(_, _)),
     "q59_ngram_lm_heldout"  -> (ExtQueries.q59NgramLmHeldout(_, _)),
+    "q117_kneser_ney"       -> (ExtQueries.q117KneserNey(_, _)),
     "q50_chunk_documents"   -> (ExtQueries.q50ChunkDocuments(_, _)),
     "q51_bm25"              -> (ExtQueries.q51Bm25(_, _)),
     "q52_hybrid_rrf"        -> (ExtQueries.q52HybridRrf(_, _)),
@@ -125,6 +126,7 @@ object SparkEntry {
     "q114_split_audit"      -> (ExtQueries.q114SplitAudit(_, _)),
     "q115_curriculum_order" -> (ExtQueries.q115CurriculumOrder(_, _)),
     "q116_ann_method_compare" -> (ExtQueries.q116AnnMethodCompare(_, _)),
+    "q118_retrieval_metrics" -> (ExtQueries.q118RetrievalMetrics(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

@@ -312,6 +312,101 @@ object TextAnalysis {
           (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 8))
       .drop("bg", "w1", "__vk", "c12", "c1", "v")
 
+  /** Interpolated Kneser–Ney bigram statistics (public technique:
+    * Kneser & Ney 1995; the smoothing family behind KenLM and hence
+    * CCNet's quality LM — [[ngramLmScore]]'s add-one is the simple
+    * baseline, this is the one production perplexity filters use).
+    * Count frames, never driver data, same caller-owned lifecycle as
+    * [[LmStats]]:
+    *   - `bgCounts`  (bg, c12): bigram occurrence counts
+    *   - `hCounts`   (w1, hc):  history mass = Σ_w2 c(w1 w2)
+    *   - `fwCounts`  (w1, n1p): distinct continuations of w1 (N1+(w1,·))
+    *   - `contCounts`(w2, ncont): distinct histories of w2 (N1+(·,w2))
+    *   - `totals` 1 row (dd, v): distinct bigrams, distinct tokens
+    */
+  final case class KnStats(bgCounts: DataFrame, hCounts: DataFrame,
+      fwCounts: DataFrame, contCounts: DataFrame, totals: DataFrame) {
+    def persist(): this.type = {
+      bgCounts.persist(); hCounts.persist(); fwCounts.persist()
+      contCounts.persist(); totals.persist(); this
+    }
+    def unpersist(blocking: Boolean = false): this.type = {
+      bgCounts.unpersist(blocking); hCounts.unpersist(blocking)
+      fwCounts.unpersist(blocking); contCounts.unpersist(blocking)
+      totals.unpersist(blocking); this
+    }
+  }
+
+  /** Bigram frame with split history/continuation words — one gram
+    * scan feeding all four KN count aggregates. */
+  private def knBigrams(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(wordNgramsNative(tokens(col(textCol)), 2)).as("bg"))
+      .select(col("bg"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+
+  /** Train the Kneser–Ney count frames: four map-side-combined
+    * groupBys over ONE bigram scan shape (Catalyst reuses the scan;
+    * each aggregate shuffles only its distinct keys — vocabulary-, not
+    * corpus-sized). */
+  def knTrain(train: DataFrame, textCol: String): KnStats = {
+    val bg = knBigrams(train, textCol)
+    val db = bg.distinct()
+    KnStats(
+      bgCounts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c12")),
+      hCounts = bg.groupBy(col("w1")).agg(count(lit(1)).as("hc")),
+      fwCounts = db.groupBy(col("w1")).agg(count(lit(1)).as("n1p")),
+      contCounts = db.groupBy(col("w2")).agg(count(lit(1)).as("ncont")),
+      totals = db.agg(count(lit(1)).as("dd")).crossJoin(
+        train.select(explode(tokens(col(textCol))).as("w"))
+          .agg(count_distinct(col("w")).as("v"))))
+  }
+
+  /** Per-document interpolated-KN score over a trained model. Per
+    * bigram, with fixed discount d = 0.75 (exactly representable —
+    * dyadic):
+    *
+    *   Pcont(w2) = (N1+(·,w2) + 1) / (D + V)           (add-one floor
+    *     so unseen continuations keep P > 0 — the unk bucket)
+    *   seen history w1:
+    *     P = max(c(w1w2) − d, 0)/hc + ((d·N1+(w1,·))/hc) · Pcont(w2)
+    *   unseen history: P = Pcont(w2)                    (pure backoff)
+    *
+    * Engine-exactness: every term is integers cast to doubles composed
+    * with a FIXED parenthesization of correctly-rounded IEEE ops (the
+    * q57 discipline), the log rounds to 8dp, and the per-doc mean is a
+    * decimal-exact sum — the DuckDB oracle replays the identical
+    * expression tree. The unseen-history test keys off N1+(w1,·)
+    * (a word seen only document-final has occurrences but no
+    * continuations; KN backs it off to the continuation model). */
+  def knScore(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val m = knTrain(train, textCol)
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(wordNgramsNative(tokens(col(textCol)), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .withColumn("__vk", lit(1))
+    val scored = grams
+      .join(m.bgCounts, Seq("bg"), "left")
+      .join(m.hCounts, Seq("w1"), "left")
+      .join(m.fwCounts, Seq("w1"), "left")
+      .join(m.contCounts, Seq("w2"), "left")
+      .join(broadcast(m.totals.withColumn("__vk", lit(1))), Seq("__vk"))
+    val pc = (coalesce(col("ncont"), lit(0L)) + lit(1L)).cast("double") /
+      (col("dd") + col("v")).cast("double")
+    val p = when(col("n1p").isNotNull,
+      greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(0.75d),
+        lit(0.0d)) / col("hc").cast("double") +
+        (lit(0.75d) * col("n1p").cast("double") / col("hc").cast("double")) * pc)
+      .otherwise(pc)
+    scored.withColumn("lp", round(log(p), 8))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp").cast("decimal(20,8)")).cast("double") /
+          count(lit(1)), 6).as("avg_logprob"))
+  }
+
   /** Content fingerprints: md5 + 1-hash MinHash over char 5-grams, via
     * the native codegen'd [[graft.functions.expr.MinShingleHash]] — the
     * declarative `contentFingerprint` form pays O(len) interpreted

@@ -205,6 +205,18 @@ object ExtQueries {
       "doc_id", "text")
   }
 
+  /** Interpolated Kneser–Ney scoring (q117): the production smoothing
+    * family (KenLM/CCNet) over the same train/held-out split as q59 —
+    * exercises all three probability regimes (seen bigram, seen
+    * history + unseen continuation, unseen history backoff). */
+  def q117KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TextAnalysis.knScore(
+      d.where(pmod(col("doc_id"), lit(97)) =!= 0),
+      d.where(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text")
+  }
+
   /** CCNet-style quality stratification (q78): LM statistics trained
     * on the English slice (the "target domain" stand-in for CCNet's
     * Wikipedia LM), every document scored, corpus split head/middle/
@@ -1102,6 +1114,30 @@ object ExtQueries {
           round(col("n_hits").cast("double") / col("n_exact").cast("double"), 6)
             .as("recall"))
     )(() => { exact.unpersist(); () })
+  }
+
+  /** Ranked-retrieval metrics (q118): MRR / mean-nDCG@5 / recall@5 of
+    * the two PRUNED index families (IVF, IVFADC) against the exact
+    * top-k — q116's method axis upgraded with rank-sensitive quality
+    * (equal recall can hide very different rank orderings; a retrieval
+    * pipeline picks its index off this table, not recall alone). */
+  def q118RetrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") < 5)
+    val truth = VectorSim.knnBruteForce(queries, emb, 5)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val m = VectorSim.pqTrain(emb, dim = 64, subspaces = 8, k = 16, iters = 2)
+    val cen = VectorSim.kmeansCentroids(emb, 8, 2)
+    def metricsOf(method: String, df: DataFrame) =
+      VectorSim.retrievalMetrics(df, truth, 5)
+        .select(lit(method).as("method"), col("n_queries"), col("mrr"),
+          col("mean_ndcg"), col("recall"))
+    CacheLease.releaseAfterAction(
+      metricsOf("ivf", VectorSim.knnIvf(queries, emb, k = 5,
+        kClusters = 8, iters = 2, nprobe = 2))
+        .unionByName(metricsOf("ivfadc", VectorSim.pqSearchIvf(
+          queries, emb, m, cen, nprobe = 2, k = 5)))
+    )(() => { truth.unpersist(); () })
   }
 
   /** Dedup savings planner (q111): removable-token mass under the
@@ -2268,6 +2304,45 @@ object ExtQueries {
          |  CROSS JOIN vv
          |GROUP BY doc_id""".stripMargin,
 
+    // q117: interpolated Kneser–Ney over the q59 split. The CASE
+    // mirrors knScore's expression tree exactly — same
+    // parenthesization of the same IEEE double ops, 8dp-rounded ln,
+    // decimal-exact doc sums. Seen-history test keys off fw.n1p.
+    "q117_kneser_ney" ->
+      s"""WITH tr AS (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id % 97 != 0),
+         |ho AS (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id % 97 = 0),
+         |bgt AS (SELECT unnest(CASE WHEN len(t) - 1 >= 1
+         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END) AS bg FROM tr),
+         |bgp AS (SELECT bg, string_split(bg, ' ')[1] AS w1,
+         |  string_split(bg, ' ')[-1] AS w2 FROM bgt),
+         |bc AS (SELECT bg, count(*) AS c12 FROM bgp GROUP BY 1),
+         |hcnt AS (SELECT w1, count(*) AS hc FROM bgp GROUP BY 1),
+         |db AS (SELECT DISTINCT bg, w1, w2 FROM bgp),
+         |fw AS (SELECT w1, count(*) AS n1p FROM db GROUP BY 1),
+         |ct AS (SELECT w2, count(*) AS ncont FROM db GROUP BY 1),
+         |tt AS (SELECT (SELECT count(*) FROM db) AS dd,
+         |  (SELECT count(DISTINCT w) FROM (SELECT unnest(t) AS w FROM tr)) AS v),
+         |bgh AS (SELECT doc_id, unnest(CASE WHEN len(t) - 1 >= 1
+         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END) AS bg FROM ho),
+         |g AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+         |  string_split(bg, ' ')[-1] AS w2 FROM bgh)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(sum(CAST(round(ln(
+         |    CASE WHEN fw.n1p IS NOT NULL
+         |      THEN greatest(coalesce(bc.c12, 0)::DOUBLE - 0.75, 0.0) / hcnt.hc::DOUBLE +
+         |        (0.75 * fw.n1p::DOUBLE / hcnt.hc::DOUBLE) *
+         |        ((coalesce(ct.ncont, 0) + 1)::DOUBLE / (tt.dd + tt.v)::DOUBLE)
+         |      ELSE (coalesce(ct.ncont, 0) + 1)::DOUBLE / (tt.dd + tt.v)::DOUBLE
+         |    END), 8) AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_logprob
+         |FROM g LEFT JOIN bc USING (bg)
+         |  LEFT JOIN hcnt USING (w1)
+         |  LEFT JOIN fw USING (w1)
+         |  LEFT JOIN ct USING (w2)
+         |  CROSS JOIN tt
+         |GROUP BY doc_id""".stripMargin,
+
     // q78: q59's trained-LM LEFT-join scoring (train = the en slice,
     // scored = all docs), then value-quantile bucketing from the score
     // histogram: cum(s) = docs scoring >= s, bucket = ceil(cum*3/N) in
@@ -2983,6 +3058,50 @@ object ExtQueries {
                topK = 5, queryPred = "vec_id < 5"))})
          |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_exact
          |            FROM ($exactPairs))""".stripMargin
+    },
+
+    // q118: the q116 ranked chains re-scored with rank-sensitive
+    // metrics — 6dp-rounded 1/log2(rank+1) gains summed in DECIMAL,
+    // ideal DCG derived from a range (same discipline as the engine),
+    // every division under explicit DOUBLE casts.
+    "q118_retrieval_metrics" -> {
+      val exactPairs =
+        """SELECT query_id, neighbor_id FROM (
+          | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |  CAST(row_number() OVER (
+          |    PARTITION BY q.vec_id
+          |    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+          |             c.vec_id) AS INT) AS rank
+          | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          | WHERE q.vec_id < 5)
+          |WHERE rank <= 5""".stripMargin
+      def metricsOf(method: String, chain: String) =
+        s"""SELECT '$method' AS method,
+           |  CAST(count(*) AS BIGINT) AS n_queries,
+           |  round(CAST(sum(CAST(rr AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mrr,
+           |  round(CAST(sum(CAST(ndcg AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_ndcg,
+           |  round(CAST(sum(nh) AS DOUBLE) / (count(*) * 5), 6) AS recall
+           |FROM (
+           |  SELECT e.query_id,
+           |    coalesce(round(CAST(1.0 AS DOUBLE) / CAST(h.first_hit AS DOUBLE), 6), 0.0) AS rr,
+           |    coalesce(round(CAST(h.dcg AS DOUBLE) / CAST(ii.idcg AS DOUBLE), 6), 0.0) AS ndcg,
+           |    coalesce(h.n_hits, 0) AS nh
+           |  FROM (SELECT DISTINCT query_id FROM ($exactPairs)) e
+           |  LEFT JOIN (
+           |    SELECT a.query_id, min(a.rank) AS first_hit,
+           |      CAST(count(*) AS BIGINT) AS n_hits,
+           |      sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(a.rank + 1), 6) AS DECIMAL(20,6))) AS dcg
+           |    FROM ($chain) a JOIN ($exactPairs) t USING (query_id, neighbor_id)
+           |    GROUP BY a.query_id) h USING (query_id)
+           |  CROSS JOIN (
+           |    SELECT sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(r + 1), 6) AS DECIMAL(20,6))) AS idcg
+           |    FROM range(1, 6) t(r)) ii)""".stripMargin
+      s"""${metricsOf("ivf", knnIvfOracleSql(k = 5, dim = 64, kClusters = 8,
+            iters = 2, nprobe = 2, queryPred = "vec_id < 5"))}
+         |UNION ALL
+         |${metricsOf("ivfadc", pqSearchIvfOracleSql(dim = 64, subspaces = 8,
+            kw = 16, iters = 2, kClusters = 8, cIters = 2, nprobe = 2,
+            topK = 5, queryPred = "vec_id < 5"))}""".stripMargin
     },
 
     // q112: conditional per-wave sums, 1-row totals, one double

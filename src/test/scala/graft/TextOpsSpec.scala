@@ -270,6 +270,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(tri(1L)._1 == 4L && tri(1L)._2 > tri(4L)._2)
   }
 
+  test("knScore: interpolated Kneser–Ney matches hand-computed probabilities") {
+    import graft.operators.TextAnalysis
+    // Train counts: c12("a b")=1, c12("b a")=2, c12("a c")=1;
+    // hc(a)=2, hc(b)=2; N1+(a,.)=2, N1+(b,.)=1;
+    // N1+(.,b)=1, N1+(.,a)=1, N1+(.,c)=1; D=3 distinct bigrams, V=3.
+    val train = docs((1L, "a b a c"), (2L, "b a"))
+    val scored = docs((10L, "a b a d d a"))
+    val out = TextAnalysis.knScore(train, scored, "doc_id", "text")
+      .as[(Long, Long, Double)].head()
+    def r8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    // "a b" seen:      (1-.75)/2 + (.75*2/2)*((1+1)/6)  = 0.375
+    // "b a" seen:      (2-.75)/2 + (.75*1/2)*((1+1)/6)  = 0.75
+    // "a d" bkoff-cont: 0/2      + (.75*2/2)*((0+1)/6)  = 0.125
+    // "d d" unseen history -> Pcont(d) = (0+1)/6
+    // "d a" unseen history -> Pcont(a) = (1+1)/6
+    val lps = Seq(0.375, 0.75, 0.125, 1.0 / 6, 2.0 / 6).map(p => r8(math.log(p)))
+    val expected = BigDecimal(lps.sum.toDouble / 5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._1 == 10L && out._2 == 5L)
+    assert(out._3 == expected)
+    // Ranking property: a doc of high-count training bigrams outscores
+    // the same words in never-seen order (the q57 fluency property).
+    val corpus = docs(
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"), (4L, "mat the on sat cat the"))
+    val kn = TextAnalysis.knScore(corpus, corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, lp) => id -> ((n, lp)) }.toMap
+    assert(kn(1L)._2 > kn(4L)._2, "unseen bigram order must score lower")
+  }
+
   test("containmentPairs flags near-subsets that Jaccard misses") {
     // Doc 1 is exactly the first third of doc 2: containment(1 in 2)=1
     // but Jaccard ~ 1/3. Doc 3 shares nothing.

@@ -501,4 +501,28 @@ class VectorSimSpec extends AnyFunSuite {
       iters = 2, threshold = 0.99, maxCellSize = 15)),
       "guarded disposition is deterministic")
   }
+
+  test("retrievalMetrics: MRR / nDCG / recall on a hand-built ranking") {
+    // truth: q1 -> {10, 11}, q2 -> {10, 12}. Ranked lists (k = 2):
+    //   q1: 10@1, 11@2  (perfect -> rr = 1, ndcg = 1, 2 hits)
+    //   q2: 99@1, 10@2  (first hit at 2 -> rr = 0.5, 1 hit)
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    val ranked = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 99L, 1), (2L, 10L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = VectorSim.retrievalMetrics(ranked, truth, k = 2)
+      .as[(Long, Double, Double, Double)].head()
+    assert(out._1 == 2L, "two queries")
+    assert(out._2 == 0.75, "mrr = (1 + 1/2) / 2")
+    assert(out._4 == 0.75, "recall = 3 hits / (2 queries * k=2)")
+    // q1 ndcg = 1 exactly; q2 ndcg = g(2)/(g(1)+g(2)) with
+    // g(r) = 1/log2(r+1): ~0.6309/1.6309 ~ 0.3869 -> mean ~ 0.6934.
+    assert(out._3 > 0.69 && out._3 < 0.70, s"mean ndcg ${out._3}")
+    // No-hit query still counts in the means.
+    val none = Seq((1L, 50L, 1), (1L, 51L, 2), (2L, 99L, 1), (2L, 10L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out2 = VectorSim.retrievalMetrics(none, truth, k = 2)
+      .as[(Long, Double, Double, Double)].head()
+    assert(out2._1 == 2L && out2._2 == 0.25 && out2._4 == 0.25)
+  }
 }
