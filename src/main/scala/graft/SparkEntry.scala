@@ -127,6 +127,9 @@ object SparkEntry {
     "q115_curriculum_order" -> (ExtQueries.q115CurriculumOrder(_, _)),
     "q116_ann_method_compare" -> (ExtQueries.q116AnnMethodCompare(_, _)),
     "q118_retrieval_metrics" -> (ExtQueries.q118RetrievalMetrics(_, _)),
+    "q119_snapshot_diff"    -> (ExtQueries.q119SnapshotDiff(_, _)),
+    "q120_random_projection" -> (ExtQueries.q120RandomProjection(_, _)),
+    "q121_c4_line_filter"   -> (ExtQueries.q121C4LineFilter(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

@@ -312,6 +312,42 @@ object TextAnalysis {
           (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 8))
       .drop("bg", "w1", "__vk", "c12", "c1", "v")
 
+  /** C4-style line-level cleaning (public technique: Raffel et al.
+    * 2020 §2.2 — the C4 heuristics): keep only LINES with at least
+    * `minWords` words that end in a terminal punctuation mark
+    * (./!/?), then keep only DOCUMENTS with at least `minLines`
+    * surviving lines, no curly brace, and no "lorem ipsum" — the
+    * line-granular boilerplate cut that whole-document gates
+    * ([[gopherRules]]) cannot express. Output: per-doc line census
+    * (n_lines, n_kept), the cleaned re-joined text, and the doc keep
+    * flag.
+    *
+    * Relational shape (the Generate-inlining rule): lines explode to
+    * rows, every per-line predicate is a codegen'd scalar, and the
+    * re-assembly is one groupBy with an order-pinned array_sort over
+    * (pos, line) structs — no interpreted per-element lambdas, no
+    * window. One explode + one doc-keyed aggregation at any scale. */
+  def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val perLine = docs.select(
+      col(idCol).as("doc_id"),
+      (col(textCol).contains("{") ||
+        lower(col(textCol)).contains("lorem ipsum")).as("page_flag"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("keep_line",
+        size(tokens(col("line"))) >= minWords &&
+          substring(col("line"), -1, 1).isin(".", "!", "?"))
+    perLine.groupBy(col("doc_id"), col("page_flag"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("keep_line").cast("long")).as("n_kept"),
+        array_sort(collect_list(
+          when(col("keep_line"), struct(col("pos"), col("line"))))).as("kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        array_join(col("kept.line"), "\n").as("cleaned_text"),
+        (col("n_kept") >= minLines && !col("page_flag")).cast("int").as("keep"))
+  }
+
   /** Interpolated Kneser–Ney bigram statistics (public technique:
     * Kneser & Ney 1995; the smoothing family behind KenLM and hence
     * CCNet's quality LM — [[ngramLmScore]]'s add-one is the simple

@@ -838,6 +838,40 @@ object TextDedup {
           .as("hash_jaccard"))
   }
 
+  /** Dataset snapshot diff (dataset-versioning changelog — the data
+    * diff DVC / HuggingFace dataset releases ship): classify every id
+    * across two corpus snapshots as added / removed / changed /
+    * unchanged by NORMALIZED content hash ([[contentHash]] — a
+    * whitespace-only edit is not a change), rolled up per group with
+    * document counts and the net token delta.
+    *
+    * Scale shape: each side is one map pass (hash + token count per
+    * row — no text leaves the scan), the full-outer join is the only
+    * shuffle (on the id key), and the rollup output is
+    * |groups| x 4 rows. At 100 TB this is the cheapest honest answer
+    * to "what changed between crawls" — no pair joins, no text
+    * comparison, just id-aligned hashes. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      textCol: String, groupCol: String): DataFrame = {
+    def side(df: DataFrame, p: String) = df.select(
+      col(idCol).as("doc_id"),
+      col(groupCol).as(s"${p}_src"),
+      contentHash(col(textCol)).as(s"${p}_h"),
+      size(tokens(col(textCol))).cast("long").as(s"${p}_nt"))
+    side(oldSnap, "o")
+      .join(side(newSnap, "n"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("n_src"), col("o_src")).as("source"),
+        when(col("o_h").isNull, lit("added"))
+          .when(col("n_h").isNull, lit("removed"))
+          .when(col("o_h") =!= col("n_h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        (coalesce(col("n_nt"), lit(0L)) - coalesce(col("o_nt"), lit(0L)))
+          .as("dt"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dt")).as("token_delta"))
+  }
+
   /** Content-defined chunk inventory (the FastCDC/LBFS idea lifted to
     * token streams — public technique: Muthitacharoen et al. 2001,
     * "A Low-Bandwidth Network File System"): chunk boundaries fall

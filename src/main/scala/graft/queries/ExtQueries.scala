@@ -1140,6 +1140,49 @@ object ExtQueries {
     )(() => { truth.unpersist(); () })
   }
 
+  /** Dataset snapshot diff (q119): the versioning changelog between
+    * two crawl snapshots — old = doc_id % 3 != 0, new = doc_id % 5
+    * != 0 with docs at doc_id % 7 == 0 re-crawled with extra content
+    * — added/removed/changed/unchanged per source with token deltas. */
+  def q119SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TextDedup.snapshotDiff(
+      d.where(pmod(col("doc_id"), lit(3)) =!= 0),
+      d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" rev2 content"))).otherwise(col("text"))),
+      "doc_id", "text", "source")
+  }
+
+  /** JL random projection (q120): 64 → 16 dims under the md5-derived
+    * projection matrix — the ANN pre-reduction pass, bit-exact in any
+    * engine. */
+  def q120RandomProjection(s: SparkSession, dir: String): DataFrame =
+    VectorSim.randomProjection(Tables.embeddings(s, dir),
+      dim = 64, outDim = 16, seed = 7L)
+
+  /** C4 line-level cleaning (q121): the corpus has no line structure,
+    * so lines are synthesized deterministically from the token stream
+    * (the q93 fixture pattern) — 8-token lines, a line gains terminal
+    * punctuation when the md5 draw of (doc_id, line_idx) lands in the
+    * low half, so the C4 keep rule actually discriminates — then the
+    * real [[TextAnalysis.c4LineFilter]] runs over the line-shaped
+    * text. */
+  def q121C4LineFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val d = Tables.documents(s, dir)
+    val toks = tokens(col("text"))
+    val nl = greatest(floor((size(toks) + lit(7)) / lit(8)).cast("int"), lit(1))
+    val raw = d.select(col("doc_id"),
+      array_join(transform(sequence(lit(0), nl - 1), i =>
+        concat(array_join(slice(toks, i * 8 + 1, lit(8)), " "),
+          when(substring(md5(concat(col("doc_id").cast("string"), lit("#ln"),
+            i.cast("string"))), 1, 1)
+            .isin("0", "1", "2", "3", "4", "5", "6", "7"), ".")
+            .otherwise(""))), "\n").as("text"))
+    TextAnalysis.c4LineFilter(raw, "doc_id", "text")
+  }
+
   /** Dedup savings planner (q111): removable-token mass under the
     * three dedup granularities side by side — whole-document exact
     * (q20), content-defined chunks (q105), repeated spans (q69) —
@@ -3103,6 +3146,80 @@ object ExtQueries {
             kw = 16, iters = 2, kClusters = 8, cIters = 2, nprobe = 2,
             topK = 5, queryPred = "vec_id < 5"))}""".stripMargin
     },
+
+    // q119: id-aligned FULL OUTER join of the two snapshot sides,
+    // normalized-hash change test, per-(source, status) rollup.
+    "q119_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, source, md5(lower(trim(text))) AS h,
+         |    CAST(len($duckToks) AS BIGINT) AS nt
+         |  FROM documents WHERE doc_id % 3 != 0),
+         |n0 AS (SELECT doc_id, source,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2 content'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 != 0),
+         |n AS (SELECT doc_id, source, md5(lower(trim(text))) AS h,
+         |    CAST(len($duckToks) AS BIGINT) AS nt FROM n0)
+         |SELECT coalesce(n.source, o.source) AS source,
+         |  CASE WHEN o.h IS NULL THEN 'added'
+         |       WHEN n.h IS NULL THEN 'removed'
+         |       WHEN o.h != n.h THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(n.nt, 0) - coalesce(o.nt, 0)) AS BIGINT) AS token_delta
+         |FROM o FULL OUTER JOIN n USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
+
+    // q120: the projection matrix re-derives from the md5 formula
+    // (the q26 plane discipline), dots are list_sum in the same
+    // left-to-right order as the codegen kernel, scale sqrt(3/16) is
+    // a correctly-rounded IEEE sqrt of a dyadic on both engines.
+    "q120_random_projection" -> {
+      val cols = (0 until 16).map(j =>
+        s"max(CASE WHEN j = $j THEN p END) AS p$j").mkString(",\n  ")
+      s"""WITH pl AS (
+         |  SELECT bb.b AS j,
+         |    [('0x' || substr(md5('hp-7-' || bb.b::VARCHAR || '-' || d::VARCHAR), 1, 8))::BIGINT
+         |       / 2147483648.0 - 1.0 for d in range(0, 64)] AS w
+         |  FROM range(0, 16) bb(b)),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |dots AS (SELECT e.vec_id, pl.j,
+         |    round(list_sum([e.emb[i+1] * pl.w[i+1] for i in range(0, 64)]) *
+         |      sqrt(CAST(3.0 AS DOUBLE) / 16), 6) AS p
+         |  FROM e CROSS JOIN pl)
+         |SELECT vec_id,
+         |  $cols
+         |FROM dots GROUP BY vec_id""".stripMargin
+    },
+
+    // q121: line synthesis (8-token slices + md5-parity terminal '.')
+    // replayed in SQL, then the C4 rules: >= 5 words AND terminal
+    // punctuation per line, >= 3 kept lines AND no brace/lorem-ipsum
+    // per doc; cleaned text re-joined in line order.
+    "q121_c4_line_filter" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |ls AS (SELECT doc_id,
+         |  [array_to_string(t[i*8+1:i*8+8], ' ') ||
+         |     CASE WHEN substr(md5(doc_id::VARCHAR || '#ln' || i::VARCHAR), 1, 1)
+         |            IN ('0','1','2','3','4','5','6','7') THEN '.' ELSE '' END
+         |   for i in range(0, greatest((len(t)+7)//8, 1))] AS lines FROM tk),
+         |raw AS (SELECT doc_id, array_to_string(lines, chr(10)) AS rt, lines FROM ls),
+         |pl AS (SELECT doc_id,
+         |    (position('{' IN rt) > 0 OR position('lorem ipsum' IN lower(rt)) > 0) AS page_flag,
+         |    u.p AS pos, u.l AS line
+         |  FROM (SELECT doc_id, rt,
+         |          unnest([{'p': i, 'l': lines[i+1]} for i in range(0, len(lines))]) AS u
+         |        FROM raw)),
+         |fl AS (SELECT doc_id, page_flag, pos, line,
+         |    (len(list_filter(string_split_regex(line, '\\s+'), x -> x != '')) >= 5
+         |     AND right(line, 1) IN ('.', '!', '?')) AS keep_line
+         |  FROM pl)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN keep_line THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN keep_line THEN line END, chr(10) ORDER BY pos), '') AS cleaned_text,
+         |  CAST(CASE WHEN sum(CASE WHEN keep_line THEN 1 ELSE 0 END) >= 3
+         |            AND NOT any_value(page_flag) THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM fl GROUP BY doc_id""".stripMargin,
 
     // q112: conditional per-wave sums, 1-row totals, one double
     // division per share; drift over the rounded shares (wrapper

@@ -10,6 +10,21 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("snapshotDiff classifies ids and sums token deltas per source") {
+    val old = Seq((1L, "a b", "A"), (2L, "c d", "A"), (3L, "e f", "B"))
+      .toDF("doc_id", "text", "source")
+    val nw = Seq((2L, " C D ", "A"), (3L, "e f g", "B"), (4L, "h", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextDedup.snapshotDiff(old, nw, "doc_id", "text", "source")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      ("A", "removed") -> ((1L, -2L)),    // doc 1 gone
+      ("A", "unchanged") -> ((1L, 0L)),   // doc 2: normalization absorbs case/space
+      ("B", "changed") -> ((1L, 1L)),     // doc 3: +1 token
+      ("B", "added") -> ((1L, 1L))))      // doc 4
+  }
+
   test("crossSourceOverlap counts shared normalized hashes per source pair") {
     val docs = Seq(
       (0L, "alpha beta", "A"),

@@ -270,6 +270,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(tri(1L)._1 == 4L && tri(1L)._2 > tri(4L)._2)
   }
 
+  test("c4LineFilter: line rules, doc gates, ordered reassembly") {
+    import graft.operators.TextAnalysis
+    val five = "one two three four five"
+    val corpus = Seq(
+      // 4 lines: 3 keepable + 1 too-short -> kept doc
+      (1L, s"$five.\n$five!\nshort line.\n$five?"),
+      // enough words but no terminal punctuation -> dropped lines
+      (2L, s"$five\n$five\n$five"),
+      // page-level gates: brace and lorem ipsum kill otherwise-good docs
+      (3L, s"$five.\n$five.\n$five {.\n$five."),
+      (4L, s"$five.\n$five.\nLorem Ipsum dolor sit amet.\n$five."),
+      (5L, "")) // empty doc: one empty line, nothing kept
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((4L, 3L, s"$five.\n$five!\n$five?", 1)),
+      "3 of 4 lines survive in order; doc kept")
+    assert(out(2L) == ((3L, 0L, "", 0)), "no terminal punctuation -> all dropped")
+    assert(out(3L)._4 == 0 && out(3L)._2 >= 3L, "curly brace kills the page")
+    assert(out(4L)._4 == 0, "lorem ipsum kills the page (case-insensitive)")
+    assert(out(5L) == ((1L, 0L, "", 0)), "empty doc: one line, nothing kept")
+  }
+
   test("knScore: interpolated Kneser–Ney matches hand-computed probabilities") {
     import graft.operators.TextAnalysis
     // Train counts: c12("a b")=1, c12("b a")=2, c12("a c")=1;

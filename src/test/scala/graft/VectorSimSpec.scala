@@ -502,6 +502,39 @@ class VectorSimSpec extends AnyFunSuite {
       "guarded disposition is deterministic")
   }
 
+  test("randomProjection: deterministic, norm-preserving in expectation") {
+    // 60 deterministic pseudo-random unit-scale vectors in 32 dims —
+    // md5-derived so they are statistically independent of the
+    // 'hp-...'-keyed projection planes (a linear-congruential fixture
+    // correlates with the fixed matrix and skews the norm ratios).
+    def coord(i: Long, d: Int): Float = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"vec-$i-$d".getBytes("UTF-8"))
+      (((h(0) & 0xff) * 256 + (h(1) & 0xff)).toFloat / 65536f) - 0.5f
+    }
+    val vecs = (0L until 60L).map(i => (i, (0 until 32).map(d => coord(i, d)), 0))
+    val e = emb(vecs: _*)
+    val proj = VectorSim.randomProjection(e, dim = 32, outDim = 8, seed = 7L)
+    assert(proj.columns.toSeq == "vec_id" +: (0 until 8).map(i => s"p$i"))
+    val rows = proj.orderBy("vec_id").collect()
+    assert(rows.length == 60)
+    assert(rows.sameElements(
+      VectorSim.randomProjection(e, 32, 8, 7L).orderBy("vec_id").collect()),
+      "projection is deterministic")
+    // JL with the sqrt(3/outDim) scale preserves squared norms in
+    // EXPECTATION: the mean ratio over 60 vectors should sit near 1
+    // (individual ratios vary widely at outDim = 8 — that is the JL
+    // variance, not a bug).
+    val ratios = rows.map { r =>
+      val id = r.getLong(0)
+      val orig = (0 until 32).map(d => coord(id, d).toDouble)
+      val p2 = (1 to 8).map(j => r.getDouble(j)).map(x => x * x).sum
+      p2 / orig.map(x => x * x).sum
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
+  }
+
   test("retrievalMetrics: MRR / nDCG / recall on a hand-built ranking") {
     // truth: q1 -> {10, 11}, q2 -> {10, 12}. Ranked lists (k = 2):
     //   q1: 10@1, 11@2  (perfect -> rr = 1, ndcg = 1, 2 hits)
