@@ -130,6 +130,10 @@ object SparkEntry {
     "q119_snapshot_diff"    -> (ExtQueries.q119SnapshotDiff(_, _)),
     "q120_random_projection" -> (ExtQueries.q120RandomProjection(_, _)),
     "q121_c4_line_filter"   -> (ExtQueries.q121C4LineFilter(_, _)),
+    "q122_collocations"     -> (ExtQueries.q122Collocations(_, _)),
+    "q123_projected_ann_eval" -> (ExtQueries.q123ProjectedAnnEval(_, _)),
+    "q124_winnowing"        -> (ExtQueries.q124Winnowing(_, _)),
+    "q125_vocab_growth"     -> (ExtQueries.q125VocabGrowth(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

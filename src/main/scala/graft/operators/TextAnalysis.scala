@@ -443,6 +443,91 @@ object TextAnalysis {
           count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** PMI collocation extraction (public technique: Church & Hanks
+    * 1990, "Word association norms, mutual information, and
+    * lexicography"): the top-k adjacent-word pairs by pointwise
+    * mutual information
+    *
+    *   pmi(w1,w2) = ln( (c12/N) / ((c1/U) * (c2/U)) )
+    *
+    * at a minimum bigram support — the classic multiword-expression /
+    * phrase-vocabulary pass (tokenizer phrase merges, stop-phrase
+    * lists, word2vec-style phrase detection all start here). N =
+    * bigram positions, U = token occurrences.
+    *
+    * Shape: one bigram scan feeds the pair counts, one token scan the
+    * unigram counts; both joins are vocabulary-sized; the cut is an
+    * orderBy+limit (TakeOrderedAndProject — never a full sort of the
+    * pair table). Fixed IEEE parenthesization + 8dp-rounded ln + 6dp
+    * final round keep ranking engine-exact (ties at the rounded pmi
+    * resolve by bigram text). */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val bg = knBigrams(docs, textCol)
+    val bc = bg.groupBy(col("bg"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    val un = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = bg.agg(count(lit(1)).as("nb")).crossJoin(
+      un.agg(sum(col("c")).as("ub")))
+    val scored = bc
+      .join(un.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(un.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("bg").as("bigram"), col("c12"),
+        round(log(
+          (col("c12").cast("double") / col("nb").cast("double")) /
+            ((col("c1").cast("double") / col("ub").cast("double")) *
+              (col("c2").cast("double") / col("ub").cast("double")))), 6)
+          .as("pmi"))
+    scored.orderBy(col("pmi").desc, col("bigram")).limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("pmi").desc, col("bigram"))).cast("int"))
+  }
+
+  /** Vocabulary growth curve (Heaps'-law profiling — Heaps 1978): at
+    * `steps` id-prefix checkpoints (doc_id order standing in for
+    * ingestion order), the document count, token mass, distinct-token
+    * vocabulary, and type-token ratio — the corpus-composition signal
+    * that says whether more data still buys vocabulary (and hence how
+    * big a tokenizer vocab the corpus supports).
+    *
+    * Shape: vocabulary size at EVERY checkpoint comes from one
+    * (token, first_doc) frame — a single groupBy over the token scan —
+    * joined against the tiny checkpoint frame; no per-checkpoint
+    * corpus rescan. The checkpoint cross joins touch vocabulary- and
+    * doc-stat-sized frames only. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      steps: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val fd = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+    val dstat = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("nt"))
+    val mx = dstat.agg(max(col("doc_id")).as("mx"))
+    val thr = spark.range(1, steps + 1)
+      .select(col("id").cast("int").as("pct_step"))
+      .crossJoin(broadcast(mx))
+      .select(col("pct_step"),
+        floor(col("mx") * col("pct_step") / lit(steps)).cast("long")
+          .as("max_doc"))
+    val voc = fd.crossJoin(broadcast(thr))
+      .where(col("first_doc") <= col("max_doc"))
+      .groupBy(col("pct_step"), col("max_doc"))
+      .agg(count(lit(1)).as("vocab_size"))
+    dstat.crossJoin(broadcast(thr))
+      .where(col("doc_id") <= col("max_doc"))
+      .groupBy(col("pct_step"), col("max_doc"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .join(voc, Seq("pct_step", "max_doc"), "left")
+      .select(col("pct_step"), col("max_doc"), col("n_docs"), col("n_tokens"),
+        coalesce(col("vocab_size"), lit(0L)).as("vocab_size"),
+        round(coalesce(col("vocab_size"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("ttr"))
+  }
+
   /** Content fingerprints: md5 + 1-hash MinHash over char 5-grams, via
     * the native codegen'd [[graft.functions.expr.MinShingleHash]] — the
     * declarative `contentFingerprint` form pays O(len) interpreted

@@ -838,6 +838,54 @@ object TextDedup {
           .as("hash_jaccard"))
   }
 
+  /** Winnowing document fingerprints (public technique: Schleimer,
+    * Wilkerson & Aiken 2003, "Winnowing: local algorithms for document
+    * fingerprinting" — the MOSS algorithm): positional `k`-token-gram
+    * hashes; every window of `w` consecutive hashes contributes its
+    * MINIMUM (rightmost among equals — the paper's tie rule); the
+    * distinct selected (pos, hash) set is the document's fingerprint.
+    * Guarantees: any shared run of >= w+k-1 tokens shares at least one
+    * fingerprint; expected density 2/(w+1) — the sampled alternative
+    * to q66's exhaustive window table when the span index must stay
+    * small at 100 TB.
+    *
+    * Output: per-doc fingerprint census — (doc_id, n_fps, n_shared)
+    * where n_shared counts this doc's fingerprint values that appear
+    * in at least one other document (the plagiarism/overlap signal).
+    * Docs with fewer than w full windows have no fingerprint and drop.
+    *
+    * Shape: one gram pass, one doc-partitioned sliding window (the
+    * rightmost-min rides ONE struct-min over (h, -pos) — no per-window
+    * subsort), hash-keyed rollups. The gram hash is the md5-13-hex
+    * draw so the oracle replays the exact selection. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    val g = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(wordNgramsNative(col("toks"), k)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("gram")), 1, 13), 16, 10).cast("long").as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    val sel = g
+      .withColumn("wn", count(lit(1)).over(win))
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .where(col("wn") === w)
+      .select(col("doc_id"), (-col("m.np")).as("pos"), col("m.h").as("fp"))
+      .distinct()
+    val docFps = sel.select(col("doc_id"), col("fp")).distinct()
+    val shared = docFps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2)
+    sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+      .join(docFps.join(shared.select(col("fp")), "fp")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_fps"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
   /** Dataset snapshot diff (dataset-versioning changelog — the data
     * diff DVC / HuggingFace dataset releases ship): classify every id
     * across two corpus snapshots as added / removed / changed /

@@ -1183,6 +1183,51 @@ object ExtQueries {
     TextAnalysis.c4LineFilter(raw, "doc_id", "text")
   }
 
+  /** PMI collocations (q122): top-50 adjacent-word associations by
+    * pointwise mutual information at bigram support >= 5 — the phrase
+    * vocabulary / multiword-expression pass. */
+  def q122Collocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(Tables.documents(s, dir), "doc_id", "text",
+      minCount = 5L, k = 50)
+
+  /** Reduced-dimension ANN operating table (q123): exact search run in
+    * JL-projected space (8/16/32 dims) scored against the full-64-dim
+    * exact top-5 with the q118 metric triple — how much retrieval
+    * quality each compression step costs, the dial that sizes the
+    * projection before an index build. */
+  def q123ProjectedAnnEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val truth = VectorSim.knnBruteForce(emb.where(col("vec_id") < 5), emb, 5)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    def row(od: Int) = {
+      val proj = VectorSim.randomProjection(emb, dim = 64, outDim = od,
+        seed = 7L)
+        .select(col("vec_id"),
+          array((0 until od).map(j => col(s"p$j").cast("float")): _*)
+            .as("embedding"))
+      VectorSim.retrievalMetrics(
+        VectorSim.knnBruteForce(proj.where(col("vec_id") < 5), proj, 5),
+        truth, 5)
+        .select(lit(od).as("out_dim"), col("n_queries"), col("mrr"),
+          col("mean_ndcg"), col("recall"))
+    }
+    CacheLease.releaseAfterAction(
+      Seq(8, 16, 32).map(row).reduce(_ unionByName _)
+    )(() => { truth.unpersist(); () })
+  }
+
+  /** Winnowing fingerprints (q124): the MOSS sampled fingerprint
+    * census per document (k=4 grams, w=4 windows) with the cross-doc
+    * shared-fingerprint overlap signal. */
+  def q124Winnowing(s: SparkSession, dir: String): DataFrame =
+    TextDedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+      k = 4, w = 4)
+
+  /** Vocabulary growth curve (q125): Heaps'-law checkpoints over the
+    * doc_id ingestion order — does more data still buy vocabulary? */
+  def q125VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(Tables.documents(s, dir), "doc_id", "text")
+
   /** Dedup savings planner (q111): removable-token mass under the
     * three dedup granularities side by side — whole-document exact
     * (q20), content-defined chunks (q105), repeated spans (q69) —
@@ -3220,6 +3265,142 @@ object ExtQueries {
          |  CAST(CASE WHEN sum(CASE WHEN keep_line THEN 1 ELSE 0 END) >= 3
          |            AND NOT any_value(page_flag) THEN 1 ELSE 0 END AS INT) AS keep
          |FROM fl GROUP BY doc_id""".stripMargin,
+
+    // q122: bigram/unigram count CTEs, PMI under explicit DOUBLE
+    // casts with the engine's parenthesization, top-50 with
+    // bigram-text tiebreak.
+    "q122_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |bgt AS (SELECT unnest(CASE WHEN len(t) - 1 >= 1
+         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END) AS bg FROM tk),
+         |bgp AS (SELECT bg, string_split(bg, ' ')[1] AS w1,
+         |  string_split(bg, ' ')[-1] AS w2 FROM bgt),
+         |bc AS (SELECT bg, w1, w2, count(*) AS c12 FROM bgp
+         |       GROUP BY bg, w1, w2 HAVING count(*) >= 5),
+         |un AS (SELECT w, count(*) AS c FROM
+         |       (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+         |tt AS (SELECT (SELECT count(*) FROM bgp) AS nb,
+         |  (SELECT CAST(sum(c) AS BIGINT) FROM un) AS ub)
+         |SELECT bigram, c12, pmi,
+         |  CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS INT) AS rank
+         |FROM (
+         |  SELECT bc.bg AS bigram, bc.c12,
+         |    round(ln((bc.c12::DOUBLE / tt.nb::DOUBLE) /
+         |      ((u1.c::DOUBLE / tt.ub::DOUBLE) * (u2.c::DOUBLE / tt.ub::DOUBLE))), 6) AS pmi
+         |  FROM bc JOIN un u1 ON u1.w = bc.w1
+         |          JOIN un u2 ON u2.w = bc.w2
+         |          CROSS JOIN tt)
+         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+
+    // q123: per out-dim, the projection replays (md5 planes, float
+    // round-trip), brute-force search runs in projected space, and
+    // the q118 metric body scores it against the full-dim exact
+    // top-5.
+    "q123_projected_ann_eval" -> {
+      val exactPairs =
+        """SELECT query_id, neighbor_id FROM (
+          | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |  CAST(row_number() OVER (
+          |    PARTITION BY q.vec_id
+          |    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+          |             c.vec_id) AS INT) AS rank
+          | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          | WHERE q.vec_id < 5)
+          |WHERE rank <= 5""".stripMargin
+      def projChain(od: Int) =
+        s"""WITH pl AS (
+           |  SELECT bb.b AS j,
+           |    [('0x' || substr(md5('hp-7-' || bb.b::VARCHAR || '-' || d::VARCHAR), 1, 8))::BIGINT
+           |       / 2147483648.0 - 1.0 for d in range(0, 64)] AS w
+           |  FROM range(0, $od) bb(b)),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |dots AS (SELECT e.vec_id, pl.j,
+           |    CAST(CAST(round(list_sum([e.emb[i+1] * pl.w[i+1] for i in range(0, 64)]) *
+           |      sqrt(CAST(3.0 AS DOUBLE) / $od), 6) AS FLOAT) AS DOUBLE) AS p
+           |  FROM e CROSS JOIN pl),
+           |pv AS (SELECT vec_id, list(p ORDER BY j) AS v FROM dots GROUP BY vec_id)
+           |SELECT query_id, neighbor_id, rank FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS INT) AS rank
+           |  FROM pv q JOIN pv c ON q.vec_id != c.vec_id
+           |  WHERE q.vec_id < 5)
+           |WHERE rank <= 5""".stripMargin
+      def metricsOf(od: Int) =
+        s"""SELECT $od AS out_dim,
+           |  CAST(count(*) AS BIGINT) AS n_queries,
+           |  round(CAST(sum(CAST(rr AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mrr,
+           |  round(CAST(sum(CAST(ndcg AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_ndcg,
+           |  round(CAST(sum(nh) AS DOUBLE) / (count(*) * 5), 6) AS recall
+           |FROM (
+           |  SELECT e.query_id,
+           |    coalesce(round(CAST(1.0 AS DOUBLE) / CAST(h.first_hit AS DOUBLE), 6), 0.0) AS rr,
+           |    coalesce(round(CAST(h.dcg AS DOUBLE) / CAST(ii.idcg AS DOUBLE), 6), 0.0) AS ndcg,
+           |    coalesce(h.n_hits, 0) AS nh
+           |  FROM (SELECT DISTINCT query_id FROM ($exactPairs)) e
+           |  LEFT JOIN (
+           |    SELECT a.query_id, min(a.rank) AS first_hit,
+           |      CAST(count(*) AS BIGINT) AS n_hits,
+           |      sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(a.rank + 1), 6) AS DECIMAL(20,6))) AS dcg
+           |    FROM (${projChain(od)}) a JOIN ($exactPairs) t USING (query_id, neighbor_id)
+           |    GROUP BY a.query_id) h USING (query_id)
+           |  CROSS JOIN (
+           |    SELECT sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(r + 1), 6) AS DECIMAL(20,6))) AS idcg
+           |    FROM range(1, 6) t(r)) ii)""".stripMargin
+      Seq(8, 16, 32).map(metricsOf).mkString("\nUNION ALL\n")
+    },
+
+    // q124: winnowing selection replayed — positional md5-13-hex gram
+    // hashes, the rightmost-tie window min as a struct min over
+    // (h, -pos), full windows only, then the census rollups.
+    "q124_winnowing" ->
+      s"""WITH tkk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id, u.pos AS pos,
+         |    ('0x' || substr(md5(u.gram), 1, 13))::BIGINT AS h FROM (
+         |  SELECT doc_id, unnest([{'pos': CAST(i - 1 AS BIGINT), 'gram': array_to_string(toks[i:i+3], ' ')} for i in range(1, len(toks) - 2)]) AS u
+         |  FROM tkk WHERE len(toks) >= 4)),
+         |wsel AS (SELECT doc_id,
+         |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+         |  FROM g),
+         |sel AS (SELECT DISTINCT doc_id,
+         |    -struct_extract(m, 'np') AS pos, struct_extract(m, 'h') AS fp
+         |  FROM wsel WHERE wn = 4),
+         |df AS (SELECT DISTINCT doc_id, fp FROM sel),
+         |shared AS (SELECT fp FROM df GROUP BY fp HAVING count(*) >= 2),
+         |pf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM sel GROUP BY doc_id),
+         |ps AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM df JOIN shared USING (fp) GROUP BY doc_id)
+         |SELECT pf.doc_id, pf.n_fps, coalesce(ps.n_shared, 0) AS n_shared
+         |FROM pf LEFT JOIN ps USING (doc_id)""".stripMargin,
+
+    // q125: (token, first_doc) frame joined against the checkpoint
+    // thresholds; integer-exact counts, one 6dp double ratio.
+    "q125_vocab_growth" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |fd AS (SELECT w, min(doc_id) AS first_doc FROM
+         |       (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY w),
+         |ds AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt FROM tk),
+         |mx AS (SELECT max(doc_id) AS mx FROM ds),
+         |thr AS (SELECT CAST(p AS INT) AS pct_step,
+         |    CAST(floor(CAST(mx * p AS DOUBLE) / 10) AS BIGINT) AS max_doc
+         |  FROM range(1, 11) t(p) CROSS JOIN mx),
+         |voc AS (SELECT pct_step, max_doc, CAST(count(*) AS BIGINT) AS vocab_size
+         |  FROM fd CROSS JOIN thr WHERE first_doc <= max_doc
+         |  GROUP BY pct_step, max_doc),
+         |dt AS (SELECT pct_step, max_doc,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM ds CROSS JOIN thr WHERE doc_id <= max_doc
+         |  GROUP BY pct_step, max_doc)
+         |SELECT dt.pct_step, dt.max_doc, dt.n_docs, dt.n_tokens,
+         |  coalesce(voc.vocab_size, 0) AS vocab_size,
+         |  round(CAST(coalesce(voc.vocab_size, 0) AS DOUBLE) /
+         |    CAST(dt.n_tokens AS DOUBLE), 6) AS ttr
+         |FROM dt LEFT JOIN voc USING (pct_step, max_doc)""".stripMargin,
 
     // q112: conditional per-wave sums, 1-row totals, one double
     // division per share; drift over the rounded shares (wrapper

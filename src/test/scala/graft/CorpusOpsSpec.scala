@@ -25,6 +25,66 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("B", "added") -> ((1L, 1L))))      // doc 4
   }
 
+  test("collocations: hand-computed PMI, support filter, rank order") {
+    val corpus = (
+      (0L until 6L).map(i => (i, "new york")) ++
+        (6L until 10L).map(i => (i, "alpha beta"))).toDF("doc_id", "text")
+    // Only "new york" clears support 5: c12=6, N=10 bigrams, U=20
+    // tokens, c(new)=c(york)=6.
+    val out = TextAnalysis.collocations(corpus, "doc_id", "text",
+      minCount = 5L, k = 10)
+      .as[(String, Long, Double, Int)].collect()
+    val expected = BigDecimal(
+      math.log((6.0 / 10) / ((6.0 / 20) * (6.0 / 20))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(("new york", 6L, expected, 1)))
+    // Lower support keeps both; the rarer-word pair is MORE associated
+    // (pmi ln(10) vs ln(20/3)) and ranks first.
+    val both = TextAnalysis.collocations(corpus, "doc_id", "text",
+      minCount = 2L, k = 10).as[(String, Long, Double, Int)].collect()
+      .sortBy(_._4)
+    assert(both.map(r => (r._1, r._4)).toSeq ==
+      Seq(("alpha beta", 1), ("new york", 2)))
+  }
+
+  test("winnowFingerprints: shared-run guarantee, density bound, determinism") {
+    // k=4, w=4: any shared run of >= w+k-1 = 7 tokens must share a
+    // fingerprint (the winnowing guarantee).
+    val run = "p q r s t u v"
+    val corpus = Seq(
+      (1L, s"$run x1 x2 x3"),
+      (2L, s"y1 y2 $run y3"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.winnowFingerprints(corpus, "doc_id", "text", 4, 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._2 >= 1L && out(2L)._2 >= 1L,
+      "docs sharing a 7-token run must share a fingerprint")
+    assert(out(3L)._2 == 0L, "unrelated doc shares nothing")
+    // Density: a 10-token doc has 7 grams -> 4 full windows -> at
+    // most 4 (and at least 1) selected fingerprints.
+    assert(out.values.forall(v => v._1 >= 1L && v._1 <= 4L))
+    assert(out == TextDedup.winnowFingerprints(corpus, "doc_id", "text", 4, 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap,
+      "selection is deterministic")
+    // Short docs (< w full windows) produce no fingerprint row.
+    val short = Seq((9L, "a b c d e f")).toDF("doc_id", "text") // 3 grams < w
+    assert(TextDedup.winnowFingerprints(short, "doc_id", "text", 4, 4).count() == 0)
+  }
+
+  test("vocabGrowth: checkpoint counts on a hand-built corpus") {
+    val corpus = Seq((0L, "a b"), (1L, "a c"), (2L, "a b c d"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(corpus, "doc_id", "text", steps = 2)
+      .orderBy("pct_step")
+      .as[(Int, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1, 1L, 2L, 4L, 3L, 0.75), // docs 0-1: 4 tokens, vocab {a,b,c}
+      (2, 3L, 4L, 9L, 4L, BigDecimal(4.0 / 9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("crossSourceOverlap counts shared normalized hashes per source pair") {
     val docs = Seq(
       (0L, "alpha beta", "A"),
