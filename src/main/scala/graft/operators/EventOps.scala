@@ -18,19 +18,8 @@ object EventOps {
     * aggregate — all codegen'd, no state, scales with the shuffle.
     * Tiebreak on event_id makes sessions deterministic under duplicate
     * timestamps. */
-  def sessionize(events: DataFrame, gapMs: Long): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val withBreak = events
-      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
-      .withColumn("brk",
-        when(col("prev_ms").isNull, 0)
-          .when(unix_millis(col("ts")) - col("prev_ms") > gapMs, 1)
-          .otherwise(0))
-    val withSession = withBreak
-      .withColumn("session_no",
-        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-    withSession
+  def sessionize(events: DataFrame, gapMs: Long): DataFrame =
+    withSessionNo(events, gapMs)
       .groupBy(col("user_id"), col("session_no"))
       .agg(
         min(col("ts")).as("session_start"),
@@ -38,7 +27,42 @@ object EventOps {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
       .drop("session_no")
+
+  /** Shared session assignment: lag -> break flag -> running sum. */
+  private def withSessionNo(events: DataFrame, gapMs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ms").isNull, 0)
+          .when(unix_millis(col("ts")) - col("prev_ms") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_no",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
   }
+
+  /** Session transcripts — the event-log-to-training-document builder
+    * (behavioral-sequence pretraining / session-based recommendation
+    * data prep): each gap-bounded session flattens to ONE ordered
+    * text line of `event_type:rounded_value` tokens, plus the census
+    * columns a curation pipeline filters on. The transcript order is
+    * pinned by (ts, event_id) through an order-carrying struct sort —
+    * deterministic under duplicate timestamps, no second window pass.
+    * Values round to integers BEFORE stringification (double
+    * formatting is engine-specific; an integer string is not). */
+  def sessionTranscripts(events: DataFrame, gapMs: Long): DataFrame =
+    withSessionNo(events, gapMs)
+      .withColumn("tok", concat(col("event_type"), lit(":"),
+        round(col("value"), 0).cast("long").cast("string")))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("tok")))).as("ordered"))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        array_join(col("ordered.tok"), " ").as("transcript"))
 
   /** As-of join: for each left row, the single latest right row with
     * the same key and `right.ts <= left.ts` (SQL `ASOF JOIN`

@@ -838,6 +838,42 @@ object TextDedup {
           .as("hash_jaccard"))
   }
 
+  /** Soft deduplication — duplicate-aware SAMPLING instead of hard
+    * removal (the alternative the data-diet literature studies: D4,
+    * Tirumala et al. 2023; "soft dedup" in CCNet-descendant
+    * pipelines): every document survives with probability
+    * 1/cluster_size, so each content group contributes ONE expected
+    * copy while which copy (and occasionally more than one) stays
+    * stochastic — preserving intra-cluster variation that a hard
+    * survivor pick destroys.
+    *
+    * The draw is INTEGER-EXACT, no floating point anywhere: u =
+    * md5-13-hex(id) in [0, 2^52), kept iff u <= floor((2^52 - 1) / n)
+    * — exactly u < 1/n in 52-bit fixed point, reproducible in any
+    * engine. Singletons are always kept (the bound is the max draw).
+    *
+    * `clusters` is the (doc_id, canonical_id) frame of
+    * [[connectedComponents]]; unclustered docs default to their own
+    * group. One join to the clusters frame + one group-size rollup —
+    * no text is touched. */
+  def softDedup(docs: DataFrame, clusters: DataFrame,
+      idCol: String): DataFrame = {
+    val grouped = docs.select(col(idCol).as("doc_id"))
+      .join(clusters.select(col("doc_id"), col("canonical_id")),
+        Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("canonical_id"), col("doc_id")))
+      .drop("canonical_id")
+    val sizes = grouped.groupBy(col("group_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    grouped.join(sizes, "group_id")
+      .withColumn("draw",
+        conv(substring(md5(concat(lit("soft-"), col("doc_id").cast("string"))),
+          1, 13), 16, 10).cast("long"))
+      .select(col("doc_id"), col("group_id"), col("cluster_size"),
+        (col("draw") <= expr("4503599627370495 div cluster_size"))
+          .cast("int").as("kept"))
+  }
+
   /** Winnowing document fingerprints (public technique: Schleimer,
     * Wilkerson & Aiken 2003, "Winnowing: local algorithms for document
     * fingerprinting" — the MOSS algorithm): positional `k`-token-gram

@@ -1228,6 +1228,28 @@ object ExtQueries {
   def q125VocabGrowth(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabGrowth(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Soft dedup (q126): the q53 near-dup clusters routed through
+    * duplicate-aware sampling — keep each doc with probability
+    * 1/cluster_size (integer-exact 52-bit draw) instead of a hard
+    * survivor pick. */
+  def q126SoftDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = TextDedup.buildIndex(docs, "doc_id", "text",
+      n = 3, bits = 32).persist()
+    CacheLease.releaseAfterAction(
+      TextDedup.softDedup(docs,
+        TextDedup.connectedComponents(
+          TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32,
+            bands = 16)), "doc_id"))(() => idx.unpersist())
+  }
+
+  /** Session transcripts (q128): the events log flattened to ordered
+    * behavioral-sequence training documents (one line per gap-bounded
+    * session). */
+  def q128SessionTranscripts(s: SparkSession, dir: String): DataFrame =
+    EventOps.sessionTranscripts(Tables.events(s, dir),
+      gapMs = 6L * 3600 * 1000)
+
   /** Dedup savings planner (q111): removable-token mass under the
     * three dedup granularities side by side — whole-document exact
     * (q20), content-defined chunks (q105), repeated spans (q69) —
@@ -3401,6 +3423,45 @@ object ExtQueries {
          |  round(CAST(coalesce(voc.vocab_size, 0) AS DOUBLE) /
          |    CAST(dt.n_tokens AS DOUBLE), 6) AS ttr
          |FROM dt LEFT JOIN voc USING (pct_step, max_doc)""".stripMargin,
+
+    // q126: the q53 recursive closure + group sizes + the 52-bit
+    // fixed-point keep rule (pure integer comparison on both engines).
+    "q126_soft_dedup" ->
+      s"""WITH RECURSIVE pairsq AS ($minhashLshSql),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairsq
+         |        UNION SELECT doc_b, doc_a FROM pairsq),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM und
+         |  UNION
+         |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+         |cl AS (SELECT src AS doc_id, min(dst) AS canonical_id
+         |       FROM reach GROUP BY src),
+         |grp AS (SELECT d.doc_id, coalesce(cl.canonical_id, d.doc_id) AS group_id
+         |        FROM documents d LEFT JOIN cl USING (doc_id)),
+         |sz AS (SELECT group_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM grp GROUP BY group_id)
+         |SELECT grp.doc_id, grp.group_id, sz.cluster_size,
+         |  CAST(CASE WHEN ('0x' || substr(md5('soft-' || grp.doc_id::VARCHAR), 1, 13))::BIGINT
+         |         <= 4503599627370495 // sz.cluster_size THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM grp JOIN sz USING (group_id)""".stripMargin,
+
+    // q128: the q28 session chain, the transcript re-joined in
+    // (ts, event_id) order; values round to integer strings (double
+    // formatting is engine-specific, integer strings are not).
+    "q128_session_transcripts" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value, event_type,
+        |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |b AS (SELECT *, CASE WHEN prev_ms IS NULL THEN 0
+        |                     WHEN epoch_ms(ts) - prev_ms > 21600000 THEN 1
+        |                     ELSE 0 END AS brk FROM g),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS session_no FROM b)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*) AS n_events,
+        |  string_agg(event_type || ':' || CAST(round(value, 0) AS BIGINT)::VARCHAR,
+        |             ' ' ORDER BY ts, event_id) AS transcript
+        |FROM s GROUP BY user_id, session_no""".stripMargin,
 
     // q112: conditional per-wave sums, 1-row totals, one double
     // division per share; drift over the rounded shares (wrapper

@@ -73,6 +73,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(TextDedup.winnowFingerprints(short, "doc_id", "text", 4, 4).count() == 0)
   }
 
+  test("softDedup: singletons always kept, clusters thinned to ~1 expected copy") {
+    val docs = (0L until 110L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // Docs 0-99 form one 100-strong duplicate cluster; 100-109 are
+    // singletons (absent from the clusters frame).
+    val clusters = (0L until 100L).map(i => (i, 0L))
+      .toDF("doc_id", "canonical_id")
+    val out = TextDedup.softDedup(docs, clusters, "doc_id")
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.size == 110)
+    assert((100L until 110L).forall(i => out(i) == ((i, 1L, 1))),
+      "singletons keep themselves with probability 1")
+    val clusterKept = (0L until 100L).count(i => out(i)._3 == 1)
+    assert((0L until 100L).forall(i => out(i)._1 == 0L && out(i)._2 == 100L))
+    assert(clusterKept >= 0 && clusterKept <= 6,
+      s"~1 expected copy from a 100-cluster, got $clusterKept")
+    assert(out == TextDedup.softDedup(docs, clusters, "doc_id")
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap,
+      "the draw is deterministic")
+  }
+
   test("vocabGrowth: checkpoint counts on a hand-built corpus") {
     val corpus = Seq((0L, "a b"), (1L, "a c"), (2L, "a b c d"), (3L, "a"))
       .toDF("doc_id", "text")

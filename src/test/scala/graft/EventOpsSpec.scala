@@ -28,6 +28,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 2L, 3.0), (10L, 2L, 12.0), (20L, 1L, 5.0)))
   }
 
+  test("sessionTranscripts: ordered tokens, integer values, gap split") {
+    val events = Seq(
+      (2L, ts(0), 10L, "click", 2.6, "{}"),  // dup ts: event_id orders
+      (1L, ts(0), 10L, "view", 1.4, "{}"),
+      (3L, ts(10), 10L, "buy", 0.4, "{}"),
+      (4L, ts(100), 10L, "view", 9.5, "{}"), // > 30 min gap -> new session
+      (5L, ts(0), 20L, "view", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.sessionTranscripts(events, gapMs = 30 * 60000)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events", "transcript")
+      .as[(Long, Long, String)].collect()
+    assert(out.toSeq == Seq(
+      (10L, 3L, "view:1 click:3 buy:0"),
+      (10L, 1L, "view:10"),
+      (20L, 1L, "view:5")))
+  }
+
   test("relational sessions agree with the streaming fold on closed sessions") {
     import graft.streaming.Sessionize
     val events = Seq(
