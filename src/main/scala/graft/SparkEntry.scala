@@ -135,6 +135,7 @@ object SparkEntry {
     "q124_winnowing"        -> (ExtQueries.q124Winnowing(_, _)),
     "q125_vocab_growth"     -> (ExtQueries.q125VocabGrowth(_, _)),
     "q126_soft_dedup"       -> (ExtQueries.q126SoftDedup(_, _)),
+    "q127_char_entropy"     -> (ExtQueries.q127CharEntropy(_, _)),
     "q128_session_transcripts" -> (ExtQueries.q128SessionTranscripts(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's

@@ -197,6 +197,14 @@ object TextFunctions {
       ColumnBridge.expression(text), k, salt))
   }
 
+  /** Shannon codepoint entropy (bits/char), codegen'd
+    * ([[graft.functions.expr.CharEntropy]]); empty strings are null. */
+  def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expr.CharEntropy(
+      ColumnBridge.expression(text)))
+  }
+
   /** Native codegen'd distinct word n-gram shingles — identical output
     * to [[wordShingles]] (first-occurrence order), one JVM loop per row. */
   def wordShinglesNative(toks: Column, n: Int): Column = {

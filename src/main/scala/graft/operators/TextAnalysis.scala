@@ -443,6 +443,17 @@ object TextAnalysis {
           count(lit(1)), 6).as("avg_logprob"))
   }
 
+  /** Character-entropy quality signal: Shannon entropy of each
+    * document's codepoint distribution — low = repeated filler /
+    * degenerate generation, very high = base64/binary spill; natural
+    * text sits in a band. One codegen'd kernel call per row
+    * ([[graft.functions.expr.CharEntropy]]), shuffle-free map tier. */
+  def charEntropyProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      charEntropy(col(textCol)).as("char_entropy"))
+
   /** PMI collocation extraction (public technique: Church & Hanks
     * 1990, "Word association norms, mutual information, and
     * lexicography"): the top-k adjacent-word pairs by pointwise

@@ -1243,6 +1243,11 @@ object ExtQueries {
             bands = 16)), "doc_id"))(() => idx.unpersist())
   }
 
+  /** Character-entropy profile (q127): the gibberish/filler/blob
+    * detector band check per document. */
+  def q127CharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropyProfile(Tables.documents(s, dir), "doc_id", "text")
+
   /** Session transcripts (q128): the events log flattened to ordered
     * behavioral-sequence training documents (one line per gap-bounded
     * session). */
@@ -3444,6 +3449,24 @@ object ExtQueries {
          |  CAST(CASE WHEN ('0x' || substr(md5('soft-' || grp.doc_id::VARCHAR), 1, 13))::BIGINT
          |         <= 4503599627370495 // sz.cluster_size THEN 1 ELSE 0 END AS INT) AS kept
          |FROM grp JOIN sz USING (group_id)""".stripMargin,
+
+    // q127: per-char histogram, the 8dp-rounded p*log2(p) terms
+    // summed in DECIMAL (matches the kernel's scaled-long sum), 6dp
+    // final round; empty docs null via the LEFT JOIN.
+    "q127_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE len(text) > 0),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |nn AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt FROM cc GROUP BY doc_id),
+        |tm AS (SELECT cc.doc_id,
+        |    round(-((cc.n::DOUBLE / nn.nt::DOUBLE) *
+        |      (ln(cc.n::DOUBLE / nn.nt::DOUBLE) / ln(2))), 8) AS t
+        |  FROM cc JOIN nn USING (doc_id)),
+        |ent AS (SELECT doc_id,
+        |    CAST(round(sum(CAST(t AS DECIMAL(20,8))), 6) AS DOUBLE) AS char_entropy
+        |  FROM tm GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars, ent.char_entropy
+        |FROM documents d LEFT JOIN ent USING (doc_id)""".stripMargin,
 
     // q128: the q28 session chain, the transcript re-joined in
     // (ts, event_id) order; values round to integer strings (double

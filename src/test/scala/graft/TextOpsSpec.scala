@@ -270,6 +270,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(tri(1L)._1 == 4L && tri(1L)._2 > tri(4L)._2)
   }
 
+  test("charEntropy kernel: hand-computed values, empty-doc null") {
+    import graft.operators.TextAnalysis
+    val corpus = docs((1L, "aaaa"), (2L, "ab"), (3L, "abcd"),
+      (4L, "aab"), (5L, ""))
+    val out = TextAnalysis.charEntropyProfile(corpus, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((4L, Some(0.0))), "uniform single char: zero entropy")
+    assert(out(2L) == ((2L, Some(1.0))), "two equiprobable chars: 1 bit")
+    assert(out(3L) == ((4L, Some(2.0))), "four equiprobable chars: 2 bits")
+    assert(out(5L) == ((0L, None)), "empty doc is null, not NaN")
+    // "aab": -(2/3 log2 2/3) - (1/3 log2 1/3), through the kernel's
+    // 8dp-term / integer-6dp-round discipline.
+    def term(p: Double) = BigDecimal(-(p * (math.log(p) / math.log(2.0))))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+    val exp = ((term(2.0 / 3) + term(1.0 / 3) + 50L) / 100L).toDouble / 1e6
+    assert(out(4L) == ((3L, Some(exp))))
+    assert(exp > 0.918 && exp < 0.919)
+  }
+
   test("c4LineFilter: line rules, doc gates, ordered reassembly") {
     import graft.operators.TextAnalysis
     val five = "one two three four five"
