@@ -80,7 +80,15 @@ object Plans {
       "q105_cdc_chunks" ->
         "token posexplode + window-gram cut set; per-doc running-sum window (one doc per partition); two hash-keyed aggregations — work tracks corpus tokens, never corpus^2",
       "q106_length_profile" ->
-        "per-group ranking window; follow-up aggregate reuses the window's hash partitioning — one exchange total")
+        "per-group ranking window; follow-up aggregate reuses the window's hash partitioning — one exchange total",
+      "q117_kneser_ney" ->
+        "one bigram scan feeds four vocabulary-sized count aggregates; scoring is left hash joins + one doc-keyed decimal-sum aggregate — no corpus^2 anywhere",
+      "q121_c4_line_filter" ->
+        "line posexplode with codegen'd per-line predicates (no interpreted lambda on the hot path); one doc-keyed aggregate with an order-pinned struct sort",
+      "q124_winnowing" ->
+        "positional gram hashes + ONE doc-partitioned sliding window (struct-min carries the rightmost-tie argmin) + hash-keyed rollups — no per-window subsort",
+      "q127_char_entropy" ->
+        "shuffle-free map tier: one codegen'd char_entropy kernel call per row, fused into the parquet scan")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `graft.Plans`, sf0.001)\n")
     picks.foreach { case (name, note) =>

@@ -905,21 +905,28 @@ object TextDedup {
         conv(substring(md5(col("gram")), 1, 13), 16, 10).cast("long").as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
+    // The selected-fingerprint frame feeds BOTH rollups (per-doc
+    // census + the fp-keyed shared side) — persisted compact (three
+    // longs/row at 2/(w+1) gram density) under an action-scoped
+    // lease, or the whole gram+window chain runs twice.
     val sel = g
       .withColumn("wn", count(lit(1)).over(win))
       .withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
       .where(col("wn") === w)
       .select(col("doc_id"), (-col("m.np")).as("pos"), col("m.h").as("fp"))
       .distinct()
+      .persist()
     val docFps = sel.select(col("doc_id"), col("fp")).distinct()
     val shared = docFps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= 2)
-    sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
-      .join(docFps.join(shared.select(col("fp")), "fp")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_fps"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+    CacheLease.releaseAfterAction(
+      sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+        .join(docFps.join(shared.select(col("fp")), "fp")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_fps"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+    )(() => { sel.unpersist(); () })
   }
 
   /** Dataset snapshot diff (dataset-versioning changelog — the data
