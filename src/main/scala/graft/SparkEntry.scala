@@ -137,6 +137,9 @@ object SparkEntry {
     "q126_soft_dedup"       -> (ExtQueries.q126SoftDedup(_, _)),
     "q127_char_entropy"     -> (ExtQueries.q127CharEntropy(_, _)),
     "q128_session_transcripts" -> (ExtQueries.q128SessionTranscripts(_, _)),
+    "q129_dedup_graph_profile" -> (ExtQueries.q129DedupGraphProfile(_, _)),
+    "q130_quality_signals"  -> (ExtQueries.q130QualitySignals(_, _)),
+    "q131_embedding_drift"  -> (ExtQueries.q131EmbeddingDrift(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

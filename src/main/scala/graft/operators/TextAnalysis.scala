@@ -454,6 +454,46 @@ object TextAnalysis {
       length(col(textCol)).cast("long").as("n_chars"),
       charEntropy(col(textCol)).as("char_entropy"))
 
+  /** Fused per-document quality feature vector: EVERY map-tier
+    * quality signal — token count, heuristic quality score, language
+    * pick, repetition ratio, char entropy, and the Gopher gate — from
+    * ONE corpus scan. Each signal is a codegen'd kernel call; Catalyst
+    * collapses the stacked projections into a single whole-stage
+    * span, so at 100 TB this costs one pass where running the six
+    * catalog entries separately costs six. The feature frame a
+    * curation gate, classifier trainer, or data-card publisher
+    * consumes. */
+  def qualitySignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val toks = tokens(col(textCol))
+    val m = ColumnBridge.column(graft.functions.expr.GopherMeasures(
+      ColumnBridge.expression(col(textCol)),
+      ColumnBridge.expression(toks),
+      gopherStopwords))
+    val measured = docs.select(
+      col(idCol).as("doc_id"),
+      size(toks).as("n_tokens"),
+      qualityScoreCol(col(textCol)).as("quality_score"),
+      detectedLang(toks).as("detected_lang"),
+      repetitionRatioNative(toks, 3).as("repetition_ratio"),
+      charEntropy(col(textCol)).as("char_entropy"),
+      m.as("__m"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("detected_lang"), col("repetition_ratio"), col("char_entropy"),
+        col("__m.n_words").as("n_words"),
+        col("__m.mean_word_len").as("mean_word_len"),
+        col("__m.symbol_ratio").as("symbol_ratio"),
+        col("__m.bullet_ratio").as("bullet_ratio"),
+        col("__m.ellipsis_ratio").as("ellipsis_ratio"),
+        col("__m.alpha_ratio").as("alpha_ratio"),
+        col("__m.stopword_hits").as("stopword_hits"))
+    withGopherFlags(measured, 20, 10000, 3.0, 10.0, 0.1, 0.9, 0.3, 0.8, 2)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("detected_lang"), col("repetition_ratio"), col("char_entropy"),
+        col("pass").cast("int").as("gopher_pass"))
+  }
+
   /** PMI collocation extraction (public technique: Church & Hanks
     * 1990, "Word association norms, mutual information, and
     * lexicography"): the top-k adjacent-word pairs by pointwise

@@ -1255,6 +1255,67 @@ object ExtQueries {
     EventOps.sessionTranscripts(Tables.events(s, dir),
       gapMs = 6L * 3600 * 1000)
 
+  /** Dedup graph profile (q129): cluster-size histogram of the q53
+    * near-dup graph (singletons included) — the planning number that
+    * says whether duplication is a long tail of pairs or a few huge
+    * templated families (which decides hard-dedup vs q126 soft
+    * sampling vs span removal). */
+  def q129DedupGraphProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = TextDedup.buildIndex(docs, "doc_id", "text",
+      n = 3, bits = 32).persist()
+    val clusters = TextDedup.connectedComponents(
+      TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32,
+        bands = 16))
+    val sizes = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(coalesce(col("canonical_id"), col("doc_id")).as("group_id"))
+      .groupBy(col("group_id")).agg(count(lit(1)).as("cluster_size"))
+    CacheLease.releaseAfterAction(
+      sizes.groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    )(() => idx.unpersist())
+  }
+
+  /** Fused quality feature vector (q130): all six map-tier quality
+    * signals from one corpus scan. */
+  def q130QualitySignals(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualitySignals(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Embedding distribution drift (q131): per-dimension mean/variance
+    * of ingest wave A (even vec_id) vs wave B (odd) — the
+    * embedding-space twin of the q112 mix-drift monitor (a changed
+    * encoder or a shifted corpus shows up here before any downstream
+    * index degrades). */
+  def q131EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    def stats(df: DataFrame) = {
+      val x = col("x").cast("double")
+      df.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+          sum(round(x * x, 8).cast("decimal(20,8)")).as("s2"))
+        .select(col("dim"), col("n"),
+          round(col("s1") / col("n"), 6).as("mean"),
+          round(col("s2").cast("double") / col("n") -
+            (col("s1") / col("n")) * (col("s1") / col("n")), 6).as("variance"))
+    }
+    val emb = Tables.embeddings(s, dir)
+    val a = stats(emb.where(pmod(col("vec_id"), lit(2)) === 0))
+      .select(col("dim"), col("n").as("n_a"), col("mean").as("mean_a"),
+        col("variance").as("var_a"))
+    val b = stats(emb.where(pmod(col("vec_id"), lit(2)) =!= 0))
+      .select(col("dim"), col("n").as("n_b"), col("mean").as("mean_b"),
+        col("variance").as("var_b"))
+    a.join(b, "dim")
+      .select(col("dim"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        round(col("mean_b") - col("mean_a"), 6).as("mean_delta"),
+        col("var_a"), col("var_b"),
+        round(col("var_b") / col("var_a"), 6).as("var_ratio"))
+  }
+
   /** Dedup savings planner (q111): removable-token mass under the
     * three dedup granularities side by side — whole-document exact
     * (q20), content-defined chunks (q105), repeated spans (q69) —
@@ -3485,6 +3546,121 @@ object ExtQueries {
         |  string_agg(event_type || ':' || CAST(round(value, 0) AS BIGINT)::VARCHAR,
         |             ' ' ORDER BY ts, event_id) AS transcript
         |FROM s GROUP BY user_id, session_no""".stripMargin,
+
+    // q129: the q53 closure + singleton completion + two rollups.
+    "q129_dedup_graph_profile" ->
+      s"""WITH RECURSIVE pairsq AS ($minhashLshSql),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairsq
+         |        UNION SELECT doc_b, doc_a FROM pairsq),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM und
+         |  UNION
+         |  SELECT r.src, u.dst FROM reach r JOIN und u ON u.src = r.dst),
+         |cl AS (SELECT src AS doc_id, min(dst) AS canonical_id
+         |       FROM reach GROUP BY src),
+         |sz AS (SELECT coalesce(cl.canonical_id, d.doc_id) AS group_id,
+         |         CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM documents d LEFT JOIN cl USING (doc_id)
+         |       GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY cluster_size""".stripMargin,
+
+    // q130: the q17 + q18 + q43 + q127 + q79 per-doc signal CTEs
+    // joined on doc_id — every piece the verbatim discipline of its
+    // standalone oracle.
+    "q130_quality_signals" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks,
+         |  string_split(text, chr(10)) AS lines,
+         |  CAST(len(text) AS DOUBLE) AS nc FROM documents),
+         |q AS (SELECT doc_id,
+         |  round(
+         |    (CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.25 ELSE 0.0 END) +
+         |    (CASE WHEN nd / nt >= 0.3 THEN 0.25 ELSE 0.0 END) +
+         |    (CASE WHEN (nc - (nt - 1)) / nt >= 3.0 AND (nc - (nt - 1)) / nt <= 10.0 THEN 0.25 ELSE 0.0 END) +
+         |    (CASE WHEN nstop / nt > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+         |  FROM (SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS nt,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','el','la','de','que','y','der','die','und','das','ist','le','les','et','des','un'], x))) AS DOUBLE) AS nstop,
+         |    nc FROM t)),
+         |hh AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS hits_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS INT) AS hits_es,
+         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) AS hits_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(['le','les','et','des','un'], x))) AS INT) AS hits_fr
+         |  FROM t),
+         |lg AS (SELECT doc_id,
+         |  CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+         |       WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+         |       WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+         |       WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+         |       ELSE 'fr' END AS detected_lang
+         |  FROM hh),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(toks) - 2 >= 1
+         |    THEN list_distinct([array_to_string(toks[i+1:i+3], ' ') for i in range(0, len(toks)-2)])
+         |    ELSE [array_to_string(toks, ' ')] END AS sh
+         |  FROM t),
+         |rep AS (SELECT t.doc_id,
+         |  round(1.0 - CAST(len(sh.sh) AS DOUBLE) / greatest(len(t.toks) - 2, 1), 6) AS repetition_ratio
+         |  FROM t JOIN sh USING (doc_id)),
+         |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+         |  FROM documents WHERE len(text) > 0),
+         |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+         |nn AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt FROM cc GROUP BY doc_id),
+         |tm AS (SELECT cc.doc_id,
+         |    round(-((cc.n::DOUBLE / nn.nt::DOUBLE) *
+         |      (ln(cc.n::DOUBLE / nn.nt::DOUBLE) / ln(2))), 8) AS tt
+         |  FROM cc JOIN nn USING (doc_id)),
+         |ent AS (SELECT doc_id,
+         |    CAST(round(sum(CAST(tt AS DECIMAL(20,8))), 6) AS DOUBLE) AS char_entropy
+         |  FROM tm GROUP BY doc_id),
+         |gm AS (SELECT doc_id,
+         |  CAST(len(toks) AS INT) AS n_words,
+         |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_word_len,
+         |  round(((length(text) - length(replace(text, '#', ''))) +
+         |    (length(text) - length(replace(text, '...', ''))) / 3) / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+         |  round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines), 6) AS bullet_ratio,
+         |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) / len(lines), 6) AS ellipsis_ratio,
+         |  round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6) AS alpha_ratio,
+         |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(toks, w))) AS INT) AS stopword_hits
+         |  FROM t)
+         |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+         |  q.quality_score, lg.detected_lang, rep.repetition_ratio,
+         |  ent.char_entropy,
+         |  CAST(CASE WHEN (gm.n_words >= 20 AND gm.n_words <= 10000) AND
+         |    (gm.mean_word_len >= 3.0 AND gm.mean_word_len <= 10.0) AND
+         |    gm.symbol_ratio <= 0.1 AND gm.bullet_ratio <= 0.9 AND
+         |    gm.ellipsis_ratio <= 0.3 AND gm.alpha_ratio >= 0.8 AND
+         |    gm.stopword_hits >= 2 THEN 1 ELSE 0 END AS INT) AS gopher_pass
+         |FROM t JOIN q USING (doc_id) JOIN lg USING (doc_id)
+         |  JOIN rep USING (doc_id) LEFT JOIN ent USING (doc_id)
+         |  JOIN gm USING (doc_id)""".stripMargin,
+
+    // q131: the q85 per-dim moment discipline per ingest wave, waves
+    // joined on dim; deltas/ratios computed over the ROUNDED per-side
+    // values in the same order as the engine.
+    "q131_embedding_drift" -> {
+      def side(pred: String) =
+        s"""SELECT dim, CAST(count(*) AS BIGINT) AS n,
+           |  round(sum(x) / count(*), 6) AS mean,
+           |  round(CAST(sum(CAST(round(x * x, 8) AS DECIMAL(20,8))) AS DOUBLE) / count(*)
+           |    - (sum(x) / count(*)) * (sum(x) / count(*)), 6) AS variance
+           |FROM (SELECT u.d AS dim, u.x AS x FROM (
+           |  SELECT unnest([{'d': (i - 1)::INT, 'x': CAST(embedding[i] AS DOUBLE)}
+           |    for i in range(1, len(embedding) + 1)]) AS u
+           |  FROM embeddings WHERE $pred))
+           |GROUP BY dim""".stripMargin
+      s"""WITH a AS (${side("vec_id % 2 = 0")}),
+         |b AS (${side("vec_id % 2 != 0")})
+         |SELECT a.dim, a.n AS n_a, b.n AS n_b,
+         |  a.mean AS mean_a, b.mean AS mean_b,
+         |  round(b.mean - a.mean, 6) AS mean_delta,
+         |  a.variance AS var_a, b.variance AS var_b,
+         |  round(b.variance / a.variance, 6) AS var_ratio
+         |FROM a JOIN b USING (dim)""".stripMargin
+    },
 
     // q112: conditional per-wave sums, 1-row totals, one double
     // division per share; drift over the rounded shares (wrapper

@@ -270,6 +270,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(tri(1L)._1 == 4L && tri(1L)._2 > tri(4L)._2)
   }
 
+  test("qualitySignals: the fused scan equals each standalone operator") {
+    import graft.operators.TextAnalysis
+    val five = "the cat sat on the mat and that have with"
+    // No empty doc here: the STANDALONE q17 reference divides by the
+    // token count unguarded (matches the oracle; the fixture corpus
+    // has no empty docs) — empty-doc behavior of the kernels is
+    // pinned in their own specs.
+    val corpus = docs(
+      (1L, five + " " + five + " extra words here now"),
+      (2L, "aaa aaa aaa aaa"),
+      (3L, "tiny doc"),
+      (4L, "der die und das ist gut"))
+    val fused = TextAnalysis.qualitySignals(corpus, "doc_id", "text")
+      .as[(Long, Int, Double, String, Option[Double], Option[Double], Int)]
+      .collect().map(r => r._1 -> r).toMap
+    val q = TextAnalysis.qualityScore(corpus, "doc_id", "text")
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
+    val lg = TextAnalysis.languageId(corpus, "doc_id", "text")
+      .select($"doc_id", $"detected_lang").as[(Long, String)].collect().toMap
+    val rep = TextAnalysis.repetition(corpus, "doc_id", "text")
+      .select($"doc_id", $"repetition_ratio")
+      .as[(Long, Option[Double])].collect().toMap
+    val ent = TextAnalysis.charEntropyProfile(corpus, "doc_id", "text")
+      .select($"doc_id", $"char_entropy")
+      .as[(Long, Option[Double])].collect().toMap
+    val gp = TextAnalysis.gopherRules(corpus, "doc_id", "text")
+      .select($"doc_id", $"pass").as[(Long, Boolean)].collect().toMap
+    corpus.select($"doc_id").as[Long].collect().foreach { id =>
+      val f = fused(id)
+      assert(f._3 == q(id), s"quality_score doc $id")
+      assert(f._4 == lg(id), s"detected_lang doc $id")
+      assert(f._5 == rep(id), s"repetition_ratio doc $id")
+      assert(f._6 == ent(id), s"char_entropy doc $id")
+      assert(f._7 == (if (gp(id)) 1 else 0), s"gopher_pass doc $id")
+    }
+  }
+
   test("charEntropy kernel: hand-computed values, empty-doc null") {
     import graft.operators.TextAnalysis
     val corpus = docs((1L, "aaaa"), (2L, "ab"), (3L, "abcd"),
