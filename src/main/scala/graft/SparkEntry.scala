@@ -140,6 +140,9 @@ object SparkEntry {
     "q129_dedup_graph_profile" -> (ExtQueries.q129DedupGraphProfile(_, _)),
     "q130_quality_signals"  -> (ExtQueries.q130QualitySignals(_, _)),
     "q131_embedding_drift"  -> (ExtQueries.q131EmbeddingDrift(_, _)),
+    "q132_stupid_backoff"   -> (ExtQueries.q132StupidBackoff(_, _)),
+    "q133_length_batching"  -> (ExtQueries.q133LengthBatching(_, _)),
+    "q134_token_runs"       -> (ExtQueries.q134TokenRuns(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

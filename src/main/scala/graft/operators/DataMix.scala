@@ -94,6 +94,40 @@ object DataMix {
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
 
+  /** Length-bucketed dynamic batching — the bucketed-batching plan
+    * every variable-length trainer runs (pad each batch to its bucket
+    * bound; batch size = token budget div bound, so every batch costs
+    * ~the same compute regardless of sequence length; the alternative
+    * to [[packSequences]]' concatenation when documents must stay
+    * unconcatenated, e.g. SFT): each document lands in the smallest
+    * power-of-two band >= its token count, and band-local ranks cut
+    * fixed-capacity batches.
+    *
+    * Band bounds come from a broadcast 21-row powers-of-two table —
+    * NO pow/log2 (libm is least trustworthy exactly at the power
+    * boundaries this op cares about). The per-band ranking window is
+    * the honest cost: a batching plan IS an ordering; bands
+    * parallelize across the partition key. */
+  def lengthBatching(docs: DataFrame, idCol: String, nTokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val spark = docs.sparkSession
+    val powers = broadcast(spark.range(0, 21)
+      .select(expr("CAST(1 AS BIGINT) << CAST(id AS INT)").as("p2")))
+    val banded = docs
+      .select(col(idCol).as("doc_id"), col(nTokensCol).cast("long").as("nt"))
+      .where(col("nt") >= 1)
+      .join(powers, col("p2") >= col("nt"))
+      .groupBy(col("doc_id"), col("nt")).agg(min(col("p2")).as("band"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("nt").desc, col("doc_id"))
+    banded
+      .withColumn("rank", row_number().over(w))
+      .withColumn("capacity", greatest(expr(s"${budget}L div band"), lit(1L)))
+      .select(col("doc_id"), col("nt"), col("band"), col("capacity"),
+        expr("(CAST(rank AS BIGINT) - 1) div capacity").as("batch_id"))
+  }
+
   /** Shared (shard, prefix, bin) assignment for the packing family. */
   private def withBins(docs: DataFrame, idCol: String, nTokensCol: String,
       budget: Long, shards: Int): DataFrame = {

@@ -579,6 +579,100 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6).as("ttr"))
   }
 
+  /** Stupid-backoff trigram scoring (public technique: Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the
+    * UNNORMALIZED backoff score designed exactly for distributed
+    * corpora: no discount mass bookkeeping, every level a plain count
+    * ratio, fixed backoff factor α = 0.4):
+    *
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2)          if the trigram is seen
+    *              = α · c(w2w3)/c(w2)          else if the bigram is
+    *              = α² · (c(w3)+1)/(N+V)       else (add-one unigram
+    *                floor keeps every token scorable)
+    *
+    * Counts are three map-side-combined groupBys over one token scan
+    * family; scoring is left hash joins on the gram-string keys. The
+    * same 8dp-ln / decimal-doc-sum discipline as [[ngramLmScore]] and
+    * [[knScore]]; α's double value is the same literal in both
+    * engines and each multiply is one correctly-rounded IEEE op. */
+  def stupidBackoffScore(train: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val toksT = tokens(col(textCol))
+    val tri = train.select(explode(wordNgramsNative(toksT, 3)).as("tg"))
+      .groupBy(col("tg")).agg(count(lit(1)).as("c123"))
+    val bi = train.select(explode(wordNgramsNative(toksT, 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val uni = train.select(explode(toksT).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("nn"),
+      count(lit(1)).as("v"))
+    val d = (c: Column) => c.cast("double")
+    val w2 = substring_index(substring_index(col("tg"), " ", 2), " ", -1)
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(wordNgramsNative(tokens(col(textCol)), 3)).as("tg"))
+      .withColumn("w12", substring_index(col("tg"), " ", 2))
+      .withColumn("w3", substring_index(col("tg"), " ", -1))
+      .withColumn("w23", concat(w2, lit(" "), substring_index(col("tg"), " ", -1)))
+      .withColumn("w2o", w2)
+      .withColumn("__vk", lit(1))
+    val scored = grams
+      .join(tri, Seq("tg"), "left")
+      .join(bi.select(col("bg").as("w12"), col("c12")), Seq("w12"), "left")
+      .join(bi.select(col("bg").as("w23"), col("c12").as("c23")),
+        Seq("w23"), "left")
+      .join(uni.select(col("w").as("w2o"), col("c1").as("c2")),
+        Seq("w2o"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("c3")),
+        Seq("w3"), "left")
+      .join(broadcast(tot.withColumn("__vk", lit(1))), Seq("__vk"))
+    val p = when(col("c123").isNotNull, d(col("c123")) / d(col("c12")))
+      .otherwise(lit(0.4) *
+        when(col("c23").isNotNull, d(col("c23")) / d(col("c2")))
+          .otherwise(lit(0.4) *
+            (d(coalesce(col("c3"), lit(0L)) + lit(1L)) /
+              d(col("nn") + col("v")))))
+    scored.withColumn("lp", round(log(p), 8))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("lp").cast("decimal(20,8)")).cast("double") /
+          count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  /** Degenerate-repetition run detector (the "the the the" / looped-
+    * generation filter — the n-gram loop signal beside [[repetition]]'s
+    * distinct-shingle ratio): per document, the longest run of one
+    * repeated token, its token, and a loop flag. One position explode
+    * + the lag/running-sum run-length chain + a doc-keyed struct-max
+    * (ties: longest run, then earliest start — deterministic). */
+  def tokenRuns(docs: DataFrame, idCol: String, textCol: String,
+      loopAt: Int = 5): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = base.where(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("brk",
+        when(lag(col("tok"), 1).over(byDoc).isNull ||
+          lag(col("tok"), 1).over(byDoc) =!= col("tok"), 1).otherwise(0))
+      .withColumn("run_id",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(count(lit(1)).cast("int").as("run_len"),
+        min(col("pos")).as("start_pos"), first(col("tok")).as("tok"))
+    val best = runs
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("run_len"), (-col("start_pos")).as("np"),
+        col("tok"))).as("m"))
+      .select(col("doc_id"), col("m.run_len").as("max_run"),
+        col("m.tok").as("run_token"))
+    base.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("max_run"), lit(0)).as("max_run"),
+        coalesce(col("run_token"), lit("")).as("run_token"),
+        (coalesce(col("max_run"), lit(0)) >= loopAt).cast("int").as("looped"))
+  }
+
   /** Content fingerprints: md5 + 1-hash MinHash over char 5-grams, via
     * the native codegen'd [[graft.functions.expr.MinShingleHash]] — the
     * declarative `contentFingerprint` form pays O(len) interpreted

@@ -1316,6 +1316,33 @@ object ExtQueries {
         round(col("var_b") / col("var_a"), 6).as("var_ratio"))
   }
 
+  /** Stupid-backoff trigram LM (q132): the unnormalized web-scale
+    * backoff score over the q59 split — all three levels (trigram
+    * hit, bigram backoff, add-one unigram floor) exercised. */
+  def q132StupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    TextAnalysis.stupidBackoffScore(
+      d.where(pmod(col("doc_id"), lit(97)) =!= 0),
+      d.where(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text")
+  }
+
+  /** Length-bucketed dynamic batching (q133): power-of-two bands,
+    * budget-div-band batch capacities — the SFT-side alternative to
+    * q49's concatenative packing. */
+  def q133LengthBatching(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    DataMix.lengthBatching(
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(tokens(col("text"))).as("nt")),
+      "doc_id", "nt", budget = 4096L)
+  }
+
+  /** Token-run loop detector (q134): longest single-token run per
+    * document — the degenerate-generation / looped-filler signal. */
+  def q134TokenRuns(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenRuns(Tables.documents(s, dir), "doc_id", "text")
+
   /** Dedup savings planner (q111): removable-token mass under the
     * three dedup granularities side by side — whole-document exact
     * (q20), content-defined chunks (q105), repeated spans (q69) —
@@ -3546,6 +3573,94 @@ object ExtQueries {
         |  string_agg(event_type || ':' || CAST(round(value, 0) AS BIGINT)::VARCHAR,
         |             ' ' ORDER BY ts, event_id) AS transcript
         |FROM s GROUP BY user_id, session_no""".stripMargin,
+
+    // q132: three count CTEs, the backoff CASE with the engine's
+    // exact parenthesization (every 0.4 under an explicit DOUBLE
+    // cast), 8dp ln, decimal doc sums.
+    "q132_stupid_backoff" ->
+      s"""WITH tr AS (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id % 97 != 0),
+         |ho AS (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id % 97 = 0),
+         |tgt AS (SELECT unnest(CASE WHEN len(t) - 2 >= 1
+         |  THEN [array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t)-2)]
+         |  ELSE [array_to_string(t, ' ')] END) AS tg FROM tr),
+         |tc AS (SELECT tg, count(*) AS c123 FROM tgt GROUP BY 1),
+         |bgt AS (SELECT unnest(CASE WHEN len(t) - 1 >= 1
+         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END) AS bg FROM tr),
+         |bc AS (SELECT bg, count(*) AS c12 FROM bgt GROUP BY 1),
+         |un AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
+         |tt AS (SELECT CAST(sum(c1) AS BIGINT) AS nn, count(*) AS v FROM un),
+         |g AS (SELECT doc_id, tg,
+         |    array_to_string(string_split(tg, ' ')[1:2], ' ') AS w12,
+         |    string_split(tg, ' ')[-1] AS w3,
+         |    string_split(tg, ' ')[1:2][-1] AS w2o
+         |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) - 2 >= 1
+         |    THEN [array_to_string(t[i+1:i+3], ' ') for i in range(0, len(t)-2)]
+         |    ELSE [array_to_string(t, ' ')] END) AS tg FROM ho))
+         |SELECT doc_id, count(*) AS n_trigrams,
+         |  round(CAST(sum(CAST(round(ln(
+         |    CASE WHEN tc.c123 IS NOT NULL
+         |      THEN tc.c123::DOUBLE / b1.c12::DOUBLE
+         |      ELSE CAST(0.4 AS DOUBLE) *
+         |        (CASE WHEN b2.c23 IS NOT NULL
+         |          THEN b2.c23::DOUBLE / u2.c2::DOUBLE
+         |          ELSE CAST(0.4 AS DOUBLE) *
+         |            ((coalesce(u3.c3, 0) + 1)::DOUBLE / (tt.nn + tt.v)::DOUBLE)
+         |        END)
+         |    END), 8) AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_logprob
+         |FROM g LEFT JOIN tc USING (tg)
+         |  LEFT JOIN bc b1 ON b1.bg = g.w12
+         |  LEFT JOIN (SELECT bg, c12 AS c23 FROM bc) b2 ON b2.bg = g.w2o || ' ' || g.w3
+         |  LEFT JOIN (SELECT w, c1 AS c2 FROM un) u2 ON u2.w = g.w2o
+         |  LEFT JOIN (SELECT w, c1 AS c3 FROM un) u3 ON u3.w = g.w3
+         |  CROSS JOIN tt
+         |GROUP BY doc_id""".stripMargin,
+
+    // q133: powers table, min-band join, per-band window, integer
+    // capacity/batch arithmetic — no pow/log2 anywhere.
+    "q133_length_batching" ->
+      s"""WITH p AS (SELECT (1::BIGINT << CAST(i AS INT)) AS p2 FROM range(0, 21) t(i)),
+         |d AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS nt FROM documents),
+         |bd AS (SELECT doc_id, nt, min(p2) AS band
+         |  FROM d JOIN p ON p.p2 >= d.nt WHERE nt >= 1 GROUP BY doc_id, nt),
+         |rk AS (SELECT doc_id, nt, band,
+         |    row_number() OVER (PARTITION BY band ORDER BY nt DESC, doc_id) AS rank,
+         |    greatest(4096 // band, 1) AS capacity
+         |  FROM bd)
+         |SELECT doc_id, nt, band, CAST(capacity AS BIGINT) AS capacity,
+         |  CAST((rank - 1) // capacity AS BIGINT) AS batch_id
+         |FROM rk""".stripMargin,
+
+    // q134: lag/running-sum run lengths, struct-max pick (longest
+    // run, earliest start), left join back for zero-token docs.
+    "q134_token_runs" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |ps AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': t[i]} for i in range(1, len(t) + 1)]) AS u
+         |  FROM tk WHERE len(t) >= 1)),
+         |br AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |           OR lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) != tok
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM ps),
+         |rn AS (SELECT doc_id, pos, tok,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                   ROWS UNBOUNDED PRECEDING) AS run_id
+         |  FROM br),
+         |runs AS (SELECT doc_id, run_id, CAST(count(*) AS INT) AS run_len,
+         |    min(pos) AS start_pos, any_value(tok) AS tok
+         |  FROM rn GROUP BY doc_id, run_id),
+         |best AS (SELECT doc_id,
+         |    struct_extract(m, 'run_len') AS max_run,
+         |    struct_extract(m, 'tok') AS run_token
+         |  FROM (SELECT doc_id,
+         |      max({'run_len': run_len, 'np': -start_pos, 'tok': tok}) AS m
+         |    FROM runs GROUP BY doc_id))
+         |SELECT tk.doc_id, CAST(len(tk.t) AS INT) AS n_tokens,
+         |  coalesce(best.max_run, 0) AS max_run,
+         |  coalesce(best.run_token, '') AS run_token,
+         |  CAST(CASE WHEN coalesce(best.max_run, 0) >= 5 THEN 1 ELSE 0 END AS INT) AS looped
+         |FROM tk LEFT JOIN best USING (doc_id)""".stripMargin,
 
     // q129: the q53 closure + singleton completion + two rollups.
     "q129_dedup_graph_profile" ->

@@ -10,6 +10,20 @@ class DataMixSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("lengthBatching: power-of-two bands, fixed capacities, batch cuts") {
+    val docs = Seq((1L, 5L), (2L, 6L), (3L, 7L), (4L, 8L), (5L, 9L), (6L, 1L))
+      .toDF("doc_id", "nt")
+    val out = DataMix.lengthBatching(docs, "doc_id", "nt", budget = 16L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // Band 8 holds nt 5..8, capacity 16 div 8 = 2; ordered nt desc:
+    // doc4, doc3 -> batch 0; doc2, doc1 -> batch 1.
+    assert(out(4L) == ((8L, 8L, 2L, 0L)) && out(3L) == ((7L, 8L, 2L, 0L)))
+    assert(out(2L) == ((6L, 8L, 2L, 1L)) && out(1L) == ((5L, 8L, 2L, 1L)))
+    assert(out(5L) == ((9L, 16L, 1L, 0L)), "nt 9 -> band 16, capacity 1")
+    assert(out(6L) == ((1L, 1L, 16L, 0L)), "nt 1 -> band 1")
+  }
+
   test("stratified sample is deterministic and tracks target fractions") {
     val df = (0L until 4000L).map(i =>
       (i, if (i % 2 == 0) "a" else "b")).toDF("id", "stratum")

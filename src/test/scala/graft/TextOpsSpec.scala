@@ -307,6 +307,43 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stupidBackoffScore: all three backoff levels hand-computed") {
+    import graft.operators.TextAnalysis
+    // Train "a b c a b c": c123("a b c")=2; c12("a b")=c12("b c")=2,
+    // c12("c a")=1; c1(a)=c1(b)=c1(c)=2, N=6, V=3.
+    val train = docs((1L, "a b c a b c"))
+    val scored = docs(
+      (10L, "a b c"), // seen trigram: p = 2/2 = 1
+      (11L, "x b c"), // bigram backoff: p = 0.4 * (2/2)
+      (12L, "a b a"), // unigram floor, seen w3: 0.4 * (0.4 * (3/9))
+      (13L, "b c d")) // unigram floor, unseen w3: 0.4 * (0.4 * (1/9))
+    val out = TextAnalysis.stupidBackoffScore(train, scored, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def r8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def exp1(p: Double) = BigDecimal(r8(math.log(p)).toDouble / 1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L) == ((1L, exp1(1.0))))
+    assert(out(11L) == ((1L, exp1(0.4 * (2.0 / 2)))))
+    assert(out(12L) == ((1L, exp1(0.4 * (0.4 * (3.0 / 9))))))
+    assert(out(13L) == ((1L, exp1(0.4 * (0.4 * (1.0 / 9))))))
+  }
+
+  test("tokenRuns: longest run, tie to earliest, loop flag, empty doc") {
+    import graft.operators.TextAnalysis
+    val corpus = docs(
+      (1L, "a a a b b c"),
+      (2L, "x x x x x y"),
+      (3L, "a a b b"), // tie: earliest run wins
+      (4L, ""))
+    val out = TextAnalysis.tokenRuns(corpus, "doc_id", "text")
+      .as[(Long, Int, Int, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((6, 3, "a", 0)))
+    assert(out(2L) == ((6, 5, "x", 1)), "run of 5 trips the loop flag")
+    assert(out(3L) == ((4, 2, "a", 0)), "equal-length runs: earliest token")
+    assert(out(4L) == ((0, 0, "", 0)), "empty doc: zero-run row, not missing")
+  }
+
   test("charEntropy kernel: hand-computed values, empty-doc null") {
     import graft.operators.TextAnalysis
     val corpus = docs((1L, "aaaa"), (2L, "ab"), (3L, "abcd"),
