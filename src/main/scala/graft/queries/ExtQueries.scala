@@ -1343,6 +1343,15 @@ object ExtQueries {
   def q134TokenRuns(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenRuns(Tables.documents(s, dir), "doc_id", "text")
 
+  /** PQ reconstruction report (q135): per-subspace quantization MSE +
+    * codebook utilization under the q73 model constants — the second
+    * PQ tuning axis beside q97's recall sweep. */
+  def q135PqReconstruction(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorSim.pqReconstruction(emb,
+      VectorSim.pqTrain(emb, dim = 64, subspaces = 8, k = 16, iters = 2))
+  }
+
   /** Dedup savings planner (q111): removable-token mass under the
     * three dedup granularities side by side — whole-document exact
     * (q20), content-defined chunks (q105), repeated spans (q69) —
@@ -3661,6 +3670,32 @@ object ExtQueries {
          |  coalesce(best.run_token, '') AS run_token,
          |  CAST(CASE WHEN coalesce(best.max_run, 0) >= 5 THEN 1 ELSE 0 END AS INT) AS looped
          |FROM tk LEFT JOIN best USING (doc_id)""".stripMargin,
+
+    // q135: the q73 per-subspace Lloyd's chains reused; per-vec min
+    // rounded distance (the assign CTE's list_min), decimal-exact
+    // mean, distinct-code utilization.
+    "q135_pq_reconstruction" -> {
+      val dsub = 8
+      val md = (0 until 8).map { s =>
+        s"""md$s AS (SELECT $s AS subspace, vec_id, list_min(l) AS d FROM (
+           |  SELECT x.vec_id,
+           |    list(round(x.xx - 2*list_sum([x.emb[i+1]*n.w[i+1] for i in range(0,$dsub)])
+           |               + list_sum([n.w[i+1]*n.w[i+1] for i in range(0,$dsub)]), 6)
+           |         ORDER BY n.c) AS l
+           |  FROM xx$s x CROSS JOIN cen2_$s n GROUP BY x.vec_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${pqCtes(64, 8, 16, 2, "vec_id < 5")},
+         |$md,
+         |alld AS (${(0 until 8).map(s =>
+             s"SELECT subspace, vec_id, d FROM md$s").mkString(" UNION ALL ")}),
+         |used AS (SELECT s AS subspace, CAST(count(DISTINCT c) AS BIGINT) AS codes_used
+         |  FROM codes GROUP BY s)
+         |SELECT alld.subspace, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(d AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mse,
+         |  used.codes_used
+         |FROM alld JOIN used USING (subspace)
+         |GROUP BY alld.subspace, used.codes_used""".stripMargin
+    },
 
     // q129: the q53 closure + singleton completion + two rollups.
     "q129_dedup_graph_profile" ->

@@ -53,4 +53,36 @@ class StreamC4GateSpec extends AnyFunSuite {
       q.stop()
     }
   }
+
+  test("qualitySignals is stream-safe by construction (pure map tier)") {
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      C4Doc(1L, "the cat sat on the mat and that have with more words here"),
+      C4Doc(2L, "aaa aaa aaa aaa"),
+      C4Doc(3L, "der die und das ist gut"))
+    val mem = MemoryStream[C4Doc]
+    // The fused quality scan is shuffle-free, so the SAME batch
+    // operator applies to a stream unchanged — no twin needed.
+    val out = TextAnalysis.qualitySignals(mem.toDF(), "doc_id", "text")
+    val dir = TestSpark.tmpDir("sqsig")
+    val q = out.writeStream
+      .format("memory").queryName("sqsig_test")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(docs(0))
+      q.processAllAvailable()
+      mem.addData(docs(1), docs(2))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM sqsig_test")
+        .as[(Long, Int, Double, String, Double, Double, Int)].collect().toSet
+      val expected = TextAnalysis.qualitySignals(docs.toDF(), "doc_id", "text")
+        .as[(Long, Int, Double, String, Double, Double, Int)].collect().toSet
+      assert(got == expected)
+    } finally {
+      q.stop()
+    }
+  }
 }
