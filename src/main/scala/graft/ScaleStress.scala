@@ -384,6 +384,31 @@ object ScaleStress {
           corpus.where(col("vec_id") < 100), corpus, cen, k = 10)
       }
     }
+
+    // Round-6-continuation rows: the new window- and scan-shaped ops
+    // at the 10x dup-dense corpus. Winnowing must track gram count
+    // (one sliding window per doc); the fused quality scan must stay
+    // scan-bound (six kernels, one pass); soft dedup rides the same
+    // LSH+CC chain as the q53 row above plus two cheap rollups.
+    time("winnowing fingerprints") {
+      operators.TextDedup.winnowFingerprints(big, "doc_id", "text", 4, 4)
+    }
+    time("fused quality signals") {
+      operators.TextAnalysis.qualitySignals(big, "doc_id", "text")
+    }
+    time("c4 line filter (synth lines)") {
+      import graft.functions.TextFunctions.tokens
+      val toks = tokens(col("text"))
+      val nl = greatest(floor((size(toks) + lit(7)) / lit(8)).cast("int"), lit(1))
+      val raw = big.select(col("doc_id"),
+        array_join(transform(sequence(lit(0), nl - 1), i =>
+          concat(array_join(slice(toks, i * 8 + 1, lit(8)), " "),
+            when(substring(md5(concat(col("doc_id").cast("string"), lit("#ln"),
+              i.cast("string"))), 1, 1)
+              .isin("0", "1", "2", "3", "4", "5", "6", "7"), ".")
+              .otherwise(""))), "\n").as("text"))
+      operators.TextAnalysis.c4LineFilter(raw, "doc_id", "text")
+    }
     spark.stop()
   }
 }
