@@ -981,6 +981,22 @@ object TextDedup {
     * per document partition + two hash-keyed aggregations; never
     * corpus^2. */
   def cdcChunkDups(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, modulus: Int): DataFrame =
+    cdcChunks(docs, idCol, textCol, w, modulus)
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("chunk_tokens")).as("chunk_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") >= 2)
+      .select(col("chunk_hash"), col("chunk_tokens"), col("n_docs"),
+        col("n_occurrences"))
+
+  /** The per-document CDC chunk inventory behind [[cdcChunkDups]]:
+    * (doc_id, chunk_hash, chunk_tokens), one row per chunk occurrence
+    * — the unit of storage/transfer dedup, exposed so cross-snapshot
+    * reuse analysis (the q136 entry) can compare inventories instead
+    * of re-deriving cut sets. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
       w: Int, modulus: Int): DataFrame = {
     require(w >= 1 && modulus >= 1, "window and modulus must be positive")
     val base = docs
@@ -1005,20 +1021,13 @@ object TextDedup {
       .withColumn("is_cut", coalesce(col("is_cut"), lit(0L)))
     val chunkW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = flagged
+    flagged
       .withColumn("chunk_id", coalesce(sum(col("is_cut")).over(chunkW), lit(0L)))
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ordered"))
       .select(col("doc_id"),
         md5(array_join(col("ordered.tok"), " ")).as("chunk_hash"),
         size(col("ordered")).cast("int").as("chunk_tokens"))
-    chunks.groupBy(col("chunk_hash"))
-      .agg(min(col("chunk_tokens")).as("chunk_tokens"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
-      .where(col("n_docs") >= 2)
-      .select(col("chunk_hash"), col("chunk_tokens"), col("n_docs"),
-        col("n_occurrences"))
   }
 
   /** Positional k-gram frame: (doc_id, pos, 64-bit window hash). */

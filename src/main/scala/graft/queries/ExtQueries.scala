@@ -1352,6 +1352,33 @@ object ExtQueries {
       VectorSim.pqTrain(emb, dim = 64, subspaces = 8, k = 16, iters = 2))
   }
 
+  /** Cross-snapshot chunk reuse (q136): the q119 snapshot pair at CDC
+    * chunk granularity — what fraction of the NEW crawl's chunk mass
+    * already exists in the old snapshot (content-anchored cuts survive
+    * the recrawl edits, so reuse stays high where a fixed-block diff
+    * would resync) — the storage/transfer dedup planning number. */
+  def q136ChunkReuse(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val old = d.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val nw = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" rev2 content"))).otherwise(col("text")))
+    val oldCh = TextDedup.cdcChunks(old, "doc_id", "text", w = 4, modulus = 8)
+      .select(col("chunk_hash")).distinct()
+    TextDedup.cdcChunks(nw, "doc_id", "text", w = 4, modulus = 8)
+      .join(nw.select(col("doc_id"), col("source")), "doc_id")
+      .join(oldCh.withColumn("reused", lit(1L)), Seq("chunk_hash"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("reused"), lit(0L))).as("n_reused"),
+        sum(col("chunk_tokens").cast("long")).as("tokens_total"),
+        sum(when(col("reused").isNotNull, col("chunk_tokens").cast("long"))
+          .otherwise(0L)).as("tokens_reused"))
+      .withColumn("reuse_ratio",
+        round(col("tokens_reused").cast("double") /
+          col("tokens_total").cast("double"), 6))
+  }
+
   /** Dedup savings planner (q111): removable-token mass under the
     * three dedup granularities side by side — whole-document exact
     * (q20), content-defined chunks (q105), repeated spans (q69) —
@@ -3695,6 +3722,50 @@ object ExtQueries {
          |  used.codes_used
          |FROM alld JOIN used USING (subspace)
          |GROUP BY alld.subspace, used.codes_used""".stripMargin
+    },
+
+    // q136: the q105 chunk CTE chain instantiated per snapshot side
+    // (old / recrawl-modified new), reuse = distinct-old-hash join.
+    "q136_chunk_reuse" -> {
+      def chunkCtes(sfx: String, srcSql: String) =
+        s"""src$sfx AS ($srcSql),
+           |t$sfx AS (SELECT doc_id, $duckToks AS toks FROM src$sfx
+           |  WHERE len($duckToks) >= 1),
+           |tp$sfx AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+           |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]} for i in range(1, len(toks) + 1)]) AS u FROM t$sfx)),
+           |cut$sfx AS (SELECT doc_id, CAST(u.p + 3 AS BIGINT) AS pos FROM (
+           |  SELECT doc_id, unnest([{'p': i - 1, 'g': array_to_string(toks[i:i+3], ' ')} for i in range(1, len(toks) - 2)]) AS u
+           |  FROM t$sfx WHERE len(toks) >= 4)
+           |  WHERE ('0x' || substr(md5(u.g), 1, 13))::BIGINT % 8 = 0),
+           |fl$sfx AS (SELECT tp.doc_id, tp.pos, tp.tok,
+           |  CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END AS is_cut
+           |  FROM tp$sfx tp LEFT JOIN cut$sfx c ON c.doc_id = tp.doc_id AND c.pos = tp.pos),
+           |chn$sfx AS (SELECT doc_id, pos, tok,
+           |  coalesce(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY pos
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+           |  FROM fl$sfx),
+           |ck$sfx AS (SELECT doc_id, chunk_id,
+           |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+           |  CAST(count(*) AS INT) AS chunk_tokens
+           |  FROM chn$sfx GROUP BY doc_id, chunk_id)""".stripMargin
+      s"""WITH ${chunkCtes("old",
+            "SELECT doc_id, source, text FROM documents WHERE doc_id % 3 != 0")},
+         |${chunkCtes("new",
+            """SELECT doc_id, source,
+              | CASE WHEN doc_id % 7 = 0 THEN text || ' rev2 content'
+              |      ELSE text END AS text
+              |FROM documents WHERE doc_id % 5 != 0""".stripMargin)},
+         |oldh AS (SELECT DISTINCT chunk_hash FROM ckold)
+         |SELECT s.source,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN oldh.chunk_hash IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_reused,
+         |  CAST(sum(cknew.chunk_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN oldh.chunk_hash IS NULL THEN 0 ELSE cknew.chunk_tokens END) AS BIGINT) AS tokens_reused,
+         |  round(CAST(sum(CASE WHEN oldh.chunk_hash IS NULL THEN 0 ELSE cknew.chunk_tokens END) AS DOUBLE) /
+         |        CAST(sum(cknew.chunk_tokens) AS DOUBLE), 6) AS reuse_ratio
+         |FROM cknew JOIN srcnew s USING (doc_id)
+         |  LEFT JOIN oldh ON oldh.chunk_hash = cknew.chunk_hash
+         |GROUP BY s.source""".stripMargin
     },
 
     // q129: the q53 closure + singleton completion + two rollups.

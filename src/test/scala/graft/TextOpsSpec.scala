@@ -420,6 +420,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kn(1L)._2 > kn(4L)._2, "unseen bigram order must score lower")
   }
 
+  test("knScore: the interpolated model is an EXACT distribution per seen history") {
+    import graft.operators.TextAnalysis
+    // For any seen history w1, sum over the V train tokens of
+    // P(w2|w1) telescopes to exactly 1:
+    //   sum max(c12-d,0)/hc = (hc - d*n1p)/hc, and
+    //   sum Pcont(w2) = (D + V)/(D + V) = 1, so the backoff mass
+    //   d*n1p/hc closes the gap exactly. Verify numerically by
+    //   scoring one synthetic doc "<w1> <w2>" per vocab pair.
+    val train = docs((1L, "a b a c b a"), (2L, "c c b"))
+    val vocab = Seq("a", "b", "c")
+    val pairs = (for {
+      (w1, i) <- vocab.zipWithIndex
+      (w2, j) <- vocab.zipWithIndex
+    } yield ((i * vocab.size + j).toLong, s"$w1 $w2")).toDF("doc_id", "text")
+    val lp = TextAnalysis.knScore(train, pairs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> math.exp(r._3)).toMap
+    vocab.indices.foreach { i =>
+      val total = vocab.indices.map(j => lp((i * vocab.size + j).toLong)).sum
+      assert(math.abs(total - 1.0) < 1e-6,
+        s"P(.|${vocab(i)}) sums to $total, not 1")
+    }
+  }
+
   test("containmentPairs flags near-subsets that Jaccard misses") {
     // Doc 1 is exactly the first third of doc 2: containment(1 in 2)=1
     // but Jaccard ~ 1/3. Doc 3 shares nothing.
