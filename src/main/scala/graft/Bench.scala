@@ -138,7 +138,16 @@ object Bench {
     val total = ok.map(_._2).sum
     val cal = s"""{"pre":$calPre,"mid":$calMid,"post":$calPost,"rerun":$drifted}"""
     val load = s"""{"pre":${loadPre.mkString("[", ",", "]")},"post":${loadPost.mkString("[", ",", "]")}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"calibration":$cal,"loadavg":$load,"sf":"$sfDir"}""")
+    // Codegen health (VERDICT r06 item 7): nonzero means some plan in
+    // this run silently deoptimized to interpreted execution — a
+    // regression the round-over-round diff must catch even when
+    // wall-time noise at sf0.1 masks it.
+    val cgf = CodegenTripwire.fallbacks
+    // Lease health (VERDICT r06 item 6): nonzero means some entry's
+    // cache lease never fired on its own action and the rep-boundary
+    // releaseAll had to reclaim it — identity matching regressed.
+    val leases = graft.operators.CacheLease.reclaimedCount
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"codegen_fallbacks":$cgf,"cache_leases_reclaimed":$leases,"calibration":$cal,"loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -8,8 +8,13 @@ import org.apache.spark.sql.SparkSession
   * UTC session time zone for oracle parity.
   */
 object Sessions {
-  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
+  def local(cores: Int = 32, appName: String = "graft",
+      extraConf: Map[String, String] = Map.empty): SparkSession = {
+    // Codegen-health observability must be live before the first plan
+    // compiles (VERDICT r06: a silent whole-stage fallback survived a
+    // fully green gate; the counter makes deoptimization a number).
+    CodegenTripwire.install()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .withExtensions(new GraftExtensions)
@@ -18,7 +23,8 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -17,7 +17,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression tree in the DuckDB oracle), terms summed EXACTLY as
   * 1e8-scaled longs (order-invariant, mirrors the oracle's DECIMAL
   * sum), final 6dp round. One pass over the string + a
-  * distinct-codepoint loop; no allocation beyond the histogram. */
+  * distinct-codepoint loop; no allocation beyond the histogram.
+  *
+  * Unit-of-count caveat (ADVICE r06): the kernel counts Unicode CODE
+  * POINTS (`codePointAt`, surrogate pairs = one symbol). The q127
+  * DuckDB oracle tokenizes with `string_split(text, '')`, which
+  * yields grapheme clusters — for non-BMP text (emoji, combining
+  * sequences) the two histograms can legitimately diverge. The oracle
+  * parity claim is therefore exact for BMP text without combining
+  * marks (which the synthetic corpus is) and approximate beyond it;
+  * code points, not graphemes, are the intended engine semantics
+  * (entropy over combining sequences would under-count a base64-style
+  * spill that happens to carry diacritics). */
 object EntropyKernel {
 
   private val LN2 = Math.log(2.0)

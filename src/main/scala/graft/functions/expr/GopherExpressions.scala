@@ -167,7 +167,7 @@ case class GopherMeasures(left: Expression, right: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val sw = ctx.addReferenceObj("gopherStopwords", stopArr,
-      classOf[Array[UTF8String]].getName)
+      "org.apache.spark.unsafe.types.UTF8String[]")
     nullSafeCodeGen(ctx, ev, (t, tk) =>
       s"${ev.value} = graft.functions.expr.GopherKernel.measure($t, $tk, $sw);")
   }

@@ -46,6 +46,15 @@ object CacheLease {
     * working and [[releaseAll]] should run between reps. */
   def pendingCount: Int = pending.size()
 
+  /** Cumulative count of leases that NEVER fired on their own and had
+    * to be reclaimed by [[releaseAll]] (VERDICT r06 item 6). The
+    * observable for the silent-leak failure mode: identity matching
+    * quietly broken (an analyzer change copying already-analyzed
+    * subtrees) shows up here as a number in the bench record, not as
+    * an unexplained memory creep 50 queries later. */
+  def reclaimedCount: Long = reclaimed.get()
+  private val reclaimed = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Fallback cleanup hook: fire every still-pending lease's release
     * and unregister its listener. Safe to call at any quiesce point
     * (suite close, bench rep boundary); releases are unpersist calls,
@@ -61,6 +70,13 @@ object CacheLease {
         p.session.listenerManager.unregister(p.listener)
         n += 1
       }
+    }
+    if (n > 0) {
+      reclaimed.addAndGet(n.toLong)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"CacheLease: reclaimed $n lease(s) whose identity match never " +
+          s"fired (cumulative ${reclaimed.get()}) — if this grows across " +
+          "a bench run, lease matching is broken")
     }
     n
   }

@@ -107,17 +107,25 @@ object DataMix {
     * NO pow/log2 (libm is least trustworthy exactly at the power
     * boundaries this op cares about). The per-band ranking window is
     * the honest cost: a batching plan IS an ordering; bands
-    * parallelize across the partition key. */
+    * parallelize across the partition key.
+    *
+    * Row contract (ADVICE r06): docs with `nt < 1` are EXCLUDED (a
+    * zero-length doc has no batch slot); docs with `nt > 2^20` CLAMP
+    * into the top band (band = 2^20, capacity >= 1) rather than
+    * silently dropping — at corpus scale a handful of pathological
+    * mega-documents must still land in the plan, in the band whose
+    * capacity math already treats them as "one doc per batch". */
   def lengthBatching(docs: DataFrame, idCol: String, nTokensCol: String,
       budget: Long): DataFrame = {
     require(budget >= 1, "budget must be positive")
     val spark = docs.sparkSession
+    val topBand = 1L << 20
     val powers = broadcast(spark.range(0, 21)
       .select(expr("CAST(1 AS BIGINT) << CAST(id AS INT)").as("p2")))
     val banded = docs
       .select(col(idCol).as("doc_id"), col(nTokensCol).cast("long").as("nt"))
       .where(col("nt") >= 1)
-      .join(powers, col("p2") >= col("nt"))
+      .join(powers, col("p2") >= least(col("nt"), lit(topBand)))
       .groupBy(col("doc_id"), col("nt")).agg(min(col("p2")).as("band"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band")).orderBy(col("nt").desc, col("doc_id"))

@@ -374,9 +374,17 @@ object TextAnalysis {
   }
 
   /** Bigram frame with split history/continuation words — one gram
-    * scan feeding all four KN count aggregates. */
+    * scan feeding all four KN count aggregates.
+    *
+    * Docs with < 2 tokens are EXCLUDED (ADVICE r06):
+    * `wordNgramsNative`'s whole-text fallback would otherwise inject a
+    * degenerate "bigram" with w1 == w2 (or "") into the pair counts —
+    * a frequent one-token doc could clear a collocation support
+    * threshold and surface with inflated PMI. A doc with no adjacent
+    * word pair contributes no pair statistics, period. */
   private def knBigrams(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(wordNgramsNative(tokens(col(textCol)), 2)).as("bg"))
+    df.where(size(tokens(col(textCol))) >= 2)
+      .select(explode(wordNgramsNative(tokens(col(textCol)), 2)).as("bg"))
       .select(col("bg"),
         substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2"))

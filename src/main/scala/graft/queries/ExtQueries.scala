@@ -845,6 +845,32 @@ object ExtQueries {
       kClusters = 8, iters = 2, nprobe = 2, k = 5)
   }
 
+  /** IVFADC served from the PERSISTED index artifact (q138, VERDICT
+    * r06 item 4): train the PQ codebooks + coarse quantizer, write the
+    * model frame AND the corpus code table to parquet, read both back,
+    * rebuild the driver model state from the artifact, and search the
+    * READ-BACK codes — the q68/q81 tokenizer-artifact round trip
+    * applied to the ANN index. A real pipeline trains once per corpus
+    * version and serves every query batch from these two tables; a
+    * query batch here pays probe selection + the LUT join only, never
+    * a corpus encode pass. Output and oracle are the q74 search
+    * unchanged — the round trip is the point (parquet round-trips
+    * doubles and ints bit-for-bit). */
+  def q138AnnArtifactSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val m = VectorSim.pqTrain(emb, dim = 64, subspaces = 8, k = 16, iters = 2)
+    val cen = VectorSim.kmeansCentroids(emb, 8, 2)
+    val artDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_artifact").toString
+    VectorSim.annModelFrame(s, m, cen)
+      .write.mode("overwrite").parquet(s"$artDir/model")
+    VectorSim.annCodesFrame(emb, m, cen)
+      .write.mode("overwrite").parquet(s"$artDir/codes")
+    val (m2, cen2) = VectorSim.annModelFromFrame(s.read.parquet(s"$artDir/model"))
+    VectorSim.pqSearchIvfFromCodes(emb.where(col("vec_id") < 5),
+      s.read.parquet(s"$artDir/codes"), m2, cen2, nprobe = 2, k = 5)
+  }
+
   /** IVFADC operating table (q97): recall@5 against exact brute-force
     * at nprobe ∈ {1, 2, 4} from ONE trained model + coarse quantizer —
     * the parameter-planning table for operating ANN at scale (the q86
@@ -2550,9 +2576,8 @@ object ExtQueries {
     "q117_kneser_ney" ->
       s"""WITH tr AS (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id % 97 != 0),
          |ho AS (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id % 97 = 0),
-         |bgt AS (SELECT unnest(CASE WHEN len(t) - 1 >= 1
-         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
-         |  ELSE [array_to_string(t, ' ')] END) AS bg FROM tr),
+         |bgt AS (SELECT unnest([array_to_string(t[i+1:i+2], ' ')
+         |  for i in range(0, len(t)-1)]) AS bg FROM tr WHERE len(t) >= 2),
          |bgp AS (SELECT bg, string_split(bg, ' ')[1] AS w1,
          |  string_split(bg, ' ')[-1] AS w2 FROM bgt),
          |bc AS (SELECT bg, count(*) AS c12 FROM bgp GROUP BY 1),
@@ -3319,22 +3344,24 @@ object ExtQueries {
            |  CAST(count(*) AS BIGINT) AS n_queries,
            |  round(CAST(sum(CAST(rr AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mrr,
            |  round(CAST(sum(CAST(ndcg AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_ndcg,
-           |  round(CAST(sum(nh) AS DOUBLE) / (count(*) * 5), 6) AS recall
+           |  round(CAST(sum(nh) AS DOUBLE) / sum(tc), 6) AS recall
            |FROM (
-           |  SELECT e.query_id,
+           |  SELECT e.query_id, e.tc,
            |    coalesce(round(CAST(1.0 AS DOUBLE) / CAST(h.first_hit AS DOUBLE), 6), 0.0) AS rr,
            |    coalesce(round(CAST(h.dcg AS DOUBLE) / CAST(ii.idcg AS DOUBLE), 6), 0.0) AS ndcg,
            |    coalesce(h.n_hits, 0) AS nh
-           |  FROM (SELECT DISTINCT query_id FROM ($exactPairs)) e
+           |  FROM (SELECT query_id, least(count(*), 5) AS tc
+           |        FROM ($exactPairs) GROUP BY query_id) e
            |  LEFT JOIN (
            |    SELECT a.query_id, min(a.rank) AS first_hit,
            |      CAST(count(*) AS BIGINT) AS n_hits,
            |      sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(a.rank + 1), 6) AS DECIMAL(20,6))) AS dcg
            |    FROM ($chain) a JOIN ($exactPairs) t USING (query_id, neighbor_id)
            |    GROUP BY a.query_id) h USING (query_id)
-           |  CROSS JOIN (
-           |    SELECT sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(r + 1), 6) AS DECIMAL(20,6))) AS idcg
-           |    FROM range(1, 6) t(r)) ii)""".stripMargin
+           |  JOIN (
+           |    SELECT m, sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(r + 1), 6) AS DECIMAL(20,6))) AS idcg
+           |    FROM range(1, 6) t(m), range(1, 6) u(r) WHERE r <= m
+           |    GROUP BY m) ii ON ii.m = e.tc)""".stripMargin
       s"""${metricsOf("ivf", knnIvfOracleSql(k = 5, dim = 64, kClusters = 8,
             iters = 2, nprobe = 2, queryPred = "vec_id < 5"))}
          |UNION ALL
@@ -3422,9 +3449,8 @@ object ExtQueries {
     // bigram-text tiebreak.
     "q122_collocations" ->
       s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
-         |bgt AS (SELECT unnest(CASE WHEN len(t) - 1 >= 1
-         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
-         |  ELSE [array_to_string(t, ' ')] END) AS bg FROM tk),
+         |bgt AS (SELECT unnest([array_to_string(t[i+1:i+2], ' ')
+         |  for i in range(0, len(t)-1)]) AS bg FROM tk WHERE len(t) >= 2),
          |bgp AS (SELECT bg, string_split(bg, ' ')[1] AS w1,
          |  string_split(bg, ' ')[-1] AS w2 FROM bgt),
          |bc AS (SELECT bg, w1, w2, count(*) AS c12 FROM bgp
@@ -3483,22 +3509,24 @@ object ExtQueries {
            |  CAST(count(*) AS BIGINT) AS n_queries,
            |  round(CAST(sum(CAST(rr AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mrr,
            |  round(CAST(sum(CAST(ndcg AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_ndcg,
-           |  round(CAST(sum(nh) AS DOUBLE) / (count(*) * 5), 6) AS recall
+           |  round(CAST(sum(nh) AS DOUBLE) / sum(tc), 6) AS recall
            |FROM (
-           |  SELECT e.query_id,
+           |  SELECT e.query_id, e.tc,
            |    coalesce(round(CAST(1.0 AS DOUBLE) / CAST(h.first_hit AS DOUBLE), 6), 0.0) AS rr,
            |    coalesce(round(CAST(h.dcg AS DOUBLE) / CAST(ii.idcg AS DOUBLE), 6), 0.0) AS ndcg,
            |    coalesce(h.n_hits, 0) AS nh
-           |  FROM (SELECT DISTINCT query_id FROM ($exactPairs)) e
+           |  FROM (SELECT query_id, least(count(*), 5) AS tc
+           |        FROM ($exactPairs) GROUP BY query_id) e
            |  LEFT JOIN (
            |    SELECT a.query_id, min(a.rank) AS first_hit,
            |      CAST(count(*) AS BIGINT) AS n_hits,
            |      sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(a.rank + 1), 6) AS DECIMAL(20,6))) AS dcg
            |    FROM (${projChain(od)}) a JOIN ($exactPairs) t USING (query_id, neighbor_id)
            |    GROUP BY a.query_id) h USING (query_id)
-           |  CROSS JOIN (
-           |    SELECT sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(r + 1), 6) AS DECIMAL(20,6))) AS idcg
-           |    FROM range(1, 6) t(r)) ii)""".stripMargin
+           |  JOIN (
+           |    SELECT m, sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(r + 1), 6) AS DECIMAL(20,6))) AS idcg
+           |    FROM range(1, 6) t(m), range(1, 6) u(r) WHERE r <= m
+           |    GROUP BY m) ii ON ii.m = e.tc)""".stripMargin
       Seq(8, 16, 32).map(metricsOf).mkString("\nUNION ALL\n")
     },
 
@@ -3576,7 +3604,9 @@ object ExtQueries {
 
     // q127: per-char histogram, the 8dp-rounded p*log2(p) terms
     // summed in DECIMAL (matches the kernel's scaled-long sum), 6dp
-    // final round; empty docs null via the LEFT JOIN.
+    // final round; empty docs null via the LEFT JOIN. string_split
+    // yields graphemes vs the kernel's code points — exact parity
+    // holds for BMP/no-combining-mark text (see EntropyKernel doc).
     "q127_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
         |  FROM documents WHERE len(text) > 0),
@@ -3652,13 +3682,15 @@ object ExtQueries {
          |  CROSS JOIN tt
          |GROUP BY doc_id""".stripMargin,
 
-    // q133: powers table, min-band join, per-band window, integer
+    // q133: powers table, min-band join (oversize docs clamp into the
+    // top 2^20 band, mirroring the engine), per-band window, integer
     // capacity/batch arithmetic — no pow/log2 anywhere.
     "q133_length_batching" ->
       s"""WITH p AS (SELECT (1::BIGINT << CAST(i AS INT)) AS p2 FROM range(0, 21) t(i)),
          |d AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS nt FROM documents),
          |bd AS (SELECT doc_id, nt, min(p2) AS band
-         |  FROM d JOIN p ON p.p2 >= d.nt WHERE nt >= 1 GROUP BY doc_id, nt),
+         |  FROM d JOIN p ON p.p2 >= least(d.nt, 1::BIGINT << 20)
+         |  WHERE nt >= 1 GROUP BY doc_id, nt),
          |rk AS (SELECT doc_id, nt, band,
          |    row_number() OVER (PARTITION BY band ORDER BY nt DESC, doc_id) AS rank,
          |    greatest(4096 // band, 1) AS capacity
@@ -4168,6 +4200,14 @@ object ExtQueries {
     // Same constants as q74PqSearchIvf above: q39 coarse chain + q73
     // subspace chains + q45 probe rule, ADC restricted to candidates.
     "q74_pq_search_ivf" ->
+      pqSearchIvfOracleSql(dim = 64, subspaces = 8, kw = 16, iters = 2,
+        kClusters = 8, cIters = 2, nprobe = 2, topK = 5,
+        queryPred = "vec_id < 5"),
+
+    // q138: identical search to q74 by construction — the engine side
+    // round-trips model + codes through parquet (bit-exact for doubles
+    // and ints), so the oracle is the same IVFADC replay.
+    "q138_ann_artifact_search" ->
       pqSearchIvfOracleSql(dim = 64, subspaces = 8, kw = 16, iters = 2,
         kClusters = 8, cIters = 2, nprobe = 2, topK = 5,
         queryPred = "vec_id < 5"),

@@ -47,4 +47,21 @@ class CacheLeaseSpec extends AnyFunSuite {
     lb.write.format("noop").mode("overwrite").save()
     assert(awaitRelease(b))
   }
+
+  test("leaked lease is observable and drained by releaseAll (VERDICT r06 item 6)") {
+    CacheLease.releaseAll() // quiesce: drain leftovers from other suites
+    val base = Seq((9L, "z")).toDF("id", "k").persist()
+    val pendingBefore = CacheLease.pendingCount
+    val reclaimedBefore = CacheLease.reclaimedCount
+    CacheLease.releaseAfterAction(base.select("k"))(() => base.unpersist())
+    assert(CacheLease.pendingCount == pendingBefore + 1,
+      "an armed lease must be visible as pending")
+    // Never act on the leased frame: the lease can only be reclaimed.
+    val n = CacheLease.releaseAll()
+    assert(n >= 1, "cleanup hook must reclaim the leaked lease")
+    assert(awaitRelease(base), "reclaim must run the release hook")
+    assert(CacheLease.pendingCount == 0, "drain leaves nothing pending")
+    assert(CacheLease.reclaimedCount >= reclaimedBefore + 1,
+      "the never-fired counter must record the leak")
+  }
 }

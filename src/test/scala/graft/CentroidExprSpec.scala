@@ -75,7 +75,9 @@ class CentroidExprSpec extends AnyFunSuite {
         if (r.isNullAt(0)) None else Some(r.getSeq[Double](0).toList),
         if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSeq
     val codegen = run()
-    val interpreted = withSQLConf("spark.sql.codegen.wholeStage" -> "false")(run())
+    // Genuine eval()-path twin (NO_CODEGEN factories): whole-stage off
+    // alone still compiles the projection, so it never tested eval.
+    val interpreted = TestSpark.interpreted(run())
     assert(codegen == interpreted)
     assert(codegen.map(_._2) == Seq(Some(0), None, None, None))
     assert(codegen.head._1.get.head == CentroidKernel.round6((1.0 + 4.0) - 2.0 * 1.0 + 1.0))

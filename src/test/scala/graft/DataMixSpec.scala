@@ -24,6 +24,20 @@ class DataMixSpec extends AnyFunSuite {
     assert(out(6L) == ((1L, 1L, 16L, 0L)), "nt 1 -> band 1")
   }
 
+  test("lengthBatching: oversize docs clamp into the top band, zero-length excluded") {
+    // ADVICE r06: nt > 2^20 used to find no band and silently vanish.
+    val docs = Seq((1L, (1L << 20) + 77L), (2L, 1L << 20), (3L, 0L))
+      .toDF("doc_id", "nt")
+    val out = DataMix.lengthBatching(docs, "doc_id", "nt", budget = 4096L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out.keySet == Set(1L, 2L), "oversize kept, zero-length excluded")
+    assert(out(1L) == (((1L << 20) + 77L, 1L << 20, 1L, 0L)),
+      "oversize doc lands in the top band with its TRUE nt, capacity 1")
+    assert(out(2L)._2 == (1L << 20) && out(2L)._4 == 1L,
+      "exact top-band doc batches after the larger one")
+  }
+
   test("stratified sample is deterministic and tracks target fractions") {
     val df = (0L until 4000L).map(i =>
       (i, if (i % 2 == 0) "a" else "b")).toDF("id", "stratum")

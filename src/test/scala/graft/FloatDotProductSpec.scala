@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, sequence, transform}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.VectorFunctions.{dot, dotHof}
@@ -44,11 +44,14 @@ class FloatDotProductSpec extends AnyFunSuite {
   }
 
   test("survives both codegen and interpreted paths") {
-    val df = Seq((Seq(1f, 1f), Seq(2f, 3f))).toDF("a", "b")
+    // Non-foldable physical source + genuine NO_CODEGEN interpreted
+    // arm (VERDICT r06 item 5): the old literal fixture was folded at
+    // optimization time and never exercised either execution path.
+    val df = spark.range(1).select(
+      transform(sequence(lit(1), lit(2)), _ => (col("id") + 1).cast("float")).as("a"),
+      transform(sequence(lit(2), lit(3)), i => (i + col("id")).cast("float")).as("b"))
     val expr = dot(col("a"), col("b"))
-    withSQLConf("spark.sql.codegen.wholeStage" -> "false") {
-      assert(df.select(expr).as[Double].head() == 5.0)
-    }
+    assert(TestSpark.interpreted(df.select(expr).as[Double].head()) == 5.0)
     assert(df.select(expr).as[Double].head() == 5.0)
   }
 

@@ -89,7 +89,9 @@ class ShingleExprSpec extends AnyFunSuite {
   }
 
   test("survives both codegen and interpreted paths") {
-    val df = Seq("five chars here").toDF("text")
+    // Non-foldable physical source (VERDICT r06 item 5): a literal
+    // fixture constant-folds, so the compiled arm would never run.
+    val df = TestSpark.nonFoldable(Seq("five chars here"))
     def run(): (String, Seq[String], Seq[String], Double, Seq[String]) = df.select(
       minShingleHash(col("text"), 5, 0),
       wordShinglesNative(tokens(col("text")), 2),
@@ -98,9 +100,9 @@ class ShingleExprSpec extends AnyFunSuite {
       charNgramsNative(col("text"), 4))
       .as[(String, Seq[String], Seq[String], Double, Seq[String])].head()
     val withCodegen = run()
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try assert(run() == withCodegen)
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // Genuine eval()-path twin: NO_CODEGEN factories, not just
+    // whole-stage off (which still compiles the projection).
+    assert(TestSpark.interpreted(run()) == withCodegen)
     assert(withCodegen._2 == Seq("five chars", "chars here"))
   }
 

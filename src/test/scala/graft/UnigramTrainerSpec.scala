@@ -87,9 +87,12 @@ class UnigramTrainerSpec extends AnyFunSuite {
     val wf = BpeTrainer.wordFrequencies(corpus("abab abab ab ba baba"), "text")
     val (model, _) = UnigramTrainer.train(wf)
     val words = Seq("abab", "baba", "ab", "bbbb", "a")
-    val viaDf = UnigramTrainer.segment(
+    def segmentAll(): Map[String, String] = UnigramTrainer.segment(
       words.map((_, 1L)).toDF("token", "freq"), model)
       .select("word", "segmentation").as[(String, String)].collect().toMap
+    val viaDf = segmentAll() // compiled arm (strict CODEGEN_ONLY session)
+    assert(TestSpark.interpreted(segmentAll()) == viaDf,
+      "NO_CODEGEN factories must produce the same segmentations")
     words.foreach { w =>
       val arr = UnigramKernel.segment(UTF8String.fromString(w), model)
       val pieces = (0 until arr.numElements())

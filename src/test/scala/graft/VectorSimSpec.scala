@@ -407,6 +407,40 @@ class VectorSimSpec extends AnyFunSuite {
     assert(again.toSeq.sorted == pruned.toSeq.sorted, "pqSearchIvf is deterministic")
   }
 
+  test("ANN artifact: train -> write -> read -> search == in-call (VERDICT r06 item 4)") {
+    val rnd = new scala.util.Random(53)
+    val centers = Seq.fill(4)(Seq.fill(16)(rnd.nextGaussian().toFloat * 4))
+    val e = emb((0L until 60L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + rnd.nextGaussian().toFloat * 0.2f), 0)
+    }: _*)
+    val m = VectorSim.pqTrain(e, dim = 16, subspaces = 4, k = 8, iters = 2)
+    val cen = VectorSim.kmeansCentroids(e, 4, 2)
+    val dir = TestSpark.tmpDir("annart")
+    VectorSim.annModelFrame(spark, m, cen)
+      .write.mode("overwrite").parquet(s"$dir/model")
+    VectorSim.annCodesFrame(e, m, cen)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    // Model state round-trips bit-for-bit (parquet doubles are exact).
+    val (m2, cen2) = VectorSim.annModelFromFrame(spark.read.parquet(s"$dir/model"))
+    assert(m2.subspaces == m.subspaces && m2.dsub == m.dsub)
+    assert(m2.codebooks.flatten.map(_.toSeq) == m.codebooks.flatten.map(_.toSeq),
+      "PQ codebooks must survive the parquet round trip bit-for-bit")
+    assert(cen2.map(_.toSeq) == cen.map(_.toSeq),
+      "coarse centroids must survive the round trip bit-for-bit")
+    // Artifact-served search == in-call search, exactly.
+    val queries = e.where($"vec_id" < 4)
+    val inCall = VectorSim.pqSearchIvf(queries, e, m, cen, nprobe = 2, k = 5)
+      .select("query_id", "neighbor_id", "adist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val served = VectorSim.pqSearchIvfFromCodes(queries,
+        spark.read.parquet(s"$dir/codes"), m2, cen2, nprobe = 2, k = 5)
+      .select("query_id", "neighbor_id", "adist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == inCall,
+      "search over the persisted artifact must equal the in-call search")
+  }
+
   test("semanticDedup: one disposition row per vector, one survivor per group") {
     // Two tight planted duplicate bundles + isolated singletons.
     val rnd = new scala.util.Random(11)
@@ -557,5 +591,19 @@ class VectorSimSpec extends AnyFunSuite {
     val out2 = VectorSim.retrievalMetrics(none, truth, k = 2)
       .as[(Long, Double, Double, Double)].head()
     assert(out2._1 == 2L && out2._2 == 0.25 && out2._4 == 0.25)
+  }
+
+  test("retrievalMetrics: sparse truth reaches recall/ndcg 1.0 (ADVICE r06)") {
+    // q1 has ONE relevant row; a ranking that finds it at position 1
+    // must score recall 1 and ndcg 1, not be capped at 1/k forever.
+    val truth = Seq((1L, 10L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    val ranked = Seq((1L, 10L, 1), (1L, 99L, 2), (2L, 10L, 1), (2L, 12L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = VectorSim.retrievalMetrics(ranked, truth, k = 2)
+      .as[(Long, Double, Double, Double)].head()
+    assert(out._1 == 2L && out._2 == 1.0, "both first hits at rank 1")
+    assert(out._3 == 1.0, "ideal DCG sized to each query's truth count")
+    assert(out._4 == 1.0, "recall = 3 hits / (1 + 2 achievable)")
   }
 }
