@@ -218,6 +218,50 @@ object ScaleStress {
         operators.VectorSim.semanticDedup(corpus.unionByName(skewBlock),
           k = 256, iters = 2, threshold = 0.999, maxCellSize = 2000)
       }
+      // Incremental semantic-state cadence (VERDICT r06 item 3):
+      // frozen k=256 quantizer; last week = the 50k corpus (cells +
+      // labels already in state, untimed), weekly batch = 5k dup
+      // replicas. Scratch re-pays cell assignment AND the full
+      // within-cell pair pass over the composed 55k; incremental
+      // assigns cells for the 5k batch only and pair-joins just those
+      // against the composed cells — per-increment work tracks the
+      // BATCH, not the corpus, and the labels are pinned equal.
+      locally {
+        import operators.{TextDedup, VectorSim}
+        val dups = corpus.where(col("vec_id") < 5000)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        val all = corpus.unionByName(dups)
+        val cen = VectorSim.kmeansCentroids(corpus, 256, 2)
+        val cellsOld = VectorSim.semanticCells(corpus, cen).persist()
+        val labelsOld = TextDedup.connectedComponents(
+          VectorSim.semanticPairsIncremental(cellsOld, corpus,
+            cellsOld.select(col("vec_id")), 0.999)).persist()
+        labelsOld.count() // materialize: "last week's run", untimed
+        time("sem-state scratch (55k full)") {
+          val cAll = VectorSim.semanticCells(all, cen)
+          TextDedup.connectedComponents(VectorSim.semanticPairsIncremental(
+            cAll, all, cAll.select(col("vec_id")), 0.999))
+        }
+        time("sem-state incremental (5k)") {
+          val composed = cellsOld.unionByName(VectorSim.semanticCells(dups, cen))
+          TextDedup.connectedComponentsIncremental(labelsOld,
+            VectorSim.semanticPairsIncremental(composed, all,
+              dups.select(col("vec_id")), 0.999))
+        }
+        val cAll = VectorSim.semanticCells(all, cen)
+        val scratch = TextDedup.connectedComponents(
+          VectorSim.semanticPairsIncremental(cAll, all,
+            cAll.select(col("vec_id")), 0.999))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val inc = TextDedup.connectedComponentsIncremental(labelsOld,
+          VectorSim.semanticPairsIncremental(
+            cellsOld.unionByName(VectorSim.semanticCells(dups, cen)), all,
+            dups.select(col("vec_id")), 0.999))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"sem-state incremental == scratch: ${inc == scratch} " +
+          s"(${scratch.size} labeled vecs)")
+        cellsOld.unpersist(); labelsOld.unpersist()
+      }
     }
 
     // DSIR importance resampling (q71) over the 10x text corpus: two

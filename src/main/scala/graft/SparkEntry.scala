@@ -145,6 +145,7 @@ object SparkEntry {
     "q134_token_runs"       -> (ExtQueries.q134TokenRuns(_, _)),
     "q135_pq_reconstruction" -> (ExtQueries.q135PqReconstruction(_, _)),
     "q136_chunk_reuse"      -> (ExtQueries.q136ChunkReuse(_, _)),
+    "q137_curation_e2e"     -> (ExtQueries.q137CurationE2e(_, _)),
     "q138_ann_artifact_search" -> (ExtQueries.q138AnnArtifactSearch(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's

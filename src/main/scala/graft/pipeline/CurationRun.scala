@@ -105,11 +105,13 @@ object CurationRun {
     * Both cadences call this AFTER survivor selection on the composed
     * kept frame, so the incremental pin (init+inc == scratch) extends
     * through it for free: the stage is a deterministic function of the
-    * already-pinned-equal kept set. v1 recomputes the disposition per
-    * run (embedding state = none); the batch-scale path — frozen
-    * centroids in state, per-batch cell assignment, incremental
-    * within-cell pairs like the LSH cadence — is the documented next
-    * step if profile shows this stage dominating a weekly run. */
+    * already-pinned-equal kept set. This v1 form recomputes the
+    * disposition per run (corpus-scale semantic work each week); the
+    * batch-scale alternative — frozen centroids in state, per-batch
+    * cell assignment, incremental within-cell pairs like the LSH
+    * cadence — is BUILT (VERDICT r06 item 3): opt in with
+    * `semanticState = true` at [[runInit]]; incrementals auto-detect
+    * it (see the incremental-semantic-state block below). */
   private def semanticStage(kept: DataFrame, embeddings: Option[DataFrame],
       semClusters: Int, semIters: Int, semThreshold: Double,
       semMaxCellSize: Int): (DataFrame, Long, () => Unit) = embeddings match {
@@ -132,6 +134,67 @@ object CurationRun {
       val nDropped = dropped.count()
       (kept.join(dropped, Seq("doc_id"), "left_anti"), nDropped,
         () => { dropped.unpersist(); () })
+  }
+
+  // ---------------------------------------------------------------
+  // Incremental semantic-dedup state (VERDICT r06 item 3). Opt-in at
+  // init (`semanticState = true` with embeddings supplied); weekly
+  // incrementals auto-detect it from the state. Three artifacts join
+  // the state layout:
+  //   sem_centroids/   (cell, vec)            FROZEN quantizer (k rows, copied forward)
+  //   sem_cells_batch/ (vec_id, cell)         this batch's cell assignments
+  //   sem_clusters/    (doc_id, canonical_id) FULL semantic labels (small)
+  // The quantizer is trained ONCE at init (or supplied) and never
+  // retrained mid-lineage — the embedding-space analogue of the fixed
+  // MinHash family: per-batch work is one cell-assignment map pass +
+  // within-cell pairs of the batch against the composed cells
+  // (VectorSim.semanticPairsIncremental) + the contracted label merge,
+  // all batch-scale. Equality contract: init+inc over any batch split
+  // == the same machinery run non-incrementally over the composed
+  // corpus UNDER THE SAME CENTROIDS (IncrementalCurationSpec pins it
+  // across 2 incremental batches via a seeded scratch run). Retraining
+  // the quantizer is an explicit state rebase decision, exactly like
+  // recomputing the LSH banding.
+  //
+  // Participant semantics: semantic clusters form over the embedded
+  // DECON corpus (append-only across batches), not the kept set —
+  // kept membership changes as near-dup survivors shift, which would
+  // make per-batch label state unsound. The disposition then applies
+  // to the CURRENT kept frame: in each semantic cluster the lowest
+  // kept doc_id survives (deterministic; a cluster whose members are
+  // all near-dup-dropped costs nothing). v1 [[semanticStage]] instead
+  // clusters the kept set per run — the two differ only for docs that
+  // bridge clusters while themselves near-dup-dropped, and the state
+  // cadence's semantics are the documented contract for weekly runs.
+  // ---------------------------------------------------------------
+
+  private def writeSemCentroids(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, cen: Seq[Array[Double]]): Unit =
+    Sinks.overwriteParquet(
+      spark.createDataFrame(cen.zipWithIndex.map { case (w, i) =>
+        (i, w.toSeq) }).toDF("cell", "vec"),
+      s"$stateDir/sem_centroids", numFiles = 1)
+
+  private def readSemCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Array[Double]] =
+    spark.read.parquet(path).orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray).toSeq
+
+  /** Disposition of the CURRENT kept frame under the composed semantic
+    * labels: in each cluster the lowest KEPT doc_id survives; docs
+    * outside any cluster pass through. Returns the filtered frame and
+    * the dropped count. */
+  private def semanticKeepFilter(kept: DataFrame,
+      semLabels: DataFrame): (DataFrame, Long) = {
+    val labeled = kept.join(
+      semLabels.select(col("doc_id"), col("canonical_id")),
+      Seq("doc_id"), "left")
+    val surv = labeled.where(col("canonical_id").isNotNull)
+      .groupBy(col("canonical_id")).agg(min(col("doc_id")).as("surv_id"))
+    val out = labeled.join(surv, Seq("canonical_id"), "left")
+      .where(col("canonical_id").isNull || col("doc_id") === col("surv_id"))
+      .select(col("doc_id"), col("text"), col("quality_score"))
+    (out, kept.count() - out.count())
   }
 
   /** Survivor keep set over the decontaminated corpus: near-dup
@@ -291,7 +354,9 @@ object CurationRun {
       semIters: Int = 2, semThreshold: Double = 0.99,
       semMaxCellSize: Int = 1000,
       classifier: Option[(DataFrame, Int)] = None,
-      minClassifierScore: Double = 0.5): Stats = {
+      minClassifierScore: Double = 0.5,
+      semanticState: Boolean = false, semSalt: Int = 1,
+      semCentroidsIn: Option[String] = None): Stats = {
     val spark = docs.sparkSession
     val decon = prepBatch(docs, benchmark, minQuality,
       minContaminatedShingles, classifier, minClassifierScore)
@@ -314,8 +379,37 @@ object CurationRun {
     writeLineage(stateOutDir, Seq(stateOutDir))
     val kept = keepFromClusters(deconS, clustersS).persist()
     val keptCount = kept.count()
-    val (semFinal, semDropped, semRelease) = semanticStage(kept, embeddings,
-      semClusters, semIters, semThreshold, semMaxCellSize)
+    val (semFinal, semDropped, semRelease) =
+      if (semanticState && embeddings.isDefined) {
+        val emb = embeddings.get
+        val vecs = deconS.select(col("doc_id"))
+          .join(emb.select(col("vec_id"), col("embedding")),
+            col("doc_id") === col("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+        // Frozen quantizer: trained on the init corpus (or supplied,
+        // e.g. by a seeded scratch replay / a rebase); becomes state.
+        val cen = semCentroidsIn match {
+          case Some(p) => readSemCentroids(spark, p)
+          case None => VectorSim.kmeansCentroids(vecs, semClusters, semIters)
+        }
+        writeSemCentroids(spark, stateOutDir, cen)
+        // The salt is part of the frozen quantizer contract — record
+        // it in state so incrementals can't drift from init's value.
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"),
+          s"$semSalt\n")
+        Sinks.overwriteParquet(VectorSim.semanticCells(vecs, cen, semSalt),
+          s"$stateOutDir/sem_cells_batch", numFiles = 1)
+        val cellsS = spark.read.parquet(s"$stateOutDir/sem_cells_batch")
+        Sinks.overwriteParquet(
+          TextDedup.connectedComponents(VectorSim.semanticPairsIncremental(
+            cellsS, emb, cellsS.select(col("vec_id")), semThreshold)),
+          s"$stateOutDir/sem_clusters", numFiles = 1)
+        val (out, dropped) = semanticKeepFilter(kept,
+          spark.read.parquet(s"$stateOutDir/sem_clusters"))
+        (out, dropped, () => ())
+      } else semanticStage(kept, embeddings,
+        semClusters, semIters, semThreshold, semMaxCellSize)
     val (sampled, bins) = landOutputs(semFinal, outDir,
       fractions, defaultFraction, packBudget, packShards)
     semRelease(); kept.unpersist()
@@ -404,8 +498,44 @@ object CurationRun {
     val deconAll = deconOld.unionByName(deconNewS)
     val kept = keepFromClusters(deconAll, clustersS).persist()
     val keptCount = kept.count()
-    val (semFinal, semDropped, semRelease) = semanticStage(kept, embeddings,
-      semClusters, semIters, semThreshold, semMaxCellSize)
+    // Semantic stage: the incremental state machinery when the lineage
+    // carries a frozen quantizer (auto-detected — the state, not a
+    // flag, decides), else the v1 per-run recompute.
+    val semStateActive = embeddings.isDefined && java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))
+    val (semFinal, semDropped, semRelease) =
+      if (semStateActive) {
+        val emb = embeddings.get
+        val cen = readSemCentroids(spark, s"$stateInDir/sem_centroids")
+        val salt = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$stateInDir/sem_salt.txt"))
+          .trim.toInt
+        // Carry the frozen quantizer forward so every state version is
+        // self-contained (rebase and third batches read their input
+        // state dir only).
+        writeSemCentroids(spark, stateOutDir, cen)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"), s"$salt\n")
+        val vecsNew = deconNewS.select(col("doc_id"))
+          .join(emb.select(col("vec_id"), col("embedding")),
+            col("doc_id") === col("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+        Sinks.overwriteParquet(VectorSim.semanticCells(vecsNew, cen, salt),
+          s"$stateOutDir/sem_cells_batch", numFiles = 1)
+        val cellsAll = readSlices(spark, lineage, "sem_cells_batch")
+          .unionByName(spark.read.parquet(s"$stateOutDir/sem_cells_batch"))
+        // Batch-scale pair work: only the new docs' cells join.
+        val semPairsNew = VectorSim.semanticPairsIncremental(cellsAll, emb,
+          deconNewS.select(col("doc_id").as("vec_id")), semThreshold)
+        Sinks.overwriteParquet(
+          TextDedup.connectedComponentsIncremental(
+            spark.read.parquet(s"$stateInDir/sem_clusters"), semPairsNew),
+          s"$stateOutDir/sem_clusters", numFiles = 1)
+        val (out, dropped) = semanticKeepFilter(kept,
+          spark.read.parquet(s"$stateOutDir/sem_clusters"))
+        (out, dropped, () => ())
+      } else semanticStage(kept, embeddings,
+        semClusters, semIters, semThreshold, semMaxCellSize)
     val (sampled, bins) = landOutputs(semFinal, outDir,
       fractions, defaultFraction, packBudget, packShards)
     semRelease(); kept.unpersist()
@@ -447,6 +577,23 @@ object CurationRun {
       s"$stateOutDir/hash_batch", numFiles = 1)
     Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/clusters"),
       s"$stateOutDir/clusters", numFiles = 1)
+    // Semantic state, when present: cell slices consolidate like the
+    // other per-batch artifacts; the frozen quantizer and the full
+    // label table copy forward unchanged (rebase is pure IO — it does
+    // NOT retrain the quantizer; that is an explicit re-init).
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))) {
+      Sinks.overwriteParquet(readSlices(spark, lineage, "sem_cells_batch"),
+        s"$stateOutDir/sem_cells_batch", numFiles = 1)
+      Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/sem_centroids"),
+        s"$stateOutDir/sem_centroids", numFiles = 1)
+      Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/sem_clusters"),
+        s"$stateOutDir/sem_clusters", numFiles = 1)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$stateInDir/sem_salt.txt"),
+        java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     writeLineage(stateOutDir, Seq(stateOutDir))
   }
 

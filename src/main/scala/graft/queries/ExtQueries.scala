@@ -1475,6 +1475,59 @@ object ExtQueries {
     * language — operator COMPOSITION is the point (each stage is an
     * already-verified operator; the chain is one lazy plan, so Catalyst
     * pushes the quality filter beneath everything downstream). */
+  /** End-to-end curation run as ONE oracle-checked catalog entry
+    * (q137, VERDICT r06 item 8): [[graft.pipeline.CurationRun.run]]
+    * over the %97 corpus/benchmark split with EVERY stage active —
+    * normalize, redact, heuristic quality gate, trained-classifier
+    * gate, benchmark decontamination, repeated-span removal, MinHash+
+    * LSH near-dup survivor selection, embedding-space semantic dedup,
+    * language-stratified sampling, and sequence packing — returning
+    * the per-stage audit counts as one row. The DuckDB oracle replays
+    * the WHOLE composed pipeline (the q32 CTE-chain discipline
+    * extended to all ten stages) and must reproduce every count.
+    * semMaxCellSize = 1000 > |corpus| keeps the cell guard inert, so
+    * the oracle's unguarded pair domain is exact by the q75 equality
+    * pin. */
+  def q137CurationE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    import graft.pipeline.CurationRun
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
+    val benchmark = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    // Pre-trained classifier artifact: the q82/q83 GD fixture (labels
+    // = lang == 'en'), but trained on the NORMALIZED full table — the
+    // text shape the gate will score (raw-cased training grams land in
+    // disjoint feature buckets after lowercasing and gate everything
+    // out). minClassifierScore = 0.0001 is calibrated to this model's
+    // score distribution (length-dominated sigmoid tail); with
+    // minQuality = 0.75, decon floor 1, and semThreshold = 0.35 (the
+    // q24 cosine scale of the synthetic embeddings), EVERY stage has
+    // nonzero attrition at both verify SFs — no stage rides through
+    // inert.
+    val normAll = TextAnalysis
+      .normalize(docs, "doc_id", "text")
+      .select(col("doc_id"), col("norm_text").as("text"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val weights = QualityClassifier.train(
+      normAll.withColumn("y", when(col("lang") === "en", 1).otherwise(0)),
+      "doc_id", "text", "y", buckets = 256, iters = 3, lr = 0.5)
+    val out = java.nio.file.Files.createTempDirectory("graft_q137").toString
+    val st = CurationRun.run(corpus, benchmark, out,
+      minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
+      fractions = Map("en" -> 0.5), defaultFraction = 0.9,
+      packBudget = 4096L, packShards = 8,
+      spanK = 8, spanMinDf = 2,
+      embeddings = Some(Tables.embeddings(s, dir)),
+      semClusters = 8, semIters = 2, semThreshold = 0.35,
+      semMaxCellSize = 1000,
+      classifier = Some((weights, 256)), minClassifierScore = 0.0001)
+    s.createDataFrame(Seq((st.input, st.gated, st.modelGated,
+        st.decontaminated, st.spanCleaned, st.kept, st.semDropped,
+        st.sampled, st.bins)))
+      .toDF("input", "gated", "model_gated", "decontaminated",
+        "span_cleaned", "kept", "sem_dropped", "sampled", "bins")
+  }
+
   def q32CurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val kept = TextAnalysis.qualityScore(docs, "doc_id", "text")
@@ -1636,7 +1689,8 @@ object ExtQueries {
     * min-distance mdN-1, ties to the earliest candidate; every
     * distance the same rounded `(xx - 2*dot) + cc` form as
     * assignment). */
-  private def kmeansCtes(k: Int, dim: Int, iters: Int, initFactor: Int = 0): String = {
+  private def kmeansCtes(k: Int, dim: Int, iters: Int, initFactor: Int = 0,
+      embFrom: String = "embeddings"): String = {
     def assign(name: String, cen: String): String =
       s"""$name AS (
          |  SELECT vec_id, list_indexof(l, list_min(l)) - 1 AS cluster FROM (
@@ -1655,7 +1709,7 @@ object ExtQueries {
     val rounds = (1 to iters).flatMap(t =>
       Seq(update(s"cen$t", s"cen${t - 1}", s"a${t - 1}"), assign(s"a$t", s"cen$t")))
     val base =
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM $embFrom),
          |cen0 AS (
          |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c, emb AS w
          |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k),
@@ -1774,9 +1828,10 @@ object ExtQueries {
     * (exact decimal sum, one double division, 8dp round), weight
     * subtraction recast to DECIMAL(20,8) — the q65 merge-loop
     * unrolling discipline applied to model training. */
-  private def classifierCtes(buckets: Int, iters: Int, lr: Double): String = {
+  private def classifierCtes(buckets: Int, iters: Int, lr: Double,
+      gramSource: String = "documents"): String = {
     val base =
-      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM $gramSource),
          |gr AS (SELECT doc_id, unnest(list_concat(t, CASE WHEN len(t) - 1 >= 1
          |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
          |  ELSE [array_to_string(t, ' ')] END)) AS g FROM tk),
@@ -1830,9 +1885,19 @@ object ExtQueries {
     * the codegen'd FloatDotProduct kernels — so equality holds
     * pre-round and the round(...,6) boundary can never flake. */
   private def semanticDedupOracleSql(k: Int, dim: Int, iters: Int,
-      threshold: Double, maxCellSize: Int = Int.MaxValue): String = {
-    val ctes = kmeansCtes(k, dim, iters)
-      .replace("WITH e AS", "WITH RECURSIVE e AS")
+      threshold: Double, maxCellSize: Int = Int.MaxValue): String =
+    s"""WITH RECURSIVE ${semanticDedupCtes(k, dim, iters, threshold,
+          maxCellSize, "embeddings")}
+       |SELECT vec_id, cluster, group_id, cos_centroid, keep FROM semdisp""".stripMargin
+
+  /** The [[semanticDedupOracleSql]] chain as a spliceable CTE block
+    * (no WITH prefix; final disposition in CTE `semdisp`) with a
+    * parameterized embedding source — the q137 end-to-end oracle
+    * anchors it on the kept-survivor frame. */
+  private def semanticDedupCtes(k: Int, dim: Int, iters: Int,
+      threshold: Double, maxCellSize: Int, embFrom: String): String = {
+    val ctes = kmeansCtes(k, dim, iters, embFrom = embFrom)
+      .stripPrefix("WITH ")
     def cos(a: String, b: String): String =
       s"""round(list_sum([$a.emb[i+1]*$b[i+1] for i in range(0,$dim)])
          |      / (sqrt(list_sum([$a.emb[i+1]*$a.emb[i+1] for i in range(0,$dim)]))
@@ -1879,10 +1944,199 @@ object ExtQueries {
        |    SELECT group_id, vec_id,
        |      row_number() OVER (PARTITION BY group_id
        |                         ORDER BY cos_centroid, vec_id) AS rn FROM g)
-       |  WHERE rn = 1)
-       |SELECT g.vec_id, g.cluster, g.group_id, g.cos_centroid,
+       |  WHERE rn = 1),
+       |semdisp AS (SELECT g.vec_id, g.cluster, g.group_id, g.cos_centroid,
        |  CAST(g.vec_id = sv.surv_id AS INT) AS keep
-       |FROM g JOIN sv ON sv.group_id = g.group_id""".stripMargin
+       |FROM g JOIN sv ON sv.group_id = g.group_id)""".stripMargin
+  }
+
+  /** DuckDB replay of the FULL `CurationRun.run` pipeline (q137,
+    * VERDICT r06 item 8) — every stage of the end-to-end curation pass
+    * composed into one query, producing the nine per-stage audit
+    * counts the engine's `Stats` row reports. Stage fragments reuse
+    * the per-operator oracle disciplines verbatim (q46 normalize, q42
+    * redact, q17 quality, q82 classifier GD replay, q47 decon, q69
+    * spans, q22 LSH, q53 closure, q58 survivors, q70 semantic dedup,
+    * q48 sample draw, q49 packing), re-anchored on the intermediate
+    * CTEs so each stage sees the previous stage's TRANSFORMED text
+    * exactly as the engine does. Constants must match
+    * [[q137CurationE2e]]. */
+  private lazy val curationE2eOracleSql: String = {
+    val em = graft.operators.TextAnalysis.EmailPattern
+    val ur = graft.operators.TextAnalysis.UrlPattern
+    val stop = "['the','a','of','and','to','el','la','de','que','y'," +
+      "'der','die','und','das','ist','le','les','et','des','un']"
+    // q17 quality-score CTE triple over a (doc_id, text) source.
+    def qualityCtes(src: String, p: String): String =
+      s"""${p}t AS (SELECT doc_id, $duckToks AS toks, CAST(len(text) AS DOUBLE) AS nc FROM $src),
+         |${p}m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nt,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+         |  CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE) AS nstop,
+         |  nc FROM ${p}t),
+         |${p}q AS (SELECT doc_id, round(
+         |   (CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.25 ELSE 0.0 END) +
+         |   (CASE WHEN nd / nt >= 0.3 THEN 0.25 ELSE 0.0 END) +
+         |   (CASE WHEN (nc - (nt - 1)) / nt >= 3.0 AND (nc - (nt - 1)) / nt <= 10.0 THEN 0.25 ELSE 0.0 END) +
+         |   (CASE WHEN nstop / nt > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS q
+         |  FROM ${p}m)""".stripMargin
+    // Distinct word-3-gram shingles (with the <3-token whole-text
+    // fallback) over a (doc_id, text) source. The coalesce matters on
+    // span-emptied docs: DuckDB's array_to_string([], ' ') is NULL,
+    // but the engine's fallback shingle for an empty doc is '' — and
+    // a NULL shingle would silently drop the doc from banding (NULL
+    // never equi-joins), diverging from the engine's behavior of
+    // clustering fully-emptied docs together.
+    def shingleCte(src: String, name: String): String =
+      s"""$name AS MATERIALIZED (SELECT doc_id,
+         |  CASE WHEN len(tq) - 2 >= 1
+         |    THEN list_distinct([array_to_string(tq[i+1:i+3], ' ') for i in range(0, len(tq)-2)])
+         |    ELSE [coalesce(array_to_string(tq, ' '), '')] END AS sh
+         |  FROM (SELECT doc_id, $duckToks AS tq FROM $src))""".stripMargin
+    // q18 language-ID pair over a (doc_id, text) source.
+    def langCtes(src: String, p: String): String =
+      s"""${p}h AS (SELECT doc_id,
+         |  CAST(len(list_filter(tq, x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS hits_en,
+         |  CAST(len(list_filter(tq, x -> list_contains(['el','la','de','que','y'], x))) AS INT) AS hits_es,
+         |  CAST(len(list_filter(tq, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) AS hits_de,
+         |  CAST(len(list_filter(tq, x -> list_contains(['le','les','et','des','un'], x))) AS INT) AS hits_fr
+         |  FROM (SELECT doc_id, $duckToks AS tq FROM $src)),
+         |${p}d AS (SELECT doc_id,
+         | CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+         |      WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+         |      WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+         |      WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+         |      ELSE 'fr' END AS detected_lang
+         |FROM ${p}h)""".stripMargin
+    // q22's MinHash family: identical coefficients, 16x2 banding.
+    val coeffs = graft.functions.TextFunctions.minhashCoefficients(32)
+    val prime = graft.functions.TextFunctions.MinhashPrime
+    val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(((h::HUGEINT*$a + $b) % $prime)::BIGINT) AS m$i"
+    }.mkString(",\n  ")
+    val bandEntries = (0 until 16).map { bd =>
+      s"'$bd|' || md5(m${2 * bd}::VARCHAR || ',' || m${2 * bd + 1}::VARCHAR)"
+    }.mkString(",\n    ")
+    // The classifier artifact trains on the NORMALIZED full table (the
+    // text shape it will score: a model trained on raw-cased grams
+    // sees disjoint feature buckets after lowercasing and gates
+    // everything out).
+    val classifier = classifierCtes(256, 3, 0.5, gramSource = "alln")
+      .stripPrefix("WITH ")
+    val semantic = semanticDedupCtes(8, 64, 2, 0.35, Int.MaxValue,
+      "embeddings JOIN k1 ON k1.doc_id = embeddings.vec_id")
+    s"""WITH RECURSIVE
+       |alln AS MATERIALIZED (SELECT doc_id,
+       |  trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS text
+       |  FROM documents),
+       |nrm AS MATERIALIZED (SELECT doc_id,
+       |  trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS text
+       |  FROM documents WHERE doc_id % 97 != 0),
+       |red AS MATERIALIZED (SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ur', '<URL>', 'g') AS text
+       |  FROM nrm),
+       |${qualityCtes("red", "hq")},
+       |hg AS MATERIALIZED (SELECT red.doc_id, red.text, hqq.q AS quality_score
+       |  FROM red JOIN hqq USING (doc_id) WHERE hqq.q >= 0.75),
+       |$classifier,
+       |ctk AS (SELECT doc_id, $duckToks AS t FROM hg),
+       |cg AS (SELECT doc_id, unnest(list_concat(t, CASE WHEN len(t) - 1 >= 1
+       |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+       |  ELSE [array_to_string(t, ' ')] END)) AS cgr FROM ctk),
+       |cbk AS (SELECT doc_id, ('0x' || substr(md5(cgr), 1, 8))::BIGINT % 256 AS b FROM cg),
+       |cdb AS (SELECT doc_id, b, count(*) AS n FROM cbk GROUP BY 1, 2),
+       |cz AS (SELECT cdb.doc_id, sum(CAST(cdb.n AS DECIMAL(10,0)) * w3.w) AS z
+       |  FROM cdb JOIN w3 USING (b) GROUP BY 1),
+       |cp AS (SELECT doc_id, CAST(round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 8) AS DECIMAL(20,8)) AS p FROM cz),
+       |mg AS MATERIALIZED (SELECT hg.doc_id, hg.text, hg.quality_score
+       |  FROM hg JOIN cp USING (doc_id) WHERE cp.p >= 0.0001),
+       |bsr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+       |${shingleCte("bsr", "bshc")},
+       |bsh AS (SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM bshc)),
+       |${shingleCte("mg", "cshc")},
+       |cex AS (SELECT doc_id, unnest(sh) AS s FROM cshc),
+       |cont AS (SELECT doc_id, count(*) AS ncs FROM cex JOIN bsh USING (s) GROUP BY doc_id),
+       |dec AS MATERIALIZED (SELECT mg.doc_id, mg.text, mg.quality_score FROM mg
+       |  LEFT JOIN cont USING (doc_id) WHERE coalesce(cont.ncs, 0) < 1),
+       |dtk AS MATERIALIZED (SELECT doc_id, $duckToks AS toks FROM dec),
+       |sgp AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')} for i in range(1, len(toks) - 6)]) AS u
+       |  FROM dtk WHERE len(toks) >= 8)),
+       |srep AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM sgp)
+       |        GROUP BY gram HAVING count(*) >= 2),
+       |spr AS (SELECT doc_id, pos FROM sgp JOIN srep USING (gram)),
+       |srun AS (SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos
+       |  FROM (SELECT doc_id, pos,
+       |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp2
+       |        FROM spr)
+       |  GROUP BY doc_id, grp2),
+       |stp AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]} for i in range(1, len(toks) + 1)]) AS u FROM dtk)),
+       |skp AS (SELECT p2.doc_id, p2.pos, p2.tok FROM stp p2
+       |  WHERE NOT EXISTS (SELECT 1 FROM srun s2 WHERE s2.doc_id = p2.doc_id
+       |    AND p2.pos BETWEEN s2.start_pos AND s2.end_pos + 7)),
+       |sag AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       |    count(*) AS n_kept FROM skp GROUP BY doc_id),
+       |sp AS MATERIALIZED (SELECT d2.doc_id, coalesce(sag.clean_text, '') AS text, d2.quality_score,
+       |    CAST(len(dtk.toks) - coalesce(sag.n_kept, 0) AS BIGINT) AS n_removed
+       |  FROM dec d2 JOIN dtk USING (doc_id) LEFT JOIN sag USING (doc_id)),
+       |${qualityCtes("sp", "sq")},
+       |${shingleCte("sp", "shc")},
+       |lex AS (SELECT doc_id, unnest(sh) AS s3 FROM shc),
+       |lhh AS (SELECT doc_id, ('0x' || substr(md5(s3), 1, 8))::BIGINT AS h FROM lex),
+       |lsig AS MATERIALIZED (SELECT doc_id,
+       |  $minCols
+       |  FROM lhh GROUP BY doc_id),
+       |lband AS (SELECT doc_id,
+       |  unnest([$bandEntries]) AS bucket
+       |  FROM lsig),
+       |lcand AS (SELECT DISTINCT a2.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM lband a2 JOIN lband b2 ON a2.bucket = b2.bucket AND a2.doc_id < b2.doc_id),
+       |lpair AS (SELECT doc_a, doc_b
+       |  FROM lcand JOIN shc x2 ON x2.doc_id = lcand.doc_a JOIN shc y2 ON y2.doc_id = lcand.doc_b
+       |  WHERE round(CAST(len(list_intersect(x2.sh, y2.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(x2.sh, y2.sh))), 6) >= 0.25),
+       |tund AS (SELECT doc_a AS src, doc_b AS dst FROM lpair
+       |        UNION SELECT doc_b, doc_a FROM lpair),
+       |treach(src, dst) AS (
+       |  SELECT src, src FROM tund
+       |  UNION
+       |  SELECT r.src, u.dst FROM treach r JOIN tund u ON u.src = r.dst),
+       |tcl AS MATERIALIZED (SELECT src AS doc_id, min(dst) AS canonical_id
+       |       FROM treach GROUP BY src),
+       |tjn AS (SELECT tcl.canonical_id, tcl.doc_id, sqq.q,
+       |  row_number() OVER (PARTITION BY tcl.canonical_id ORDER BY sqq.q DESC, tcl.doc_id) AS rn
+       |  FROM tcl JOIN sqq USING (doc_id)),
+       |tsv AS (SELECT canonical_id, doc_id AS survivor_id FROM tjn WHERE rn = 1),
+       |k1 AS MATERIALIZED (SELECT sp.doc_id, sp.text, sp.quality_score FROM sp
+       |  LEFT JOIN tcl USING (doc_id)
+       |  LEFT JOIN tsv ON tsv.canonical_id = tcl.canonical_id
+       |  WHERE tcl.canonical_id IS NULL OR sp.doc_id = tsv.survivor_id),
+       |$semantic,
+       |kfin AS MATERIALIZED (SELECT k1.doc_id, k1.text FROM k1
+       |  LEFT JOIN (SELECT vec_id FROM semdisp WHERE keep = 0) sdp ON sdp.vec_id = k1.doc_id
+       |  WHERE sdp.vec_id IS NULL),
+       |${langCtes("kfin", "ll")},
+       |samp AS MATERIALIZED (SELECT kfin.doc_id, kfin.text, lld.detected_lang
+       |  FROM kfin JOIN lld USING (doc_id)
+       |  WHERE ('0x' || substr(md5(kfin.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+       |    < CAST(floor(CASE lld.detected_lang WHEN 'en' THEN 0.5 ELSE 0.9 END * 1000000) AS BIGINT)),
+       |ptk AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM samp),
+       |psh AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard FROM ptk),
+       |ppre AS (SELECT *, coalesce(sum(n_tokens) OVER (
+       |    PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix FROM psh),
+       |pbin AS (SELECT shard, CAST(floor(prefix / 4096) AS BIGINT) AS bin
+       |  FROM ppre GROUP BY shard, CAST(floor(prefix / 4096) AS BIGINT))
+       |SELECT
+       | CAST((SELECT count(*) FROM nrm) AS BIGINT) AS input,
+       | CAST((SELECT count(*) FROM hg) AS BIGINT) AS gated,
+       | CAST((SELECT count(*) FROM mg) AS BIGINT) AS model_gated,
+       | CAST((SELECT count(*) FROM dec) AS BIGINT) AS decontaminated,
+       | CAST((SELECT count(*) FROM sp WHERE n_removed > 0) AS BIGINT) AS span_cleaned,
+       | CAST((SELECT count(*) FROM k1) AS BIGINT) AS kept,
+       | CAST((SELECT count(*) FROM semdisp WHERE keep = 0) AS BIGINT) AS sem_dropped,
+       | CAST((SELECT count(*) FROM samp) AS BIGINT) AS sampled,
+       | CAST((SELECT count(*) FROM pbin) AS BIGINT) AS bins""".stripMargin
   }
 
   /** DuckDB mirror of the PQ ADC search (q73): an independent Lloyd's
@@ -4203,6 +4457,9 @@ object ExtQueries {
       pqSearchIvfOracleSql(dim = 64, subspaces = 8, kw = 16, iters = 2,
         kClusters = 8, cIters = 2, nprobe = 2, topK = 5,
         queryPred = "vec_id < 5"),
+
+    // q137: the composed ten-stage replay (see curationE2eOracleSql).
+    "q137_curation_e2e" -> curationE2eOracleSql,
 
     // q138: identical search to q74 by construction — the engine side
     // round-trips model + codes through parquet (bit-exact for doubles

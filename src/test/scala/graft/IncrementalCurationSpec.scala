@@ -133,6 +133,78 @@ class IncrementalCurationSpec extends AnyFunSuite {
       "near-dup 11 collapses into 1; semantic dup 13 drops against 5")
   }
 
+  test("semantic STATE cadence: frozen quantizer, init+inc+inc == seeded scratch (VERDICT r06 item 3)") {
+    // The incremental machinery (per-batch cell assignment + new-vs-
+    // composed within-cell pairs + contracted label merge) must equal
+    // the full within-cell pass over the composed corpus UNDER THE
+    // SAME frozen centroids — the embedding-space twin of the LSH
+    // cadence's equality pin, across TWO incremental batches.
+    val batchA = Seq((1L, goodEn), (3L, goodEs), (5L, freshA))
+      .toDF("doc_id", "text")
+    val batchB = Seq(
+      (13L, "entirely novel content about distant mountains and deep " +
+        "valleys that resembles nothing in the first weekly batch at all")
+    ).toDF("doc_id", "text")
+    val batchC = Seq(
+      (21L, "completely different prose describing winding rivers and " +
+        "ancient forests that shares no phrasing with earlier batches here")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    // 13 paraphrases 5 (identical embedding); 21 paraphrases 13 —
+    // cross-batch semantic chains 5-13-21 must collapse to doc 5.
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(0f, 1f, 0f, 0f)),
+      (13L, Seq(0f, 1f, 0f, 0f)),
+      (21L, Seq(0f, 0.999f, 0.04f, 0f))).toDF("vec_id", "embedding")
+    val semEmb = Some(emb)
+
+    val base = TestSpark.tmpDir("inc_curation_semstate")
+    CurationRun.runInit(batchA, benchmark, s"$base/out_a", s"$base/state_1",
+      embeddings = semEmb, semClusters = 2, semanticState = true)
+    val inc1 = CurationRun.runIncremental(batchB, benchmark,
+      s"$base/out_b", s"$base/state_1", s"$base/state_2",
+      embeddings = semEmb, semClusters = 2)
+    val inc2 = CurationRun.runIncremental(batchC, benchmark,
+      s"$base/out_c", s"$base/state_2", s"$base/state_3",
+      embeddings = semEmb, semClusters = 2)
+    // Seeded scratch: same machinery, non-incrementally, under the
+    // SAME frozen centroids the lineage carries.
+    val scratch = CurationRun.runInit(
+      batchA.unionByName(batchB).unionByName(batchC), benchmark,
+      s"$base/out_scratch", s"$base/state_scratch",
+      embeddings = semEmb, semClusters = 2, semanticState = true,
+      semCentroidsIn = Some(s"$base/state_1/sem_centroids"))
+
+    def curated(dir: String): Set[Long] =
+      spark.read.parquet(s"$dir/curated")
+        .select("doc_id").as[Long].collect().toSet
+    def semClusters(stateDir: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$stateDir/sem_clusters")
+        .as[(Long, Long)].collect().toSet
+
+    assert(semClusters(s"$base/state_3") == semClusters(s"$base/state_scratch"),
+      "incremental semantic labels diverged from the seeded scratch run")
+    assert(curated(s"$base/out_c") == curated(s"$base/out_scratch"),
+      "curated corpus diverged from the seeded scratch run")
+    assert(curated(s"$base/out_c") == Set(1L, 3L, 5L),
+      "the 5-13-21 semantic chain must collapse to its lowest kept doc")
+    assert(inc1.semDropped == 1 && inc2.semDropped == 2,
+      "each weekly run reports the composed-corpus semantic drops")
+    // The state stays self-contained: centroids were carried forward.
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/state_3/sem_centroids")))
+    // Per-batch cell slices are batch-scale: each incremental wrote
+    // exactly its own docs' assignments.
+    def cellRows(stateDir: String): Set[Long] =
+      spark.read.parquet(s"$stateDir/sem_cells_batch")
+        .select("vec_id").as[Long].collect().toSet
+    assert(cellRows(s"$base/state_2") == Set(13L),
+      "a weekly batch assigns cells for its own docs only")
+    assert(cellRows(s"$base/state_3") == Set(21L))
+  }
+
   test("lineage compaction: post-rebase incremental equals pre-rebase incremental") {
     // init(A) + inc(B) builds a 2-entry lineage; rebase collapses it to
     // one consolidated dir. A third batch incremented over BOTH states
