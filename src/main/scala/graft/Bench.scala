@@ -87,8 +87,10 @@ object Bench {
           // A lease whose identity match never fired (armed on a frame
           // the noop write re-analyzed into a copy) would leak its
           // persisted intermediate across the rest of the catalog —
-          // reclaim explicitly at the rep boundary.
-          graft.operators.CacheLease.releaseAll()
+          // reclaim explicitly at the rep boundary. Quiesce first:
+          // listener delivery is async, and an immediate releaseAll
+          // races healthy leases and miscounts them as leaks.
+          graft.operators.CacheLease.quiesceThenReleaseAll()
           spark.catalog.clearCache()
           // localCheckpoint blocks (iterative operators) are RDD-level
           // storage that clearCache does not drop; they free only when

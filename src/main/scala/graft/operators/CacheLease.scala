@@ -39,7 +39,8 @@ object CacheLease {
   private final case class PendingLease(
       session: org.apache.spark.sql.SparkSession,
       listener: QueryExecutionListener,
-      release: () => Unit)
+      release: () => Unit,
+      tag: String)
 
   /** Number of leases armed but not yet fired — a steadily growing
     * value across a bench run means identity matching has stopped
@@ -62,12 +63,14 @@ object CacheLease {
     * Returns how many leases were reclaimed. */
   def releaseAll(): Int = {
     var n = 0
+    val tags = List.newBuilder[String]
     val it = pending.iterator()
     while (it.hasNext) {
       val p = it.next()
       if (pending.remove(p)) {
         try p.release() catch { case _: Throwable => () }
         p.session.listenerManager.unregister(p.listener)
+        tags += p.tag
         n += 1
       }
     }
@@ -75,10 +78,29 @@ object CacheLease {
       reclaimed.addAndGet(n.toLong)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"CacheLease: reclaimed $n lease(s) whose identity match never " +
-          s"fired (cumulative ${reclaimed.get()}) — if this grows across " +
-          "a bench run, lease matching is broken")
+          s"fired (cumulative ${reclaimed.get()}; targets: " +
+          s"${tags.result().mkString("; ")}) — if this grows across a " +
+          "bench run after listener quiesce, lease matching is broken")
     }
     n
+  }
+
+  /** Wait (bounded) for in-flight listener deliveries to fire pending
+    * leases, then reclaim what genuinely never matched.
+    * [[QueryExecutionListener]] events dispatch asynchronously, so a
+    * quiesce point that calls [[releaseAll]] IMMEDIATELY after an
+    * action races healthy leases and miscounts them as leaks (observed:
+    * a bench run reporting every lease reclaimed while the spec's
+    * polling variant showed them all firing; with a 1 s grace a loaded
+    * full-catalog run still miscounted 4 — the shared listener bus can
+    * lag multiple seconds under GC pressure). The grace only costs
+    * time when something is actually pending. Returns the number of
+    * true leftovers reclaimed. */
+  def quiesceThenReleaseAll(graceMs: Long = 5000L): Int = {
+    val deadline = System.nanoTime() + graceMs * 1000000L
+    while (pending.size() > 0 && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    releaseAll()
   }
 
   /** Return `result` with `release` armed to run after the first
@@ -118,7 +140,8 @@ object CacheLease {
       override def onFailure(funcName: String, qe: QueryExecution,
           exception: Exception): Unit = fire(qe)
     }
-    pending.add(PendingLease(session, listener, release))
+    pending.add(PendingLease(session, listener, release,
+      target.schema.fieldNames.take(4).mkString("(", ",", ")")))
     session.listenerManager.register(listener)
     result
   }

@@ -228,4 +228,31 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("windowspecdefinition(doc_id"),
       s"chunk-id windows must partition per document:\n$plan")
   }
+
+  test("artifact-served ANN: corpus pays NO encode pass; probes broadcast (q138)") {
+    import graft.operators.VectorSim
+    val rnd = new scala.util.Random(29)
+    val e = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val m = VectorSim.pqTrain(e, dim = 16, subspaces = 4, k = 8, iters = 1)
+    val cen = VectorSim.kmeansCentroids(e, 4, 1)
+    val dir = TestSpark.tmpDir("planann")
+    VectorSim.annCodesFrame(e, m, cen).write.mode("overwrite")
+      .parquet(s"$dir/codes")
+    val served = VectorSim.pqSearchIvfFromCodes(e.where($"vec_id" < 2),
+      spark.read.parquet(s"$dir/codes"), m, cen, nprobe = 2, k = 3)
+    val plan = planOf(served)
+    // The codes parquet is consumed as-is: the ONLY kernel calls are
+    // the query-side probe derivation (centroid_distances over the
+    // 2-row query frame), never a corpus re-encode — at 100 TB the
+    // encode pass is exactly what the artifact buys.
+    assert(!plan.contains("nearest_centroid("),
+      s"corpus must NOT be re-encoded when serving from codes:\n$plan")
+    assert(plan.contains("centroid_distances") &&
+      plan.contains("BroadcastExchange"),
+      s"query-side probe selection must broadcast:\n$plan")
+    assert(plan.contains("Scan parquet"),
+      s"search must read the persisted code table:\n$plan")
+  }
 }

@@ -441,6 +441,43 @@ class VectorSimSpec extends AnyFunSuite {
       "search over the persisted artifact must equal the in-call search")
   }
 
+  test("semanticCells / semanticPairsIncremental: frozen-quantizer incremental == full (VERDICT r06 item 3)") {
+    val rnd = new scala.util.Random(61)
+    val centers = Seq.fill(3)(Seq.fill(8)(rnd.nextGaussian().toFloat * 4))
+    def mk(ids: Range) = emb(ids.map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.05f), 0)
+    }: _*)
+    val old = mk(0 until 40)
+    val batch = mk(40 until 60)
+    val all = old.unionByName(batch)
+    val cen = VectorSim.kmeansCentroids(old, 3, 2) // frozen at "init"
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cellsAll = VectorSim.semanticCells(all, cen)
+    val full = pairsOf(VectorSim.semanticPairsIncremental(
+      cellsAll, all, cellsAll.select("vec_id"), 0.99))
+    val cellsOld = VectorSim.semanticCells(old, cen)
+    val oldPairs = pairsOf(VectorSim.semanticPairsIncremental(
+      cellsOld, old, cellsOld.select("vec_id"), 0.99))
+    val newPairs = pairsOf(VectorSim.semanticPairsIncremental(
+      cellsAll, all, batch.select("vec_id"), 0.99))
+    assert(full.nonEmpty, "fixture must produce near-dup pairs")
+    assert((oldPairs ++ newPairs) == full,
+      "old-run pairs + new-vs-composed pairs must cover the full pair set")
+    assert(newPairs.forall { case (a, b) => a >= 40 || b >= 40 },
+      "the incremental call must only emit pairs touching the batch")
+    // Fixed salt subdivides deterministically and only ever REMOVES
+    // candidate pairs (the LSH-band recall trade, never new links).
+    val salted = VectorSim.semanticCells(all, cen, salt = 3)
+    val fullSalted = pairsOf(VectorSim.semanticPairsIncremental(
+      salted, all, salted.select("vec_id"), 0.99))
+    assert(fullSalted.subsetOf(full), "salting must only drop pairs")
+    assert(salted.collect().sameElements(
+      VectorSim.semanticCells(all, cen, salt = 3).collect()),
+      "cell assignment is deterministic")
+  }
+
   test("semanticDedup: one disposition row per vector, one survivor per group") {
     // Two tight planted duplicate bundles + isolated singletons.
     val rnd = new scala.util.Random(11)
