@@ -562,10 +562,16 @@ object CurationRun {
     * corpus state (IncrementalCurationSpec pins post-rebase
     * incremental == pre-rebase incremental). */
   def rebaseState(spark: org.apache.spark.sql.SparkSession,
-      stateInDir: String, stateOutDir: String): Unit = {
+      stateInDir: String, stateOutDir: String,
+      retrainSemantic: Boolean = false,
+      embeddings: Option[DataFrame] = None,
+      semClusters: Int = 16, semIters: Int = 2,
+      semThreshold: Double = 0.99, semSalt: Int = 1): Unit = {
     require(stateInDir != stateOutDir,
       "rebase writes a new state version: reading and overwriting the " +
         "same state in one job would corrupt it")
+    require(!retrainSemantic || embeddings.isDefined,
+      "retrainSemantic needs the embeddings frame to re-derive cells")
     val lineage = readLineage(stateInDir)
     Sinks.overwriteParquet(readSlices(spark, lineage, "decon_batch"),
       s"$stateOutDir/decon_batch", numFiles = 4)
@@ -577,22 +583,53 @@ object CurationRun {
       s"$stateOutDir/hash_batch", numFiles = 1)
     Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/clusters"),
       s"$stateOutDir/clusters", numFiles = 1)
-    // Semantic state, when present: cell slices consolidate like the
-    // other per-batch artifacts; the frozen quantizer and the full
-    // label table copy forward unchanged (rebase is pure IO — it does
-    // NOT retrain the quantizer; that is an explicit re-init).
+    // Semantic state, when present. Default rebase is pure IO: cell
+    // slices consolidate like the other per-batch artifacts and the
+    // frozen quantizer + full label table copy forward unchanged.
+    // `retrainSemantic` is the drift valve (the "explicit re-init"
+    // the frozen-quantizer contract defers to): a quantizer trained
+    // on week 1 slowly mismatches a corpus whose embedding
+    // distribution shifts (q131's monitor is the trigger); retraining
+    // at rebase re-pays the semantic front ONCE — train on the
+    // composed corpus, reassign every cell, recompute labels — while
+    // the text-side artifacts still consolidate as pure IO.
+    // Equality contract: the retrained state is IDENTICAL to what
+    // runInit(semanticState = true) over the composed corpus would
+    // produce (same deterministic k-means over the same vecs), so
+    // subsequent incrementals compose exactly (spec-pinned).
     if (java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))) {
-      Sinks.overwriteParquet(readSlices(spark, lineage, "sem_cells_batch"),
-        s"$stateOutDir/sem_cells_batch", numFiles = 1)
-      Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/sem_centroids"),
-        s"$stateOutDir/sem_centroids", numFiles = 1)
-      Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/sem_clusters"),
-        s"$stateOutDir/sem_clusters", numFiles = 1)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$stateInDir/sem_salt.txt"),
-        java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      if (retrainSemantic) {
+        val emb = embeddings.get
+        val vecs = spark.read.parquet(s"$stateOutDir/decon_batch")
+          .select(col("doc_id"))
+          .join(emb.select(col("vec_id"), col("embedding")),
+            col("doc_id") === col("vec_id"))
+          .select(col("vec_id"), col("embedding"))
+        val cen = VectorSim.kmeansCentroids(vecs, semClusters, semIters)
+        writeSemCentroids(spark, stateOutDir, cen)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"),
+          s"$semSalt\n")
+        Sinks.overwriteParquet(VectorSim.semanticCells(vecs, cen, semSalt),
+          s"$stateOutDir/sem_cells_batch", numFiles = 1)
+        val cellsS = spark.read.parquet(s"$stateOutDir/sem_cells_batch")
+        Sinks.overwriteParquet(
+          TextDedup.connectedComponents(VectorSim.semanticPairsIncremental(
+            cellsS, emb, cellsS.select(col("vec_id")), semThreshold)),
+          s"$stateOutDir/sem_clusters", numFiles = 1)
+      } else {
+        Sinks.overwriteParquet(readSlices(spark, lineage, "sem_cells_batch"),
+          s"$stateOutDir/sem_cells_batch", numFiles = 1)
+        Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/sem_centroids"),
+          s"$stateOutDir/sem_centroids", numFiles = 1)
+        Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/sem_clusters"),
+          s"$stateOutDir/sem_clusters", numFiles = 1)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$stateInDir/sem_salt.txt"),
+          java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
     writeLineage(stateOutDir, Seq(stateOutDir))
   }

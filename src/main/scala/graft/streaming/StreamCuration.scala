@@ -15,9 +15,11 @@ import graft.operators.{DataMix, TextAnalysis, TextDedup}
   * `dropDuplicatesWithinWatermark` on the shared
   * [[graft.operators.TextDedup.contentHash]], and the deterministic
   * md5-bucket stratified sample (retry-safe on a stream for the same
-  * reason it is retry-safe in batch — no rand()). No joins anywhere —
-  * a join-shaped composition of the batch operators would turn into
-  * stream-stream self-joins and state the pipeline doesn't need.
+  * reason it is retry-safe in batch — no rand()). No STREAM-STREAM
+  * joins anywhere — a join-shaped composition of the batch operators
+  * would turn into self-joins and state the pipeline doesn't need;
+  * the optional semantic gate is the one join and it is the supported
+  * stateless stream-STATIC shape ([[StreamSemanticGate]]).
   *
   * What deliberately stays BATCH: near-dup clustering and survivor
   * selection (transitive closure needs the whole pair graph —
@@ -39,16 +41,33 @@ object StreamCuration {
     * [[graft.functions.expr.ClassifierScore]] kernel keeps it a pure
     * map stage, no stream-static join needed), are the first sighting
     * of their normalized content within the horizon, and survive the
-    * deterministic sample. */
+    * deterministic sample.
+    *
+    * When the stream carries an embedding column and `semantic` state
+    * is supplied (the [[StreamSemanticGate.stateCells]] frame + the
+    * frozen quantizer + threshold/salt), paraphrase-level duplicates
+    * of the composed corpus state are dropped too — cell assignment
+    * stays a pure map expression and the duplicate test is the
+    * supported stream-static anti join, so the chain stays
+    * single-stateful-operator (the dedup watermark). */
   def curate(docs: DataFrame, idCol: String, textCol: String, tsCol: String,
       delay: String, minQuality: Double = 0.5,
       fractions: Map[String, Double] = Map.empty,
       defaultFraction: Double = 1.0,
       classifier: Option[graft.functions.expr.ClassifierWeights] = None,
-      minClassifierScore: Double = 0.5): DataFrame = {
-    val gated = docs
-      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
-        TextAnalysis.redactedText(col(textCol)).as("text"))
+      minClassifierScore: Double = 0.5,
+      semantic: Option[(DataFrame, Seq[Array[Double]], Double, Int)] = None,
+      embCol: String = "embedding"): DataFrame = {
+    val base = semantic match {
+      case None => docs
+        .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+          TextAnalysis.redactedText(col(textCol)).as("text"))
+      case Some(_) => docs
+        .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+          TextAnalysis.redactedText(col(textCol)).as("text"),
+          col(embCol))
+    }
+    val gated = base
       .withColumn("quality_score", TextAnalysis.qualityScoreCol(col("text")))
       .where(col("quality_score") >= minQuality)
     val modelGated = classifier match {
@@ -57,7 +76,13 @@ object StreamCuration {
         graft.operators.QualityClassifier.scoreCol(tokens(col("text")), m) >=
           minClassifierScore)
     }
-    val curated = modelGated
+    val semGated = semantic match {
+      case None => modelGated
+      case Some((state, cen, threshold, salt)) =>
+        StreamSemanticGate.gateFilter(modelGated, state, cen, threshold,
+          salt, idCol = "doc_id", embCol = embCol).drop(embCol)
+    }
+    val curated = semGated
       .withColumn("content_hash", TextDedup.contentHash(col("text")))
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("content_hash")

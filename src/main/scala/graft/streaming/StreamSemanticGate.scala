@@ -60,4 +60,24 @@ object StreamSemanticGate {
         "left_anti")
       .select(col("vec_id"), col("cell"))
   }
+
+  /** The gate as a column-preserving FILTER stage, for composing into
+    * a wider streaming chain ([[StreamCuration.curate]]'s optional
+    * semantic stage): rows whose `embCol` embedding has a same-cell
+    * state vector at cosine >= threshold are dropped; every input
+    * column passes through unchanged. Same decision as [[novel]] —
+    * only the projection differs. */
+  def gateFilter(stream: DataFrame, state: DataFrame,
+      cen: Seq[Array[Double]], threshold: Double, salt: Int = 1,
+      idCol: String = "doc_id", embCol: String = "embedding"): DataFrame = {
+    val withCell = VectorSim
+      .withSemanticCell(stream, cen, salt, idCol, embCol)
+      .withColumn("__q_norm", norm(col(embCol)))
+    val cos = round(dot(withCell(embCol), state("s_emb")) /
+      (withCell("__q_norm") * state("s_norm")), 6)
+    withCell.join(state,
+        withCell("cell") === state("cell") && cos >= lit(threshold),
+        "left_anti")
+      .drop("cell", "__q_norm")
+  }
 }

@@ -205,6 +205,81 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(cellRows(s"$base/state_3") == Set(21L))
   }
 
+  test("rebase with retrainSemantic == fresh init over the composed corpus") {
+    // The frozen-quantizer contract's drift valve: a retraining rebase
+    // must land EXACTLY the semantic state a from-scratch init over
+    // the composed corpus would (same deterministic k-means, same
+    // cells, same labels), so post-rebase incrementals compose
+    // exactly against it.
+    val batchA = Seq((1L, goodEn), (3L, goodEs), (5L, freshA))
+      .toDF("doc_id", "text")
+    val batchB = Seq(
+      (13L, "entirely novel content about distant mountains and deep " +
+        "valleys that resembles nothing in the first weekly batch at all")
+    ).toDF("doc_id", "text")
+    val batchC = Seq(
+      (21L, "completely different prose describing winding rivers and " +
+        "ancient forests that shares no phrasing with earlier batches here")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(0f, 1f, 0f, 0f)),
+      (13L, Seq(0f, 1f, 0f, 0f)),
+      (21L, Seq(0f, 0.999f, 0.04f, 0f))).toDF("vec_id", "embedding")
+    val semEmb = Some(emb)
+
+    val base = TestSpark.tmpDir("inc_curation_rebase_sem")
+    CurationRun.runInit(batchA, benchmark, s"$base/out_a", s"$base/state_1",
+      embeddings = semEmb, semClusters = 2, semanticState = true)
+    CurationRun.runIncremental(batchB, benchmark,
+      s"$base/out_b", s"$base/state_1", s"$base/state_2",
+      embeddings = semEmb, semClusters = 2)
+    // Retraining rebase over the composed A+B state.
+    CurationRun.rebaseState(spark, s"$base/state_2", s"$base/state_r",
+      retrainSemantic = true, embeddings = semEmb, semClusters = 2,
+      semThreshold = 0.99)
+    // Fresh init over the composed corpus — the equality target.
+    CurationRun.runInit(batchA.unionByName(batchB), benchmark,
+      s"$base/out_f", s"$base/state_f",
+      embeddings = semEmb, semClusters = 2, semanticState = true)
+
+    def centroids(d: String): Set[(Int, Seq[Double])] =
+      spark.read.parquet(s"$d/sem_centroids")
+        .as[(Int, Seq[Double])].collect().toSet
+    def semClustersOf(d: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$d/sem_clusters")
+        .as[(Long, Long)].collect().toSet
+    def cells(d: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$d/sem_cells_batch")
+        .as[(Long, Long)].collect().toSet
+    assert(centroids(s"$base/state_r") == centroids(s"$base/state_f"),
+      "retrained quantizer must equal the fresh-init quantizer")
+    assert(cells(s"$base/state_r") == cells(s"$base/state_f"),
+      "reassigned cells must equal the fresh-init cells")
+    assert(semClustersOf(s"$base/state_r") == semClustersOf(s"$base/state_f"),
+      "recomputed labels must equal the fresh-init labels")
+
+    // And the rebased state serves incrementals exactly: inc(C) from
+    // state_r == seeded scratch over A+B+C under state_r's quantizer.
+    val incr = CurationRun.runIncremental(batchC, benchmark,
+      s"$base/out_c", s"$base/state_r", s"$base/state_3",
+      embeddings = semEmb, semClusters = 2)
+    val scratch = CurationRun.runInit(
+      batchA.unionByName(batchB).unionByName(batchC), benchmark,
+      s"$base/out_s", s"$base/state_s",
+      embeddings = semEmb, semClusters = 2, semanticState = true,
+      semCentroidsIn = Some(s"$base/state_r/sem_centroids"))
+    def curated(dir: String): Set[Long] =
+      spark.read.parquet(s"$dir/curated")
+        .select("doc_id").as[Long].collect().toSet
+    assert(curated(s"$base/out_c") == curated(s"$base/out_s"),
+      "post-retrain incremental diverged from the seeded scratch run")
+    assert(semClustersOf(s"$base/state_3") == semClustersOf(s"$base/state_s"))
+    assert(incr.semDropped == scratch.semDropped)
+  }
+
   test("lineage compaction: post-rebase incremental equals pre-rebase incremental") {
     // init(A) + inc(B) builds a 2-entry lineage; rebase collapses it to
     // one consolidated dir. A third batch incremented over BOTH states

@@ -11,6 +11,9 @@ case class CurDoc(doc_id: Long, text: String)
 
 case class LmDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+case class EmbCurDoc(doc_id: Long, ts: java.sql.Timestamp, text: String,
+    embedding: Seq[Float])
+
 /** The stateless curation operators (redaction, quality scoring,
   * stratified sampling, chunking) are pure per-row transformations, so
   * the SAME operator code runs on a Structured Streaming source
@@ -306,5 +309,47 @@ class StreamCurationSpec extends AnyFunSuite {
       assert(!plan.toLowerCase.contains("join"),
         s"model-gated streaming curation must stay join-free:\n$plan")
     } finally q.stop()
+  }
+
+  test("composed streaming curation with the SEMANTIC gate (stream-static anti join)") {
+    implicit val sc = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    import graft.operators.VectorSim
+    val goodEn = "the quick brown fox jumps over the lazy dog while the calm " +
+      "river flows past the old stone bridge near the quiet village green"
+    val goodEs = "el zorro marron salta sobre el perro perezoso mientras la " +
+      "luna brilla sobre el valle y la gente duerme en la aldea tranquila"
+    // Composed corpus state: two embedded docs.
+    val stateEmb = Seq(
+      (101L, Seq(1f, 0f, 0f, 0f)),
+      (102L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cen = VectorSim.kmeansCentroids(stateEmb, 2, 2)
+    val state = StreamSemanticGate.stateCells(stateEmb, cen).persist()
+    state.count()
+    val mem = MemoryStream[EmbCurDoc]
+    val out = StreamCuration.curate(mem.toDF(), "doc_id", "text", "ts",
+      delay = "10 minutes",
+      semantic = Some((state, cen, 0.99, 1)))
+    val q = out.writeStream
+      .format("memory").queryName("stream_curate_sem")
+      .outputMode("append")
+      .option("checkpointLocation", s"${TestSpark.tmpDir("scs")}/ckpt")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(
+        // Paraphrase of state 101 (cosine ~0.999): semantic casualty.
+        EmbCurDoc(1L, t("2024-01-01 00:00:10"), goodEn, Seq(0.999f, 0.04f, 0f, 0f)),
+        // Novel embedding direction: passes every gate.
+        EmbCurDoc(2L, t("2024-01-01 00:00:11"), goodEs, Seq(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT doc_id, detected_lang FROM stream_curate_sem")
+        .as[(Long, String)].collect().toMap
+      assert(rows == Map(2L -> "es"),
+        "the state paraphrase drops; the novel doc lands curated")
+      // The embedding column is a gate input, not an output.
+      assert(!spark.table("stream_curate_sem").columns.contains("embedding"))
+    } finally { q.stop(); state.unpersist() }
   }
 }
