@@ -871,6 +871,22 @@ object ExtQueries {
       s.read.parquet(s"$artDir/codes"), m2, cen2, nprobe = 2, k = 5)
   }
 
+  /** Quantizer-drift monitor (q139): the state corpus (even vec_ids)
+    * trains the frozen quantizer; the weekly batch (odd vec_ids) is
+    * scored against it. Comparing the batch row's mean/max
+    * nearest-centroid distance to the state row's own fit is the
+    * retrain-decision table for
+    * [[graft.pipeline.CurationRun.rebaseState]]'s `retrainSemantic`
+    * valve — the operational complement of q131's raw-distribution
+    * drift monitor. */
+  def q139QuantizerDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val state = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val cen = VectorSim.kmeansCentroids(state, 8, 2)
+    VectorSim.quantizerDrift(Seq("state" -> state, "batch" -> batch), cen)
+  }
+
   /** IVFADC operating table (q97): recall@5 against exact brute-force
     * at nprobe ∈ {1, 2, 4} from ONE trained model + coarse quantizer —
     * the parameter-planning table for operating ANN at scale (the q86
@@ -4460,6 +4476,31 @@ object ExtQueries {
 
     // q137: the composed ten-stage replay (see curationE2eOracleSql).
     "q137_curation_e2e" -> curationE2eOracleSql,
+
+    // q139: the q39 Lloyd's chain re-anchored on the even-id state
+    // corpus; per side the min of the same rounded per-centroid
+    // distance formula, mean as exact DECIMAL sum / n, max exact.
+    "q139_quantizer_drift" -> {
+      val ctes = kmeansCtes(8, 64, 2,
+        embFrom = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)")
+      def side(name: String, pred: String) =
+        s"""SELECT '$name' AS side,
+           |  CAST(count(*) AS BIGINT) AS n_vectors,
+           |  round(CAST(sum(CAST(d AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_dist,
+           |  max(d) AS max_dist
+           |FROM (
+           |  SELECT t.vec_id,
+           |    min(round(t.xx - 2*list_sum([t.emb[i+1]*n.w[i+1] for i in range(0,64)])
+           |              + list_sum([n.w[i+1]*n.w[i+1] for i in range(0,64)]), 6)) AS d
+           |  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb,
+           |          list_sum([(embedding::DOUBLE[])[i+1]*(embedding::DOUBLE[])[i+1] for i in range(0,64)]) AS xx
+           |        FROM embeddings WHERE $pred) t
+           |  CROSS JOIN cen2 n GROUP BY t.vec_id)""".stripMargin
+      s"""$ctes
+         |${side("state", "vec_id % 2 = 0")}
+         |UNION ALL
+         |${side("batch", "vec_id % 2 = 1")}""".stripMargin
+    },
 
     // q138: identical search to q74 by construction — the engine side
     // round-trips model + codes through parquet (bit-exact for doubles

@@ -478,6 +478,35 @@ class VectorSimSpec extends AnyFunSuite {
       "cell assignment is deterministic")
   }
 
+  test("quantizerDrift: an off-distribution batch scores worse than the state's own fit") {
+    val rnd = new scala.util.Random(71)
+    val centers = Seq.fill(3)(Seq.fill(8)(rnd.nextGaussian().toFloat * 4))
+    def near(id: Long) = {
+      val c = centers((id % 3).toInt)
+      (id, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f), 0)
+    }
+    val state = emb((0L until 60L).map(near): _*)
+    val batchSame = emb((100L until 130L).map(near): _*)
+    // Shifted: a new mode far from every state blob.
+    val batchShifted = emb((200L until 230L).map { i =>
+      (i, Seq.fill(8)(12f + rnd.nextGaussian().toFloat * 0.1f), 0)
+    }: _*)
+    val cen = VectorSim.kmeansCentroids(state, 3, 2)
+    val rows = VectorSim.quantizerDrift(
+      Seq("state" -> state, "same" -> batchSame, "shifted" -> batchShifted), cen)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows("state")._1 == 60L && rows("same")._1 == 30L)
+    // An in-distribution batch fits about as well as the state itself;
+    // the shifted mode is far worse — the retrain trigger.
+    assert(rows("same")._2 < rows("state")._2 * 3,
+      s"in-distribution batch should fit: ${rows("same")._2} vs ${rows("state")._2}")
+    assert(rows("shifted")._2 > rows("state")._2 * 10,
+      s"shifted batch must show drift: ${rows("shifted")._2} vs ${rows("state")._2}")
+    assert(rows.values.forall(v => v._3 >= 0 && v._2 <= v._3),
+      "mean <= max, distances non-negative")
+  }
+
   test("semanticDedup: one disposition row per vector, one survivor per group") {
     // Two tight planted duplicate bundles + isolated singletons.
     val rnd = new scala.util.Random(11)
