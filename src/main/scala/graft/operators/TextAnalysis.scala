@@ -138,6 +138,46 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
         .as("n_urls"))
 
+  /** Extended PII surface (q140): IPv4 literals and phone-like digit
+    * runs beside the email/URL pair. Both patterns stay inside the
+    * RE2-compatible subset (character classes + bounded repetition,
+    * `\b` word boundaries; no lookaround, no backreferences) so the
+    * DuckDB oracle replays them verbatim — the [[HtmlDropTags]]
+    * parity rule.
+    *
+    * The phone pattern is deliberately CONSERVATIVE-SHAPED (an
+    * optional +, 8+ of digits/separators, digit ends): real PII
+    * scrubbing tunes precision/recall per corpus; what the engine
+    * owes is a deterministic, engine-portable rewrite, counted on the
+    * RAW text per pattern independently (the q42 discipline — an
+    * email inside a URL counts in both tallies). */
+  val Ipv4Pattern =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  // No '.' in the separator class: dotted digit runs are the IPv4
+  // pattern's territory — including it would double-count every IP
+  // as a phone in the raw-text tallies.
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** The extended rewrite: email -> URL -> IPv4 -> phone, in that
+    * order (IPs redact before the phone pass so dotted quads never
+    * feed the digit-run pattern). */
+  def redactedPiiText(text: Column): Column =
+    regexp_replace(regexp_replace(redactedText(text),
+      Ipv4Pattern, "<IP>"), PhonePattern, "<PHONE>")
+
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      redactedPiiText(col(textCol)).as("clean_text"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+        .as("n_urls"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0)))
+        .as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0)))
+        .as("n_phones"))
+
   /** Tag blocks whose CONTENT is boilerplate, dropped wholesale.
     * One pattern per tag (RE2 has no backreferences, so a combined
     * `<(a|b)>.*?</\1>` form would break DuckDB-oracle parity). */

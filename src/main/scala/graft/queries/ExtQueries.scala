@@ -871,6 +871,15 @@ object ExtQueries {
       s.read.parquet(s"$artDir/codes"), m2, cen2, nprobe = 2, k = 5)
   }
 
+  /** Extended PII redaction (q140): emails, URLs, IPv4 literals and
+    * phone-like digit runs rewritten in one deterministic pass, with
+    * per-pattern counts on the raw text — the wider scrub a
+    * production hygiene stage runs before anything else sees the
+    * corpus (q42's pair extended; patterns stay in the RE2-compatible
+    * subset so the oracle replays them verbatim). */
+  def q140RedactPii(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redactPii(Tables.documents(s, dir), "doc_id", "text")
+
   /** Quantizer-drift monitor (q139): the state corpus (even vec_ids)
     * trains the frozen quantizer; the weekly batch (odd vec_ids) is
     * scored against it. Comparing the batch row's mean/max
@@ -4476,6 +4485,24 @@ object ExtQueries {
 
     // q137: the composed ten-stage replay (see curationE2eOracleSql).
     "q137_curation_e2e" -> curationE2eOracleSql,
+
+    // q140: the q42 rewrite extended — same replacement order as the
+    // engine (email -> URL -> IP -> phone), counts per pattern on raw.
+    "q140_redact_pii" -> {
+      val em = graft.operators.TextAnalysis.EmailPattern
+      val ur = graft.operators.TextAnalysis.UrlPattern
+      val ip = graft.operators.TextAnalysis.Ipv4Pattern
+      val ph = graft.operators.TextAnalysis.PhonePattern
+      s"""SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$em', '<EMAIL>', 'g'), '$ur', '<URL>', 'g'),
+         |   '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS clean_text,
+         | CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '$ur')) AS INT) AS n_urls,
+         | CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ips,
+         | CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phones
+         |FROM documents""".stripMargin
+    },
 
     // q139: the q39 Lloyd's chain re-anchored on the even-id state
     // corpus; per side the min of the same rounded per-centroid

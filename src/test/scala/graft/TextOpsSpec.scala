@@ -13,6 +13,27 @@ class TextOpsSpec extends AnyFunSuite {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("redactPii: emails, URLs, IPv4, phone runs rewritten; per-pattern counts on raw") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.redactPii(docs(
+      (1L, "mail a@b.co, fetch https://x.io/p?q=1 from 192.168.0.1 " +
+        "or call +1 (555) 123-4567 now"),
+      (2L, "server at 10.0.0.255 and 256.1.1.1 is still a dotted quad shape"),
+      (3L, "plain words only, year 2024 alone is too short to be a phone"),
+      (4L, "")), "doc_id", "text")
+      .as[(Long, String, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "mail <EMAIL>, fetch <URL> from <IP> or call <PHONE> now")
+    assert(out(1L)._3 == 1 && out(1L)._4 == 1 && out(1L)._5 == 1 && out(1L)._6 == 1)
+    // The IPv4 pattern is shape-based (1-3 digit octets), not
+    // range-validated — 256.1.1.1 redacts too; deterministic > clever.
+    assert(out(2L)._2 == "server at <IP> and <IP> is still a dotted quad shape")
+    assert(out(2L)._5 == 2 && out(2L)._6 == 0)
+    assert(out(3L)._2.contains("2024") && out(3L)._6 == 0,
+      "a bare year must not be eaten by the phone pattern")
+    assert(out(4L)._2 == "" && out(4L)._3 == 0)
+  }
+
   test("tokens splits on whitespace and drops empties") {
     val out = docs((1L, "  a  b\tc ")).select(tokens($"text")).as[Seq[String]].head()
     assert(out == Seq("a", "b", "c"))
