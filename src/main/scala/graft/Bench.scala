@@ -145,11 +145,22 @@ object Bench {
     // regression the round-over-round diff must catch even when
     // wall-time noise at sf0.1 masks it.
     val cgf = CodegenTripwire.fallbacks
+    // Plan-shape health (VERDICT r07 item 2): nonzero means some
+    // catalog entry executed an UNSANCTIONED unpartitioned WindowExec —
+    // a single-task sort over a corpus-scale frame (the r07 q108
+    // defect's class). Sanctioned bounded-frame sites (histograms,
+    // limit(k) survivor ranks) carry the __bnd column marker and don't
+    // count. Listener delivery is async — give the bus a moment to
+    // drain the last action's event before reading.
+    Thread.sleep(1000)
+    val wg = WindowTripwire.globalWindows
+    if (wg > 0) WindowTripwire.messages.foreach(m =>
+      System.err.println(s"[bench] window_global: $m"))
     // Lease health (VERDICT r06 item 6): nonzero means some entry's
     // cache lease never fired on its own action and the rep-boundary
     // releaseAll had to reclaim it — identity matching regressed.
     val leases = graft.operators.CacheLease.reclaimedCount
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"codegen_fallbacks":$cgf,"cache_leases_reclaimed":$leases,"calibration":$cal,"loadavg":$load,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"codegen_fallbacks":$cgf,"window_global":$wg,"cache_leases_reclaimed":$leases,"calibration":$cal,"loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,6 +63,13 @@ object CodegenTripwire {
     app.start()
     val cfg = ctx.getConfiguration
     cfg.getRootLogger.addAppender(app, Level.WARN, null)
+    // Logger-level filtering happens BEFORE appenders: a root level
+    // above WARN (e.g. setLogLevel("ERROR")) would suppress the marker
+    // lines and read as a healthy 0 while plans silently deoptimize —
+    // the exact failure mode the counter exists to catch (ADVICE r07).
+    // Force the level the counter's trustworthiness depends on.
+    if (cfg.getRootLogger.getLevel.isLessSpecificThan(Level.WARN)) ()
+    else cfg.getRootLogger.setLevel(Level.WARN)
     ctx.updateLoggers()
     installed = true
   }

@@ -25,7 +25,14 @@ object Sessions {
       .config("spark.ui.enabled", "false")
     extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
+    // WARN, not ERROR: CodegenTripwire counts WARN-level log lines and
+    // logger-level filtering happens BEFORE appenders — a quieter root
+    // level would zero the fallback counter while plans silently
+    // deoptimize (ADVICE r07).
     spark.sparkContext.setLogLevel("WARN")
+    // Plan-shape observability (VERDICT r07 item 2): count corpus-scale
+    // single-partition windows per action.
+    WindowTripwire.install(spark)
     spark
   }
 }

@@ -360,8 +360,10 @@ object DataMix {
     // scale-8 half-boundary then flips the 6dp round (observed: five
     // sel_key rows off by exactly 1e-6 at sf0.01).
     CacheLease.releaseAfterAction(
-      top.select(
-        row_number().over(Window.orderBy(col("k").desc, col("doc_id")))
+      // __bnd rename: rank window over the limit(take) survivors only —
+      // bounded frame, declared for graft.WindowTripwire.
+      top.withColumn("__bnd_k", col("k")).select(
+        row_number().over(Window.orderBy(col("__bnd_k").desc, col("doc_id")))
           .cast("int").as("rank"),
         col("doc_id"),
         round(col("w_dec"), 6).cast("double").as("importance"),
@@ -559,10 +561,14 @@ object DataMix {
     val perShard = assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(nTokensCol)).as("total_tokens"))
+    // __bnd rename: the all-rows max runs over the |shards|-row
+    // aggregate — bounded frame, declared for graft.WindowTripwire.
     perShard
+      .withColumn("__bnd_tok", col("total_tokens"))
       .withColumn("fill_ratio",
         round(col("total_tokens").cast("double") /
-          max(col("total_tokens")).over(Window.partitionBy()).cast("double"), 6))
+          max(col("__bnd_tok")).over(Window.partitionBy()).cast("double"), 6))
+      .drop("__bnd_tok")
   }
 
   /** Mix drift monitor: per-group token share of batch A vs batch B

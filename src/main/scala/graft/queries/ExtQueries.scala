@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{BpeTrainer, CacheLease, DataMix, EventOps, Multimodal, TextAnalysis, TextDedup, UnigramTrainer, UrlOps, VectorSim}
+import graft.operators.{BpeTrainer, CacheLease, DataMix, EventOps, Multimodal, Ranking, TextAnalysis, TextDedup, UnigramTrainer, UrlOps, VectorSim}
 
 /** Extension-tier query catalog: the LLM-data-pipeline operators
   * (BASELINE.json north star) over the `documents` and `embeddings`
@@ -14,6 +14,33 @@ import graft.operators.{BpeTrainer, CacheLease, DataMix, EventOps, Multimodal, T
   * multimodal binary-column plumbing.
   */
 object ExtQueries {
+
+  /** Per-process scratch root for catalog entries that land parquet
+    * artifacts (ADVICE r07): ONE directory per (process, tag), reused
+    * across invocations — every writer under it uses overwrite mode,
+    * so bench reps / verify re-runs are idempotent instead of
+    * accumulating a fresh temp tree per rep. Deleted on JVM exit. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft_scratch")
+    sys.addShutdownHook {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = java.nio.file.Files.list(p)
+          try { s.forEach(rm(_)) } finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(d) catch { case _: Throwable => () }
+    }
+    d
+  }
+
+  private def scratchDir(tag: String): String = {
+    val p = scratchRoot.resolve(tag)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
 
   def q16TokenCount(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
@@ -588,13 +615,17 @@ object ExtQueries {
     * the key space; the rank window runs over the k survivors only. */
   private def topKByCount(keyed: DataFrame, keyCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // __bnd rename: rank window over the limit(k) survivors only —
+    // bounded frame, declared for graft.WindowTripwire.
     keyed
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col(keyCol))
       .limit(k)
+      .withColumn("__bnd_n", col("n_occurrences"))
       .withColumn("rank", row_number()
-        .over(Window.orderBy(col("n_occurrences").desc, col(keyCol)))
+        .over(Window.orderBy(col("__bnd_n").desc, col(keyCol)))
         .cast("int"))
+      .drop("__bnd_n")
   }
 
   /** Tokenizer-prep vocabulary: global top-1000 tokens by frequency. */
@@ -719,8 +750,7 @@ object ExtQueries {
     val wf = BpeTrainer.wordFrequencies(docs, "text").persist()
     val merges = BpeTrainer.train(wf,
       maxMerges = 3, minCount = 1L) // floorless like the oracle (see q65)
-    val vocabDir = java.nio.file.Files
-      .createTempDirectory("graft_bpe_vocab").toString
+    val vocabDir = scratchDir("bpe_vocab")
     BpeTrainer.vocabFrame(wf, merges)
       .write.mode("overwrite").parquet(vocabDir)
     wf.unpersist()
@@ -747,8 +777,7 @@ object ExtQueries {
     val docs = Tables.documents(s, dir)
     val wf = BpeTrainer.wordFrequencies(docs, "text").persist()
     val merges = BpeTrainer.train(wf, maxMerges = 3, minCount = 1L)
-    val vocabDir = java.nio.file.Files
-      .createTempDirectory("graft_bpe_vocab_fert").toString
+    val vocabDir = scratchDir("bpe_vocab_fert")
     BpeTrainer.vocabFrame(wf, merges)
       .write.mode("overwrite").parquet(vocabDir)
     wf.unpersist()
@@ -860,8 +889,7 @@ object ExtQueries {
     val emb = Tables.embeddings(s, dir)
     val m = VectorSim.pqTrain(emb, dim = 64, subspaces = 8, k = 16, iters = 2)
     val cen = VectorSim.kmeansCentroids(emb, 8, 2)
-    val artDir = java.nio.file.Files
-      .createTempDirectory("graft_ann_artifact").toString
+    val artDir = scratchDir("ann_artifact")
     VectorSim.annModelFrame(s, m, cen)
       .write.mode("overwrite").parquet(s"$artDir/model")
     VectorSim.annCodesFrame(emb, m, cen)
@@ -1466,22 +1494,26 @@ object ExtQueries {
     * (rank-based ntile with a doc_id tiebreak — absolute deciles
     * collapse when GD scores cluster) against the q79 Gopher gate —
     * do the two quality families agree? Mean scores ride the
-    * decimal-exact-sum discipline. The ntile is a global sort of the
-    * |docs|-row SCORE frame — a report-tier cost (the corpus-scale
-    * work is the upstream scoring pass, which stays map-tier). */
+    * decimal-exact-sum discipline. Quartiles come from
+    * [[graft.operators.Ranking.exactNtile]] (VERDICT r07 item 1):
+    * identical tile semantics to `ntile(4)` over a global sort, but
+    * computed as a distinct-score histogram + broadcast offset join +
+    * per-score rank — no unpartitioned corpus-scale WindowExec
+    * (PlanSpec-pinned). The joined frame feeds both the histogram and
+    * the rank join, so it rides a lease-scoped persist. */
   def q108ClassifierCalibration(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = q82QualityClassifier(s, dir)
       .select(col("doc_id"), col("score"))
     val gate = TextAnalysis.gopherRules(Tables.documents(s, dir),
       "doc_id", "text").select(col("doc_id"), col("pass"))
-    scored.join(gate, "doc_id")
-      .withColumn("quartile",
-        ntile(4).over(Window.orderBy(col("score"), col("doc_id"))))
-      .groupBy(col("quartile"), col("pass"))
-      .agg(count(lit(1)).as("n_docs"),
-        round(sum(col("score").cast("decimal(20,8)")).cast("double") /
-          count(lit(1)), 6).as("mean_score"))
+    val joined = scored.join(gate, "doc_id").persist()
+    CacheLease.releaseAfterAction(
+      Ranking.exactNtile(joined, "score", "doc_id", 4, "quartile")
+        .groupBy(col("quartile"), col("pass"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("score").cast("decimal(20,8)")).cast("double") /
+            count(lit(1)), 6).as("mean_score"))
+    )(() => { joined.unpersist(); () })
   }
 
   def q25KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
@@ -1536,7 +1568,7 @@ object ExtQueries {
     val weights = QualityClassifier.train(
       normAll.withColumn("y", when(col("lang") === "en", 1).otherwise(0)),
       "doc_id", "text", "y", buckets = 256, iters = 3, lr = 0.5)
-    val out = java.nio.file.Files.createTempDirectory("graft_q137").toString
+    val out = scratchDir("q137_out")
     val st = CurationRun.run(corpus, benchmark, out,
       minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
       fractions = Map("en" -> 0.5), defaultFraction = 0.9,

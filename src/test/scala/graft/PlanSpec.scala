@@ -255,4 +255,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Scan parquet"),
       s"search must read the persisted code table:\n$plan")
   }
+
+  test("q138 catalog entry: serving path never re-encodes the corpus") {
+    // Same contract as the fixture pin above, but on the REAL catalog
+    // entry (VERDICT r07 item 5): after training + landing the
+    // artifact, the RETURNED search plan reads the codes parquet and
+    // derives probes from the 5-row query side only.
+    val served = ExtQueries.q138AnnArtifactSearch(spark, sf)
+    val plan = planOf(served)
+    assert(!plan.contains("nearest_centroid("),
+      s"corpus must NOT be re-encoded when serving from the artifact:\n$plan")
+    assert(plan.contains("centroid_distances") && plan.contains("Scan parquet"),
+      s"query-side probes + persisted code table expected:\n$plan")
+  }
+
+  test("q108 has no unpartitioned corpus-scale WindowExec (VERDICT r07 item 1)") {
+    val df = ExtQueries.q108ClassifierCalibration(spark, sf)
+    val hits = WindowTripwire.scan(df.queryExecution.executedPlan)
+    assert(hits.isEmpty,
+      s"single-partition window over the per-doc frame:\n${hits.mkString("\n")}")
+    // and the quartiles still come out: 4 buckets exist at sf0.001
+    assert(df.select("quartile").distinct().count() === 4)
+  }
+
+  test("q130 fused quality scan is ONE whole-stage codegen span") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val exec = ExtQueries.q130QualitySignals(spark, sf)
+      .queryExecution.executedPlan
+    val spans = exec.collect { case w: WholeStageCodegenExec => w.codegenStageId }
+    assert(spans.distinct.size === 1 && exec.toString.startsWith("*(1)"),
+      s"the six fused signals must ride a single codegen'd map stage, got $spans:\n$exec")
+  }
 }

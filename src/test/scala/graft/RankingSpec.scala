@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ranking
+
+/** [[Ranking.globalRank]] / [[Ranking.exactNtile]] — the scale-safe
+  * exact global ranking (VERDICT r07 item 1). The contract is equality
+  * with the single-partition window forms (`row_number`/`ntile` over an
+  * unpartitioned window) on every tie/size shape that exercises the
+  * bucket-boundary arithmetic.
+  */
+class RankingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** (score, id) fixture with heavy ties and a non-divisible count. */
+  private def fixture(n: Int, distinctScores: Int) =
+    spark.range(n.toLong).select(
+      (pmod(xxhash64(col("id")), lit(distinctScores)).cast("double") / 10)
+        .as("score"),
+      col("id"))
+
+  test("globalRank equals row_number over a global sort") {
+    for ((n, ds) <- Seq((1, 1), (7, 3), (100, 5), (100, 100), (97, 1))) {
+      val df = fixture(n, ds)
+      val expected = df.withColumn("rank",
+        row_number().over(Window.orderBy(col("score"), col("id"))).cast("long"))
+        .select(col("id"), col("rank")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Ranking.globalRank(df, "score", "id")
+        .select(col("id"), col("rank")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"n=$n distinct=$ds")
+    }
+  }
+
+  test("exactNtile equals ntile over a global sort (tie-splitting included)") {
+    for {
+      (n, ds) <- Seq((1, 1), (4, 2), (7, 3), (100, 5), (100, 100), (97, 1), (3, 3))
+      buckets <- Seq(1, 2, 4, 7)
+    } {
+      val df = fixture(n, ds)
+      val expected = df.withColumn("q",
+        ntile(buckets).over(Window.orderBy(col("score"), col("id"))))
+        .select(col("id"), col("q")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = Ranking.exactNtile(df, "score", "id", buckets, "q")
+        .select(col("id"), col("q")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === expected, s"n=$n distinct=$ds buckets=$buckets")
+    }
+  }
+
+  test("globalRank can carry the total row count") {
+    val df = fixture(42, 7)
+    val rows = Ranking.globalRank(df, "score", "id", "rank", Some("n_total"))
+      .select(col("n_total")).distinct().collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(42L))
+  }
+
+  test("globalRank plan has no unsanctioned unpartitioned WindowExec") {
+    val df = Ranking.exactNtile(fixture(100, 5), "score", "id", 4, "q")
+    df.write.format("noop").mode("overwrite").save()
+    val hits = WindowTripwire.scan(df.queryExecution.executedPlan)
+    assert(hits.isEmpty, s"corpus-scale single-partition window:\n${hits.mkString("\n")}")
+  }
+}
