@@ -266,6 +266,38 @@ object ScaleStress {
           s"(${scratch.size} labeled vecs)")
         cellsOld.unpersist(); labelsOld.unpersist()
       }
+      // Incremental ANN-codes append (VERDICT r07 item 3): frozen
+      // IVFADC model trained on the 50k corpus (untimed, "init");
+      // weekly batch = 5k new vectors. Incremental encodes the BATCH
+      // only; scratch re-encodes the composed 55k. Per-increment work
+      // must track the batch; composed slices are pinned equal to the
+      // scratch encode (a per-row map under a frozen model).
+      locally {
+        import operators.VectorSim
+        val batch = corpus.where(col("vec_id") < 5000)
+          .select((col("vec_id") + 300000L).as("vec_id"), col("embedding"))
+        val all = corpus.unionByName(batch)
+        val m = VectorSim.pqTrain(corpus, dim = 64, subspaces = 8,
+          k = 16, iters = 2)
+        val cen = VectorSim.kmeansCentroids(corpus, 64, 2)
+        VectorSim.annCodesFrame(corpus, m, cen)
+          .write.mode("overwrite").parquet("/tmp/graft_stress_codes_w0")
+        time("ann-codes incremental (5k)") {
+          VectorSim.annCodesFrame(batch, m, cen)
+        }
+        time("ann-codes scratch (55k full)") {
+          VectorSim.annCodesFrame(all, m, cen)
+        }
+        VectorSim.annCodesFrame(batch, m, cen)
+          .write.mode("overwrite").parquet("/tmp/graft_stress_codes_w1")
+        val composed = spark.read.parquet(
+          "/tmp/graft_stress_codes_w0", "/tmp/graft_stress_codes_w1")
+          .collect().map(_.toSeq).toSet
+        val scratchCodes = VectorSim.annCodesFrame(all, m, cen)
+          .collect().map(_.toSeq).toSet
+        println(s"ann-codes composed == scratch: ${composed == scratchCodes} " +
+          s"(${scratchCodes.size} coded vecs)")
+      }
     }
 
     // DSIR importance resampling (q71) over the 10x text corpus: two

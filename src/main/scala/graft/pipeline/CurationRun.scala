@@ -168,6 +168,72 @@ object CurationRun {
   // cadence's semantics are the documented contract for weekly runs.
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // Incremental ANN-codes state (VERDICT r07 item 3): the q138
+  // artifact discipline composed into the weekly cadence. Two more
+  // artifacts join the state layout when `annState = true` at init:
+  //   ann_model/       (kind, subspace, code, vec)  FROZEN PQ + coarse model (copied forward)
+  //   ann_codes_batch/ (vec_id, cell, c0..c{S-1})   THIS batch's PQ codes
+  // The model is trained ONCE at init on the init corpus's embedded
+  // decon vectors — the same frozen-artifact contract as sem_centroids
+  // and the MinHash family. A weekly batch encodes ONLY its own
+  // vectors under the read-back model and writes its own codes slice;
+  // serving ([[annServe]]) unions the slices along the lineage. Since
+  // encoding is a pure per-row map under a frozen model, composed
+  // slices == a from-scratch encode of the composed corpus
+  // (IncrementalCurationSpec pins it). Retraining the ANN model is a
+  // state rebase decision exactly like the semantic quantizer; the
+  // default rebase consolidates codes as pure IO.
+  // ---------------------------------------------------------------
+
+  /** Embedded decon vectors of one frame: (vec_id, embedding) for the
+    * docs that have an embedding row. */
+  private def embeddedVecs(docs: DataFrame, emb: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+
+  private def writeAnnInit(spark: org.apache.spark.sql.SparkSession,
+      stateOutDir: String, vecs: DataFrame, subspaces: Int,
+      codewords: Int, clusters: Int, iters: Int): Unit = {
+    val dim = vecs.select(size(col("embedding")).as("d")).head().getInt(0)
+    val m = VectorSim.pqTrain(vecs, dim, subspaces, codewords, iters)
+    val cen = VectorSim.kmeansCentroids(vecs, clusters, iters)
+    Sinks.overwriteParquet(VectorSim.annModelFrame(spark, m, cen),
+      s"$stateOutDir/ann_model", numFiles = 1)
+    Sinks.overwriteParquet(VectorSim.annCodesFrame(vecs, m, cen),
+      s"$stateOutDir/ann_codes_batch", numFiles = 1)
+  }
+
+  /** Weekly ANN append: read back the frozen model, encode ONLY this
+    * batch's vectors, land the batch slice, carry the model forward. */
+  private def writeAnnIncrement(spark: org.apache.spark.sql.SparkSession,
+      stateInDir: String, stateOutDir: String, vecsNew: DataFrame): Unit = {
+    val modelF = spark.read.parquet(s"$stateInDir/ann_model")
+    val (m, cen) = VectorSim.annModelFromFrame(modelF)
+    Sinks.overwriteParquet(modelF, s"$stateOutDir/ann_model", numFiles = 1)
+    Sinks.overwriteParquet(VectorSim.annCodesFrame(vecsNew, m, cen),
+      s"$stateOutDir/ann_codes_batch", numFiles = 1)
+  }
+
+  private def annStateActive(stateInDir: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$stateInDir/ann_model"))
+
+  /** Serve ANN search from the state's persisted index: probe
+    * selection + LUT join over the UNION of the lineage's code slices
+    * — a query batch never pays a corpus encode pass (the q138
+    * contract, now weekly-cadence-shaped). */
+  def annServe(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val (m, cen) = VectorSim.annModelFromFrame(
+      spark.read.parquet(s"$stateDir/ann_model"))
+    VectorSim.pqSearchIvfFromCodes(queries,
+      readSlices(spark, readLineage(stateDir), "ann_codes_batch"),
+      m, cen, nprobe, k)
+  }
+
   private def writeSemCentroids(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, cen: Seq[Array[Double]]): Unit =
     Sinks.overwriteParquet(
@@ -356,7 +422,10 @@ object CurationRun {
       classifier: Option[(DataFrame, Int)] = None,
       minClassifierScore: Double = 0.5,
       semanticState: Boolean = false, semSalt: Int = 1,
-      semCentroidsIn: Option[String] = None): Stats = {
+      semCentroidsIn: Option[String] = None,
+      annState: Boolean = false, annSubspaces: Int = 4,
+      annCodewords: Int = 8, annClusters: Int = 4,
+      annIters: Int = 2): Stats = {
     val spark = docs.sparkSession
     val decon = prepBatch(docs, benchmark, minQuality,
       minContaminatedShingles, classifier, minClassifierScore)
@@ -410,6 +479,11 @@ object CurationRun {
         (out, dropped, () => ())
       } else semanticStage(kept, embeddings,
         semClusters, semIters, semThreshold, semMaxCellSize)
+    // ANN index state (VERDICT r07 item 3): train the frozen model on
+    // the init corpus's embedded decon vectors and land its code slice.
+    if (annState && embeddings.isDefined)
+      writeAnnInit(spark, stateOutDir, embeddedVecs(deconS, embeddings.get),
+        annSubspaces, annCodewords, annClusters, annIters)
     val (sampled, bins) = landOutputs(semFinal, outDir,
       fractions, defaultFraction, packBudget, packShards)
     semRelease(); kept.unpersist()
@@ -536,6 +610,11 @@ object CurationRun {
         (out, dropped, () => ())
       } else semanticStage(kept, embeddings,
         semClusters, semIters, semThreshold, semMaxCellSize)
+    // ANN-codes append (VERDICT r07 item 3, auto-detected like the
+    // semantic state): encode ONLY this batch under the frozen model.
+    if (embeddings.isDefined && annStateActive(stateInDir))
+      writeAnnIncrement(spark, stateInDir, stateOutDir,
+        embeddedVecs(deconNewS, embeddings.get))
     val (sampled, bins) = landOutputs(semFinal, outDir,
       fractions, defaultFraction, packBudget, packShards)
     semRelease(); kept.unpersist()
@@ -597,6 +676,17 @@ object CurationRun {
     // runInit(semanticState = true) over the composed corpus would
     // produce (same deterministic k-means over the same vecs), so
     // subsequent incrementals compose exactly (spec-pinned).
+    // ANN index state: codes consolidate as pure IO; the frozen model
+    // copies forward (ANN retrain = a fresh annState init over the
+    // composed corpus — the codes are index artifacts, not labels, so
+    // unlike the semantic quantizer there is no cross-batch label
+    // state to re-derive and no retrain valve needed here).
+    if (annStateActive(stateInDir)) {
+      Sinks.overwriteParquet(readSlices(spark, lineage, "ann_codes_batch"),
+        s"$stateOutDir/ann_codes_batch", numFiles = 1)
+      Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/ann_model"),
+        s"$stateOutDir/ann_model", numFiles = 1)
+    }
     if (java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))) {
       if (retrainSemantic) {
@@ -632,6 +722,57 @@ object CurationRun {
       }
     }
     writeLineage(stateOutDir, Seq(stateOutDir))
+  }
+
+  /** Drift-gated rebase — the policy that CONNECTS the q139 monitor to
+    * the retrain valve (VERDICT r07 item 4). The weekly runner calls
+    * this instead of choosing a rebase mode by hand: it scores the
+    * newest batch's quantizer fit ([[VectorSim.quantizerDrift]] under
+    * the state's FROZEN centroids) against the state's own fit, and
+    *   - batch mean_dist >= `driftRatio` x state mean_dist  ⇒ the
+    *     frozen cells no longer co-locate the incoming data's
+    *     near-duplicates: [[rebaseState]] with `retrainSemantic = true`
+    *     (re-pay the semantic front once, already pinned equal to a
+    *     fresh init over the composed corpus);
+    *   - otherwise ⇒ plain lineage compaction (pure IO).
+    * "State" = every lineage slice before the newest; "batch" = the
+    * newest slice — the exact comparison q139 tabulates. Cost of the
+    * decision: one map pass per side + a 2-row aggregate. Returns
+    * whether the retrain branch ran. Lineages of length 1 and states
+    * without semantic state compact without measuring (nothing to
+    * compare / nothing to retrain). */
+  def rebaseIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      stateInDir: String, stateOutDir: String, embeddings: DataFrame,
+      driftRatio: Double = 1.5, semClusters: Int = 16, semIters: Int = 2,
+      semThreshold: Double = 0.99, semSalt: Int = 1): Boolean = {
+    val lineage = readLineage(stateInDir)
+    val semActive = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))
+    val retrain = semActive && lineage.size > 1 && {
+      val cen = readSemCentroids(spark, s"$stateInDir/sem_centroids")
+      val stateVecs = embeddedVecs(
+        readSlices(spark, lineage.init, "decon_batch"), embeddings)
+      val batchVecs = embeddedVecs(
+        spark.read.parquet(s"${lineage.last}/decon_batch"), embeddings)
+      val fit = VectorSim.quantizerDrift(
+          Seq("state" -> stateVecs, "batch" -> batchVecs), cen)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+        .toMap
+      val (nState, stateMean) = fit("state")
+      val (nBatch, batchMean) = fit("batch")
+      // An empty side yields no evidence; equality-at-zero (both fits
+      // perfect) is no drift.
+      nState > 0 && nBatch > 0 && batchMean > 0 &&
+        batchMean >= driftRatio * stateMean
+    }
+    rebaseState(spark, stateInDir, stateOutDir,
+      retrainSemantic = retrain,
+      embeddings = if (retrain) Some(embeddings) else None,
+      semClusters = semClusters, semIters = semIters,
+      semThreshold = semThreshold, semSalt = semSalt)
+    retrain
   }
 
   /** Run the pass; outputs land under `outDir` as `curated/` (doc_id,

@@ -899,6 +899,38 @@ object ExtQueries {
       s.read.parquet(s"$artDir/codes"), m2, cen2, nprobe = 2, k = 5)
   }
 
+  /** Incremental ANN-codes append, served (q141, VERDICT r07 item 3):
+    * the q138 artifact under the WEEKLY cadence. The frozen model (PQ
+    * codebooks + coarse quantizer) trains at "init" on the STATE half
+    * of the corpus only (even vec_ids); init lands its own code slice;
+    * the weekly batch (odd vec_ids) reads the model back from parquet
+    * and encodes ONLY ITSELF — per-increment encode cost is batch-
+    * scale, the `minhashLshPairsIncremental` discipline applied to PQ
+    * codes — appending a second slice. Search serves from the UNION of
+    * the slices. Encoding is a pure per-row map under a frozen model,
+    * so composed slices == a scratch encode of the composed corpus;
+    * the DuckDB oracle replays the IVFADC chain with training CTEs
+    * restricted to the state half (`trainPred`) and assignments over
+    * everything. */
+  def q141AnnCodesAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val state = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val m = VectorSim.pqTrain(state, dim = 64, subspaces = 8, k = 16, iters = 2)
+    val cen = VectorSim.kmeansCentroids(state, 8, 2)
+    val artDir = scratchDir("ann_codes_inc")
+    VectorSim.annModelFrame(s, m, cen)
+      .write.mode("overwrite").parquet(s"$artDir/model")
+    VectorSim.annCodesFrame(state, m, cen)
+      .write.mode("overwrite").parquet(s"$artDir/codes_w0")
+    val (m2, cen2) = VectorSim.annModelFromFrame(s.read.parquet(s"$artDir/model"))
+    VectorSim.annCodesFrame(batch, m2, cen2)
+      .write.mode("overwrite").parquet(s"$artDir/codes_w1")
+    VectorSim.pqSearchIvfFromCodes(emb.where(col("vec_id") < 5),
+      s.read.parquet(s"$artDir/codes_w0", s"$artDir/codes_w1"),
+      m2, cen2, nprobe = 2, k = 5)
+  }
+
   /** Extended PII redaction (q140): emails, URLs, IPv4 literals and
     * phone-like digit runs rewritten in one deterministic pass, with
     * per-pattern counts on the raw text — the wider scrub a
@@ -1746,8 +1778,10 @@ object ExtQueries {
     * min-distance mdN-1, ties to the earliest candidate; every
     * distance the same rounded `(xx - 2*dot) + cc` form as
     * assignment). */
+  /** `trainPred` restricts TRAINING (seeds + mean updates) while
+    * assignments still cover every `embFrom` row — see [[pqCtes]]. */
   private def kmeansCtes(k: Int, dim: Int, iters: Int, initFactor: Int = 0,
-      embFrom: String = "embeddings"): String = {
+      embFrom: String = "embeddings", trainPred: String = "true"): String = {
     def assign(name: String, cen: String): String =
       s"""$name AS (
          |  SELECT vec_id, list_indexof(l, list_min(l)) - 1 AS cluster FROM (
@@ -1762,6 +1796,7 @@ object ExtQueries {
          |    SELECT cluster AS c, list(m ORDER BY d) AS w FROM (
          |      SELECT a.cluster, dd.d, sum(e2.emb[dd.d+1]) / count(*) AS m
          |      FROM $prevAssign a JOIN e e2 USING (vec_id) CROSS JOIN range(0,$dim) dd(d)
+         |      WHERE $trainPred
          |      GROUP BY a.cluster, dd.d) GROUP BY cluster) nw ON nw.c = o.c)""".stripMargin
     val rounds = (1 to iters).flatMap(t =>
       Seq(update(s"cen$t", s"cen${t - 1}", s"a${t - 1}"), assign(s"a$t", s"cen$t")))
@@ -1769,7 +1804,7 @@ object ExtQueries {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM $embFrom),
          |cen0 AS (
          |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c, emb AS w
-         |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k),
+         |  FROM e WHERE $trainPred ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k),
          |xx AS (SELECT vec_id, emb,
          |  list_sum([emb[i+1]*emb[i+1] for i in range(0,$dim)]) AS xx FROM e),
          |${(assign("a0", "cen0") +: rounds).mkString(",\n")}""".stripMargin
@@ -1796,7 +1831,7 @@ object ExtQueries {
         s"""cand AS (
            |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS ci, emb,
            |    list_sum([emb[i+1]*emb[i+1] for i in range(0,$dim)]) AS cxx
-           |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $m),
+           |  FROM e WHERE $trainPred ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $m),
            |ch0 AS (SELECT CAST(0 AS BIGINT) AS c, ci, emb, cxx FROM cand WHERE ci = 0),
            |${steps.mkString(",\n")},
            |cen0 AS (SELECT c, emb AS w FROM ($union))""".stripMargin
@@ -1804,7 +1839,7 @@ object ExtQueries {
       val plainCen0 =
         s"""cen0 AS (
            |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c, emb AS w
-           |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k)""".stripMargin
+           |  FROM e WHERE $trainPred ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k)""".stripMargin
       base.replace(plainCen0, ffCen0)
     }
   }
@@ -2208,8 +2243,14 @@ object ExtQueries {
     * CTEs the caller composes (the IVFADC oracle prepends the q39
     * full-dim coarse chain; names don't collide: coarse uses
     * e/xx/cen$t/a$t, subspace chains use e$s/xx$s/cen${t}_$s). */
+  /** `trainPred` (a vec_id predicate) restricts the TRAINING corpus —
+    * seed selection and Lloyd's mean updates — while codes/assignments
+    * still cover every row: the frozen-model weekly cadence's replay
+    * (train at init on the state corpus, encode everything under the
+    * frozen model; q141). The default "true" is the train-on-all form
+    * every earlier entry uses. */
   private def pqCtes(dim: Int, subspaces: Int, kw: Int,
-      iters: Int, queryPred: String): String = {
+      iters: Int, queryPred: String, trainPred: String = "true"): String = {
     val dsub = dim / subspaces
     def assign(s: Int, name: String, cen: String): String =
       s"""$name AS (
@@ -2225,6 +2266,7 @@ object ExtQueries {
          |    SELECT cluster AS c, list(m ORDER BY d) AS w FROM (
          |      SELECT a.cluster, dd.d, sum(e2.emb[dd.d+1]) / count(*) AS m
          |      FROM $prevAssign a JOIN e$s e2 USING (vec_id) CROSS JOIN range(0,$dsub) dd(d)
+         |      WHERE $trainPred
          |      GROUP BY a.cluster, dd.d) GROUP BY cluster) nw ON nw.c = o.c)""".stripMargin
     val chains = (0 until subspaces).map { s =>
       val lo = s * dsub + 1; val hi = (s + 1) * dsub
@@ -2235,7 +2277,7 @@ object ExtQueries {
         s"e$s AS (SELECT vec_id, (embedding::DOUBLE[])[$lo:$hi] AS emb FROM embeddings)",
         s"""cen0_$s AS (
            |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c, emb AS w
-           |  FROM e$s ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $kw)""".stripMargin,
+           |  FROM e$s WHERE $trainPred ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $kw)""".stripMargin,
         s"""xx$s AS (SELECT vec_id, emb,
            |  list_sum([emb[i+1]*emb[i+1] for i in range(0,$dsub)]) AS xx FROM e$s)""".stripMargin,
         assign(s, s"a0_$s", s"cen0_$s")) ++ rounds).mkString(",\n")
@@ -2283,9 +2325,9 @@ object ExtQueries {
     * construction. */
   private def pqSearchIvfOracleSql(dim: Int, subspaces: Int, kw: Int,
       iters: Int, kClusters: Int, cIters: Int, nprobe: Int, topK: Int,
-      queryPred: String): String =
-    s"""${kmeansCtes(kClusters, dim, cIters)},
-       |${pqCtes(dim, subspaces, kw, iters, queryPred)},
+      queryPred: String, trainPred: String = "true"): String =
+    s"""${kmeansCtes(kClusters, dim, cIters, trainPred = trainPred)},
+       |${pqCtes(dim, subspaces, kw, iters, queryPred, trainPred)},
        |pr AS (
        |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM (
        |    SELECT x.vec_id, n.c,
@@ -4568,6 +4610,16 @@ object ExtQueries {
       pqSearchIvfOracleSql(dim = 64, subspaces = 8, kw = 16, iters = 2,
         kClusters = 8, cIters = 2, nprobe = 2, topK = 5,
         queryPred = "vec_id < 5"),
+
+    // q141: the q74 replay with TRAINING restricted to the state half
+    // (even vec_ids) — seeds and Lloyd's means see state vectors only,
+    // codes/cells cover everything. The engine side's append (state
+    // slice + batch slice encoded under the read-back frozen model)
+    // composes to exactly this.
+    "q141_ann_codes_append" ->
+      pqSearchIvfOracleSql(dim = 64, subspaces = 8, kw = 16, iters = 2,
+        kClusters = 8, cIters = 2, nprobe = 2, topK = 5,
+        queryPred = "vec_id < 5", trainPred = "vec_id % 2 = 0"),
 
     // Same model constants as q97IvfRecallSweep; one trained chain,
     // per-nprobe candidate CTEs, recall vs the q25 exact top-k.

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.CurationRun
@@ -336,5 +337,151 @@ class IncrementalCurationSpec extends AnyFunSuite {
     val c = clusters(s"$base/state_3r").toMap
     assert(c(21L) == c(3L),
       "post-rebase incremental must still merge against pre-rebase docs")
+  }
+
+  test("ANN-codes state cadence: frozen model, batch-scale append, composed == scratch (VERDICT r07 item 3)") {
+    import graft.operators.VectorSim
+    val batchA = Seq((1L, goodEn), (3L, goodEs), (5L, freshA))
+      .toDF("doc_id", "text")
+    val batchB = Seq(
+      (13L, "entirely novel content about distant mountains and deep " +
+        "valleys that resembles nothing in the first weekly batch at all")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(0f, 1f, 0f, 0f)),
+      (13L, Seq(0.2f, 0.9f, 0.1f, 0.3f))).toDF("vec_id", "embedding")
+
+    val base = TestSpark.tmpDir("inc_curation_ann")
+    CurationRun.runInit(batchA, benchmark, s"$base/out_a", s"$base/state_1",
+      embeddings = Some(emb), annState = true,
+      annSubspaces = 2, annCodewords = 2, annClusters = 2)
+    CurationRun.runIncremental(batchB, benchmark,
+      s"$base/out_b", s"$base/state_1", s"$base/state_2",
+      embeddings = Some(emb))
+
+    def rows(path: String): Set[Seq[Any]] =
+      spark.read.parquet(path).collect().map(_.toSeq).toSet
+
+    // The frozen model carries forward unchanged.
+    assert(rows(s"$base/state_2/ann_model") == rows(s"$base/state_1/ann_model"),
+      "the ANN model must be frozen through the increment")
+    // Batch-scale write: the increment's slice codes ONLY batch B.
+    val sliceIds = spark.read.parquet(s"$base/state_2/ann_codes_batch")
+      .select("vec_id").as[Long].collect().toSet
+    assert(sliceIds == Set(13L),
+      s"weekly slice must encode only the batch, got $sliceIds")
+    // init + inc slices compose to exactly a scratch encode of the
+    // composed decon corpus under the read-back frozen model.
+    val (m, cen) = VectorSim.annModelFromFrame(
+      spark.read.parquet(s"$base/state_2/ann_model"))
+    val deconIds = spark.read
+      .parquet(s"$base/state_1/decon_batch", s"$base/state_2/decon_batch")
+      .select(col("doc_id"))
+    val vecsAll = deconIds
+      .join(emb, col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val scratchCodes = VectorSim.annCodesFrame(vecsAll, m, cen)
+    val composed = rows(s"$base/state_1/ann_codes_batch") ++
+      rows(s"$base/state_2/ann_codes_batch")
+    assert(composed == scratchCodes.collect().map(_.toSeq).toSet,
+      "composed code slices must equal the from-scratch encode")
+    // Serving from the composed artifact == serving from scratch codes.
+    val queries = emb.where(col("vec_id") <= 3)
+    val served = CurationRun.annServe(spark, s"$base/state_2",
+        queries, nprobe = 2, k = 2)
+      .collect().map(_.toSeq).toSet
+    val scratchServed = VectorSim.pqSearchIvfFromCodes(queries,
+        scratchCodes, m, cen, nprobe = 2, k = 2)
+      .collect().map(_.toSeq).toSet
+    assert(served == scratchServed,
+      "annServe over the lineage must equal search over scratch codes")
+    // Rebase consolidates the code slices as pure IO.
+    CurationRun.rebaseState(spark, s"$base/state_2", s"$base/state_r")
+    assert(rows(s"$base/state_r/ann_codes_batch") == composed,
+      "rebase must consolidate the code slices unchanged")
+    assert(rows(s"$base/state_r/ann_model") == rows(s"$base/state_1/ann_model"))
+  }
+
+  test("drift-gated rebase: planted drift retrains, stable corpus compacts (VERDICT r07 item 4)") {
+    def cenRows(d: String): Set[(Int, Seq[Double])] =
+      spark.read.parquet(s"$d/sem_centroids")
+        .as[(Int, Seq[Double])].collect().toSet
+    def semClustersOf(d: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$d/sem_clusters")
+        .as[(Long, Long)].collect().toSet
+    def cells(d: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$d/sem_cells_batch")
+        .as[(Long, Long)].collect().toSet
+    // Init corpus: four docs whose embeddings form two TIGHT pairs, so
+    // k=2 converges to the pair split and every state vector sits the
+    // same distance from its centroid — state mean fit is a nonzero
+    // symmetric m.
+    val batchA = Seq((1L, goodEn), (3L, goodEs), (5L, freshA),
+      (7L, "bright morning light falls gently across the wide open field " +
+        "where farmers gather ripe golden wheat under the clear autumn sky"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    val batchB = Seq(
+      (13L, "entirely novel content about distant mountains and deep " +
+        "valleys that resembles nothing in the first weekly batch at all")
+    ).toDF("doc_id", "text")
+
+    // STABLE: batch 13's embedding is an exact COPY of doc 1's, so its
+    // fit equals doc 1's fit = the symmetric state mean — ratio 1.0,
+    // strictly under the 1.5 threshold. Policy must take the
+    // compaction branch and land the manual pure-IO rebase.
+    val embStable = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0.8f, 0.2f, 0f, 0f)),
+      (5L, Seq(0f, 0f, 1f, 0f)),
+      (7L, Seq(0f, 0f, 0.8f, 0.2f)),
+      (13L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val b1 = TestSpark.tmpDir("drift_stable")
+    CurationRun.runInit(batchA, benchmark, s"$b1/out_a", s"$b1/state_1",
+      embeddings = Some(embStable), semClusters = 2, semanticState = true)
+    CurationRun.runIncremental(batchB, benchmark,
+      s"$b1/out_b", s"$b1/state_1", s"$b1/state_2",
+      embeddings = Some(embStable), semClusters = 2)
+    val retrained1 = CurationRun.rebaseIfDrifted(spark,
+      s"$b1/state_2", s"$b1/state_p", embStable,
+      driftRatio = 1.5, semClusters = 2)
+    CurationRun.rebaseState(spark, s"$b1/state_2", s"$b1/state_m")
+    assert(!retrained1, "a batch matching the state's fit must compact")
+    assert(cenRows(s"$b1/state_p") == cenRows(s"$b1/state_2") &&
+      cenRows(s"$b1/state_p") == cenRows(s"$b1/state_m"),
+      "compaction branch must carry the frozen quantizer forward")
+    assert(semClustersOf(s"$b1/state_p") == semClustersOf(s"$b1/state_m"))
+
+    // DRIFTED: batch 13 lands far outside the trained distribution.
+    // Policy must take the retrain branch and land exactly the manual
+    // retrainSemantic rebase (== fresh init over the composed corpus,
+    // already pinned above).
+    val embDrift = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0.8f, 0.2f, 0f, 0f)),
+      (5L, Seq(0f, 0f, 1f, 0f)),
+      (7L, Seq(0f, 0f, 0.8f, 0.2f)),
+      (13L, Seq(50f, 50f, 50f, 50f))).toDF("vec_id", "embedding")
+    val b2 = TestSpark.tmpDir("drift_planted")
+    CurationRun.runInit(batchA, benchmark, s"$b2/out_a", s"$b2/state_1",
+      embeddings = Some(embDrift), semClusters = 2, semanticState = true)
+    CurationRun.runIncremental(batchB, benchmark,
+      s"$b2/out_b", s"$b2/state_1", s"$b2/state_2",
+      embeddings = Some(embDrift), semClusters = 2)
+    val retrained2 = CurationRun.rebaseIfDrifted(spark,
+      s"$b2/state_2", s"$b2/state_p", embDrift,
+      driftRatio = 1.5, semClusters = 2)
+    CurationRun.rebaseState(spark, s"$b2/state_2", s"$b2/state_m",
+      retrainSemantic = true, embeddings = Some(embDrift), semClusters = 2)
+    assert(retrained2, "planted drift must take the retrain branch")
+    assert(cenRows(s"$b2/state_p") == cenRows(s"$b2/state_m"),
+      "policy retrain must equal the manual retrainSemantic rebase")
+    assert(cells(s"$b2/state_p") == cells(s"$b2/state_m"))
+    assert(semClustersOf(s"$b2/state_p") == semClustersOf(s"$b2/state_m"))
+    assert(cenRows(s"$b2/state_p") != cenRows(s"$b2/state_2"),
+      "the retrained quantizer must actually differ from the frozen one")
   }
 }
