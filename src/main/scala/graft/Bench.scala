@@ -4,7 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = Sessions.local(cpus, "graft-bench")
+    // Cap UI plan-string rendering: every tracked action's AQE stage
+    // posts a plan-description event whose construction walks the full
+    // (cache-expanded) plan tree on the DRIVER — measured ~1.1 s per
+    // stage on deep pipeline plans, pure overhead with the UI off.
+    // The cap bounds explainString; it has zero effect on execution.
+    val spark = Sessions.local(cpus, "graft-bench",
+      Map("spark.sql.maxPlanStringLength" -> "16384"))
     // Warm up codegen + file listing so the first timed query doesn't
     // absorb one-time session costs. Lenient per table: a missing table
     // must surface as per-query `err` entries below, not kill the whole

@@ -11,7 +11,9 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = Sessions.local(cpus, "graft-verify")
+    // Plan-string cap: see graft.Bench — render-only, zero execution effect.
+    val spark = Sessions.local(cpus, "graft-verify",
+      Map("spark.sql.maxPlanStringLength" -> "16384"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -81,7 +81,11 @@ object QualityClassifier {
     val feat = DataMix.docBuckets(labeled, idCol, textCol, buckets).persist()
     val lab = labeled.select(col(idCol).as("doc_id"),
       col(labelCol).cast("int").as("y"))
-    val nDocs = lab.count()
+    // Internal bookkeeping actions run through `toRdd` throughout the
+    // loop (the TextDedup.connectedComponents rationale): per-iteration
+    // tracked SQL actions make AQE re-render the full plan string per
+    // query stage — pure driver time that dominates small-SF training.
+    val nDocs = lab.queryExecution.toRdd.count()
     var w: Map[Long, JBigDecimal] = Map.empty
     for (_ <- 1 to iters) {
       val p = docScores(feat, weightsFrame(spark, w))
@@ -97,10 +101,13 @@ object QualityClassifier {
         .select(col("b"),
           round(lit(lr) * col("gsum").cast("double") / nDocs, 8)
             .cast("decimal(20,8)").as("u"))
-        .collect() // <= buckets rows: model state, never corpus rows
-      w = upd.map { r =>
-        val b = r.getLong(0)
-        val u = r.getDecimal(1)
+        // <= buckets rows: model state, never corpus rows. toRdd, with
+        // fields extracted inside the map (shuffle rows are reused
+        // buffers).
+        .queryExecution.toRdd
+        .map(r => (r.getLong(0), r.getDecimal(1, 20, 8).toJavaBigDecimal))
+        .collect()
+      w = upd.map { case (b, u) =>
         b -> w.getOrElse(b, JBigDecimal.ZERO).subtract(u)
       }.toMap
     }

@@ -170,7 +170,17 @@ object TextDedup {
       // corpus scale the distributed propagation takes over untouched.
       // Labels are identical by construction (union by min id == min
       // label per component; spec-pinned both paths).
-      val nEdges = edges.count()
+      //
+      // Internal bookkeeping actions run through `toRdd` (the
+      // [[VectorSim.kmeansCentroidsFrom]] precedent): a tracked SQL
+      // action makes AQE re-render the FULL plan string per query
+      // stage for the UI event bus — measured ~1.1 s of pure driver
+      // time per stage on deeply-cached pipeline plans (q137: a
+      // 140-row pair count cost 12 s with AQE on, 0.9 s off; 7 tasks,
+      // 92 ms of task time). toRdd actions carry no SQL execution id,
+      // so AQE adapts without posting plan updates — same result, no
+      // corpus-scale cost, and the driver stays off the render path.
+      val nEdges = edges.queryExecution.toRdd.count()
       if (nEdges == 0)
         return pairs.select(col("doc_a").as("doc_id"),
           col("doc_a").as("canonical_id")).where(lit(false))
@@ -223,11 +233,17 @@ object TextDedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.collect().foreach { row =>
-      seen += row.getLong(0); seen += row.getLong(1)
-      val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-      if (a < b) parent(b) = a else if (b < a) parent(a) = b
-    }
+    // toRdd collect (see connectedComponents): internal bookkeeping,
+    // skip the per-stage AQE plan-string render a tracked SQL action
+    // pays. InternalRows from a shuffle are reused buffers — extract
+    // the two longs inside the map, never hold the row.
+    edges.queryExecution.toRdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect().foreach { case (x, y) =>
+        seen += x; seen += y
+        val (a, b) = (find(x), find(y))
+        if (a < b) parent(b) = a else if (b < a) parent(a) = b
+      }
     val spark = edges.sparkSession
     import spark.implicits._
     seen.toSeq.map(n => (n, find(n))).toDF("doc_id", "canonical_id")
@@ -268,7 +284,8 @@ object TextDedup {
       .where(col("doc_a") =!= col("doc_b"))
       .persist()
     try {
-      val nEdges = contracted.count()
+      // toRdd: internal bookkeeping count (see connectedComponents).
+      val nEdges = contracted.queryExecution.toRdd.count()
       if (nEdges == 0) return ex // every new pair was already internal
       // The contracted graph is batch-sized BY CONSTRUCTION (nothing in
       // it grows with the historical corpus), so up to `driverThreshold`
@@ -734,11 +751,22 @@ object TextDedup {
     * corpus tokens + repeated-span hits, never corpus^2. */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minDf: Int = 2): DataFrame = {
+    val (out, release) = removeRepeatedSpansScoped(docs, idCol, textCol, k, minDf)
+    CacheLease.releaseAfterAction(out)(release)
+  }
+
+  /** [[removeRepeatedSpans]] with CALLER-scoped cache release instead
+    * of the action lease (VERDICT r07 item 7): a pipeline that acts on
+    * the result inside its own body fires `release` synchronously
+    * right after that first action, so no lease is left riding the
+    * async listener at harness rep boundaries. */
+  def removeRepeatedSpansScoped(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, minDf: Int = 2): (DataFrame, () => Unit) = {
     // One persisted gram frame serves the span chain's two reads (the
     // remover itself re-reads only the cheap span RESULT, not grams).
     val grams = gramFrame(docs, idCol, textCol, k).persist()
-    removeSpansImpl(docs, idCol, textCol, spansFromGrams(grams, k, minDf),
-      k, () => { grams.unpersist(); () })
+    (removeSpansBody(docs, idCol, textCol, spansFromGrams(grams, k, minDf), k),
+      () => { grams.unpersist(); () })
   }
 
   /** Sequence-level benchmark decontamination — the STRIP alternative
@@ -764,7 +792,12 @@ object TextDedup {
   /** Shared removal body: cut `spans` (start_pos/end_pos in k-gram
     * positions) out of every document's token stream. */
   private def removeSpansImpl(docs: DataFrame, idCol: String, textCol: String,
-      spanFrame: DataFrame, k: Int, release: () => Unit): DataFrame = {
+      spanFrame: DataFrame, k: Int, release: () => Unit): DataFrame =
+    CacheLease.releaseAfterAction(
+      removeSpansBody(docs, idCol, textCol, spanFrame, k))(release)
+
+  private def removeSpansBody(docs: DataFrame, idCol: String, textCol: String,
+      spanFrame: DataFrame, k: Int): DataFrame = {
     val spans = spanFrame
       .select(col("doc_id").as("__sd"), col("start_pos"),
         (col("end_pos") + lit(k.toLong) - lit(1L)).as("last_tok"))
@@ -784,12 +817,10 @@ object TextDedup {
         count(lit(1)).as("n_kept"))
     // Left join keeps fully-removed documents in the output
     // (clean_text = '', n_removed = every token).
-    CacheLease.releaseAfterAction(
-      base.join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(array_join(col("ordered.tok"), " "), lit("")).as("clean_text"),
-          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
-    )(() => { release(); () })
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(array_join(col("ordered.tok"), " "), lit("")).as("clean_text"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
   /** Cross-source overlap matrix (the datasheet number for "how much
