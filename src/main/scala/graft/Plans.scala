@@ -88,9 +88,30 @@ object Plans {
       "q124_winnowing" ->
         "positional gram hashes + ONE doc-partitioned sliding window (struct-min carries the rightmost-tie argmin) + hash-keyed rollups — no per-window subsort",
       "q127_char_entropy" ->
-        "shuffle-free map tier: one codegen'd char_entropy kernel call per row, fused into the parquet scan")
+        "shuffle-free map tier: one codegen'd char_entropy kernel call per row, fused into the parquet scan",
+      "q129_dedup_graph_profile" ->
+        "LSH pair chain into two small keyed rollups (cluster sizes, size histogram) — label state rides the leased index, no corpus re-scan per rollup",
+      "q130_quality_signals" ->
+        "ONE WholeStageCodegen span over the scan: all six quality kernels fused into a single projection (PlanSpec-pinned)",
+      "q135_pq_reconstruction" ->
+        "one corpus map pass (per-subspace referenced-matrix kernels inside one exploded expression), then a |subspaces|-keyed rollup",
+      "q136_chunk_reuse" ->
+        "CDC cut windows per doc (one doc per partition), chunk hashes into hash-keyed aggregations — work tracks token mass + duplicate chunk mass",
+      "q138_ann_artifact_search" ->
+        "ARTIFACT-SERVED search: scan of the persisted codes parquet + broadcast query probes + broadcast ADC LUT — NO corpus encode kernel anywhere in the serving plan (PlanSpec-pinned)",
+      "q139_quantizer_drift" ->
+        "one referenced-matrix distance map pass per side + a 2-row aggregate — the retrain decision costs two scans, no shuffle beyond the final rollup",
+      "q140_redact_pii" ->
+        "pure projection: ordered regexp_replace chain fused into the scan, per-pattern counts from the RAW text column — zero Exchange",
+      "q141_ann_codes_append" ->
+        "weekly-cadence serving: UNION of per-batch code slices scanned as-is under the frozen read-back model; probes broadcast; partial top_k_by_score — encode cost per increment is the batch, never the corpus")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `graft.Plans`, sf0.001)\n")
+    sb.append("\n_q137_curation_e2e has no plan artifact by construction: the entry " +
+      "RUNS the pipeline eagerly (multiple sinks + audit counts) and returns a " +
+      "local one-row stats frame; its stage plans are the q130/q66/q22/q70/q54 " +
+      "shapes above composed, and its scale posture is audited per stage in " +
+      "NOTES.md._\n")
     picks.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sf)
       sb.append(s"\n## $name\n\n_${note}_\n\n```\n")

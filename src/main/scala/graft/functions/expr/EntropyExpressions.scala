@@ -19,16 +19,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * sum), final 6dp round. One pass over the string + a
   * distinct-codepoint loop; no allocation beyond the histogram.
   *
-  * Unit-of-count caveat (ADVICE r06): the kernel counts Unicode CODE
-  * POINTS (`codePointAt`, surrogate pairs = one symbol). The q127
-  * DuckDB oracle tokenizes with `string_split(text, '')`, which
-  * yields grapheme clusters — for non-BMP text (emoji, combining
-  * sequences) the two histograms can legitimately diverge. The oracle
-  * parity claim is therefore exact for BMP text without combining
-  * marks (which the synthetic corpus is) and approximate beyond it;
-  * code points, not graphemes, are the intended engine semantics
-  * (entropy over combining sequences would under-count a base64-style
-  * spill that happens to carry diacritics). */
+  * Unit of count: Unicode CODE POINTS (`codePointAt`, surrogate pairs
+  * = one symbol; combining marks count separately) — the intended
+  * engine semantics (entropy over grapheme clusters would under-count
+  * a base64-style spill that happens to carry diacritics). The q127
+  * DuckDB oracle matches EXACTLY, non-BMP included (VERDICT r07 item
+  * 8): it splits with `regexp_extract_all(text, '[\s\S]')` — RE2
+  * consumes one code point per match — rather than
+  * `string_split(text, '')`, whose grapheme clusters diverge from
+  * code points on combining sequences. Pinned on an emoji+combining
+  * fixture in TextOpsSpec (hand-computed entropies) and validated
+  * against DuckDB on the same fixture. */
 object EntropyKernel {
 
   private val LN2 = Math.log(2.0)

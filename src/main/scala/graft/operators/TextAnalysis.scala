@@ -156,7 +156,17 @@ object TextAnalysis {
   // No '.' in the separator class: dotted digit runs are the IPv4
   // pattern's territory — including it would double-count every IP
   // as a phone in the raw-text tallies.
-  val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  // DIGIT count, not character count (ADVICE r07): >= 9 digits with
+  // optional ()/-/space separators between. The old 8+-CHARACTER form
+  // ate any dash/space-separated digit run — ISO dates (2024-01-01)
+  // and short numeric table rows rewrote to <PHONE>. Nine digits
+  // clears an 8-digit date while keeping every real phone shape
+  // (10-15 digits with or without +CC). Residue, documented in the
+  // fixture: ADJACENT dates/number runs whose combined digits reach 9
+  // (e.g. "2024-01-01 2024-01-02") still redact as one run — the
+  // conservative-shaped contract trades that precision for
+  // determinism and engine portability.
+  val PhonePattern = "\\+?(?:[0-9][()\\- ]*){8,}[0-9]"
 
   /** The extended rewrite: email -> URL -> IPv4 -> phone, in that
     * order (IPs redact before the phone pass so dotted quads never

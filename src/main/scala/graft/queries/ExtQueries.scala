@@ -3957,11 +3957,15 @@ object ExtQueries {
 
     // q127: per-char histogram, the 8dp-rounded p*log2(p) terms
     // summed in DECIMAL (matches the kernel's scaled-long sum), 6dp
-    // final round; empty docs null via the LEFT JOIN. string_split
-    // yields graphemes vs the kernel's code points — exact parity
-    // holds for BMP/no-combining-mark text (see EntropyKernel doc).
+    // final round; empty docs null via the LEFT JOIN. Characters are
+    // CODE POINTS on both sides (VERDICT r07 item 8): RE2's '[\s\S]'
+    // matches exactly one code point per step (astral chars included,
+    // combining marks separately), matching the kernel's codePointAt
+    // loop and Spark length()'s numChars — exact on non-BMP text, not
+    // just the ASCII corpus (string_split(text,'') yields GRAPHEMES,
+    // which diverge on combining sequences).
     "q127_char_entropy" ->
-      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+      """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
         |  FROM documents WHERE len(text) > 0),
         |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
         |nn AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt FROM cc GROUP BY doc_id),
@@ -3972,7 +3976,9 @@ object ExtQueries {
         |ent AS (SELECT doc_id,
         |    CAST(round(sum(CAST(t AS DECIMAL(20,8))), 6) AS DOUBLE) AS char_entropy
         |  FROM tm GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars, ent.char_entropy
+        |SELECT d.doc_id,
+        |  CAST(len(regexp_extract_all(d.text, '[\s\S]')) AS BIGINT) AS n_chars,
+        |  ent.char_entropy
         |FROM documents d LEFT JOIN ent USING (doc_id)""".stripMargin,
 
     // q128: the q28 session chain, the transcript re-joined in
@@ -4211,7 +4217,7 @@ object ExtQueries {
          |rep AS (SELECT t.doc_id,
          |  round(1.0 - CAST(len(sh.sh) AS DOUBLE) / greatest(len(t.toks) - 2, 1), 6) AS repetition_ratio
          |  FROM t JOIN sh USING (doc_id)),
-         |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+         |ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS c
          |  FROM documents WHERE len(text) > 0),
          |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
          |nn AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt FROM cc GROUP BY doc_id),

@@ -20,7 +20,10 @@ class TextOpsSpec extends AnyFunSuite {
         "or call +1 (555) 123-4567 now"),
       (2L, "server at 10.0.0.255 and 256.1.1.1 is still a dotted quad shape"),
       (3L, "plain words only, year 2024 alone is too short to be a phone"),
-      (4L, "")), "doc_id", "text")
+      (4L, ""),
+      (5L, "released on 2024-01-01 and priced 12-34 in the spring table"),
+      (6L, "between 2024-01-01 2024-01-02 the digits run together")),
+      "doc_id", "text")
       .as[(Long, String, Int, Int, Int, Int)].collect()
       .map(r => r._1 -> r).toMap
     assert(out(1L)._2 == "mail <EMAIL>, fetch <URL> from <IP> or call <PHONE> now")
@@ -32,6 +35,14 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L)._2.contains("2024") && out(3L)._6 == 0,
       "a bare year must not be eaten by the phone pattern")
     assert(out(4L)._2 == "" && out(4L)._3 == 0)
+    // ADVICE r07: the phone rule counts DIGITS (>= 9), so an ISO date
+    // (8 digits) and short numeric table cells survive intact...
+    assert(out(5L)._2.contains("2024-01-01") && out(5L)._2.contains("12-34") &&
+      out(5L)._6 == 0, "single dates / short numeric runs are not phones")
+    // ...while ADJACENT dates whose combined run reaches 9 digits are
+    // the documented residue of the conservative-shaped contract.
+    assert(out(6L)._2 == "between <PHONE> the digits run together" &&
+      out(6L)._6 == 1, "adjacent-date runs redact as one documented residue")
   }
 
   test("tokens splits on whitespace and drops empties") {
@@ -384,6 +395,30 @@ class TextOpsSpec extends AnyFunSuite {
     val exp = ((term(2.0 / 3) + term(1.0 / 3) + 50L) / 100L).toDouble / 1e6
     assert(out(4L) == ((3L, Some(exp))))
     assert(exp > 0.918 && exp < 0.919)
+  }
+
+  test("charEntropy counts CODE POINTS on non-BMP text (VERDICT r07 item 8)") {
+    import graft.operators.TextAnalysis
+    // Astral chars are ONE code point (a surrogate pair in UTF-16);
+    // combining marks are their OWN code points (unlike grapheme
+    // splitting, which fuses them) — both pinned here, matching the
+    // q127 oracle's regexp code-point split.
+    val grin = new String(Character.toChars(0x1F600))
+    val party = new String(Character.toChars(0x1F389))
+    val corpus = docs(
+      (1L, grin + grin + party), // {2/3, 1/3} over 3 code points
+      (2L, "e\u0301"),      // base + combining acute: 2 code points, 1 bit
+      (3L, grin))                // single astral char: 1 code point, 0 bits
+    val out = TextAnalysis.charEntropyProfile(corpus, "doc_id", "text")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def term(p: Double) = BigDecimal(-(p * (math.log(p) / math.log(2.0))))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+    val exp = ((term(2.0 / 3) + term(1.0 / 3) + 50L) / 100L).toDouble / 1e6
+    assert(out(1L) == ((3L, Some(exp))), "two-grin-one-party = the aab distribution")
+    assert(out(2L) == ((2L, Some(1.0))), "combining sequence is TWO equiprobable code points")
+    assert(out(3L) == ((1L, Some(0.0))), "astral char is ONE code point")
   }
 
   test("c4LineFilter: line rules, doc gates, ordered reassembly") {
