@@ -1172,4 +1172,65 @@ object TextDedup {
       .select(col("h"))
     spanRuns(grams.join(repeated, "h").select(col("doc_id"), col("pos")), k)
   }
+
+  // -----------------------------------------------------------------
+  // Incremental span-removal cadence (the gap CurationRun's scaladoc
+  // carried as documented future work): per-gram document frequency is
+  // corpus-scale state. The state artifact is one (h, n_docs) slice
+  // per batch — distinct-DOC counts of each 64-bit k-gram hash within
+  // the batch. Doc ids are disjoint across batches, so distinct-doc
+  // counts ADD along the lineage: composed df == the from-scratch df
+  // over the composed raw corpus, exactly.
+  //
+  // Cadence semantics (the append-only contract): a batch is cleaned
+  // against the df AS OF ITS INGEST (history + itself); already-landed
+  // batches are never re-cleaned when a later batch pushes a gram over
+  // minDf (rewriting landed text would invalidate every downstream
+  // artifact built on it — and data already trained on cannot be
+  // retracted anyway). The equality pin is therefore per batch: a
+  // batch's cleaned text == removeRepeatedSpans over (history ∪ batch)
+  // restricted to the batch's docs (df is computed on RAW text on both
+  // sides), spec-pinned. Cross-batch boilerplate IS caught — a span
+  // seen once in history and again in the batch reaches df 2 and is
+  // cut from the batch doc.
+  // -----------------------------------------------------------------
+
+  /** One batch's span-df state slice: per k-gram hash, the number of
+    * DISTINCT batch documents containing it. Gram-vocabulary-scale
+    * (like the LSH index slices), written once per batch. */
+  def spanGramCounts(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    gramFrame(docs, idCol, textCol, k).select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+
+  /** Incremental [[removeRepeatedSpans]]: clean ONLY `newDocs`, with
+    * gram df composed from the batch plus `historyCounts` (the unioned
+    * [[spanGramCounts]] slices along the state lineage; duplicate `h`
+    * rows across slices are summed here, so callers pass the raw
+    * union). Batch-scale work: history counts are FILTERED to the
+    * batch's gram keys by one hash equi-join before summing (a gram
+    * absent from the batch can't cut anything from it), the
+    * `minhashLshPairsIncremental` candidate-join shape — per-increment
+    * cost tracks the batch, never the corpus.
+    *
+    * Returns (cleaned batch frame, this batch's counts slice, release
+    * hook); the caller fires the release after its first action over
+    * BOTH returned frames (they share the persisted gram frame). */
+  def removeRepeatedSpansIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, k: Int, minDf: Int,
+      historyCounts: DataFrame): (DataFrame, DataFrame, () => Unit) = {
+    val grams = gramFrame(newDocs, idCol, textCol, k).persist()
+    val batchCounts = grams.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    val histMatched = historyCounts
+      .join(batchCounts.select(col("h")), Seq("h"))
+      .groupBy(col("h")).agg(sum(col("n_docs")).as("h_docs"))
+    val repeated = batchCounts
+      .join(histMatched, Seq("h"), "left")
+      .where(col("n_docs") + coalesce(col("h_docs"), lit(0L)) >= minDf)
+      .select(col("h"))
+    val cleaned = removeSpansBody(newDocs, idCol, textCol,
+      spanRuns(grams.join(repeated, "h").select(col("doc_id"), col("pos")), k), k)
+    (cleaned, batchCounts, () => { grams.unpersist(); () })
+  }
 }

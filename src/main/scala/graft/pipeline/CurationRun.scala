@@ -28,12 +28,11 @@ import graft.sources.Sinks
   *
   * The weekly state cadences ([[runInit]]/[[runIncremental]]) apply
   * the semantic stage too (after survivor selection, where the
-  * incremental-equality pin extends through it for free) but NOT span
-  * removal: span df counts are corpus-scale state that would need its
-  * own incremental cadence (per-batch positional-gram slices, df
-  * merged like the LSH banding) — documented future work, not silently
-  * approximated per-batch (a per-batch df undercounts cross-batch
-  * repeats and would break init+inc == scratch).
+  * incremental-equality pin extends through it for free) and — opt-in
+  * via `spanState` — span removal, whose corpus-scale gram-df state
+  * rides per-batch `span_grams_batch` slices (distinct-doc counts add
+  * across disjoint-id batches, so the composed df is exact; see the
+  * span-state section below for the append-only cleaning contract).
   *
   * All joins are key equi-joins; nothing here collects data to the
   * driver (the run returns row COUNTS per stage — each an aggregate —
@@ -240,6 +239,57 @@ object CurationRun {
       m, cen, nprobe, k)
   }
 
+  // ---------------------------------------------------------------
+  // Incremental span-removal state: per-gram document frequency is the
+  // corpus-scale quantity that kept span removal OUT of the weekly
+  // cadences (the scaladoc's documented future work, now closed). One
+  // more artifact joins the layout when `spanState = true` at init:
+  //   span_grams_batch/ (h, n_docs)  this batch's distinct-doc count per k-gram hash
+  // Doc ids are disjoint across batches, so slice counts ADD along the
+  // lineage — composed df == the from-scratch df over the composed raw
+  // corpus. APPEND-ONLY semantics: each batch is cleaned against the
+  // df as of its ingest (history + itself) and landed text is never
+  // rewritten (rewriting would invalidate every index/signature slice
+  // built on it, and trained-on data cannot be retracted). Cross-batch
+  // boilerplate IS caught: a span seen once in history and again in
+  // the batch reaches minDf and is cut from the batch doc. The pin:
+  // a batch's cleaned text == removeRepeatedSpans over history∪batch
+  // restricted to the batch (IncrementalCurationSpec).
+  // With `exactGate`, hash_batch keys are hashes of the LANDED
+  // (cleaned) text: a recrawl whose cleaning differs (later df) simply
+  // misses the gate and falls through to LSH — output-preserving in
+  // the safe direction.
+  // ---------------------------------------------------------------
+
+  /** Shared span-state stage: clean `deconRaw` against history+batch
+    * gram counts, land this batch's counts slice, return the cleaned
+    * 3-col decon frame, the audit count (docs that lost a span), and
+    * the release hook the caller fires after landing the frame. */
+  private def spanStateStage(deconRaw: DataFrame, historyCounts: DataFrame,
+      stateOutDir: String, spanK: Int,
+      spanMinDf: Int): (DataFrame, Long, () => Unit) = {
+    val raw = deconRaw.persist() // grams + removal base + quality join
+    val (cleaned, slice, gramsRel) = TextDedup.removeRepeatedSpansIncremental(
+      raw, "doc_id", "text", spanK, spanMinDf, historyCounts)
+    Sinks.overwriteParquet(slice, s"$stateOutDir/span_grams_batch", numFiles = 1)
+    val withQ = cleaned
+      .join(raw.select(col("doc_id"), col("quality_score")), "doc_id")
+      .select(col("doc_id"), col("clean_text").as("text"),
+        col("quality_score"), col("n_removed"))
+      .persist()
+    val spanCleaned = withQ.where(col("n_removed") > 0).count()
+    gramsRel()
+    (withQ.drop("n_removed"), spanCleaned,
+      () => { withQ.unpersist(); raw.unpersist(); () })
+  }
+
+  private def spanStateActive(stateInDir: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$stateInDir/span_grams_batch"))
+
+  private def emptyGramCounts(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("h"), col("id").as("n_docs"))
+
   private def writeSemCentroids(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, cen: Seq[Array[Double]]): Unit =
     Sinks.overwriteParquet(
@@ -443,11 +493,20 @@ object CurationRun {
       semCentroidsIn: Option[String] = None,
       annState: Boolean = false, annSubspaces: Int = 4,
       annCodewords: Int = 8, annClusters: Int = 4,
-      annIters: Int = 2): Stats = {
+      annIters: Int = 2,
+      spanState: Boolean = false, spanK: Int = 8,
+      spanMinDf: Int = 2): Stats = {
     val spark = docs.sparkSession
-    val decon = prepBatch(docs, benchmark, minQuality,
+    val deconRaw = prepBatch(docs, benchmark, minQuality,
       minContaminatedShingles, classifier, minClassifierScore)
+    // Span-df state (opt-in): init cleans against its own counts (an
+    // empty history is the from-scratch df), landing cleaned text.
+    val (decon, spanCleaned, spanRel) =
+      if (spanState) spanStateStage(deconRaw, emptyGramCounts(spark),
+        stateOutDir, spanK, spanMinDf)
+      else (deconRaw, -1L, () => ())
     Sinks.overwriteParquet(decon, s"$stateOutDir/decon_batch", numFiles = 4)
+    spanRel()
     val deconS = spark.read.parquet(s"$stateOutDir/decon_batch")
     Sinks.overwriteParquet(
       deconS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
@@ -506,7 +565,7 @@ object CurationRun {
     semRelease(); kept.unpersist()
     Stats(input = docs.count(), gated = -1L, modelGated = -1L,
       decontaminated = deconS.count(),
-      spanCleaned = -1L, kept = keptCount, semDropped = semDropped,
+      spanCleaned = spanCleaned, kept = keptCount, semDropped = semDropped,
       sampled = sampled, bins = bins)
   }
 
@@ -526,7 +585,8 @@ object CurationRun {
       semMaxCellSize: Int = 1000,
       classifier: Option[(DataFrame, Int)] = None,
       minClassifierScore: Double = 0.5,
-      exactGate: Boolean = false): Stats = {
+      exactGate: Boolean = false,
+      spanK: Int = 8, spanMinDf: Int = 2): Stats = {
     require(stateInDir != stateOutDir,
       "state is versioned by directory: reading and overwriting the same " +
         "state in one job would corrupt it")
@@ -565,7 +625,16 @@ object CurationRun {
           .drop("content_hash")
         CacheLease.releaseAfterAction(novel) { () => histKeys.unpersist(); () }
       }
-    Sinks.overwriteParquet(deconRouted, s"$stateOutDir/decon_batch", numFiles = 2)
+    // Span-df state (auto-detected like the semantic/ANN state): clean
+    // the batch against the composed gram counts, land its slice.
+    val (deconFinal, spanCleaned, spanRel) =
+      if (spanStateActive(stateInDir))
+        spanStateStage(deconRouted,
+          readSlices(spark, lineage, "span_grams_batch"),
+          stateOutDir, spanK, spanMinDf)
+      else (deconRouted, -1L, () => ())
+    Sinks.overwriteParquet(deconFinal, s"$stateOutDir/decon_batch", numFiles = 2)
+    spanRel()
     val deconNewS = spark.read.parquet(s"$stateOutDir/decon_batch")
     Sinks.overwriteParquet(
       deconNewS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
@@ -635,7 +704,7 @@ object CurationRun {
       fractions, defaultFraction, packBudget, packShards)
     semRelease(); kept.unpersist()
     Stats(input = newDocs.count(), gated = -1L, modelGated = -1L,
-      decontaminated = deconAll.count(), spanCleaned = -1L,
+      decontaminated = deconAll.count(), spanCleaned = spanCleaned,
       kept = keptCount, semDropped = semDropped,
       sampled = sampled, bins = bins)
   }
@@ -692,6 +761,14 @@ object CurationRun {
     // runInit(semanticState = true) over the composed corpus would
     // produce (same deterministic k-means over the same vecs), so
     // subsequent incrementals compose exactly (spec-pinned).
+    // Span-df state: slice counts ADD across disjoint-id batches, so
+    // consolidation is one sum per gram hash — equivalent to the union
+    // the readers sum at use time, in one compact slice.
+    if (spanStateActive(stateInDir))
+      Sinks.overwriteParquet(
+        readSlices(spark, lineage, "span_grams_batch")
+          .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs")),
+        s"$stateOutDir/span_grams_batch", numFiles = 1)
     // ANN index state: codes consolidate as pure IO; the frozen model
     // copies forward (ANN retrain = a fresh annState init over the
     // composed corpus — the codes are index artifacts, not labels, so

@@ -931,6 +931,26 @@ object ExtQueries {
       m2, cen2, nprobe = 2, k = 5)
   }
 
+  /** Incremental span removal (q142): the weekly-cadence form of q69
+    * ([[TextDedup.removeRepeatedSpansIncremental]]). History = even
+    * doc_ids (their gram-df counts are the `span_grams_batch` state
+    * slice); the weekly batch = odd doc_ids, cleaned against the
+    * COMPOSED df (history counts + its own) — so cross-half repeats
+    * reach minDf and are cut from batch docs, while per-increment work
+    * is batch grams + one equi-join against the counts state. The
+    * oracle replays q69's df over the FULL corpus and applies removal
+    * to the odd docs only — equal by construction since distinct-doc
+    * counts add across the disjoint halves. */
+  def q142SpanIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val history = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    val counts = TextDedup.spanGramCounts(history, "doc_id", "text", k = 8)
+    val (cleaned, _, rel) = TextDedup.removeRepeatedSpansIncremental(
+      batch, "doc_id", "text", k = 8, minDf = 2, historyCounts = counts)
+    CacheLease.releaseAfterAction(cleaned)(rel)
+  }
+
   /** Extended PII redaction (q140): emails, URLs, IPv4 literals and
     * phone-like digit runs rewritten in one deterministic pass, with
     * per-pattern counts on the raw text — the wider scrub a
@@ -3305,6 +3325,24 @@ object ExtQueries {
          |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
          |  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
          |FROM tkk t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // q142: q69's replay with df over the FULL corpus (the composed
+    // history+batch counts) and removal applied to the odd-id batch
+    // only — the incremental cadence's per-batch cleaning contract.
+    "q142_span_incremental" ->
+      s"""$duckSpans8,
+         |pos AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]} for i in range(1, len(toks) + 1)]) AS u
+         |  FROM tkk WHERE doc_id % 2 = 1)),
+         |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+         |  WHERE NOT EXISTS (SELECT 1 FROM spanruns s WHERE s.doc_id = p.doc_id
+         |    AND p.pos BETWEEN s.start_pos AND s.end_pos + 7)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM tkk t LEFT JOIN agg a USING (doc_id)
+         |WHERE t.doc_id % 2 = 1""".stripMargin,
 
     // The q22 pair chain joined to the embedding table; cosine compared
     // with the q24/q25 discipline (DOUBLE[] cast, round to 6dp).

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.CurationRun
@@ -483,5 +483,71 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(semClustersOf(s"$b2/state_p") == semClustersOf(s"$b2/state_m"))
     assert(cenRows(s"$b2/state_p") != cenRows(s"$b2/state_2"),
       "the retrained quantizer must actually differ from the frozen one")
+  }
+
+  test("span-df state cadence: batch cleaned against composed df, history frozen (append-only)") {
+    import graft.operators.TextDedup
+    // Shared 8+-token boilerplate: df 1 within history alone, df 2
+    // once the batch arrives — only the COMPOSED counts can cut it.
+    val boiler = "this standard license header appears at the top of every single file"
+    val hist = Seq(
+      (2L, s"$boiler alpha beta gamma unique history content about rivers and old bridges"),
+      (4L, goodEn)).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, s"$boiler delta epsilon fresh words about mountains and distant green valleys")
+    ).toDF("doc_id", "text")
+
+    // Operator-level pin: incremental cleaning == from-scratch cleaning
+    // over history ∪ batch, restricted to the batch docs.
+    val counts = TextDedup.spanGramCounts(hist, "doc_id", "text", k = 8)
+    val (cleaned, slice, rel) = TextDedup.removeRepeatedSpansIncremental(
+      batch, "doc_id", "text", k = 8, minDf = 2, historyCounts = counts)
+    val got = cleaned.as[(Long, String, Long)].collect().toSet
+    val scratch = TextDedup.removeRepeatedSpans(
+        hist.unionByName(batch), "doc_id", "text", k = 8, minDf = 2)
+      .where(col("doc_id") === 11L)
+      .as[(Long, String, Long)].collect().toSet
+    rel()
+    assert(got == scratch, "incremental must equal scratch on the batch docs")
+    assert(got.head._3 > 0, "the cross-half boilerplate must actually be cut")
+    // Composed slices == scratch counts over the composed corpus.
+    val composed = counts.unionByName(slice)
+      .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs"))
+      .as[(Long, Long)].collect().toSet
+    val scratchCounts = TextDedup.spanGramCounts(
+        hist.unionByName(batch), "doc_id", "text", k = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(composed == scratchCounts, "slice counts must add to the composed df")
+
+    // Cadence-level: init lands A uncut (df 1), the increment cuts the
+    // batch doc against the composed df, landed history text frozen.
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    val base = TestSpark.tmpDir("span_state")
+    val init = CurationRun.runInit(hist, benchmark, s"$base/out_a",
+      s"$base/state_1", spanState = true)
+    assert(init.spanCleaned == 0L, "boilerplate is unique within the init corpus")
+    def stored(d: String): Map[Long, String] =
+      spark.read.parquet(s"$d/decon_batch")
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val storedA = stored(s"$base/state_1")
+    assert(storedA(2L).contains("standard license header"),
+      "init must land the doc uncut at df 1")
+    val inc = CurationRun.runIncremental(batch, benchmark, s"$base/out_b",
+      s"$base/state_1", s"$base/state_2")
+    assert(inc.spanCleaned == 1L, "the batch doc must lose the cross-batch span")
+    val storedB = stored(s"$base/state_2")
+    assert(!storedB(11L).contains("standard license header"),
+      "the composed df must cut the boilerplate from the landed batch text")
+    assert(stored(s"$base/state_1") == storedA,
+      "landed history text is append-only — never rewritten")
+    // Rebase consolidates the counts into one summed slice.
+    CurationRun.rebaseState(spark, s"$base/state_2", s"$base/state_r")
+    val consolidated = spark.read.parquet(s"$base/state_r/span_grams_batch")
+      .as[(Long, Long)].collect().toSet
+    val viaSlices = spark.read
+      .parquet(s"$base/state_1/span_grams_batch", s"$base/state_2/span_grams_batch")
+      .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs"))
+      .as[(Long, Long)].collect().toSet
+    assert(consolidated == viaSlices)
   }
 }
