@@ -1532,14 +1532,26 @@ object ExtQueries {
       .agg(coalesce(sum((col("n_occurrences") - 1) * col("chunk_tokens")),
         lit(0L)).as("tokens_removable"))
       .select(lit("cdc_chunk").as("strategy"), col("tokens_removable"))
-    val spanSav = TextDedup.removeRepeatedSpans(docs, "doc_id", "text", k = 8)
+    // Scoped span chain with the lease armed on the RETURNED frame:
+    // the crossJoin below makes the analyzer deduplicate-relations-
+    // copy the union branches (docs attribute ids repeat across all
+    // four), so a lease armed on the inner span frame never identity-
+    // matches — the exact silent-leak mode cache_leases_reclaimed
+    // exists to surface (it did: 1 per q111 run in BENCH r08 drafts).
+    // The root of the returned plan is what the caller acts on, so
+    // anchoring there survives subtree copying.
+    val (spanRaw, spanRel) = TextDedup
+      .removeRepeatedSpansScoped(docs, "doc_id", "text", k = 8)
+    val spanSav = spanRaw
       .agg(coalesce(sum(col("n_removed")), lit(0L)).as("tokens_removable"))
       .select(lit("span_k8").as("strategy"), col("tokens_removable"))
-    exactSav.unionByName(cdcSav).unionByName(spanSav)
-      .crossJoin(corpus)
-      .select(col("strategy"), col("tokens_removable"),
-        round(col("tokens_removable").cast("double") /
-          col("corpus_tokens").cast("double"), 6).as("removable_frac"))
+    CacheLease.releaseAfterAction(
+      exactSav.unionByName(cdcSav).unionByName(spanSav)
+        .crossJoin(corpus)
+        .select(col("strategy"), col("tokens_removable"),
+          round(col("tokens_removable").cast("double") /
+            col("corpus_tokens").cast("double"), 6).as("removable_frac"))
+    )(spanRel)
   }
 
   /** Classifier calibration crosstab (q108): q82's score QUARTILES
