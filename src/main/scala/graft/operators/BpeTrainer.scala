@@ -65,9 +65,12 @@ object BpeTrainer {
       wordFreq.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val wf = if (callerCached) wordFreq else wordFreq.persist()
     try {
-      if (wf.count() <= driverThreshold) trainInMemory(
+      // toRdd bookkeeping actions (NOTES finding #21): no per-stage
+      // AQE plan-string render; strings copied inside the map.
+      if (wf.queryExecution.toRdd.count() <= driverThreshold) trainInMemory(
         wf.select(col("token"), col("freq").cast("long"))
-          .collect().map(r => (r.getString(0), r.getLong(1))),
+          .queryExecution.toRdd
+          .map(r => (r.getUTF8String(0).toString, r.getLong(1))).collect(),
         maxMerges, minCount)
       else trainDistributed(wf, maxMerges, minCount)
     } finally if (!callerCached) wf.unpersist()
@@ -245,10 +248,13 @@ object BpeTrainer {
     * order — model-scale driver state, like the trained merges
     * themselves. */
   def mergesFromVocab(vocab: DataFrame): Seq[String] =
+    // toRdd bookkeeping collect (NOTES finding #21); a global-sorted
+    // plan's partitions concatenate in order, like Dataset.collect.
     vocab.where(col("kind") === "merge")
       .orderBy(col("rank"))
       .select(col("pair"))
-      .collect().map(_.getString(0)).toSeq
+      .queryExecution.toRdd
+      .map(_.getUTF8String(0).toString).collect().toSeq
 
   /** Distributed regime: one constant-shape pass per round. */
   private[graft] def trainDistributed(wordFreq: DataFrame,
@@ -267,11 +273,14 @@ object BpeTrainer {
         .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(1)
+        // toRdd: one bookkeeping row per round (NOTES finding #21).
+        .queryExecution.toRdd
+        .map(r => (r.getUTF8String(0).toString, r.getLong(1)))
         .collect()
-      if (best.isEmpty || best(0).getLong(1) < minCount) done = true
+      if (best.isEmpty || best(0)._2 < minCount) done = true
       else {
-        val pair = best(0).getString(0)
-        out += MergeStep(round, pair, pair.replace(" ", ""), best(0).getLong(1))
+        val pair = best(0)._1
+        out += MergeStep(round, pair, pair.replace(" ", ""), best(0)._2)
         round += 1
       }
     }

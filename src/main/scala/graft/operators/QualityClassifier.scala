@@ -136,11 +136,13 @@ object QualityClassifier {
   def weightsModel(weights: DataFrame,
       buckets: Int): graft.functions.expr.ClassifierWeights = {
     val w = new Array[Long](buckets)
+    // toRdd bookkeeping collect (NOTES finding #21); <= buckets rows.
     weights.select(col("b"), col("w").cast("decimal(20,8)"))
-      .collect().foreach { r =>
-        w(r.getLong(0).toInt) =
-          r.getDecimal(1).setScale(8).unscaledValue().longValueExact()
-      }
+      .queryExecution.toRdd
+      .map(r => (r.getLong(0),
+        r.getDecimal(1, 20, 8).toJavaBigDecimal
+          .setScale(8).unscaledValue().longValueExact()))
+      .collect().foreach { case (b, uw) => w(b.toInt) = uw }
     new graft.functions.expr.ClassifierWeights(buckets, w)
   }
 

@@ -79,9 +79,15 @@ object UnigramTrainer {
   def train(words: DataFrame, maxPieceLen: Int = 4, seedMulti: Int = 40,
       emIters: Int = 2): (UnigramModel, Array[(String, Long)]) = {
     val wf = words.select(col("token"), col("freq").cast("long").as("freq"))
+    // Model-state collects run through toRdd (the
+    // TextDedup.connectedComponents rationale, NOTES finding #21): a
+    // tracked SQL action per EM iteration re-renders the full plan
+    // string per AQE stage — pure driver overhead. Strings are copied
+    // out inside the map (shuffle rows are reused buffers).
     val seed = seedCounts(wf, maxPieceLen, seedMulti)
       .select(col("piece"), col("c").cast("long"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .queryExecution.toRdd
+      .map(r => (r.getUTF8String(0).toString, r.getLong(1))).collect()
     val vocab = seed.map(_._1)
     var counts = seed
     var it = 0
@@ -91,7 +97,9 @@ object UnigramTrainer {
         .select(col("freq"),
           explode(unigramSegmentNative(col("token"), model)).as("piece"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("c"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        .queryExecution.toRdd
+        .map(r => (r.getUTF8String(0).toString, r.getLong(1)))
+        .collect().toMap
       counts = vocab.map(p => (p, used.getOrElse(p, 0L)))
       it += 1
     }
