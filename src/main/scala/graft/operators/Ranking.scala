@@ -57,6 +57,36 @@ object Ranking {
     }
   }
 
+  /** Exact order-statistic quantiles of `orderCol` — the
+    * `quantile_disc` rule (value of the ceil(p·N)-th smallest row,
+    * integer arithmetic so any engine picks the identical row) as a
+    * BROADCAST-ABLE |percentiles|-row frame (percentile, value), never
+    * a corpus sort: the same histogram + cumulative-count shape as
+    * [[globalRank]], with the pick a bounded-frame filter over the
+    * histogram. Ties need no tiebreak — equal values are one histogram
+    * row, and the order statistic is a VALUE. */
+  def exactQuantiles(df: DataFrame, orderCol: String,
+      percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $percentiles")
+    val hist = df.groupBy(col(orderCol)).agg(count(lit(1)).as("__bnd_nb"))
+    // Bounded frame (|distinct values| rows) — __bnd sanctions the
+    // cumulative windows for the WindowTripwire, as in globalRank.
+    val cum = hist
+      .withColumn("__cum", sum(col("__bnd_nb"))
+        .over(Window.orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__bnd_nb")).over(Window.partitionBy()))
+    percentiles.map { p =>
+      // target rank = ceil(p*N/100) = (p*N + 99) div 100, exact in
+      // integer arithmetic; the quantile is the smallest value whose
+      // cumulative count reaches it.
+      cum.where(col("__cum") >= ((col("__n") * p + 99) / 100).cast("long"))
+        .agg(min(col(orderCol)).as("value"))
+        .select(lit(p).as("percentile"), col("value"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact `ntile(n)` under (`orderCol` ASC, `tieCol` ASC) — bucket
     * boundaries and tie-splitting IDENTICAL to SQL `ntile` (the first
     * N mod n buckets hold ceil(N/n) rows, the rest floor(N/n); ranks

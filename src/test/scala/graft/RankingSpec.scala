@@ -57,6 +57,19 @@ class RankingSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq === Seq(42L))
   }
 
+  test("exactQuantiles equals the sorted order statistic (quantile_disc rule)") {
+    for ((n, ds) <- Seq((1, 1), (7, 3), (100, 5), (100, 100), (97, 1))) {
+      val df = fixture(n, ds)
+      val sorted = df.select(col("score")).collect().map(_.getDouble(0)).sorted
+      val got = Ranking.exactQuantiles(df, "score", Seq(1, 50, 90, 99, 100))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      for (p <- Seq(1, 50, 90, 99, 100)) {
+        val rank = (p * n + 99) / 100 // ceil(p*n/100), 1-based
+        assert(got(p) == sorted(rank - 1), s"n=$n distinct=$ds p=$p")
+      }
+    }
+  }
+
   test("globalRank plan has no unsanctioned unpartitioned WindowExec") {
     val df = Ranking.exactNtile(fixture(100, 5), "score", "id", 4, "q")
     df.write.format("noop").mode("overwrite").save()
