@@ -951,6 +951,29 @@ object ExtQueries {
     CacheLease.releaseAfterAction(cleaned)(rel)
   }
 
+  /** Exact corpus quantile report (q143): order-statistic percentiles
+    * of per-document size metrics (chars = code points, words =
+    * whitespace tokens) via [[graft.operators.Ranking.exactQuantiles]]
+    * — the report-tier companion to q108's exactNtile. No
+    * `percentile(…)` sort and no unpartitioned window over corpus
+    * rows: each metric reduces to a distinct-value histogram
+    * (map-side-combined groupBy), a cumulative count over THAT bounded
+    * frame, and a bounded filter — so the 100 TB cost is one shuffle
+    * of |distinct sizes| rows per metric. The ceil(p·N/100) pick is
+    * integer-exact, replayed verbatim by the oracle. */
+  def q143QuantileReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(s, dir)
+    Seq(
+      "chars" -> docs.select(length(col("text")).cast("long").as("v")),
+      "words" -> docs.select(size(tokens(col("text"))).cast("long").as("v")))
+      .map { case (name, df) =>
+        Ranking.exactQuantiles(df, "v", Seq(10, 25, 50, 75, 90, 99))
+          .select(lit(name).as("metric"), col("percentile"),
+            col("value").as("value"))
+      }.reduce(_ unionByName _)
+  }
+
   /** Extended PII redaction (q140): emails, URLs, IPv4 literals and
     * phone-like digit runs rewritten in one deterministic pass, with
     * per-pattern counts on the raw text — the wider scrub a
@@ -3355,6 +3378,25 @@ object ExtQueries {
          |  CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
          |FROM tkk t LEFT JOIN agg a USING (doc_id)
          |WHERE t.doc_id % 2 = 1""".stripMargin,
+
+    // q143: the exactQuantiles rule replayed literally — cumulative
+    // count over the per-metric distinct-value histogram, quantile =
+    // smallest value whose cumulative count reaches ceil(p*N/100)
+    // (integer arithmetic on both engines).
+    "q143_quantile_report" ->
+      s"""WITH m AS (
+         |  SELECT 'chars' AS metric, CAST(length(text) AS BIGINT) AS v FROM documents
+         |  UNION ALL
+         |  SELECT 'words' AS metric, CAST(len($duckToks) AS BIGINT) AS v FROM documents),
+         |h AS (SELECT metric, v, count(*) AS c FROM m GROUP BY 1, 2),
+         |cum AS (SELECT metric, v,
+         |  sum(c) OVER (PARTITION BY metric ORDER BY v) AS cum,
+         |  sum(c) OVER (PARTITION BY metric) AS n FROM h),
+         |ps AS (SELECT * FROM (VALUES (10), (25), (50), (75), (90), (99)) t(p))
+         |SELECT cum.metric, ps.p AS percentile,
+         |  CAST(min(cum.v) AS BIGINT) AS value
+         |FROM ps JOIN cum ON cum.cum >= (ps.p * cum.n + 99) // 100
+         |GROUP BY 1, 2""".stripMargin,
 
     // The q22 pair chain joined to the embedding table; cosine compared
     // with the q24/q25 discipline (DOUBLE[] cast, round to 6dp).
