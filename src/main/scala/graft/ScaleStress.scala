@@ -334,6 +334,22 @@ object ScaleStress {
         "doc_id", "text")
     }
 
+    // Exact grouped quantiles (q143) at 10x: ONE corpus pass melts two
+    // size metrics, then histogram + per-metric cumulative + broadcast
+    // percentile pick — the row pins that exact order statistics cost
+    // a distinct-value-scale shuffle, never a corpus sort.
+    time("exact quantiles 2 metrics (10x)") {
+      operators.Ranking.exactQuantilesBy(
+        big.select(explode(array(
+          struct(lit("chars").as("metric"),
+            length(col("text")).cast("long").as("v")),
+          struct(lit("words").as("metric"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("v")))).as("m"))
+          .select(col("m.metric").as("metric"), col("m.v").as("v")),
+        "metric", "v", Seq(10, 25, 50, 75, 90, 99))
+    }
+
     // Gopher gate (q79) over the 10x corpus: one gopher_measures
     // kernel call per row — the map-tier quality gate priced at 50k
     // docs (the declarative HOF form measured ~3x slower at sf0.1).

@@ -66,25 +66,42 @@ object Ranking {
     * histogram. Ties need no tiebreak — equal values are one histogram
     * row, and the order statistic is a VALUE. */
   def exactQuantiles(df: DataFrame, orderCol: String,
+      percentiles: Seq[Int]): DataFrame =
+    exactQuantilesBy(df.withColumn("__qk", lit(1)), "__qk", orderCol,
+      percentiles).select(col("percentile"), col("value"))
+
+  /** [[exactQuantiles]] grouped by `keyCol` — ONE corpus pass for any
+    * number of groups and percentiles. The histogram is per (key,
+    * value); the cumulative windows partition by the key (bounded:
+    * |distinct values in that group| rows each); the percentile picks
+    * ride one broadcast nested-loop join of the |percentiles|-row
+    * literal frame against the histogram (bounded × tiny — explicitly
+    * NOT a corpus-side theta join), so no branch of the plan rescans
+    * `df` per percentile. Output: (keyCol, percentile, value). */
+  def exactQuantilesBy(df: DataFrame, keyCol: String, orderCol: String,
       percentiles: Seq[Int]): DataFrame = {
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1,100], got $percentiles")
-    val hist = df.groupBy(col(orderCol)).agg(count(lit(1)).as("__bnd_nb"))
-    // Bounded frame (|distinct values| rows) — __bnd sanctions the
-    // cumulative windows for the WindowTripwire, as in globalRank.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.groupBy(col(keyCol), col(orderCol))
+      .agg(count(lit(1)).as("__bnd_nb"))
+    // Bounded frames (|distinct values| rows per group) — __bnd
+    // sanctions the cumulative windows for the WindowTripwire.
     val cum = hist
       .withColumn("__cum", sum(col("__bnd_nb"))
-        .over(Window.orderBy(col(orderCol))
+        .over(Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__n", sum(col("__bnd_nb")).over(Window.partitionBy()))
-    percentiles.map { p =>
-      // target rank = ceil(p*N/100) = (p*N + 99) div 100, exact in
-      // integer arithmetic; the quantile is the smallest value whose
-      // cumulative count reaches it.
-      cum.where(col("__cum") >= ((col("__n") * p + 99) / 100).cast("long"))
-        .agg(min(col(orderCol)).as("value"))
-        .select(lit(p).as("percentile"), col("value"))
-    }.reduce(_ unionByName _)
+      .withColumn("__n", sum(col("__bnd_nb"))
+        .over(Window.partitionBy(col(keyCol))))
+    val ps = percentiles.toDF("percentile")
+    // target rank = ceil(p*N/100) = (p*N + 99) div 100, exact in
+    // integer arithmetic; the quantile is the smallest value whose
+    // cumulative count reaches it.
+    cum.join(broadcast(ps),
+        col("__cum") >= ((col("__n") * col("percentile") + 99) / 100).cast("long"))
+      .groupBy(col(keyCol), col("percentile"))
+      .agg(min(col(orderCol)).as("value"))
   }
 
   /** Exact `ntile(n)` under (`orderCol` ASC, `tieCol` ASC) — bucket

@@ -963,15 +963,18 @@ object ExtQueries {
     * integer-exact, replayed verbatim by the oracle. */
   def q143QuantileReport(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val docs = Tables.documents(s, dir)
-    Seq(
-      "chars" -> docs.select(length(col("text")).cast("long").as("v")),
-      "words" -> docs.select(size(tokens(col("text"))).cast("long").as("v")))
-      .map { case (name, df) =>
-        Ranking.exactQuantiles(df, "v", Seq(10, 25, 50, 75, 90, 99))
-          .select(lit(name).as("metric"), col("percentile"),
-            col("value").as("value"))
-      }.reduce(_ unionByName _)
+    // Melt both metrics out of ONE documents scan (the struct array is
+    // the explode input itself — no expensive sibling re-evaluation),
+    // then grouped single-pass quantiles partitioned by metric.
+    val melted = Tables.documents(s, dir)
+      .select(explode(array(
+        struct(lit("chars").as("metric"),
+          length(col("text")).cast("long").as("v")),
+        struct(lit("words").as("metric"),
+          size(tokens(col("text"))).cast("long").as("v")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.v").as("v"))
+    Ranking.exactQuantilesBy(melted, "metric", "v", Seq(10, 25, 50, 75, 90, 99))
+      .select(col("metric"), col("percentile"), col("value"))
   }
 
   /** Extended PII redaction (q140): emails, URLs, IPv4 literals and

@@ -278,6 +278,19 @@ class PlanSpec extends AnyFunSuite {
     assert(df.select("quartile").distinct().count() === 4)
   }
 
+  test("q143 quantile report has no unpartitioned corpus-scale WindowExec") {
+    // Same contract as the q108 pin: the percentile picks must ride the
+    // distinct-value histogram (bounded, __bnd-sanctioned), never a
+    // global sort of per-document rows.
+    val df = ExtQueries.q143QuantileReport(spark, sf)
+    val hits = WindowTripwire.scan(df.queryExecution.executedPlan)
+    assert(hits.isEmpty,
+      s"single-partition window over the per-doc frame:\n${hits.mkString("\n")}")
+    // 6 percentiles x 2 metrics, every value present
+    val rows = df.collect()
+    assert(rows.length === 12 && rows.forall(r => !r.isNullAt(2)))
+  }
+
   test("q130 fused quality scan is ONE whole-stage codegen span") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     val exec = ExtQueries.q130QualitySignals(spark, sf)

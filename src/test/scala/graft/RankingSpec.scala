@@ -70,6 +70,26 @@ class RankingSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantilesBy equals per-group sorted order statistics in one pass") {
+    val df = fixture(100, 5).withColumn("grp",
+      (col("id") % 3).cast("int").cast("string"))
+    val byGroup = df.select(col("grp"), col("score")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val got = Ranking.exactQuantilesBy(df, "grp", "score", Seq(1, 50, 100))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size === byGroup.size * 3)
+    for ((g, sorted) <- byGroup; p <- Seq(1, 50, 100)) {
+      val rank = (p * sorted.length + 99) / 100
+      assert(got((g, p)) == sorted(rank - 1), s"grp=$g p=$p")
+    }
+    // one scan: the ps join must be a broadcast over the histogram,
+    // never a corpus-side nested loop
+    val plan = Ranking.exactQuantilesBy(df, "grp", "score", Seq(1, 50))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("globalRank plan has no unsanctioned unpartitioned WindowExec") {
     val df = Ranking.exactNtile(fixture(100, 5), "score", "id", 4, "q")
     df.write.format("noop").mode("overwrite").save()
