@@ -152,6 +152,7 @@ object SparkEntry {
     "q141_ann_codes_append" -> (ExtQueries.q141AnnCodesAppend(_, _)),
     "q142_span_incremental" -> (ExtQueries.q142SpanIncremental(_, _)),
     "q143_quantile_report"  -> (ExtQueries.q143QuantileReport(_, _)),
+    "q144_line_dedup"       -> (ExtQueries.q144LineDedup(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

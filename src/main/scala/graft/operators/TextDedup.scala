@@ -769,6 +769,58 @@ object TextDedup {
       () => { grams.unpersist(); () })
   }
 
+  /** LINE-granular cross-document dedup (public technique: RefinedWeb,
+    * Penedo et al. 2023; CCNet/MassiveText remove nav bars, cookie
+    * banners and footers the same way): every non-blank line occurring
+    * in >= `minDf` DISTINCT documents is boilerplate and is cut from
+    * EVERY document containing it; surviving lines rejoin in order.
+    * The granularity between whole-document exact dedup ([[exact]])
+    * and token-window span removal ([[removeRepeatedSpans]]): a nav
+    * bar is one line repeated across thousands of pages — too short to
+    * lift document Jaccard, and line-exact, so the line key join is
+    * cheaper than positional gram runs. Blank lines are document
+    * structure, not content — never counted toward df, never removed.
+    *
+    * Shape: `split` + posexplode (map tier) -> 64-bit line hash (df
+    * counted on hashes, the [[gramFrame]] collision stance; the oracle
+    * counts the line strings) -> distinct (doc, h) -> per-hash
+    * distinct-doc count (one shuffle) -> left-anti equi-join of
+    * positions vs the repeated key set (boilerplate keys are few, AQE
+    * broadcasts) -> per-doc ordered reassembly. Work tracks corpus
+    * lines, never corpus². All documents appear in the output
+    * (untouched ones with n_removed = 0, fully-boilerplate ones with
+    * clean_text = ''). Output: (doc_id, clean_text, n_removed). */
+  def removeRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // The line frame is read twice (df count + the position anti-join);
+    // persist for the caller's action, released by the lease after it.
+    val lines = base
+      .select(col("doc_id"),
+        posexplode(split(col("__text"), "\n", -1)).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), col("line"),
+        xxhash64(col("line")).as("h"))
+      .persist()
+    val repeated = lines.where(col("line") =!= "")
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("h"))
+    val kept = lines
+      .join(repeated, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("ordered"),
+        count(lit(1)).as("n_kept"))
+    val out = base
+      .select(col("doc_id"),
+        size(split(col("__text"), "\n", -1)).cast("long").as("__n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(array_join(col("ordered.line"), "\n"), lit("")).as("clean_text"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    CacheLease.releaseAfterAction(out)(() => { lines.unpersist(); () })
+  }
+
   /** Sequence-level benchmark decontamination — the STRIP alternative
     * to [[contaminated]]'s drop decision (the PaLM-style hygiene pass:
     * cut the overlapping sequence, keep the document): every corpus

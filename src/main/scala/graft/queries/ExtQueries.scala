@@ -977,6 +977,32 @@ object ExtQueries {
       .select(col("metric"), col("percentile"), col("value"))
   }
 
+  /** Line-granular boilerplate dedup (q144):
+    * [[graft.operators.TextDedup.removeRepeatedLines]] over synthesized
+    * line structure (the corpus has no newlines — q121's 8-token-slice
+    * synthesis, minus the punctuation parity) with a shared footer line
+    * planted on the md5-parity half of the corpus. The footer reaches
+    * line-df ≈ N/2 and is cut from every planted document; organic
+    * slice lines that happen to coincide across documents are cut by
+    * the same df >= 2 rule on BOTH engines (the oracle counts line
+    * strings where the operator counts 64-bit line hashes — the
+    * [[graft.operators.TextDedup.gramFrame]] collision stance). */
+  def q144LineDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val d = Tables.documents(s, dir)
+    val toks = tokens(col("text"))
+    val nl = greatest(floor((size(toks) + lit(7)) / lit(8)).cast("int"), lit(1))
+    val lined = d.select(col("doc_id"),
+      concat(
+        array_join(transform(sequence(lit(0), nl - 1), i =>
+          array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n"),
+        when(substring(md5(concat(col("doc_id").cast("string"), lit("#footer"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+          lit("\nsubscribe to the newsletter for weekly updates"))
+          .otherwise(lit(""))).as("text"))
+    TextDedup.removeRepeatedLines(lined, "doc_id", "text", minDf = 2)
+  }
+
   /** Extended PII redaction (q140): emails, URLs, IPv4 literals and
     * phone-like digit runs rewritten in one deterministic pass, with
     * per-pattern counts on the raw text — the wider scrub a
@@ -3400,6 +3426,34 @@ object ExtQueries {
          |  CAST(min(cum.v) AS BIGINT) AS value
          |FROM ps JOIN cum ON cum.cum >= (ps.p * cum.n + 99) // 100
          |GROUP BY 1, 2""".stripMargin,
+
+    // q144: the line synthesis (8-token slices + parity-planted footer)
+    // replayed in SQL; df counts DISTINCT docs per non-blank line
+    // STRING (the operator counts 64-bit hashes — collision stance);
+    // lines at df >= 2 cut, survivors re-joined in position order.
+    "q144_line_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |ls AS (SELECT doc_id,
+         |  [array_to_string(t[i*8+1:i*8+8], ' ')
+         |   for i in range(0, greatest((len(t)+7)//8, 1))] ||
+         |  CASE WHEN substr(md5(doc_id::VARCHAR || '#footer'), 1, 1)
+         |         IN ('0','1','2','3','4','5','6','7')
+         |       THEN ['subscribe to the newsletter for weekly updates']
+         |       ELSE [] END AS lines FROM tk),
+         |pl AS (SELECT doc_id, u.p AS pos, u.l AS line FROM (
+         |  SELECT doc_id,
+         |    unnest([{'p': i, 'l': lines[i+1]} for i in range(0, len(lines))]) AS u
+         |  FROM ls)),
+         |df AS (SELECT line, count(DISTINCT doc_id) AS df FROM pl
+         |  WHERE line <> '' GROUP BY 1),
+         |mark AS (SELECT p.doc_id, p.pos, p.line,
+         |    coalesce(d.df, 1) >= 2 AS cut
+         |  FROM pl p LEFT JOIN df d ON p.line = d.line)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN NOT cut THEN line END, chr(10) ORDER BY pos), '')
+         |    AS clean_text,
+         |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         |FROM mark GROUP BY doc_id""".stripMargin,
 
     // The q22 pair chain joined to the embedding table; cosine compared
     // with the q24/q25 discipline (DOUBLE[] cast, round to 6dp).

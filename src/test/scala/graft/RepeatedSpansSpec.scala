@@ -92,6 +92,41 @@ class RepeatedSpansSpec extends AnyFunSuite {
       "only the 3-doc phrase clears the floor")
   }
 
+  test("removeRepeatedLines cuts cross-doc lines, keeps blanks and df-1 lines") {
+    val footer = "subscribe to our newsletter"
+    val docs = Seq(
+      (1L, s"unique opening line\n$footer\nunique closing line"),
+      (2L, s"$footer\n\nanother original line here"), // blank line survives
+      (3L, "wholly original document on one single line"),
+      (4L, footer)) // fully-boilerplate doc empties but stays
+      .toDF("doc_id", "text")
+    val got = TextDedup.removeRepeatedLines(docs, "doc_id", "text", minDf = 2)
+      .as[(Long, String, Long)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(got(1L) == (("unique opening line\nunique closing line", 1L)))
+    assert(got(2L) == (("\nanother original line here", 1L)))
+    assert(got(3L) == (("wholly original document on one single line", 0L)))
+    assert(got(4L) == (("", 1L)))
+  }
+
+  test("removeRepeatedLines minDf floor and intra-doc repeats count once") {
+    val line = "terms and conditions apply"
+    val docs = Seq(
+      (1L, s"$line\n$line\nkeep this"), // twice in ONE doc: df = 1
+      (2L, "nothing shared"),
+      (3L, s"shared across three\nx"),
+      (4L, s"shared across three\ny"),
+      (5L, s"shared across three\nz"))
+      .toDF("doc_id", "text")
+    val at3 = TextDedup.removeRepeatedLines(docs, "doc_id", "text", minDf = 3)
+      .as[(Long, String, Long)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    // df-1 intra-doc repeats survive; the df-3 line is cut everywhere.
+    assert(at3(1L) == ((s"$line\n$line\nkeep this", 0L)))
+    assert(at3(3L) == (("x", 1L)) && at3(4L) == (("y", 1L)) &&
+      at3(5L) == (("z", 1L)))
+  }
+
   test("benchmark span strip removes exactly the overlapping region, keeps the doc") {
     import org.apache.spark.sql.functions.col
     val leak = "question four what is the capital of freedonia"
