@@ -104,7 +104,11 @@ object Plans {
       "q140_redact_pii" ->
         "pure projection: ordered regexp_replace chain fused into the scan, per-pattern counts from the RAW text column — zero Exchange",
       "q141_ann_codes_append" ->
-        "weekly-cadence serving: UNION of per-batch code slices scanned as-is under the frozen read-back model; probes broadcast; partial top_k_by_score — encode cost per increment is the batch, never the corpus")
+        "weekly-cadence serving: UNION of per-batch code slices scanned as-is under the frozen read-back model; probes broadcast; partial top_k_by_score — encode cost per increment is the batch, never the corpus",
+      "q143_quantile_report" ->
+        "ONE documents scan melts both metrics; per-metric distinct-value histogram + bounded cumulative windows; the percentile pick is a broadcast NLJ over the HISTOGRAM — no corpus sort, no unpartitioned corpus window (PlanSpec-pinned)",
+      "q144_line_dedup" ->
+        "line posexplode (map tier) -> hash-df count (one shuffle) -> anti-join vs the few boilerplate keys (AQE broadcasts) -> per-doc ordered reassembly — work tracks corpus lines, never corpus^2")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `graft.Plans`, sf0.001)\n")
     sb.append("\n_q137_curation_e2e has no plan artifact by construction: the entry " +
