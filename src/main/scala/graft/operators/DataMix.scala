@@ -105,9 +105,13 @@ object DataMix {
     *
     * Band bounds come from a broadcast 21-row powers-of-two table —
     * NO pow/log2 (libm is least trustworthy exactly at the power
-    * boundaries this op cares about). The per-band ranking window is
-    * the honest cost: a batching plan IS an ordering; bands
-    * parallelize across the partition key.
+    * boundaries this op cares about). Band-local ranks come from
+    * [[graft.operators.Ranking.groupedRank]] (per-(band, nt) histogram
+    * + bounded cumulative + tie-group row_number) — a window
+    * partitioned by the <= 21-value band key would put a dominant
+    * band's every row on one task at corpus scale, the same hazard
+    * class as the unpartitioned q108 window, just invisible to the
+    * tripwire.
     *
     * Row contract (ADVICE r06): docs with `nt < 1` are EXCLUDED (a
     * zero-length doc has no batch slot); docs with `nt > 2^20` CLAMP
@@ -127,10 +131,8 @@ object DataMix {
       .where(col("nt") >= 1)
       .join(powers, col("p2") >= least(col("nt"), lit(topBand)))
       .groupBy(col("doc_id"), col("nt")).agg(min(col("p2")).as("band"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band")).orderBy(col("nt").desc, col("doc_id"))
-    banded
-      .withColumn("rank", row_number().over(w))
+    Ranking.groupedRank(banded, Seq("band"), "nt", "doc_id", "rank",
+        descending = true)
       .withColumn("capacity", greatest(expr(s"${budget}L div band"), lit(1L)))
       .select(col("doc_id"), col("nt"), col("band"), col("capacity"),
         expr("(CAST(rank AS BIGINT) - 1) div capacity").as("batch_id"))
@@ -535,20 +537,22 @@ object DataMix {
     * in descending token order (the relational cousin of LPT greedy
     * bin balancing — the heaviest docs spread across shards first, so
     * per-shard token totals stay within one max-document of each
-    * other per group). The window partitions by GROUP, not globally:
-    * ranking parallelizes across groups and no single sort sees the
-    * whole corpus; at 100 TB the group column is the natural write
-    * unit (source, language, date bucket).
+    * other per group). Ranks come from
+    * [[graft.operators.Ranking.groupedRank]] — a window partitioned by
+    * the group key (source, language, date bucket) would put the
+    * dominant group's every row on one task at corpus scale; the
+    * histogram + tie-group form keeps per-task work bounded by
+    * |distinct token counts| and tie-run sizes.
     *
     * Output: one row per document with its shard id — the frame a
     * distributed writer partitions by. */
   def balancedShards(docs: DataFrame, idCol: String, groupCol: String,
       nTokensCol: String, shards: Int): DataFrame = {
     require(shards > 0, "shards must be positive")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(nTokensCol).desc, col(idCol))
-    docs.withColumn("shard",
-      pmod(row_number().over(w) - 1, lit(shards)).cast("int"))
+    Ranking.groupedRank(docs, Seq(groupCol), nTokensCol, idCol, "__rn",
+        descending = true)
+      .withColumn("shard", pmod(col("__rn") - 1, lit(shards)).cast("int"))
+      .drop("__rn")
   }
 
   /** Shard balance report over a [[balancedShards]] assignment: per-

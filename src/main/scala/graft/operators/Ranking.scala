@@ -104,6 +104,49 @@ object Ranking {
       .agg(min(col(orderCol)).as("value"))
   }
 
+  /** Exact per-GROUP 1-based rank under (`orderCol` ASC|DESC, `tieCol`
+    * ASC) — equal to `row_number().over(Window.partitionBy(groupCols)
+    * .orderBy(orderCol, tieCol))` (spec-pinned) without the group-scale
+    * sorted window. A window partitioned by a LOW-cardinality key
+    * (source, length band, shard group) is the same scale hazard as an
+    * unpartitioned one — the dominant group's rows all sort on one
+    * task — and it is invisible to [[graft.WindowTripwire]], which can
+    * only see that a partition key exists. The histogram discipline
+    * applies unchanged: per-(group, value) counts, an exclusive
+    * cumulative over that bounded frame (|distinct values per group|
+    * rows), offsets equi-joined back (AQE broadcasts when small), and
+    * a `row_number` whose partition is the TIE GROUP (group, value) —
+    * a pathological all-equal column degrades to the tie group, never
+    * the whole group.
+    *
+    * Null contract: the offset join is an equi-join, so rows with a
+    * NULL group or order value are dropped (a sorted window would rank
+    * them nulls-first). Callers rank non-null metrics (token counts,
+    * scores); pre-filter or coalesce if nullable keys ever matter. */
+  def groupedRank(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tieCol: String, rankName: String,
+      descending: Boolean = false): DataFrame = {
+    val gcols = groupCols.map(col)
+    val hist = df.groupBy((gcols :+ col(orderCol)): _*)
+      .agg(count(lit(1)).as("__bnd_nb"))
+    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
+    // Bounded frame — __bnd sanctions the cumulative for the tripwire
+    // when groupCols is empty (the partitioned forms are bounded by
+    // |distinct values per group| regardless).
+    val histW = (if (groupCols.isEmpty) Window.orderBy(ord)
+      else Window.partitionBy(gcols: _*).orderBy(ord))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist
+      .withColumn("__off", coalesce(sum(col("__bnd_nb")).over(histW), lit(0L)))
+      .drop("__bnd_nb")
+    df.join(offs, groupCols :+ orderCol)
+      .withColumn(rankName,
+        col("__off") + row_number().over(
+          Window.partitionBy((gcols :+ col(orderCol)): _*)
+            .orderBy(col(tieCol))))
+      .drop("__off")
+  }
+
   /** Exact `ntile(n)` under (`orderCol` ASC, `tieCol` ASC) — bucket
     * boundaries and tie-splitting IDENTICAL to SQL `ntile` (the first
     * N mod n buckets hold ceil(N/n) rows, the rest floor(N/n); ranks

@@ -884,29 +884,39 @@ object TextAnalysis {
     * sizes packing budgets and max_seq_len: p99 token length per
     * source decides truncation loss.
     *
-    * Scale shape: the ranking window partitions by GROUP (parallel
-    * across groups, no global sort); the follow-up aggregation groups
-    * by the same key, so Catalyst reuses the window's hash
-    * partitioning — one shuffle total. The rank targets are integer
-    * arithmetic (ceil(q*n) = (q*100*n + 99) div 100) over counts,
-    * exact on both engines. */
+    * Scale shape (the [[graft.operators.Ranking.exactQuantilesBy]]
+    * histogram discipline — this used to rank per-group rows in a
+    * window partitioned by the GROUP, which at corpus scale puts the
+    * dominant source's every row on one task): one map-side-combined
+    * groupBy builds the per-(group, length) histogram; the cumulative
+    * windows run over THAT bounded frame (|distinct lengths per group|
+    * rows); percentile picks and all five summary stats fold out of
+    * the histogram in one final aggregate — no per-document window
+    * anywhere. The rank targets are integer arithmetic (ceil(q*n) =
+    * (q*100*n + 99) div 100) over counts, exact on both engines and
+    * identical to the ranked form for ties (every rank inside a tie
+    * run maps to the same length value). */
   def lengthProfile(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String): DataFrame = {
-    val rankW = Window.partitionBy(col("grp"))
-      .orderBy(col("n_tokens"), col("doc_id"))
-    val cntW = Window.partitionBy(col("grp"))
-    def target(pct: Int): Column =
-      floor((col("n") * pct + lit(99)) / lit(100)).cast("long")
-    def pick(pct: Int): Column =
-      max(when(col("rn") === target(pct), col("n_tokens")))
-    docs
-      .select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+    val hist = docs
+      .select(col(groupCol).as("grp"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("rn", row_number().over(rankW).cast("long"))
-      .withColumn("n", count(lit(1)).over(cntW))
+      .groupBy(col("grp"), col("n_tokens"))
+      .agg(count(lit(1)).as("__bnd_nb"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__bnd_nb")).over(
+        Window.partitionBy(col("grp")).orderBy(col("n_tokens"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__bnd_nb")).over(
+        Window.partitionBy(col("grp"))))
+    def target(pct: Int): Column =
+      floor((col("__n") * pct + lit(99)) / lit(100)).cast("long")
+    def pick(pct: Int): Column =
+      min(when(col("__cum") >= target(pct), col("n_tokens")))
+    cum
       .groupBy(col("grp").as(groupCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
+      .agg(sum(col("__bnd_nb")).as("n_docs"),
+        sum(col("n_tokens") * col("__bnd_nb")).as("total_tokens"),
         min(col("n_tokens")).as("min_tokens"),
         max(col("n_tokens")).as("max_tokens"),
         pick(50).as("p50_tokens"),

@@ -90,6 +90,26 @@ class RankingSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("groupedRank equals the partitioned row_number window (asc + desc)") {
+    val df = fixture(200, 7).withColumn("grp", (col("id") % 4).cast("int"))
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) col("score").desc else col("score").asc
+      val expect = df.withColumn("want", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(ord, col("id"))))
+      val got = Ranking.groupedRank(df, Seq("grp"), "score", "id", "got",
+        descending = desc)
+      val joined = expect.join(got, Seq("grp", "score", "id"))
+      assert(joined.count() === 200, s"desc=$desc")
+      assert(joined.where(col("want") =!= col("got")).count() === 0,
+        s"desc=$desc: every rank must match the window form")
+    }
+    // Empty group list = the global form.
+    val g0 = Ranking.groupedRank(fixture(50, 5), Nil, "score", "id", "r")
+    val gr = Ranking.globalRank(fixture(50, 5), "score", "id", "r")
+    assert(g0.select("score", "id", "r").collect().toSet ===
+      gr.select("score", "id", "r").collect().toSet)
+  }
+
   test("globalRank plan has no unsanctioned unpartitioned WindowExec") {
     val df = Ranking.exactNtile(fixture(100, 5), "score", "id", 4, "q")
     df.write.format("noop").mode("overwrite").save()
