@@ -43,12 +43,12 @@ object DataMix {
     * Scale shape: the naive form is one window per stratum — a
     * single-partition sort of the dominant stratum (billions of rows
     * at corpus scale). Instead, prefix sums are two-level: rows
-    * bucket by their md5's leading byte (bucket order IS md5-order,
-    * so results are identical to the global-order form the oracle
-    * runs); per-(stratum, bucket) token totals — a strata*256-row
-    * frame — get exclusive bucket offsets from a tiny window, and the
-    * per-row window runs per (stratum, bucket) partition. No partition
-    * exceeds ~1/256 of its stratum; the offsets join is
+    * bucket by their md5's leading 12 bits (bucket order IS
+    * md5-order, so results are identical to the global-order form the
+    * oracle runs); per-(stratum, bucket) token totals — a strata*4096-
+    * row frame — get exclusive bucket offsets from a tiny window, and
+    * the per-row window runs per (stratum, bucket) partition. No
+    * partition exceeds ~1/4096 of its stratum; the offsets join is
     * AQE-broadcast. */
   def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
       nTokensCol: String, budgets: Map[String, Long], default: Long): DataFrame = {
@@ -57,7 +57,7 @@ object DataMix {
     }
     val d = df
       .withColumn("__ord", md5(col(idCol).cast("string")))
-      .withColumn("__bkt", substring(col("__ord"), 1, 2))
+      .withColumn("__bkt", substring(col("__ord"), 1, 3))
     val offsets = d.groupBy(col(stratumCol), col("__bkt"))
       .agg(sum(col(nTokensCol)).as("__btok"))
       .withColumn("__offset", coalesce(sum(col("__btok")).over(
