@@ -47,7 +47,12 @@ object Ranking {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__n", sum(col("__bnd_nb")).over(Window.partitionBy()))
       .drop("__bnd_nb")
-    val ranked = df.join(broadcast(offs), Seq(orderCol))
+    // Plain equi-join: AQE broadcasts the offsets when they are small.
+    // NOT a pinned broadcast() — the histogram is |distinct values|
+    // rows, which for an 8dp-rounded score can reach 1e8 at corpus
+    // scale; a forced broadcast would grow with the corpus (the
+    // engine-wide rule: never pin broadcast on corpus-scaled frames).
+    val ranked = df.join(offs, Seq(orderCol))
       .withColumn(rankName,
         col("__off") + row_number().over(
           Window.partitionBy(col(orderCol)).orderBy(col(tieCol))))

@@ -1613,7 +1613,8 @@ object ExtQueries {
     * decimal-exact-sum discipline. Quartiles come from
     * [[graft.operators.Ranking.exactNtile]] (VERDICT r07 item 1):
     * identical tile semantics to `ntile(4)` over a global sort, but
-    * computed as a distinct-score histogram + broadcast offset join +
+    * computed as a distinct-score histogram + offset equi-join (AQE
+    * broadcasts when small) +
     * per-score rank — no unpartitioned corpus-scale WindowExec
     * (PlanSpec-pinned). The joined frame feeds both the histogram and
     * the rank join, so it rides a lease-scoped persist. */
