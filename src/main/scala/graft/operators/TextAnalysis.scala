@@ -756,9 +756,11 @@ object TextAnalysis {
     * Bucket boundaries are VALUE quantiles computed from the score
     * DISTRIBUTION, not a per-row rank: a groupBy histogram over the
     * (6dp-rounded, hence bounded-cardinality) scores, a cumulative
-    * window over that small histogram, and a broadcast join of the
-    * score→bucket map back onto the per-doc frame. At 100 TB this is
-    * one map-side-combined groupBy plus a broadcast hash join — never
+    * window over that small histogram, and an equi-join of the
+    * score→bucket map back onto the per-doc frame (AQE broadcasts it
+    * when small — not pinned, since a 6dp score grid can still reach
+    * 1e7+ distinct values at corpus scale). At 100 TB this is
+    * one map-side-combined groupBy plus a runtime-sized join — never
     * a global sort or single-partition window over corpus rows, which
     * is what `ntile()` over an unpartitioned window would cost. Ties
     * (equal scores) land in one bucket by construction, so the split
@@ -797,7 +799,7 @@ object TextAnalysis {
         .otherwise("middle"))
       .drop("bucket_idx")
     CacheLease.releaseAfterAction(
-      scored.join(broadcast(named), Seq("avg_logprob"))
+      scored.join(named, Seq("avg_logprob"))
         .select(col("doc_id"), col("avg_logprob"), col("ppl_bucket"))
     )(() => { scored.unpersist(); () })
   }
