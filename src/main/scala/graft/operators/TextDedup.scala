@@ -795,30 +795,90 @@ object TextDedup {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     // The line frame is read twice (df count + the position anti-join);
     // persist for the caller's action, released by the lease after it.
-    val lines = base
-      .select(col("doc_id"),
-        posexplode(split(col("__text"), "\n", -1)).as(Seq("pos", "line")))
-      .select(col("doc_id"), col("pos"), col("line"),
-        xxhash64(col("line")).as("h"))
-      .persist()
+    val lines = lineFrame(base).persist()
     val repeated = lines.where(col("line") =!= "")
       .select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select(col("h"))
+    CacheLease.releaseAfterAction(
+      removeLinesBody(base, lines, repeated))(() => { lines.unpersist(); () })
+  }
+
+  /** Positional line frame (doc_id, pos, line, h) off the base
+    * (doc_id, __text) projection — `split` keeps trailing empties
+    * (limit -1), matching the oracle's string_split. */
+  private def lineFrame(base: DataFrame): DataFrame =
+    base
+      .select(col("doc_id"),
+        posexplode(split(col("__text"), "\n", -1)).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), col("line"),
+        xxhash64(col("line")).as("h"))
+
+  /** The act half shared by batch and incremental line dedup: cut
+    * every position whose line hash is in `repeatedKeys`, reassemble
+    * in order, keep fully-emptied documents present. */
+  private def removeLinesBody(base: DataFrame, lines: DataFrame,
+      repeatedKeys: DataFrame): DataFrame = {
     val kept = lines
-      .join(repeated, Seq("h"), "left_anti")
+      .join(repeatedKeys, Seq("h"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("ordered"),
         count(lit(1)).as("n_kept"))
-    val out = base
+    base
       .select(col("doc_id"),
         size(split(col("__text"), "\n", -1)).cast("long").as("__n_lines"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(array_join(col("ordered.line"), "\n"), lit("")).as("clean_text"),
         (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
-    CacheLease.releaseAfterAction(out)(() => { lines.unpersist(); () })
+  }
+
+  /** One batch's line-df state slice: per 64-bit line hash, the number
+    * of DISTINCT batch documents containing it (blank lines excluded —
+    * structure, not content). Line-vocabulary scale, written once per
+    * batch — the [[spanGramCounts]] discipline at line granularity:
+    * doc ids are disjoint across batches, so distinct-doc counts ADD
+    * and the summed lineage equals the from-scratch df over the
+    * composed corpus, exactly. */
+  def lineCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    lineFrame(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")))
+      .where(col("line") =!= "")
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+
+  /** Incremental [[removeRepeatedLines]] — the weekly cadence
+    * ([[removeRepeatedSpansIncremental]]'s append-only contract at
+    * line granularity): clean ONLY `newDocs`, with line df composed
+    * from the batch plus `historyCounts` (the unioned [[lineCounts]]
+    * slices along the state lineage; duplicate `h` rows across slices
+    * sum here, so callers pass the raw union). A batch is cleaned
+    * against the df AS OF ITS INGEST; landed text never rewrites.
+    * Cross-batch boilerplate IS caught — a nav bar seen once in
+    * history and again in the batch reaches df 2 and is cut from the
+    * batch document. Batch-scale work: history counts are FILTERED to
+    * the batch's line keys by one equi-join before summing.
+    *
+    * Returns (cleaned batch frame, this batch's counts slice, release
+    * hook); the caller fires the release after its first action over
+    * BOTH returned frames (they share the persisted line frame). */
+  def removeRepeatedLinesIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, minDf: Int,
+      historyCounts: DataFrame): (DataFrame, DataFrame, () => Unit) = {
+    val base = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val lines = lineFrame(base).persist()
+    val batchCounts = lines.where(col("line") =!= "")
+      .select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    val histMatched = historyCounts
+      .join(batchCounts.select(col("h")), Seq("h"))
+      .groupBy(col("h")).agg(sum(col("n_docs")).as("h_docs"))
+    val repeated = batchCounts
+      .join(histMatched, Seq("h"), "left")
+      .where(col("n_docs") + coalesce(col("h_docs"), lit(0L)) >= minDf)
+      .select(col("h"))
+    (removeLinesBody(base, lines, repeated), batchCounts,
+      () => { lines.unpersist(); () })
   }
 
   /** Sequence-level benchmark decontamination — the STRIP alternative

@@ -951,6 +951,39 @@ object ExtQueries {
     CacheLease.releaseAfterAction(cleaned)(rel)
   }
 
+  /** Incremental line dedup (q145): the weekly-cadence form of q144
+    * ([[TextDedup.removeRepeatedLinesIncremental]] — the q142
+    * append-only discipline at line granularity). Line structure is
+    * q144's synthesis (8-token slices + parity-planted footer); history
+    * = even doc_ids (their line-df counts are the state slice), the
+    * weekly batch = odd doc_ids, cleaned against the COMPOSED df — a
+    * footer seen in history and again in the batch reaches minDf and
+    * is cut from batch docs, while per-increment work is batch lines
+    * + one equi-join against the counts state. The oracle replays
+    * q144's string-df over the FULL corpus and applies removal to the
+    * odd docs only — equal by construction since distinct-doc counts
+    * add across the disjoint halves. */
+  def q145LineIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val d = Tables.documents(s, dir)
+    val toks = tokens(col("text"))
+    val nl = greatest(floor((size(toks) + lit(7)) / lit(8)).cast("int"), lit(1))
+    val lined = d.select(col("doc_id"),
+      concat(
+        array_join(transform(sequence(lit(0), nl - 1), i =>
+          array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n"),
+        when(substring(md5(concat(col("doc_id").cast("string"), lit("#footer"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+          lit("\nsubscribe to the newsletter for weekly updates"))
+          .otherwise(lit(""))).as("text"))
+    val history = lined.where(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = lined.where(pmod(col("doc_id"), lit(2)) === 1)
+    val counts = TextDedup.lineCounts(history, "doc_id", "text")
+    val (cleaned, _, rel) = TextDedup.removeRepeatedLinesIncremental(
+      batch, "doc_id", "text", minDf = 2, historyCounts = counts)
+    CacheLease.releaseAfterAction(cleaned)(rel)
+  }
+
   /** Exact corpus quantile report (q143): order-statistic percentiles
     * of per-document size metrics (chars = code points, words =
     * whitespace tokens) via [[graft.operators.Ranking.exactQuantiles]]
@@ -3455,6 +3488,34 @@ object ExtQueries {
          |    AS clean_text,
          |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
          |FROM mark GROUP BY doc_id""".stripMargin,
+
+    // q145: q144's replay with line-df over the FULL corpus and removal
+    // restricted to the odd (weekly-batch) half — equal to the
+    // incremental composition because distinct-doc counts add across
+    // the disjoint halves.
+    "q145_line_incremental" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |ls AS (SELECT doc_id,
+         |  [array_to_string(t[i*8+1:i*8+8], ' ')
+         |   for i in range(0, greatest((len(t)+7)//8, 1))] ||
+         |  CASE WHEN substr(md5(doc_id::VARCHAR || '#footer'), 1, 1)
+         |         IN ('0','1','2','3','4','5','6','7')
+         |       THEN ['subscribe to the newsletter for weekly updates']
+         |       ELSE [] END AS lines FROM tk),
+         |pl AS (SELECT doc_id, u.p AS pos, u.l AS line FROM (
+         |  SELECT doc_id,
+         |    unnest([{'p': i, 'l': lines[i+1]} for i in range(0, len(lines))]) AS u
+         |  FROM ls)),
+         |df AS (SELECT line, count(DISTINCT doc_id) AS df FROM pl
+         |  WHERE line <> '' GROUP BY 1),
+         |mark AS (SELECT p.doc_id, p.pos, p.line,
+         |    coalesce(d.df, 1) >= 2 AS cut
+         |  FROM pl p LEFT JOIN df d ON p.line = d.line)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN NOT cut THEN line END, chr(10) ORDER BY pos), '')
+         |    AS clean_text,
+         |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         |FROM mark WHERE doc_id % 2 = 1 GROUP BY doc_id""".stripMargin,
 
     // The q22 pair chain joined to the embedding table; cosine compared
     // with the q24/q25 discipline (DOUBLE[] cast, round to 6dp).

@@ -127,6 +127,43 @@ class RepeatedSpansSpec extends AnyFunSuite {
       at3(5L) == (("z", 1L)))
   }
 
+  test("incremental line dedup == from-scratch over the composed corpus, on the batch") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum => fsum}
+    val footer = "subscribe to our newsletter"
+    val hist = Seq(
+      (2L, s"history original one\n$footer"),
+      (4L, "other history line\nsomething else entirely")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"batch original line\n$footer"), // cross-half repeat: cut
+      (3L, "shared within batch\nunique three"),
+      (5L, "other history line\nbatch tail words"), // cross-half repeat: cut
+      (7L, "shared within batch\nunique seven")) // within-batch df 2: cut
+      .toDF("doc_id", "text")
+    val counts = TextDedup.lineCounts(hist, "doc_id", "text")
+    val (cleaned, slice, rel) = TextDedup.removeRepeatedLinesIncremental(
+      batch, "doc_id", "text", minDf = 2, historyCounts = counts)
+    val inc = cleaned.as[(Long, String, Long)].collect().toSet
+    // From-scratch over history ∪ batch, restricted to the batch half.
+    val scratch = TextDedup.removeRepeatedLines(
+      hist.unionByName(batch), "doc_id", "text", minDf = 2)
+      .where(pmod(col("doc_id"), lit(2)) === 1)
+      .as[(Long, String, Long)].collect().toSet
+    assert(inc == scratch, "inc must equal scratch on the batch docs")
+    assert(inc.contains((1L, "batch original line", 1L)) &&
+      inc.contains((5L, "batch tail words", 1L)) &&
+      inc.contains((3L, "unique three", 1L)) &&
+      inc.contains((7L, "unique seven", 1L)))
+    // Slice counts ADD: history slice + batch slice == composed counts.
+    val composed = TextDedup.lineCounts(
+      hist.unionByName(batch), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val summed = counts.unionAll(slice).groupBy(col("h"))
+      .agg(fsum(col("n_docs")).as("n_docs"))
+      .as[(Long, Long)].collect().toMap
+    assert(summed == composed, "disjoint-id slices must sum to the composed df")
+    rel()
+  }
+
   test("benchmark span strip removes exactly the overlapping region, keeps the doc") {
     import org.apache.spark.sql.functions.col
     val leak = "question four what is the capital of freedonia"
