@@ -33,6 +33,9 @@ import graft.sources.Sinks
   * rides per-batch `span_grams_batch` slices (distinct-doc counts add
   * across disjoint-id batches, so the composed df is exact; see the
   * span-state section below for the append-only cleaning contract).
+  * Opt-in via `lineState`, the same cadence runs RefinedWeb-style
+  * line-granular boilerplate dedup (q144/q145) on per-batch
+  * `line_df_batch` slices, before the span stage when both are on.
   *
   * All joins are key equi-joins; nothing here collects data to the
   * driver (the run returns row COUNTS per stage — each an aggregate —
@@ -68,7 +71,7 @@ object CurationRun {
   final case class Stats(
     input: Long, gated: Long, modelGated: Long, decontaminated: Long,
     spanCleaned: Long, kept: Long, semDropped: Long, sampled: Long,
-    bins: Long)
+    bins: Long, lineCleaned: Long = -1L)
 
   /** Model-based quality gate (q82, the fastText-style filter) over a
     * gated frame, under PRE-TRAINED weights — the q83 artifact. Taking
@@ -287,6 +290,35 @@ object CurationRun {
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$stateInDir/span_grams_batch"))
 
+  /** Shared line-state stage ([[spanStateStage]]'s discipline at line
+    * granularity, q144/q145): clean the RAW batch against
+    * history+batch line-df counts, land this batch's `line_df_batch`
+    * slice, return the cleaned (doc_id, text) frame, the audit count
+    * (docs that lost a line), and the release hook. Runs BEFORE
+    * [[prepBatch]] — normalization collapses all whitespace (q46), so
+    * line structure only exists on the raw text; this is also the
+    * operational order (RefinedWeb dedups extracted lines, then
+    * normalizes). Line df is therefore always counted on RAW batch
+    * text, which keeps the composed-df equality exact across weeks. */
+  private def lineStateStage(rawDocs: DataFrame, historyCounts: DataFrame,
+      stateOutDir: String, lineMinDf: Int): (DataFrame, Long, () => Unit) = {
+    val raw = rawDocs.select(col("doc_id"), col("text")).persist()
+    val (cleaned, slice, linesRel) = TextDedup.removeRepeatedLinesIncremental(
+      raw, "doc_id", "text", lineMinDf, historyCounts)
+    Sinks.overwriteParquet(slice, s"$stateOutDir/line_df_batch", numFiles = 1)
+    val out = cleaned
+      .select(col("doc_id"), col("clean_text").as("text"), col("n_removed"))
+      .persist()
+    val lineCleaned = out.where(col("n_removed") > 0).count()
+    linesRel()
+    (out.drop("n_removed"), lineCleaned,
+      () => { out.unpersist(); raw.unpersist(); () })
+  }
+
+  private def lineStateActive(stateInDir: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$stateInDir/line_df_batch"))
+
   private def emptyGramCounts(spark: org.apache.spark.sql.SparkSession): DataFrame =
     spark.range(0).select(col("id").as("h"), col("id").as("n_docs"))
 
@@ -495,9 +527,16 @@ object CurationRun {
       annCodewords: Int = 8, annClusters: Int = 4,
       annIters: Int = 2,
       spanState: Boolean = false, spanK: Int = 8,
-      spanMinDf: Int = 2): Stats = {
+      spanMinDf: Int = 2,
+      lineState: Boolean = false, lineMinDf: Int = 2): Stats = {
     val spark = docs.sparkSession
-    val deconRaw = prepBatch(docs, benchmark, minQuality,
+    // Line-df state (opt-in, on RAW text before normalization — see
+    // lineStateStage): init cleans against its own counts.
+    val (docsLine, lineCleaned, lineRel) =
+      if (lineState) lineStateStage(docs, emptyGramCounts(spark),
+        stateOutDir, lineMinDf)
+      else (docs, -1L, () => ())
+    val deconRaw = prepBatch(docsLine, benchmark, minQuality,
       minContaminatedShingles, classifier, minClassifierScore)
     // Span-df state (opt-in): init cleans against its own counts (an
     // empty history is the from-scratch df), landing cleaned text.
@@ -506,7 +545,7 @@ object CurationRun {
         stateOutDir, spanK, spanMinDf)
       else (deconRaw, -1L, () => ())
     Sinks.overwriteParquet(decon, s"$stateOutDir/decon_batch", numFiles = 4)
-    spanRel()
+    spanRel(); lineRel()
     val deconS = spark.read.parquet(s"$stateOutDir/decon_batch")
     Sinks.overwriteParquet(
       deconS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
@@ -566,7 +605,7 @@ object CurationRun {
     Stats(input = docs.count(), gated = -1L, modelGated = -1L,
       decontaminated = deconS.count(),
       spanCleaned = spanCleaned, kept = keptCount, semDropped = semDropped,
-      sampled = sampled, bins = bins)
+      sampled = sampled, bins = bins, lineCleaned = lineCleaned)
   }
 
   /** Weekly incremental run: a NEW raw batch (doc ids disjoint from
@@ -586,7 +625,7 @@ object CurationRun {
       classifier: Option[(DataFrame, Int)] = None,
       minClassifierScore: Double = 0.5,
       exactGate: Boolean = false,
-      spanK: Int = 8, spanMinDf: Int = 2): Stats = {
+      spanK: Int = 8, spanMinDf: Int = 2, lineMinDf: Int = 2): Stats = {
     require(stateInDir != stateOutDir,
       "state is versioned by directory: reading and overwriting the same " +
         "state in one job would corrupt it")
@@ -597,10 +636,20 @@ object CurationRun {
     val sigOld = readSlices(spark, lineage, "signatures_batch")
     val clustersOld = spark.read.parquet(s"$stateInDir/clusters")
 
+    // Line-df state (auto-detected, on RAW text before normalization —
+    // see lineStateStage): clean the batch against the composed line
+    // counts, land its slice.
+    val (newLine, lineCleaned, lineRel) =
+      if (lineStateActive(stateInDir))
+        lineStateStage(newDocs,
+          readSlices(spark, lineage, "line_df_batch"),
+          stateOutDir, lineMinDf)
+      else (newDocs, -1L, () => ())
+
     // Batch-scale writes ONLY: this dir's slices plus the (small) full
     // label table. The corpus-scale artifacts are never rewritten —
     // readers compose them along the lineage.
-    val deconNew = prepBatch(newDocs, benchmark, minQuality,
+    val deconNew = prepBatch(newLine, benchmark, minQuality,
       minContaminatedShingles, classifier, minClassifierScore)
 
     // Optional exact-recrawl gate (the Bloom route, q91's shape): drop
@@ -634,7 +683,7 @@ object CurationRun {
           stateOutDir, spanK, spanMinDf)
       else (deconRouted, -1L, () => ())
     Sinks.overwriteParquet(deconFinal, s"$stateOutDir/decon_batch", numFiles = 2)
-    spanRel()
+    spanRel(); lineRel()
     val deconNewS = spark.read.parquet(s"$stateOutDir/decon_batch")
     Sinks.overwriteParquet(
       deconNewS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
@@ -706,7 +755,7 @@ object CurationRun {
     Stats(input = newDocs.count(), gated = -1L, modelGated = -1L,
       decontaminated = deconAll.count(), spanCleaned = spanCleaned,
       kept = keptCount, semDropped = semDropped,
-      sampled = sampled, bins = bins)
+      sampled = sampled, bins = bins, lineCleaned = lineCleaned)
   }
 
   /** Lineage compaction — the state rebase (VERDICT r05 item 8). The
@@ -769,6 +818,12 @@ object CurationRun {
         readSlices(spark, lineage, "span_grams_batch")
           .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs")),
         s"$stateOutDir/span_grams_batch", numFiles = 1)
+    // Line-df state consolidates the same way: slice counts add.
+    if (lineStateActive(stateInDir))
+      Sinks.overwriteParquet(
+        readSlices(spark, lineage, "line_df_batch")
+          .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs")),
+        s"$stateOutDir/line_df_batch", numFiles = 1)
     // ANN index state: codes consolidate as pure IO; the frozen model
     // copies forward (ANN retrain = a fresh annState init over the
     // composed corpus — the codes are index artifacts, not labels, so

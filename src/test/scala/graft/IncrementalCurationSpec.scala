@@ -550,4 +550,54 @@ class IncrementalCurationSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(consolidated == viaSlices)
   }
+
+  test("line-df state cadence: batch cleaned against composed df, history frozen") {
+    import graft.operators.TextDedup
+    // Shared footer LINE: df 1 within history alone, df 2 once the
+    // batch arrives — only the COMPOSED line counts can cut it.
+    val footer = "subscribe to the weekly newsletter for more updates and stories"
+    val hist = Seq(
+      (2L, s"unique history content about rivers and old bridges today\n$footer"),
+      (4L, goodEn)).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, s"fresh words about mountains and distant green valleys\n$footer"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    val base = TestSpark.tmpDir("line_state")
+    val init = CurationRun.runInit(hist, benchmark, s"$base/out_a",
+      s"$base/state_1", lineState = true)
+    assert(init.lineCleaned == 0L, "the footer is unique within the init corpus")
+    def stored(d: String): Map[Long, String] =
+      spark.read.parquet(s"$d/decon_batch")
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val storedA = stored(s"$base/state_1")
+    assert(storedA(2L).contains(footer), "init must land the doc uncut at df 1")
+    val inc = CurationRun.runIncremental(batch, benchmark, s"$base/out_b",
+      s"$base/state_1", s"$base/state_2")
+    assert(inc.lineCleaned == 1L, "the batch doc must lose the cross-batch footer")
+    val storedB = stored(s"$base/state_2")
+    assert(!storedB(11L).contains(footer),
+      "the composed df must cut the footer from the landed batch text")
+    assert(storedB(11L).contains("fresh words about mountains"),
+      "only the footer line goes; the original line stays")
+    assert(stored(s"$base/state_1") == storedA,
+      "landed history text is append-only — never rewritten")
+    // The landed batch text equals the operator-level scratch form over
+    // history ∪ batch restricted to the batch (the q145 pin, through
+    // the PIPELINE path).
+    val scratch = TextDedup.removeRepeatedLines(
+        hist.unionByName(batch), "doc_id", "text", minDf = 2)
+      .where(col("doc_id") === 11L)
+      .select("clean_text").as[String].head()
+    assert(storedB(11L) == scratch)
+    // Rebase consolidates the line counts into one summed slice.
+    CurationRun.rebaseState(spark, s"$base/state_2", s"$base/state_r")
+    val consolidated = spark.read.parquet(s"$base/state_r/line_df_batch")
+      .as[(Long, Long)].collect().toSet
+    val viaSlices = spark.read
+      .parquet(s"$base/state_1/line_df_batch", s"$base/state_2/line_df_batch")
+      .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs"))
+      .as[(Long, Long)].collect().toSet
+    assert(consolidated == viaSlices)
+  }
 }
