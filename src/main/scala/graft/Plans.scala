@@ -108,7 +108,9 @@ object Plans {
       "q143_quantile_report" ->
         "ONE documents scan melts both metrics; per-metric distinct-value histogram + bounded cumulative windows; the percentile pick is a broadcast NLJ over the HISTOGRAM — no corpus sort, no unpartitioned corpus window (PlanSpec-pinned)",
       "q144_line_dedup" ->
-        "line posexplode (map tier) -> hash-df count (one shuffle) -> anti-join vs the few boilerplate keys (AQE broadcasts) -> per-doc ordered reassembly — work tracks corpus lines, never corpus^2")
+        "line posexplode (map tier) -> hash-df count (one shuffle) -> anti-join vs the few boilerplate keys (AQE broadcasts) -> per-doc ordered reassembly — work tracks corpus lines, never corpus^2",
+      "q145_line_incremental" ->
+        "weekly-cadence line dedup: history counts FILTERED to batch line keys by one equi-join before summing — per-increment work is batch lines + the key join, never the composed corpus")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `graft.Plans`, sf0.001)\n")
     sb.append("\n_q137_curation_e2e has no plan artifact by construction: the entry " +

@@ -350,6 +350,23 @@ object ScaleStress {
         "metric", "v", Seq(10, 25, 50, 75, 90, 99))
     }
 
+    // Line dedup (q144) at 10x: synthesized 8-token-slice lines + a
+    // footer planted on half the corpus — hash-df count (one shuffle)
+    // + anti-join + per-doc reassembly; work tracks corpus lines.
+    time("line dedup (10x, synth lines)") {
+      import graft.functions.TextFunctions.tokens
+      val toks = tokens(col("text"))
+      val nl = greatest(floor((size(toks) + lit(7)) / lit(8)).cast("int"), lit(1))
+      val lined = big.select(col("doc_id"),
+        concat(
+          array_join(transform(sequence(lit(0), nl - 1), i =>
+            array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("\nsubscribe to the newsletter for weekly updates"))
+            .otherwise(lit(""))).as("text"))
+      operators.TextDedup.removeRepeatedLines(lined, "doc_id", "text")
+    }
+
     // Gopher gate (q79) over the 10x corpus: one gopher_measures
     // kernel call per row — the map-tier quality gate priced at 50k
     // docs (the declarative HOF form measured ~3x slower at sf0.1).
