@@ -897,7 +897,8 @@ object TextAnalysis {
     * anywhere. The rank targets are integer arithmetic (ceil(q*n) =
     * (q*100*n + 99) div 100) over counts, exact on both engines and
     * identical to the ranked form for ties (every rank inside a tie
-    * run maps to the same length value). */
+    * run maps to the same length value). `idCol` is retained for
+    * signature stability; the histogram form needs no tiebreak. */
   def lengthProfile(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String): DataFrame = {
     val hist = docs

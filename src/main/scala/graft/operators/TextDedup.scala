@@ -789,7 +789,10 @@ object TextDedup {
     * broadcasts) -> per-doc ordered reassembly. Work tracks corpus
     * lines, never corpus². All documents appear in the output
     * (untouched ones with n_removed = 0, fully-boilerplate ones with
-    * clean_text = ''). Output: (doc_id, clean_text, n_removed). */
+    * clean_text = ''). Lines split on LF exactly (the oracle's
+    * string_split rule); CRLF input keeps its CRs inside the line
+    * bytes — normalize upstream if a corpus carries them.
+    * Output: (doc_id, clean_text, n_removed). */
   def removeRepeatedLines(docs: DataFrame, idCol: String, textCol: String,
       minDf: Int = 2): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
