@@ -291,6 +291,43 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.length === 12 && rows.forall(r => !r.isNullAt(2)))
   }
 
+  test("q103/q106/q133 windows ride bounded frames (low-cardinality partition class)") {
+    // The hazard WindowTripwire cannot see: a window PARTITIONED by a
+    // low-cardinality key (source, band, group) still sorts the
+    // dominant group on one task. Post-rewrite every window in these
+    // plans is either a bounded histogram frame (declares itself via
+    // the __bnd marker) or a tie-group rank (partitionSpec includes
+    // the order value, >= 2 expressions). Regrowing a single-key
+    // corpus window here fails this pin.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match { case w: WindowExec => Seq(w); case _ => Seq.empty }
+      val children = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case _ => p.children
+      }
+      self ++ children.flatMap(windows) ++ p.subqueries.flatMap(windows)
+    }
+    for ((name, df) <- Seq(
+        "q103" -> ExtQueries.q103BalancedShards(spark, sf),
+        "q106" -> ExtQueries.q106LengthProfile(spark, sf),
+        "q133" -> ExtQueries.q133LengthBatching(spark, sf))) {
+      val wins = windows(df.queryExecution.executedPlan)
+      assert(wins.nonEmpty, s"$name is expected to use windows")
+      wins.foreach { w =>
+        val bounded =
+          w.child.output.exists(_.name.startsWith(WindowTripwire.Marker))
+        val tieGroup = w.partitionSpec.size >= 2
+        assert(bounded || tieGroup,
+          s"$name: single-key window over an unbounded frame:\n" +
+            w.simpleString(200))
+      }
+    }
+  }
+
   test("q130 fused quality scan is ONE whole-stage codegen span") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     val exec = ExtQueries.q130QualitySignals(spark, sf)
