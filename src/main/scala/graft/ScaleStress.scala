@@ -350,6 +350,19 @@ object ScaleStress {
         "metric", "v", Seq(10, 25, 50, 75, 90, 99))
     }
 
+    // Boolean-metric global rank (VERDICT r08 item 1) at 10x: the
+    // LOW-cardinality order column whose tie group IS the corpus —
+    // 90% of rows share flag=0. The md5 tie-bucket split caps every
+    // window task at ~1/4096 of the dominant tie group, so ranking a
+    // boolean prices like ranking a continuous score (no
+    // dominant-task sort at any size).
+    time("globalRank boolean metric (10x)") {
+      operators.Ranking.globalRank(
+        big.select(col("doc_id"),
+          (pmod(col("doc_id"), lit(10)) === 0).cast("int").as("flag")),
+        "flag", "doc_id", "rank")
+    }
+
     // Line dedup (q144) at 10x: synthesized 8-token-slice lines + a
     // footer planted on half the corpus — hash-df count (one shuffle)
     // + anti-join + per-doc reassembly; work tracks corpus lines.

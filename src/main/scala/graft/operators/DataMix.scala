@@ -114,7 +114,9 @@ object DataMix {
     * tripwire.
     *
     * Row contract (ADVICE r06): docs with `nt < 1` are EXCLUDED (a
-    * zero-length doc has no batch slot); docs with `nt > 2^20` CLAMP
+    * zero-length doc has no batch slot; a NULL nt fails the same
+    * declared `nt >= 1` filter — exclusion is this row contract, not
+    * a silent join artifact); docs with `nt > 2^20` CLAMP
     * into the top band (band = 2^20, capacity >= 1) rather than
     * silently dropping — at corpus scale a handful of pathological
     * mega-documents must still land in the plan, in the band whose
@@ -544,15 +546,22 @@ object DataMix {
     * histogram + tie-group form keeps per-task work bounded by
     * |distinct token counts| and tie-run sizes.
     *
+    * The rank weight is `coalesce(nTokensCol, 0)`: [[Ranking]]'s null
+    * contract EXCLUDES null-order rows, and a document must never
+    * silently lose its shard assignment because its token count is
+    * null (ADVICE r08) — a weightless doc ranks last and still lands.
+    *
     * Output: one row per document with its shard id — the frame a
     * distributed writer partitions by. */
   def balancedShards(docs: DataFrame, idCol: String, groupCol: String,
       nTokensCol: String, shards: Int): DataFrame = {
     require(shards > 0, "shards must be positive")
-    Ranking.groupedRank(docs, Seq(groupCol), nTokensCol, idCol, "__rn",
+    val weighted = docs.withColumn("__w",
+      coalesce(col(nTokensCol).cast("long"), lit(0L)))
+    Ranking.groupedRank(weighted, Seq(groupCol), "__w", idCol, "__rn",
         descending = true)
       .withColumn("shard", pmod(col("__rn") - 1, lit(shards)).cast("int"))
-      .drop("__rn")
+      .drop("__rn", "__w")
   }
 
   /** Shard balance report over a [[balancedShards]] assignment: per-

@@ -1,10 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Scale-safe exact global ranking (VERDICT r07 item 1).
+/** Scale-safe exact global ranking (VERDICT r07 item 1; tie-group
+  * hardening VERDICT r08 item 1).
   *
   * `row_number()/ntile()` over an UNPARTITIONED window moves every row
   * to one task and sorts there — correct at test SF, a single-task sort
@@ -15,52 +16,112 @@ import org.apache.spark.sql.functions._
   * ([[DataMix.tokenBudgetSample]]) — as a reusable exact-rank operator,
   * so report-tier rankings never regrow the single-partition path.
   *
-  * Shape: one map-side-combined `groupBy(orderCol)` builds the
-  * distinct-value histogram; an exclusive cumulative sum over that
-  * SMALL frame (|distinct values| rows, never corpus rows — its window
-  * columns carry the [[graft.WindowTripwire.Marker]] prefix marking the
-  * frame bounded) yields each value's global offset; a broadcast join
-  * puts the offset back on every row; and a `row_number` over the
-  * PER-VALUE partition (ordered by the tiebreak) completes the exact
-  * 1-based dense global rank. The only unbounded per-row window is
-  * partitioned by `orderCol` — partition size = tie-group size, which
-  * for a continuous score is tiny; a pathological all-one-value column
-  * degrades to the tie-group, not the corpus.
+  * Shape: one map-side-combined `groupBy(orderCol, tieBucket)` builds
+  * the distinct-(value, tie-bucket) histogram; an exclusive cumulative
+  * sum over that SMALL frame (its window columns carry the
+  * [[graft.WindowTripwire.Marker]] prefix marking the frame bounded)
+  * yields each (value, bucket)'s global offset; an equi-join (AQE
+  * broadcasts when small — never pinned, an 8dp score grid grows with
+  * the corpus) puts the offset back on every row; and a `row_number`
+  * over the (value, tie-bucket) partition completes the exact 1-based
+  * rank.
+  *
+  * Tie order is the MD5 order of the tiebreak column — rank is under
+  * (`orderCol`, `md5(cast(tieCol as string))`, `tieCol`), the same
+  * deterministic engine-reproducible draw [[DataMix]] samples by, and
+  * any SQL engine replays it verbatim (`ORDER BY v, md5(CAST(id AS
+  * VARCHAR)), id`). That contract is what closes the r07→r08 residue:
+  * a plain `ORDER BY tieCol` tie split cannot be bucketed (md5 buckets
+  * interleave arbitrarily in tieCol order), so the final window had to
+  * partition by the order VALUE alone — and for a LOW-cardinality
+  * metric (a boolean gate, a 0–7 rule count) the tie group IS the
+  * corpus, the q108 hazard one quantized score away. Under md5 tie
+  * order the 12-bit md5 prefix is an ORDER-PRESERVING coarse key, so
+  * the per-row window partitions by (value, bucket): a pathological
+  * all-one-value column degrades to ~1/4096 of the corpus per task,
+  * not the corpus.
+  *
+  * Null contract (all rank entry points): rows with a NULL group or
+  * order value are EXCLUDED from the output — declared by an explicit
+  * `WHERE` in the plan, not an accident of the offset equi-join. (A
+  * sorted window would rank them nulls-first; callers rank non-null
+  * metrics — coalesce first if null keys must rank, as
+  * [[DataMix.balancedShards]] does.) A NULL TIE value draws
+  * `md5('')` and sorts among its tie group nulls-first.
   */
 object Ranking {
 
-  /** Exact 1-based global rank of every row under
-    * (`orderCol` ASC, `tieCol` ASC) — equal to
-    * `row_number().over(Window.orderBy(orderCol, tieCol))` (spec-pinned)
-    * without the single-partition sort. `totalName`, when set, also
-    * appends the total row count N (needed by [[exactNtile]]; computed
-    * as a window over the histogram, no extra corpus pass). */
-  def globalRank(df: DataFrame, orderCol: String, tieCol: String,
-      rankName: String = "rank", totalName: Option[String] = None): DataFrame = {
-    val hist = df.groupBy(col(orderCol)).agg(count(lit(1)).as("__bnd_nb"))
-    // Bounded frame: |distinct orderCol values| rows. The __bnd_nb
-    // column name sanctions these two unpartitioned windows for the
-    // WindowTripwire (they run over the histogram, not the corpus).
-    val offs = hist
-      .withColumn("__off", coalesce(sum(col("__bnd_nb"))
-        .over(Window.orderBy(col(orderCol))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__n", sum(col("__bnd_nb")).over(Window.partitionBy()))
-      .drop("__bnd_nb")
+  /** 12-bit md5 prefix → 4096 tie sub-buckets: the same two-level
+    * split [[DataMix.tokenBudgetSample]] uses, sized so a dominant
+    * tie group's per-task slice is ~1/4096 of it. */
+  private val TieBucketLen = 3
+
+  private def tieMd5(tieCol: String): Column =
+    md5(coalesce(col(tieCol).cast("string"), lit("")))
+
+  /** Shared histogram + two-level tie-split core of [[globalRank]] /
+    * [[groupedRank]]. Appends `rankName` (and, when asked, the total
+    * group row count) to `df`'s columns. */
+  private def rankCore(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, tieCol: String, rankName: String,
+      descending: Boolean, totalName: Option[String]): DataFrame = {
+    val gcols = groupCols.map(col)
+    // Declared null contract: null group/order keys are filtered, not
+    // silently lost in the offset equi-join.
+    val nonNull = (gcols :+ col(orderCol))
+      .map(_.isNotNull).reduce(_ && _)
+    val d = df.where(nonNull)
+      .withColumn("__tmd", tieMd5(tieCol))
+      .withColumn("__tbkt", substring(col("__tmd"), 1, TieBucketLen))
+    val hist = d.groupBy((gcols :+ col(orderCol) :+ col("__tbkt")): _*)
+      .agg(count(lit(1)).as("__bnd_nb"))
+    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
+    // Bounded frame: |distinct (value, bucket)| rows, never corpus
+    // rows. The __bnd_nb column sanctions the cumulative for the
+    // WindowTripwire; the runtime bounded-claim audit
+    // ([[graft.WindowTripwire]] skew scan) still sizes it per run.
+    val histW = (if (groupCols.isEmpty) Window.orderBy(ord, col("__tbkt"))
+      else Window.partitionBy(gcols: _*).orderBy(ord, col("__tbkt")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs0 = hist
+      .withColumn("__off", coalesce(sum(col("__bnd_nb")).over(histW), lit(0L)))
+    val offs = (totalName match {
+      case Some(_) =>
+        val nW = if (groupCols.isEmpty) Window.partitionBy()
+          else Window.partitionBy(gcols: _*)
+        offs0.withColumn("__n", sum(col("__bnd_nb")).over(nW))
+      case None => offs0
+    }).drop("__bnd_nb")
     // Plain equi-join: AQE broadcasts the offsets when they are small.
-    // NOT a pinned broadcast() — the histogram is |distinct values|
-    // rows, which for an 8dp-rounded score can reach 1e8 at corpus
-    // scale; a forced broadcast would grow with the corpus (the
-    // engine-wide rule: never pin broadcast on corpus-scaled frames).
-    val ranked = df.join(offs, Seq(orderCol))
+    // NOT a pinned broadcast() — the histogram is |distinct (value,
+    // bucket)| rows, which for an 8dp-rounded score can reach 1e8 at
+    // corpus scale (the engine-wide rule: never pin broadcast on
+    // corpus-scaled frames).
+    val ranked = d.join(offs, groupCols ++ Seq(orderCol, "__tbkt"))
       .withColumn(rankName,
         col("__off") + row_number().over(
-          Window.partitionBy(col(orderCol)).orderBy(col(tieCol))))
+          Window.partitionBy((gcols :+ col(orderCol) :+ col("__tbkt")): _*)
+            .orderBy(col("__tmd"), col(tieCol))))
+      .drop("__tmd", "__tbkt", "__off")
     totalName match {
-      case Some(n) => ranked.withColumnRenamed("__n", n).drop("__off")
-      case None => ranked.drop("__off", "__n")
+      case Some(n) => ranked.withColumnRenamed("__n", n)
+      case None => ranked
     }
   }
+
+  /** Exact 1-based global rank of every row under
+    * (`orderCol` ASC, md5 tie order) — equal to `row_number().over(
+    * Window.orderBy(orderCol, md5(cast(tieCol as string)), tieCol))`
+    * (spec-pinned) without the single-partition sort and without a
+    * corpus-scale tie-group partition. Rows with a NULL `orderCol`
+    * are excluded (see the null contract above). `totalName`, when
+    * set, also appends the total ranked row count N (needed by
+    * [[exactNtile]]; computed as a window over the histogram, no
+    * extra corpus pass). */
+  def globalRank(df: DataFrame, orderCol: String, tieCol: String,
+      rankName: String = "rank", totalName: Option[String] = None): DataFrame =
+    rankCore(df, Nil, orderCol, tieCol, rankName,
+      descending = false, totalName = totalName)
 
   /** Exact order-statistic quantiles of `orderCol` — the
     * `quantile_disc` rule (value of the ceil(p·N)-th smallest row,
@@ -82,14 +143,19 @@ object Ranking {
     * ride one broadcast nested-loop join of the |percentiles|-row
     * literal frame against the histogram (bounded × tiny — explicitly
     * NOT a corpus-side theta join), so no branch of the plan rescans
-    * `df` per percentile. Output: (keyCol, percentile, value). */
+    * `df` per percentile. The ceil(p·N/100) target rank is TRUE
+    * integer arithmetic (`div`, no double rounding), exact at any N.
+    * Rows with a NULL key or value are excluded (null contract
+    * above). Output: (keyCol, percentile, value). */
   def exactQuantilesBy(df: DataFrame, keyCol: String, orderCol: String,
       percentiles: Seq[Int]): DataFrame = {
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1,100], got $percentiles")
     val spark = df.sparkSession
     import spark.implicits._
-    val hist = df.groupBy(col(keyCol), col(orderCol))
+    val hist = df
+      .where(col(keyCol).isNotNull && col(orderCol).isNotNull)
+      .groupBy(col(keyCol), col(orderCol))
       .agg(count(lit(1)).as("__bnd_nb"))
     // Bounded frames (|distinct values| rows per group) — __bnd
     // sanctions the cumulative windows for the WindowTripwire.
@@ -104,72 +170,59 @@ object Ranking {
     // integer arithmetic; the quantile is the smallest value whose
     // cumulative count reaches it.
     cum.join(broadcast(ps),
-        col("__cum") >= ((col("__n") * col("percentile") + 99) / 100).cast("long"))
+        col("__cum") >= expr("(__n * percentile + 99) div 100"))
       .groupBy(col(keyCol), col("percentile"))
       .agg(min(col(orderCol)).as("value"))
   }
 
-  /** Exact per-GROUP 1-based rank under (`orderCol` ASC|DESC, `tieCol`
-    * ASC) — equal to `row_number().over(Window.partitionBy(groupCols)
-    * .orderBy(orderCol, tieCol))` (spec-pinned) without the group-scale
-    * sorted window. A window partitioned by a LOW-cardinality key
-    * (source, length band, shard group) is the same scale hazard as an
-    * unpartitioned one — the dominant group's rows all sort on one
-    * task — and it is invisible to [[graft.WindowTripwire]], which can
-    * only see that a partition key exists. The histogram discipline
-    * applies unchanged: per-(group, value) counts, an exclusive
-    * cumulative over that bounded frame (|distinct values per group|
-    * rows), offsets equi-joined back (AQE broadcasts when small), and
-    * a `row_number` whose partition is the TIE GROUP (group, value) —
-    * a pathological all-equal column degrades to the tie group, never
-    * the whole group.
+  /** Exact per-GROUP 1-based rank under (`orderCol` ASC|DESC, md5 tie
+    * order) — equal to `row_number().over(Window.partitionBy(groupCols)
+    * .orderBy(orderCol, md5(cast(tieCol as string)), tieCol))`
+    * (spec-pinned) without the group-scale sorted window. A window
+    * partitioned by a LOW-cardinality key (source, length band, shard
+    * group) is the same scale hazard as an unpartitioned one — the
+    * dominant group's rows all sort on one task — and it is invisible
+    * to [[graft.WindowTripwire]], which can only see that a partition
+    * key exists. The histogram discipline applies unchanged: per-
+    * (group, value, tie-bucket) counts, an exclusive cumulative over
+    * that bounded frame, offsets equi-joined back (AQE broadcasts when
+    * small), and a `row_number` whose partition is (group, value,
+    * tie-bucket) — a pathological all-equal column degrades to
+    * ~1/4096 of the group per task, never the group.
     *
-    * Null contract: the offset join is an equi-join, so rows with a
-    * NULL group or order value are dropped (a sorted window would rank
-    * them nulls-first). Callers rank non-null metrics (token counts,
-    * scores); pre-filter or coalesce if nullable keys ever matter. */
+    * Rows with a NULL group or order value are excluded (null
+    * contract above; [[DataMix.balancedShards]] coalesces its weight
+    * column first so no document can silently vanish). */
   def groupedRank(df: DataFrame, groupCols: Seq[String], orderCol: String,
       tieCol: String, rankName: String,
-      descending: Boolean = false): DataFrame = {
-    val gcols = groupCols.map(col)
-    val hist = df.groupBy((gcols :+ col(orderCol)): _*)
-      .agg(count(lit(1)).as("__bnd_nb"))
-    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
-    // Bounded frame — __bnd sanctions the cumulative for the tripwire
-    // when groupCols is empty (the partitioned forms are bounded by
-    // |distinct values per group| regardless).
-    val histW = (if (groupCols.isEmpty) Window.orderBy(ord)
-      else Window.partitionBy(gcols: _*).orderBy(ord))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = hist
-      .withColumn("__off", coalesce(sum(col("__bnd_nb")).over(histW), lit(0L)))
-      .drop("__bnd_nb")
-    df.join(offs, groupCols :+ orderCol)
-      .withColumn(rankName,
-        col("__off") + row_number().over(
-          Window.partitionBy((gcols :+ col(orderCol)): _*)
-            .orderBy(col(tieCol))))
-      .drop("__off")
-  }
+      descending: Boolean = false): DataFrame =
+    rankCore(df, groupCols, orderCol, tieCol, rankName,
+      descending = descending, totalName = None)
 
-  /** Exact `ntile(n)` under (`orderCol` ASC, `tieCol` ASC) — bucket
-    * boundaries and tie-splitting IDENTICAL to SQL `ntile` (the first
-    * N mod n buckets hold ceil(N/n) rows, the rest floor(N/n); ranks
-    * split ties across bucket edges exactly as the global sort would),
-    * so an existing ntile oracle needs no semantic change. Integer
-    * arithmetic throughout: with q = N div n and rem = N mod n,
-    * bucket(r) = ceil(r/(q+1)) while r lands in the big buckets, else
+  /** Exact `ntile(n)` under (`orderCol` ASC, md5 tie order) — bucket
+    * boundaries and tie-splitting IDENTICAL to SQL `ntile` over the
+    * same order (the first N mod n buckets hold ceil(N/n) rows, the
+    * rest floor(N/n); ranks split ties across bucket edges exactly as
+    * the global sort would), so an ntile oracle ordering by
+    * (orderCol, md5(tie), tie) needs no semantic change. TRUE integer
+    * arithmetic throughout (`div`, exact at any N — no 2^53 double
+    * ceiling): with q = N div n and rem = N mod n, bucket(r) =
+    * ceil(r/(q+1)) while r lands in the big buckets, else
     * rem + ceil((r - rem*(q+1))/q). */
   def exactNtile(df: DataFrame, orderCol: String, tieCol: String,
       n: Int, bucketName: String): DataFrame = {
     require(n >= 1, s"ntile needs n >= 1, got $n")
     val ranked = globalRank(df, orderCol, tieCol, "__r", totalName = Some("__nt"))
-    val q = (col("__nt") / n).cast("long")
-    val rem = col("__nt") % n
-    val bigSpan = (q + 1) * rem
+      .withColumn("__q", expr(s"__nt div CAST($n AS BIGINT)"))
+      .withColumn("__rem", col("__nt") % n)
+    val bigSpan = (col("__q") + 1) * col("__rem")
+    // CaseWhen evaluates only the matched branch, so the small-bucket
+    // arm's `div __q` never runs when q = 0 (N < n ⇒ all buckets big).
     val bucket = when(col("__r") <= bigSpan,
-        ((col("__r") + q) / (q + 1)).cast("long"))
-      .otherwise(rem + ((col("__r") - bigSpan + q - 1) / q).cast("long"))
-    ranked.withColumn(bucketName, bucket.cast("int")).drop("__r", "__nt")
+        expr("(__r + __q) div (__q + 1)"))
+      .otherwise(col("__rem") +
+        expr("(__r - (__q + 1) * __rem + __q - 1) div __q"))
+    ranked.withColumn(bucketName, bucket.cast("int"))
+      .drop("__r", "__nt", "__q", "__rem")
   }
 }

@@ -1645,10 +1645,11 @@ object ExtQueries {
     * do the two quality families agree? Mean scores ride the
     * decimal-exact-sum discipline. Quartiles come from
     * [[graft.operators.Ranking.exactNtile]] (VERDICT r07 item 1):
-    * identical tile semantics to `ntile(4)` over a global sort, but
-    * computed as a distinct-score histogram + offset equi-join (AQE
-    * broadcasts when small) +
-    * per-score rank — no unpartitioned corpus-scale WindowExec
+    * identical tile semantics to `ntile(4)` over a global sort by
+    * (score, md5 tie order — the r08 tie-group hardening, replayed
+    * verbatim by the oracle), but computed as a distinct-(score,
+    * tie-bucket) histogram + offset equi-join (AQE broadcasts when
+    * small) + per-bucket rank — no unpartitioned corpus-scale WindowExec
     * (PlanSpec-pinned). The joined frame feeds both the histogram and
     * the rank join, so it rides a lease-scoped persist. */
   def q108ClassifierCalibration(s: SparkSession, dir: String): DataFrame = {
@@ -3660,7 +3661,8 @@ object ExtQueries {
     "q103_balanced_shards" ->
       s"""WITH d AS (SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
          |a AS (SELECT doc_id, n_tokens,
-         |  CAST((row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) - 1) % 8 AS INT) AS shard
+         |  CAST((row_number() OVER (PARTITION BY source
+         |    ORDER BY n_tokens DESC, md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8 AS INT) AS shard
          |  FROM d),
          |p AS (SELECT shard, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM a GROUP BY 1)
@@ -3752,7 +3754,7 @@ object ExtQueries {
          |  stopword_hits >= 2 AS pass
          |  FROM gm),
          |qt AS (SELECT pf.doc_id, pf.p, gp.pass,
-         |  CAST(ntile(4) OVER (ORDER BY pf.p, pf.doc_id) AS INT) AS quartile
+         |  CAST(ntile(4) OVER (ORDER BY pf.p, md5(CAST(pf.doc_id AS VARCHAR)), pf.doc_id) AS INT) AS quartile
          |  FROM pf JOIN gp USING (doc_id))
          |SELECT quartile, pass, count(*) AS n_docs,
          |  round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS mean_score
@@ -4262,7 +4264,8 @@ object ExtQueries {
          |  FROM d JOIN p ON p.p2 >= least(d.nt, 1::BIGINT << 20)
          |  WHERE nt >= 1 GROUP BY doc_id, nt),
          |rk AS (SELECT doc_id, nt, band,
-         |    row_number() OVER (PARTITION BY band ORDER BY nt DESC, doc_id) AS rank,
+         |    row_number() OVER (PARTITION BY band
+         |      ORDER BY nt DESC, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank,
          |    greatest(4096 // band, 1) AS capacity
          |  FROM bd)
          |SELECT doc_id, nt, band, CAST(capacity AS BIGINT) AS capacity,

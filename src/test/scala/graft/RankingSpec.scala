@@ -7,14 +7,21 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Ranking
 
 /** [[Ranking.globalRank]] / [[Ranking.exactNtile]] — the scale-safe
-  * exact global ranking (VERDICT r07 item 1). The contract is equality
-  * with the single-partition window forms (`row_number`/`ntile` over an
-  * unpartitioned window) on every tie/size shape that exercises the
-  * bucket-boundary arithmetic.
+  * exact global ranking (VERDICT r07 item 1; r08 item 1 tie-group
+  * hardening). The contract is equality with the single-partition
+  * window forms (`row_number`/`ntile` over an unpartitioned window
+  * ordered by (value, md5 tie order)) on every tie/size shape that
+  * exercises the bucket-boundary arithmetic — INCLUDING the
+  * 2-distinct-value skewed fixture where the old per-value tie-group
+  * partition degenerated to half the corpus on one task.
   */
 class RankingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  /** The operator's tie order: md5 of the string-cast tiebreak, then
+    * the tiebreak itself. */
+  private def tieOrd(c: String) = md5(col(c).cast("string"))
 
   /** (score, id) fixture with heavy ties and a non-divisible count. */
   private def fixture(n: Int, distinctScores: Int) =
@@ -23,11 +30,18 @@ class RankingSpec extends AnyFunSuite {
         .as("score"),
       col("id"))
 
-  test("globalRank equals row_number over a global sort") {
+  /** The r08 hazard fixture: a LOW-cardinality (2-value) metric with a
+    * 90/10 skew — the shape whose tie group IS the corpus. */
+  private def skewedBool(n: Int) =
+    spark.range(n.toLong).select(
+      (col("id") % 10 === 0).cast("int").as("score"), col("id"))
+
+  test("globalRank equals row_number over a global (value, md5-tie) sort") {
     for ((n, ds) <- Seq((1, 1), (7, 3), (100, 5), (100, 100), (97, 1))) {
       val df = fixture(n, ds)
       val expected = df.withColumn("rank",
-        row_number().over(Window.orderBy(col("score"), col("id"))).cast("long"))
+        row_number().over(
+          Window.orderBy(col("score"), tieOrd("id"), col("id"))).cast("long"))
         .select(col("id"), col("rank")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val got = Ranking.globalRank(df, "score", "id")
         .select(col("id"), col("rank")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -42,12 +56,99 @@ class RankingSpec extends AnyFunSuite {
     } {
       val df = fixture(n, ds)
       val expected = df.withColumn("q",
-        ntile(buckets).over(Window.orderBy(col("score"), col("id"))))
+        ntile(buckets).over(Window.orderBy(col("score"), tieOrd("id"), col("id"))))
         .select(col("id"), col("q")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       val got = Ranking.exactNtile(df, "score", "id", buckets, "q")
         .select(col("id"), col("q")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(got === expected, s"n=$n distinct=$ds buckets=$buckets")
     }
+  }
+
+  test("2-distinct-value skewed fixture: all forms equal their window twins (r08 item 1)") {
+    // The fixture that bites the old implementation at scale: one tie
+    // group holds 90% of rows. Equality must hold for globalRank (asc),
+    // groupedRank (asc + desc), and exactNtile — and the plan must
+    // split the tie group across md5 sub-buckets (no per-row window
+    // partitioned by the order value alone).
+    val df = skewedBool(1000).withColumn("grp", (col("id") % 3).cast("int"))
+    val wantG = df.withColumn("want", row_number().over(
+      Window.orderBy(col("score"), tieOrd("id"), col("id"))).cast("long"))
+    val gotG = Ranking.globalRank(df, "score", "id", "rank")
+    assert(wantG.join(gotG, Seq("score", "id", "grp"))
+      .where(col("want") =!= col("rank")).count() === 0, "globalRank")
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc) col("score").desc else col("score").asc
+      val want = df.withColumn("want", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(ord, tieOrd("id"), col("id"))))
+      val got = Ranking.groupedRank(df, Seq("grp"), "score", "id", "got",
+        descending = desc)
+      val j = want.join(got, Seq("grp", "score", "id"))
+      assert(j.count() === 1000, s"desc=$desc")
+      assert(j.where(col("want") =!= col("got")).count() === 0,
+        s"desc=$desc: groupedRank must match the window form")
+    }
+    val wantN = df.withColumn("want",
+      ntile(4).over(Window.orderBy(col("score"), tieOrd("id"), col("id"))))
+    val gotN = Ranking.exactNtile(df, "score", "id", 4, "q")
+    assert(wantN.join(gotN, Seq("score", "id", "grp"))
+      .where(col("want") =!= col("q")).count() === 0, "exactNtile")
+    // Plan shape: every per-row window partition must include the md5
+    // tie bucket beside the order value — the two-level split that
+    // keeps a dominant tie group off a single task.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match { case w: WindowExec => Seq(w); case _ => Seq.empty }
+      val children = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case _ => p.children
+      }
+      self ++ children.flatMap(windows)
+    }
+    gotG.write.format("noop").mode("overwrite").save()
+    val wins = windows(gotG.queryExecution.executedPlan)
+      .filter(_.partitionSpec.nonEmpty)
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.size >= 2),
+      "per-row window must partition by (value, tie-bucket), not the value alone")
+  }
+
+  test("null contract: null order/group rows are excluded, declared not accidental") {
+    val df = Seq(
+      (Some(1.0), Some("g"), 1L), (None, Some("g"), 2L),
+      (Some(2.0), None, 3L), (Some(1.0), Some("g"), 4L),
+      (Some(3.0), Some("h"), 5L))
+      .toDF("score", "grp", "id")
+    val global = Ranking.globalRank(df, "score", "id")
+      .select("id").as[Long].collect().toSet
+    assert(global === Set(1L, 3L, 4L, 5L),
+      "globalRank drops only null-ORDER rows")
+    val grouped = Ranking.groupedRank(df, Seq("grp"), "score", "id", "r")
+      .select("id").as[Long].collect().toSet
+    assert(grouped === Set(1L, 4L, 5L),
+      "groupedRank drops null-order AND null-group rows")
+    val q = Ranking.exactQuantilesBy(df, "grp", "score", Seq(100))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(q === Map("g" -> 1.0, "h" -> 3.0),
+      "quantiles exclude null keys/values")
+    // A NULL TIE value still ranks (draws md5('')).
+    val tn = Seq((1.0, Some("a")), (1.0, Option.empty[String]))
+      .toDF("score", "id")
+    assert(Ranking.globalRank(tn, "score", "id").count() === 2)
+  }
+
+  test("balancedShards never loses a null-weight document (ADVICE r08)") {
+    val docs = Seq(
+      (0L, "g", Some(10L)), (1L, "g", Option.empty[Long]), (2L, "g", Some(8L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val byDoc = graft.operators.DataMix
+      .balancedShards(docs, "doc_id", "source", "n_tokens", shards = 2)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(byDoc.keySet === Set(0L, 1L, 2L),
+      "the null-weight doc must still get a shard")
+    assert(byDoc(0L) === 0 && byDoc(2L) === 1 && byDoc(1L) === 0,
+      "null coalesces to weight 0 and ranks last (10, 8, null)")
   }
 
   test("globalRank can carry the total row count") {
@@ -95,7 +196,7 @@ class RankingSpec extends AnyFunSuite {
     for (desc <- Seq(false, true)) {
       val ord = if (desc) col("score").desc else col("score").asc
       val expect = df.withColumn("want", row_number().over(
-        Window.partitionBy(col("grp")).orderBy(ord, col("id"))))
+        Window.partitionBy(col("grp")).orderBy(ord, tieOrd("id"), col("id"))))
       val got = Ranking.groupedRank(df, Seq("grp"), "score", "id", "got",
         descending = desc)
       val joined = expect.join(got, Seq("grp", "score", "id"))
