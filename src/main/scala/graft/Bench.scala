@@ -156,17 +156,29 @@ object Bench {
     // a single-task sort over a corpus-scale frame (the r07 q108
     // defect's class). Sanctioned bounded-frame sites (histograms,
     // limit(k) survivor ranks) carry the __bnd column marker and don't
-    // count. Listener delivery is async — give the bus a moment to
-    // drain the last action's event before reading.
-    Thread.sleep(1000)
+    // count. Listener delivery is async — BLOCK until the bus drains
+    // (ADVICE r08: a fixed sleep races delivery on a loaded driver and
+    // under-reports the exact counters that exist to catch silent
+    // deopts; fall back to a grace sleep only if the drain times out).
+    if (!org.apache.spark.graft.SparkShims
+        .waitUntilListenerBusEmpty(spark, 30000L))
+      Thread.sleep(1000)
     val wg = WindowTripwire.globalWindows
     if (wg > 0) WindowTripwire.messages.foreach(m =>
       System.err.println(s"[bench] window_global: $m"))
+    // Runtime skew audit (VERDICT r08 item 2): nonzero means some
+    // partitioned window's dominant shuffle partition held most of a
+    // >1 MiB frame (a single-task sort the plan-shape counter cannot
+    // see), or a __bnd bounded-frame claim overflowed its size cap.
+    val wsk = WindowTripwire.skewWindows
+    val wbo = WindowTripwire.bndOverflows
+    if (wsk + wbo > 0) WindowTripwire.skewMessages.foreach(m =>
+      System.err.println(s"[bench] window_skew: $m"))
     // Lease health (VERDICT r06 item 6): nonzero means some entry's
     // cache lease never fired on its own action and the rep-boundary
     // releaseAll had to reclaim it — identity matching regressed.
     val leases = graft.operators.CacheLease.reclaimedCount
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"codegen_fallbacks":$cgf,"window_global":$wg,"cache_leases_reclaimed":$leases,"calibration":$cal,"loadavg":$load,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"codegen_fallbacks":$cgf,"window_global":$wg,"window_skew":$wsk,"window_bnd_overflow":$wbo,"cache_leases_reclaimed":$leases,"calibration":$cal,"loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

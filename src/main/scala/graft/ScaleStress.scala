@@ -438,6 +438,55 @@ object ScaleStress {
         "/tmp/graft_inc_state_full", minContaminatedShingles = noDecon)
       println(f"curation from-scratch (full)     ${(System.nanoTime() - t0) / 1e9}%7.1f s")
       spark.catalog.clearCache(); System.gc()
+
+      // Drift decision is O(#slices), not O(corpus) (VERDICT r08
+      // item 3): the same cadence WITH semantic state over replicated
+      // 10x embeddings, then the weekly retrain decision timed alone —
+      // once at lineage 2 and again at lineage 3 (flat), against the
+      // full state-embedding re-score it replaced (tracks the corpus).
+      val emb10 = {
+        val emb = Tables.embeddings(spark, dir)
+        (0 until reps).map(i => emb.select(
+          (col("vec_id") * reps + i).as("vec_id"), col("embedding")))
+          .reduce(_ unionByName _)
+      }
+      val batchB = batch.where(pmod(col("doc_id"), lit(2)) === 0)
+      val batchC = batch.where(pmod(col("doc_id"), lit(2)) =!= 0)
+      CurationRun.runInit(oldDocs, bench, "/tmp/graft_drift_out0",
+        "/tmp/graft_drift_state0", minContaminatedShingles = noDecon,
+        embeddings = Some(emb10), semanticState = true)
+      CurationRun.runIncremental(batchB, bench, "/tmp/graft_drift_out1",
+        "/tmp/graft_drift_state0", "/tmp/graft_drift_state1",
+        minContaminatedShingles = noDecon, embeddings = Some(emb10))
+      spark.catalog.clearCache(); System.gc()
+      t0 = System.nanoTime()
+      CurationRun.quantizerDriftDecision(spark, "/tmp/graft_drift_state1")
+      println(f"drift decision, lineage 2        ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      CurationRun.runIncremental(batchC, bench, "/tmp/graft_drift_out2",
+        "/tmp/graft_drift_state1", "/tmp/graft_drift_state2",
+        minContaminatedShingles = noDecon, embeddings = Some(emb10))
+      spark.catalog.clearCache(); System.gc()
+      t0 = System.nanoTime()
+      CurationRun.quantizerDriftDecision(spark, "/tmp/graft_drift_state2")
+      println(f"drift decision, lineage 3        ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      // The replaced shape: re-score EVERY state slice's embeddings
+      // under the frozen quantizer (what r07's policy paid per week).
+      t0 = System.nanoTime()
+      val cen10 = spark.read
+        .parquet("/tmp/graft_drift_state2/sem_centroids")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2).toSeq
+      val stateVecs = spark.read.parquet(
+          "/tmp/graft_drift_state0/decon_batch",
+          "/tmp/graft_drift_state1/decon_batch")
+        .select(col("doc_id"))
+        .join(emb10.select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      operators.VectorSim.quantizerDrift(Seq("state" -> stateVecs), cen10)
+        .write.format("noop").mode("overwrite").save()
+      println(f"  vs full state re-score         ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      spark.catalog.clearCache(); System.gc()
     }
 
     // BPE trainer (VERDICT r04 item 1 done-criterion): vocab-8k run

@@ -3,9 +3,10 @@ package graft
 import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.AtomicInteger
 
+import org.apache.spark.graft.SparkShims
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec, QueryExecution, SortExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.util.QueryExecutionListener
 
@@ -43,14 +44,52 @@ object WindowTripwire {
     * `__bnd_<name>` at the sanctioned site. */
   val Marker = "__bnd"
 
+  /** Column-name prefix that marks a PARTITIONED window's key as
+    * entity-bounded — the per-key row count cannot grow with the
+    * corpus (a per-document window over bounded documents, a per-query
+    * frame), so a dominant shuffle partition at small SF is fixture
+    * shape, not a scale hazard. Rename the partition column to
+    * `__ent_<name>` at the sanctioned site. No current site needs it —
+    * the marker exists so a future exemption is a visible plan
+    * declaration, not a tripwire edit. */
+  val EntityMarker = "__ent"
+
+  /** A partitioned window whose largest shuffle partition holds more
+    * than this share of the frame is a dominant-task sort. */
+  val SkewShare = 0.5
+
+  /** Skew is only judged above this total shuffle size — below it the
+    * whole frame fits one task anyway and "skew" is fixture shape. */
+  val SkewMinBytes: Long = 1L << 20
+
+  /** A `__bnd`-sanctioned window whose input shuffle exceeds this is a
+    * bounded-frame CLAIM that stopped being true at this run's scale
+    * (ADVICE r08: an 8dp score histogram reaches ~1e8 rows at corpus
+    * scale — a single-task sort the marker would otherwise hide). */
+  val BndCapBytes: Long = 256L << 20
+
   private val count = new AtomicInteger(0)
   private val recent = new ConcurrentLinkedQueue[String]()
+  private val skewCount = new AtomicInteger(0)
+  private val skewRecent = new ConcurrentLinkedQueue[String]()
+  private val bndCount = new AtomicInteger(0)
+  private val bndRecent = new ConcurrentLinkedQueue[String]()
   private val sessions =
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Unsanctioned unpartitioned-window count since install/reset. */
   def globalWindows: Int = count.get
+
+  /** Dominant-partition (skewed) partitioned-window count since
+    * install/reset (VERDICT r08 item 2 — the hazard [[globalWindows]]
+    * cannot see: a partition key EXISTS but one key holds the
+    * corpus). */
+  def skewWindows: Int = skewCount.get
+
+  /** Bounded-claim overflows since install/reset: `__bnd`-sanctioned
+    * windows whose input shuffle exceeded [[BndCapBytes]]. */
+  def bndOverflows: Int = bndCount.get
 
   /** One-line plan fragments of up to 16 recent hits, for assertions
     * and the bench log. */
@@ -59,7 +98,17 @@ object WindowTripwire {
     recent.asScala.toSeq
   }
 
-  def reset(): Unit = { count.set(0); recent.clear() }
+  /** Hit fragments for [[skewWindows]] / [[bndOverflows]]. */
+  def skewMessages: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    (skewRecent.asScala ++ bndRecent.asScala).toSeq
+  }
+
+  def reset(): Unit = {
+    count.set(0); recent.clear()
+    skewCount.set(0); skewRecent.clear()
+    bndCount.set(0); bndRecent.clear()
+  }
 
   /** Register the listener on `spark` (idempotent per session). */
   def install(spark: SparkSession): Unit = sessions.synchronized {
@@ -72,11 +121,20 @@ object WindowTripwire {
       })
   }
 
-  private def inspect(qe: QueryExecution): Unit =
+  private def inspect(qe: QueryExecution): Unit = {
     try scan(qe.executedPlan).foreach { hit =>
       count.incrementAndGet()
       if (recent.size < 16) recent.add(hit)
     } catch { case _: Throwable => () }
+    try skewScan(qe.executedPlan).foreach {
+      case (hit, true) =>
+        bndCount.incrementAndGet()
+        if (bndRecent.size < 16) bndRecent.add(hit)
+      case (hit, false) =>
+        skewCount.incrementAndGet()
+        if (skewRecent.size < 16) skewRecent.add(hit)
+    } catch { case _: Throwable => () }
+  }
 
   /** One-line fragments of every UNSANCTIONED unpartitioned WindowExec
     * in `p` (empty = scale-safe) — the listener's check exposed for
@@ -102,4 +160,72 @@ object WindowTripwire {
   private def sanctioned(w: WindowExec): Boolean =
     w.expressions.exists(_.references.exists(_.name.startsWith(Marker))) ||
       w.child.output.exists(_.name.startsWith(Marker))
+
+  private def entSanctioned(w: WindowExec): Boolean =
+    w.partitionSpec.exists(_.references.exists(_.name.startsWith(EntityMarker)))
+
+  /** Runtime skew audit over every WindowExec in an EXECUTED plan
+    * (VERDICT r08 item 2): the plan-shape tripwire above can only see
+    * that a partition key exists, not that one key holds the corpus —
+    * the exact gap that let the q103/q106/q133 class ship green and be
+    * closed by hand-audit. AQE's materialized shuffle stages carry
+    * per-reduce-partition byte sizes, and a window's shuffle hashes
+    * its partition keys, so the largest reduce partition's share
+    * BOUNDS the largest key's share from above: a >[[SkewShare]]
+    * partition on a >[[SkewMinBytes]] frame means some window task
+    * sorted most of the frame. (AQE coalescing only merges raw
+    * partitions, so the raw max-share under-reports the post-coalesce
+    * share — conservative in the false-positive direction.)
+    *
+    * `__bnd`-sanctioned windows are exempt from the share check —
+    * a 2-group histogram cumulative legitimately concentrates — but
+    * their TOTAL size is audited against [[BndCapBytes]]: the bounded
+    * claim itself must hold at runtime (ADVICE r08). Returns (hit
+    * fragment, isBndOverflow) pairs. */
+  def skewScan(p: SparkPlan): Seq[(String, Boolean)] = {
+    val self = p match {
+      case w: WindowExec =>
+        inputShuffleBytes(w.child) match {
+          case Some(bytes) if bytes.nonEmpty =>
+            val total = bytes.sum
+            val max = bytes.max
+            if (sanctioned(w)) {
+              if (total > BndCapBytes)
+                Seq((s"bnd-claim overflow (${total >> 20} MiB histogram): " +
+                  w.simpleString(200).linesIterator.take(1).mkString, true))
+              else Seq.empty
+            } else if (w.partitionSpec.nonEmpty && !entSanctioned(w) &&
+                total >= SkewMinBytes && max.toDouble / total > SkewShare) {
+              Seq((f"dominant window partition (${max.toDouble / total}%.2f " +
+                s"of ${total >> 20} MiB): " +
+                w.simpleString(200).linesIterator.take(1).mkString, false))
+            } else Seq.empty
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case _ => p.children
+    }
+    self ++ children.flatMap(skewScan) ++ p.subqueries.flatMap(skewScan)
+  }
+
+  /** Per-reduce-partition sizes of the shuffle feeding a window:
+    * descend the linear chain of shape-preserving nodes (sort,
+    * project, filter, codegen wrappers, AQE shuffle reads) to the
+    * materialized stage. Anything else — a join, an aggregate, an
+    * already-co-partitioned child with no exchange — yields None and
+    * the window is skipped (no stats to judge, conservatively
+    * green). */
+  private def inputShuffleBytes(p: SparkPlan): Option[Array[Long]] =
+    SparkShims.shuffleBytesByPartition(p).orElse(p match {
+      case q: QueryStageExec => inputShuffleBytes(q.plan)
+      case a: AdaptiveSparkPlanExec => inputShuffleBytes(a.executedPlan)
+      case _: SortExec | _: ProjectExec | _: FilterExec | _: InputAdapter |
+           _: WholeStageCodegenExec | _: AQEShuffleReadExec =>
+        p.children.headOption.flatMap(inputShuffleBytes)
+      case _ => None
+    })
 }

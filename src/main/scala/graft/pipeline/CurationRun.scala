@@ -585,6 +585,11 @@ object CurationRun {
           s"$semSalt\n")
         Sinks.overwriteParquet(VectorSim.semanticCells(vecs, cen, semSalt),
           s"$stateOutDir/sem_cells_batch", numFiles = 1)
+        // Ingest-time fit summary (VERDICT r08 item 3): the batch's
+        // embeddings are in hand NOW — one extra tiny aggregate here
+        // makes every later drift decision O(#slices), not O(corpus).
+        Sinks.overwriteParquet(VectorSim.quantizerFitSlice(vecs, cen),
+          s"$stateOutDir/sem_fit_batch", numFiles = 1)
         val cellsS = spark.read.parquet(s"$stateOutDir/sem_cells_batch")
         Sinks.overwriteParquet(
           TextDedup.connectedComponents(VectorSim.semanticPairsIncremental(
@@ -731,6 +736,11 @@ object CurationRun {
           .select(col("vec_id"), col("embedding"))
         Sinks.overwriteParquet(VectorSim.semanticCells(vecsNew, cen, salt),
           s"$stateOutDir/sem_cells_batch", numFiles = 1)
+        // Batch fit under the FROZEN quantizer, landed beside the
+        // slice: the weekly drift decision reads these one-row
+        // summaries instead of re-scanning state embeddings.
+        Sinks.overwriteParquet(VectorSim.quantizerFitSlice(vecsNew, cen),
+          s"$stateOutDir/sem_fit_batch", numFiles = 1)
         val cellsAll = readSlices(spark, lineage, "sem_cells_batch")
           .unionByName(spark.read.parquet(s"$stateOutDir/sem_cells_batch"))
         // Batch-scale pair work: only the new docs' cells join.
@@ -851,6 +861,12 @@ object CurationRun {
           s"$semSalt\n")
         Sinks.overwriteParquet(VectorSim.semanticCells(vecs, cen, semSalt),
           s"$stateOutDir/sem_cells_batch", numFiles = 1)
+        // Retraining re-pays the semantic front anyway, so the fit
+        // summary under the NEW centroids is one extra aggregate over
+        // vectors already in hand — the consolidated baseline every
+        // later drift decision compares batches against.
+        Sinks.overwriteParquet(VectorSim.quantizerFitSlice(vecs, cen),
+          s"$stateOutDir/sem_fit_batch", numFiles = 1)
         val cellsS = spark.read.parquet(s"$stateOutDir/sem_cells_batch")
         Sinks.overwriteParquet(
           TextDedup.connectedComponents(VectorSim.semanticPairsIncremental(
@@ -859,6 +875,18 @@ object CurationRun {
       } else {
         Sinks.overwriteParquet(readSlices(spark, lineage, "sem_cells_batch"),
           s"$stateOutDir/sem_cells_batch", numFiles = 1)
+        // Fit summaries consolidate like the df slices: the frozen
+        // quantizer is unchanged, and decimal distance sums add
+        // exactly, so one summed row == the union of slice rows for
+        // every later decision.
+        Sinks.overwriteParquet(
+          readSlices(spark, lineage, "sem_fit_batch")
+            .agg(
+              coalesce(sum(col("n_vectors")), lit(0L)).as("n_vectors"),
+              coalesce(sum(col("sum_dist")), lit(0))
+                .cast("decimal(38,6)").as("sum_dist"),
+              max(col("max_dist")).as("max_dist")),
+          s"$stateOutDir/sem_fit_batch", numFiles = 1)
         Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/sem_centroids"),
           s"$stateOutDir/sem_centroids", numFiles = 1)
         Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/sem_clusters"),
@@ -872,11 +900,53 @@ object CurationRun {
     writeLineage(stateOutDir, Seq(stateOutDir))
   }
 
+  /** The drift DECISION behind [[rebaseIfDrifted]], exposed so its
+    * cost can be priced alone: aggregate the lineage's one-row
+    * `sem_fit_batch` summaries (state = every slice before the
+    * newest, batch = the newest) and compare mean fits. O(#slices)
+    * file reads, zero embedding scans — decimal distance sums add
+    * exactly, so the means equal a full re-score of the state's
+    * embeddings under the frozen quantizer bit-for-bit (VERDICT r08
+    * item 3; spec-pinned against the [[VectorSim.quantizerDrift]]
+    * full-scan on both the planted-drift and stable corpora).
+    * Returns true when the retrain branch should run. */
+  def quantizerDriftDecision(spark: org.apache.spark.sql.SparkSession,
+      stateInDir: String, driftRatio: Double = 1.5): Boolean = {
+    val lineage = readLineage(stateInDir)
+    val semActive = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))
+    semActive && lineage.size > 1 && {
+      def sideFit(dirs: Seq[String]): (Long, Double) = {
+        val r = spark.read
+          .parquet(dirs.map(d => s"$d/sem_fit_batch"): _*)
+          .agg(coalesce(sum(col("n_vectors")), lit(0L)).as("n"),
+            sum(col("sum_dist")).as("s"))
+          // The SAME mean arithmetic quantizerDrift computes over raw
+          // distances: exact decimal sum, divided once, 6dp round.
+          .select(col("n"),
+            when(col("n") > 0,
+              round(col("s").cast("double") / col("n"), 6))
+              .otherwise(lit(0.0)).as("mean"))
+          .head()
+        (r.getLong(0), r.getDouble(1))
+      }
+      val (nState, stateMean) = sideFit(lineage.init)
+      val (nBatch, batchMean) = sideFit(Seq(lineage.last))
+      // An empty side yields no evidence; equality-at-zero (both fits
+      // perfect) is no drift.
+      nState > 0 && nBatch > 0 && batchMean > 0 &&
+        batchMean >= driftRatio * stateMean
+    }
+  }
+
   /** Drift-gated rebase — the policy that CONNECTS the q139 monitor to
     * the retrain valve (VERDICT r07 item 4). The weekly runner calls
-    * this instead of choosing a rebase mode by hand: it scores the
-    * newest batch's quantizer fit ([[VectorSim.quantizerDrift]] under
-    * the state's FROZEN centroids) against the state's own fit, and
+    * this instead of choosing a rebase mode by hand: it compares the
+    * newest batch's ingest-time quantizer-fit summary against the
+    * state's ([[quantizerDriftDecision]] — O(#slices), no embedding
+    * scan; r07's version re-scored EVERY state slice's embeddings per
+    * weekly decision, the last per-increment cost that tracked the
+    * corpus rather than the batch), and
     *   - batch mean_dist >= `driftRatio` x state mean_dist  ⇒ the
     *     frozen cells no longer co-locate the incoming data's
     *     near-duplicates: [[rebaseState]] with `retrainSemantic = true`
@@ -885,36 +955,15 @@ object CurationRun {
     *   - otherwise ⇒ plain lineage compaction (pure IO).
     * "State" = every lineage slice before the newest; "batch" = the
     * newest slice — the exact comparison q139 tabulates. Cost of the
-    * decision: one map pass per side + a 2-row aggregate. Returns
-    * whether the retrain branch ran. Lineages of length 1 and states
-    * without semantic state compact without measuring (nothing to
-    * compare / nothing to retrain). */
+    * decision: |lineage| one-row summary reads + a 2-row aggregate.
+    * Returns whether the retrain branch ran. Lineages of length 1 and
+    * states without semantic state compact without measuring (nothing
+    * to compare / nothing to retrain). */
   def rebaseIfDrifted(spark: org.apache.spark.sql.SparkSession,
       stateInDir: String, stateOutDir: String, embeddings: DataFrame,
       driftRatio: Double = 1.5, semClusters: Int = 16, semIters: Int = 2,
       semThreshold: Double = 0.99, semSalt: Int = 1): Boolean = {
-    val lineage = readLineage(stateInDir)
-    val semActive = java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))
-    val retrain = semActive && lineage.size > 1 && {
-      val cen = readSemCentroids(spark, s"$stateInDir/sem_centroids")
-      val stateVecs = embeddedVecs(
-        readSlices(spark, lineage.init, "decon_batch"), embeddings)
-      val batchVecs = embeddedVecs(
-        spark.read.parquet(s"${lineage.last}/decon_batch"), embeddings)
-      val fit = VectorSim.quantizerDrift(
-          Seq("state" -> stateVecs, "batch" -> batchVecs), cen)
-        .collect()
-        .map(r => r.getString(0) ->
-          (r.getLong(1), if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
-        .toMap
-      val (nState, stateMean) = fit("state")
-      val (nBatch, batchMean) = fit("batch")
-      // An empty side yields no evidence; equality-at-zero (both fits
-      // perfect) is no drift.
-      nState > 0 && nBatch > 0 && batchMean > 0 &&
-        batchMean >= driftRatio * stateMean
-    }
+    val retrain = quantizerDriftDecision(spark, stateInDir, driftRatio)
     rebaseState(spark, stateInDir, stateOutDir,
       retrainSemantic = retrain,
       embeddings = if (retrain) Some(embeddings) else None,

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{coalesce, col, lit, round, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipeline.CurationRun
@@ -483,6 +483,50 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(semClustersOf(s"$b2/state_p") == semClustersOf(s"$b2/state_m"))
     assert(cenRows(s"$b2/state_p") != cenRows(s"$b2/state_2"),
       "the retrained quantizer must actually differ from the frozen one")
+
+    // VERDICT r08 item 3: the decision now aggregates ingest-time
+    // sem_fit_batch summaries instead of re-scanning state embeddings.
+    // Pin (a) summary means == a full quantizerDrift re-score of the
+    // same slices, bit-for-bit; (b) the O(#slices) decision picks the
+    // same branch on both corpora; (c) a pure-IO rebase consolidates
+    // the summaries losslessly.
+    def cenOf(d: String): Seq[Array[Double]] =
+      spark.read.parquet(s"$d/sem_centroids").as[(Int, Seq[Double])]
+        .collect().sortBy(_._1).map(_._2.toArray).toSeq
+    def vecsOf(stateDirs: Seq[String], emb: org.apache.spark.sql.DataFrame) =
+      spark.read.parquet(stateDirs.map(d => s"$d/decon_batch"): _*)
+        .select(col("doc_id"))
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+    def summaryFit(dirs: Seq[String]): (Long, Double) = {
+      val r = spark.read.parquet(dirs.map(d => s"$d/sem_fit_batch"): _*)
+        .agg(coalesce(sum(col("n_vectors")), lit(0L)).as("n"),
+          sum(col("sum_dist")).as("s"))
+        .select(col("n"), when(col("n") > 0,
+          round(col("s").cast("double") / col("n"), 6))
+          .otherwise(lit(0.0)).as("m"))
+        .head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    for ((base, emb, wantRetrain) <- Seq(
+        (b1, embStable, false), (b2, embDrift, true))) {
+      val cen = cenOf(s"$base/state_2")
+      val full = graft.operators.VectorSim.quantizerDrift(Seq(
+          "state" -> vecsOf(Seq(s"$base/state_1"), emb),
+          "batch" -> vecsOf(Seq(s"$base/state_2"), emb)), cen)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(summaryFit(Seq(s"$base/state_1")) == full("state"),
+        s"$base: state summary must equal the full re-score")
+      assert(summaryFit(Seq(s"$base/state_2")) == full("batch"),
+        s"$base: batch summary must equal the full re-score")
+      assert(CurationRun.quantizerDriftDecision(spark, s"$base/state_2")
+        == wantRetrain, s"$base: O(#slices) decision must pick the same branch")
+    }
+    assert(summaryFit(Seq(s"$b1/state_m")) ==
+      summaryFit(Seq(s"$b1/state_1", s"$b1/state_2")),
+      "pure-IO rebase must consolidate fit summaries losslessly")
   }
 
   test("span-df state cadence: batch cleaned against composed df, history frozen (append-only)") {

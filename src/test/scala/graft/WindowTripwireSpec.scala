@@ -71,4 +71,61 @@ class WindowTripwireSpec extends AnyFunSuite {
     val hits = WindowTripwire.scan(bad.queryExecution.executedPlan)
     assert(hits.nonEmpty, "scan must descend into the adaptive plan")
   }
+
+  /** 90/10-skewed keyed frame, sized past [[WindowTripwire.SkewMinBytes]]
+    * even after shuffle compression (md5 payloads resist lz4). */
+  private def skewedFrame = spark.range(300000L).select(
+    when(pmod(col("id"), lit(10)) =!= 0, lit("hot"))
+      .otherwise(concat(lit("c"), pmod(col("id"), lit(1000)))).as("k"),
+    md5(col("id").cast("string")).as("payload"),
+    col("id"))
+
+  private def skewDelta(df: org.apache.spark.sql.DataFrame,
+      expectMove: Boolean): Int = {
+    val before = WindowTripwire.skewWindows + WindowTripwire.bndOverflows
+    df.write.format("noop").mode("overwrite").save()
+    val deadline = System.nanoTime() + 10000000000L
+    while (expectMove &&
+        WindowTripwire.skewWindows + WindowTripwire.bndOverflows == before &&
+        System.nanoTime() < deadline)
+      Thread.sleep(20)
+    if (!expectMove)
+      org.apache.spark.graft.SparkShims
+        .waitUntilListenerBusEmpty(spark, 10000L)
+    WindowTripwire.skewWindows + WindowTripwire.bndOverflows - before
+  }
+
+  test("skew red branch: a single-key-dominated partitioned window trips window_skew") {
+    // The q103/q106/q133 class: a partition key EXISTS (so the
+    // plan-shape counter stays silent) but one key holds 90% of a
+    // multi-MiB frame — the dominant task sorts most of the corpus.
+    val bad = skewedFrame.withColumn("rn",
+      row_number().over(Window.partitionBy(col("k"))
+        .orderBy(col("id"))))
+    assert(skewDelta(bad, expectMove = true) >= 1,
+      "a 90%-skewed partitioned window must be counted at runtime")
+    assert(WindowTripwire.skewMessages.exists(_.contains("dominant")),
+      s"hit should name the dominant partition: ${WindowTripwire.skewMessages}")
+  }
+
+  test("skew green branch: tie-bucket ranking and histogram sites stay silent") {
+    // The SAME skewed data through the engine's own rank operator: the
+    // md5 tie-bucket split spreads the dominant tie group across 4096
+    // sub-buckets, and the __bnd histogram cumulative stays under the
+    // bounded-claim cap — neither counter may move.
+    val ranked = graft.operators.Ranking.globalRank(
+      skewedFrame.select(col("id"), col("payload"),
+        (pmod(col("id"), lit(10)) === 0).cast("int").as("flag")),
+      "flag", "id", "rank")
+    assert(skewDelta(ranked, expectMove = false) === 0,
+      s"tie-bucket rank must not read as skew: ${WindowTripwire.skewMessages}")
+  }
+
+  test("skew green branch: an __ent-marked entity window is sanctioned") {
+    val ent = skewedFrame.withColumnRenamed("k", "__ent_k")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("__ent_k")).orderBy(col("id"))))
+    assert(skewDelta(ent, expectMove = false) === 0,
+      s"entity-sanctioned window must not count: ${WindowTripwire.skewMessages}")
+  }
 }
