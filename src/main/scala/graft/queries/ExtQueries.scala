@@ -964,24 +964,105 @@ object ExtQueries {
     * odd docs only — equal by construction since distinct-doc counts
     * add across the disjoint halves. */
   def q145LineIncremental(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.tokens
-    val d = Tables.documents(s, dir)
-    val toks = tokens(col("text"))
-    val nl = greatest(floor((size(toks) + lit(7)) / lit(8)).cast("int"), lit(1))
-    val lined = d.select(col("doc_id"),
-      concat(
-        array_join(transform(sequence(lit(0), nl - 1), i =>
-          array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n"),
-        when(substring(md5(concat(col("doc_id").cast("string"), lit("#footer"))), 1, 1)
-          .isin("0", "1", "2", "3", "4", "5", "6", "7"),
-          lit("\nsubscribe to the newsletter for weekly updates"))
-          .otherwise(lit(""))).as("text"))
+    val lined = linedDocs(s, dir)
     val history = lined.where(pmod(col("doc_id"), lit(2)) === 0)
     val batch = lined.where(pmod(col("doc_id"), lit(2)) === 1)
     val counts = TextDedup.lineCounts(history, "doc_id", "text")
     val (cleaned, _, rel) = TextDedup.removeRepeatedLinesIncremental(
       batch, "doc_id", "text", minDf = 2, historyCounts = counts)
     CacheLease.releaseAfterAction(cleaned)(rel)
+  }
+
+  /** Composed ALL-STATE weekly cadence as one oracle-checked entry
+    * (q146, VERDICT r08 item 4): [[graft.pipeline.CurationRun.runInit]]
+    * + TWO [[graft.pipeline.CurationRun.runIncremental]] batches
+    * (doc_id mod 3 thirds of the line-synthesized %97 corpus) with
+    * EVERY state cadence active at once — line-df state (raw text),
+    * span-df state (prepped text), Bloomless prep gates, the LSH
+    * dedup state, the frozen-quantizer semantic state, AND the ANN
+    * codes state (index artifact — exercised here, served/checked by
+    * q141). q137 pins the composed PIPELINE; the four cadences so far
+    * had only pairwise state specs — this entry runs them together
+    * and reports the final increment's audit row. The DuckDB oracle
+    * replays the STAGED semantics exactly: batch b's line cleaning
+    * sees the line-df of batches 0..b (slice counts add across
+    * disjoint ids), its prep chain runs on its own line-cleaned text,
+    * its span cleaning sees the gram-df of prepped batches 0..b; the
+    * composed decon rides the scratch LSH/survivor chain (incremental
+    * LSH+CC == scratch, spec-pinned), the semantic pass runs under
+    * the quantizer FROZEN at init (train on init decon vectors,
+    * assign every decon vector; the per-batch incremental pair runs
+    * union to exactly the full within-cell pair set), and the output
+    * tail is q137's. Every reported stage has nonzero attrition at
+    * both verify SFs. */
+  def q146CadenceE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    import graft.pipeline.CurationRun
+    val docs = Tables.documents(s, dir)
+    // Corpus synthesis: span-planted lined docs (%97 split) PLUS
+    // token-shifted near-dup replicas of the md5-drawn quarter —
+    // "copy" + the original token stream re-slices into doc-unique
+    // lines (line dedup must not eat the pair) while the 3-gram
+    // shingle sets stay near-identical, so the LSH survivor stage has
+    // real attrition. Replica ids live far above the corpus range;
+    // they carry no embedding row, so the semantic stage ignores them
+    // on both engines by the same inner join.
+    val toksBase = Tables.documents(s, dir)
+      .where(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"), plantedToks(s).as("toks"))
+    val replicas = toksBase
+      .where(substring(md5(concat(col("doc_id").cast("string"), lit("#dup"))), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+        concat(array(lit("copy")), col("toks")).as("toks"))
+    val lined = lineSynthesis(toksBase.unionByName(replicas))
+    val benchmark = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    // The q137 classifier artifact: trained once on the NORMALIZED
+    // full table, passed to all three weekly runs.
+    val normAll = TextAnalysis
+      .normalize(docs, "doc_id", "text")
+      .select(col("doc_id"), col("norm_text").as("text"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val weights = QualityClassifier.train(
+      normAll.withColumn("y", when(col("lang") === "en", 1).otherwise(0)),
+      "doc_id", "text", "y", buckets = 256, iters = 3, lr = 0.5)
+    val base = scratchDir("q146_cadence")
+    def b(i: Int) = lined.where(pmod(col("doc_id"), lit(3)) === i)
+    val emb = Tables.embeddings(s, dir)
+    CurationRun.runInit(b(0), benchmark, s"$base/out0", s"$base/state0",
+      minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
+      fractions = Map("en" -> 0.5), defaultFraction = 0.9,
+      packBudget = 4096L, packShards = 8,
+      embeddings = Some(emb), semClusters = 8, semIters = 2,
+      semThreshold = 0.35,
+      classifier = Some((weights, 256)), minClassifierScore = 0.0001,
+      semanticState = true, semSalt = 1,
+      annState = true, annSubspaces = 4, annCodewords = 8,
+      annClusters = 4, annIters = 2,
+      spanState = true, spanK = 8, spanMinDf = 2,
+      lineState = true, lineMinDf = 2)
+    CurationRun.runIncremental(b(1), benchmark, s"$base/out1",
+      s"$base/state0", s"$base/state1",
+      minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
+      fractions = Map("en" -> 0.5), defaultFraction = 0.9,
+      packBudget = 4096L, packShards = 8,
+      embeddings = Some(emb), semClusters = 8, semIters = 2,
+      semThreshold = 0.35,
+      classifier = Some((weights, 256)), minClassifierScore = 0.0001,
+      spanK = 8, spanMinDf = 2, lineMinDf = 2)
+    val st = CurationRun.runIncremental(b(2), benchmark, s"$base/out2",
+      s"$base/state1", s"$base/state2",
+      minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
+      fractions = Map("en" -> 0.5), defaultFraction = 0.9,
+      packBudget = 4096L, packShards = 8,
+      embeddings = Some(emb), semClusters = 8, semIters = 2,
+      semThreshold = 0.35,
+      classifier = Some((weights, 256)), minClassifierScore = 0.0001,
+      spanK = 8, spanMinDf = 2, lineMinDf = 2)
+    s.createDataFrame(Seq((st.input, st.decontaminated, st.spanCleaned,
+        st.lineCleaned, st.kept, st.semDropped, st.sampled, st.bins)))
+      .toDF("input", "decontaminated", "span_cleaned", "line_cleaned",
+        "kept", "sem_dropped", "sampled", "bins")
   }
 
   /** Exact corpus quantile report (q143): order-statistic percentiles
@@ -1020,12 +1101,57 @@ object ExtQueries {
     * the same df >= 2 rule on BOTH engines (the oracle counts line
     * strings where the operator counts 64-bit line hashes — the
     * [[graft.operators.TextDedup.gramFrame]] collision stance). */
-  def q144LineDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Line-structure synthesis shared by q144/q145/q146: the corpus has
+    * no newlines, so line-granular dedup entries slice each document
+    * into 8-token lines and plant a nav-bar footer on the md5-drawn
+    * half of docs (deterministic, replayed verbatim by the oracles). */
+  /** The span-plant token stream q146 builds its corpus from: the
+    * raw whitespace tokens, with the 12-token boilerplate run
+    * inserted at an md5-derived unaligned offset on the drawn half
+    * (see [[linedDocs]]). */
+  private def plantedToks(s: SparkSession): Column = {
     import graft.functions.TextFunctions.tokens
-    val d = Tables.documents(s, dir)
-    val toks = tokens(col("text"))
+    val base = tokens(col("text"))
+    val draw = md5(concat(col("doc_id").cast("string"), lit("#span")))
+    val off = (conv(substring(draw, 1, 8), 16, 10).cast("long") % 3 + 1)
+      .cast("int")
+    val boiler = array(Seq("this", "content", "is", "provided", "under",
+      "the", "creative", "commons", "attribution", "license", "terms",
+      "only").map(lit): _*)
+    when(substring(draw, 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        concat(slice(base, lit(1), off), boiler,
+          slice(base, off + 1, lit(1 << 20))))
+      .otherwise(base)
+  }
+
+  private def linedDocs(s: SparkSession, dir: String,
+      spanPlant: Boolean = false): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val base = tokens(col("text"))
+    // q146's span-stage attrition plant ([[plantedToks]]): a 12-token
+    // boilerplate run at an md5-derived UNALIGNED offset (1..3) on
+    // the md5-drawn half of docs. Unaligned means the 8-token slice
+    // lines around it stay doc-unique (the line stage must NOT eat
+    // it — an aligned plant becomes a repeated line; offsets >= 4
+    // would push 8 consecutive boiler tokens into one cohort-shared
+    // line), while the identical token run itself crosses the span
+    // gram-df threshold corpus-wide.
+    val toks = if (spanPlant) plantedToks(s) else base
+    lineSynthesis(Tables.documents(s, dir).select(col("doc_id"),
+      toks.as("toks")))
+  }
+
+  /** 8-token slice lines + md5-drawn footer over a (doc_id, toks)
+    * frame — the slicing tail of [[linedDocs]], exposed separately so
+    * q146 can line-synthesize a corpus with token-level near-dup
+    * replicas (a "copy"-prefixed token stream re-slices into
+    * DIFFERENT lines than its original, so the pair survives line
+    * dedup and exercises the near-dup survivor stage). */
+  private def lineSynthesis(docsToks: DataFrame): DataFrame = {
+    val toks = col("toks")
     val nl = greatest(floor((size(toks) + lit(7)) / lit(8)).cast("int"), lit(1))
-    val lined = d.select(col("doc_id"),
+    docsToks.select(col("doc_id"),
       concat(
         array_join(transform(sequence(lit(0), nl - 1), i =>
           array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n"),
@@ -1033,8 +1159,10 @@ object ExtQueries {
           .isin("0", "1", "2", "3", "4", "5", "6", "7"),
           lit("\nsubscribe to the newsletter for weekly updates"))
           .otherwise(lit(""))).as("text"))
-    TextDedup.removeRepeatedLines(lined, "doc_id", "text", minDf = 2)
   }
+
+  def q144LineDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.removeRepeatedLines(linedDocs(s, dir), "doc_id", "text", minDf = 2)
 
   /** Extended PII redaction (q140): emails, URLs, IPv4 literals and
     * phone-like digit runs rewritten in one deterministic pass, with
@@ -2161,64 +2289,113 @@ object ExtQueries {
        |FROM g JOIN sv ON sv.group_id = g.group_id)""".stripMargin
   }
 
-  /** DuckDB replay of the FULL `CurationRun.run` pipeline (q137,
-    * VERDICT r06 item 8) — every stage of the end-to-end curation pass
-    * composed into one query, producing the nine per-stage audit
-    * counts the engine's `Stats` row reports. Stage fragments reuse
-    * the per-operator oracle disciplines verbatim (q46 normalize, q42
-    * redact, q17 quality, q82 classifier GD replay, q47 decon, q69
-    * spans, q22 LSH, q53 closure, q58 survivors, q70 semantic dedup,
-    * q48 sample draw, q49 packing), re-anchored on the intermediate
-    * CTEs so each stage sees the previous stage's TRANSFORMED text
-    * exactly as the engine does. Constants must match
-    * [[q137CurationE2e]]. */
-  private lazy val curationE2eOracleSql: String = {
-    val em = graft.operators.TextAnalysis.EmailPattern
-    val ur = graft.operators.TextAnalysis.UrlPattern
-    val stop = "['the','a','of','and','to','el','la','de','que','y'," +
-      "'der','die','und','das','ist','le','les','et','des','un']"
-    // q17 quality-score CTE triple over a (doc_id, text) source.
-    def qualityCtes(src: String, p: String): String =
-      s"""${p}t AS (SELECT doc_id, $duckToks AS toks, CAST(len(text) AS DOUBLE) AS nc FROM $src),
-         |${p}m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nt,
-         |  CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
-         |  CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE) AS nstop,
-         |  nc FROM ${p}t),
-         |${p}q AS (SELECT doc_id, round(
-         |   (CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.25 ELSE 0.0 END) +
-         |   (CASE WHEN nd / nt >= 0.3 THEN 0.25 ELSE 0.0 END) +
-         |   (CASE WHEN (nc - (nt - 1)) / nt >= 3.0 AND (nc - (nt - 1)) / nt <= 10.0 THEN 0.25 ELSE 0.0 END) +
-         |   (CASE WHEN nstop / nt > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS q
-         |  FROM ${p}m)""".stripMargin
-    // Distinct word-3-gram shingles (with the <3-token whole-text
-    // fallback) over a (doc_id, text) source. The coalesce matters on
-    // span-emptied docs: DuckDB's array_to_string([], ' ') is NULL,
-    // but the engine's fallback shingle for an empty doc is '' — and
-    // a NULL shingle would silently drop the doc from banding (NULL
-    // never equi-joins), diverging from the engine's behavior of
-    // clustering fully-emptied docs together.
-    def shingleCte(src: String, name: String): String =
-      s"""$name AS MATERIALIZED (SELECT doc_id,
-         |  CASE WHEN len(tq) - 2 >= 1
-         |    THEN list_distinct([array_to_string(tq[i+1:i+3], ' ') for i in range(0, len(tq)-2)])
-         |    ELSE [coalesce(array_to_string(tq, ' '), '')] END AS sh
-         |  FROM (SELECT doc_id, $duckToks AS tq FROM $src))""".stripMargin
-    // q18 language-ID pair over a (doc_id, text) source.
-    def langCtes(src: String, p: String): String =
-      s"""${p}h AS (SELECT doc_id,
-         |  CAST(len(list_filter(tq, x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS hits_en,
-         |  CAST(len(list_filter(tq, x -> list_contains(['el','la','de','que','y'], x))) AS INT) AS hits_es,
-         |  CAST(len(list_filter(tq, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) AS hits_de,
-         |  CAST(len(list_filter(tq, x -> list_contains(['le','les','et','des','un'], x))) AS INT) AS hits_fr
-         |  FROM (SELECT doc_id, $duckToks AS tq FROM $src)),
-         |${p}d AS (SELECT doc_id,
-         | CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
-         |      WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
-         |      WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
-         |      WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
-         |      ELSE 'fr' END AS detected_lang
-         |FROM ${p}h)""".stripMargin
-    // q22's MinHash family: identical coefficients, 16x2 banding.
+  // ------------------------------------------------------------------
+  // Shared CTE fragments for the end-to-end curation oracles: q137's
+  // ten-stage scratch replay and q146's three-batch all-state cadence
+  // replay. Each def emits a spliceable block parameterized by source
+  // CTE and name prefix, so the staged q146 replay reuses q137's
+  // per-stage disciplines verbatim instead of forking them.
+  // ------------------------------------------------------------------
+
+  private val e2eStop = "['the','a','of','and','to','el','la','de','que','y'," +
+    "'der','die','und','das','ist','le','les','et','des','un']"
+
+  /** q17 quality-score CTE triple over a (doc_id, text) source. */
+  private def e2eQualityCtes(src: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, $duckToks AS toks, CAST(len(text) AS DOUBLE) AS nc FROM $src),
+       |${p}m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS nt,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+       |  CAST(len(list_filter(toks, x -> list_contains($e2eStop, x))) AS DOUBLE) AS nstop,
+       |  nc FROM ${p}t),
+       |${p}q AS (SELECT doc_id, round(
+       |   (CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.25 ELSE 0.0 END) +
+       |   (CASE WHEN nd / nt >= 0.3 THEN 0.25 ELSE 0.0 END) +
+       |   (CASE WHEN (nc - (nt - 1)) / nt >= 3.0 AND (nc - (nt - 1)) / nt <= 10.0 THEN 0.25 ELSE 0.0 END) +
+       |   (CASE WHEN nstop / nt > 0.0 THEN 0.25 ELSE 0.0 END), 2) AS q
+       |  FROM ${p}m)""".stripMargin
+
+  /** Distinct word-3-gram shingles (with the <3-token whole-text
+    * fallback) over a (doc_id, text) source. The coalesce matters on
+    * span-emptied docs: DuckDB's array_to_string([], ' ') is NULL,
+    * but the engine's fallback shingle for an empty doc is '' — and
+    * a NULL shingle would silently drop the doc from banding (NULL
+    * never equi-joins), diverging from the engine's behavior of
+    * clustering fully-emptied docs together. */
+  private def e2eShingleCte(src: String, name: String): String =
+    s"""$name AS MATERIALIZED (SELECT doc_id,
+       |  CASE WHEN len(tq) - 2 >= 1
+       |    THEN list_distinct([array_to_string(tq[i+1:i+3], ' ') for i in range(0, len(tq)-2)])
+       |    ELSE [coalesce(array_to_string(tq, ' '), '')] END AS sh
+       |  FROM (SELECT doc_id, $duckToks AS tq FROM $src))""".stripMargin
+
+  /** q18 language-ID pair over a (doc_id, text) source. */
+  private def e2eLangCtes(src: String, p: String): String =
+    s"""${p}h AS (SELECT doc_id,
+       |  CAST(len(list_filter(tq, x -> list_contains(['the','a','of','and','to'], x))) AS INT) AS hits_en,
+       |  CAST(len(list_filter(tq, x -> list_contains(['el','la','de','que','y'], x))) AS INT) AS hits_es,
+       |  CAST(len(list_filter(tq, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) AS hits_de,
+       |  CAST(len(list_filter(tq, x -> list_contains(['le','les','et','des','un'], x))) AS INT) AS hits_fr
+       |  FROM (SELECT doc_id, $duckToks AS tq FROM $src)),
+       |${p}d AS (SELECT doc_id,
+       | CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'und'
+       |      WHEN hits_en = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'en'
+       |      WHEN hits_es = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'es'
+       |      WHEN hits_de = greatest(hits_en, hits_es, hits_de, hits_fr) THEN 'de'
+       |      ELSE 'fr' END AS detected_lang
+       |FROM ${p}h)""".stripMargin
+
+  /** q82 classifier SCORING chain over a (doc_id, text) source under
+    * the trained 256-bucket weight CTE `w3` (from [[classifierCtes]]);
+    * emits `${p}cp` (doc_id, p). */
+  private def e2eScoreCtes(src: String, p: String): String =
+    s"""${p}ctk AS (SELECT doc_id, $duckToks AS t FROM $src),
+       |${p}cg AS (SELECT doc_id, unnest(list_concat(t, CASE WHEN len(t) - 1 >= 1
+       |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+       |  ELSE [array_to_string(t, ' ')] END)) AS cgr FROM ${p}ctk),
+       |${p}cbk AS (SELECT doc_id, ('0x' || substr(md5(cgr), 1, 8))::BIGINT % 256 AS b FROM ${p}cg),
+       |${p}cdb AS (SELECT doc_id, b, count(*) AS n FROM ${p}cbk GROUP BY 1, 2),
+       |${p}cz AS (SELECT d9.doc_id, sum(CAST(d9.n AS DECIMAL(10,0)) * w3.w) AS z
+       |  FROM ${p}cdb d9 JOIN w3 USING (b) GROUP BY 1),
+       |${p}cp AS (SELECT doc_id, CAST(round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 8) AS DECIMAL(20,8)) AS p FROM ${p}cz)""".stripMargin
+
+  /** q69 span-chain gram positions: 8-token grams over a decon'd
+    * (doc_id, text, ...) source; emits `${p}dtk` and `${p}sgp`. */
+  private def e2eSpanGramCtes(srcDec: String, p: String,
+      k: Int = 8): String =
+    s"""${p}dtk AS MATERIALIZED (SELECT doc_id, $duckToks AS toks FROM $srcDec),
+       |${p}sgp AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+${k - 1}], ' ')} for i in range(1, len(toks) - ${k - 2})]) AS u
+       |  FROM ${p}dtk WHERE len(toks) >= $k))""".stripMargin
+
+  /** q69 span REMOVAL over `${p}dtk`/`${p}sgp` against the repeated-
+    * gram set CTE `srepName`; emits `${p}sp` (doc_id, text,
+    * quality_score, n_removed) re-anchored on decon rows `decSrc`. */
+  private def e2eSpanRemovalCtes(p: String, srepName: String,
+      decSrc: String, k: Int = 8): String =
+    s"""${p}spr AS (SELECT doc_id, pos FROM ${p}sgp JOIN $srepName USING (gram)),
+       |${p}srun AS (SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos
+       |  FROM (SELECT doc_id, pos,
+       |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp2
+       |        FROM ${p}spr)
+       |  GROUP BY doc_id, grp2),
+       |${p}stp AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+       |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]} for i in range(1, len(toks) + 1)]) AS u FROM ${p}dtk)),
+       |${p}skp AS (SELECT p2.doc_id, p2.pos, p2.tok FROM ${p}stp p2
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}srun s2 WHERE s2.doc_id = p2.doc_id
+       |    AND p2.pos BETWEEN s2.start_pos AND s2.end_pos + ${k - 1})),
+       |${p}sag AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       |    count(*) AS n_kept FROM ${p}skp GROUP BY doc_id),
+       |${p}sp AS MATERIALIZED (SELECT d2.doc_id, coalesce(${p}sag.clean_text, '') AS text, d2.quality_score,
+       |    CAST(len(${p}dtk.toks) - coalesce(${p}sag.n_kept, 0) AS BIGINT) AS n_removed
+       |  FROM $decSrc d2 JOIN ${p}dtk USING (doc_id) LEFT JOIN ${p}sag USING (doc_id))""".stripMargin
+
+  /** q22 MinHash-LSH + q53 closure + q58 survivor chain over the
+    * shingle CTE `shName` (doc_id, sh), survivor quality from `qName`
+    * (doc_id, q), kept survivors `k1` from decon rows `decSrc`
+    * (doc_id, text, quality_score). Threshold 0.25, 32 hashes in
+    * 16x2 bands — the engine's curation constants. */
+  private def e2eLshSurvivorCtes(shName: String, qName: String,
+      decSrc: String): String = {
     val coeffs = graft.functions.TextFunctions.minhashCoefficients(32)
     val prime = graft.functions.TextFunctions.MinhashPrime
     val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -2227,6 +2404,69 @@ object ExtQueries {
     val bandEntries = (0 until 16).map { bd =>
       s"'$bd|' || md5(m${2 * bd}::VARCHAR || ',' || m${2 * bd + 1}::VARCHAR)"
     }.mkString(",\n    ")
+    s"""lex AS (SELECT doc_id, unnest(sh) AS s3 FROM $shName),
+       |lhh AS (SELECT doc_id, ('0x' || substr(md5(s3), 1, 8))::BIGINT AS h FROM lex),
+       |lsig AS MATERIALIZED (SELECT doc_id,
+       |  $minCols
+       |  FROM lhh GROUP BY doc_id),
+       |lband AS (SELECT doc_id,
+       |  unnest([$bandEntries]) AS bucket
+       |  FROM lsig),
+       |lcand AS (SELECT DISTINCT a2.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM lband a2 JOIN lband b2 ON a2.bucket = b2.bucket AND a2.doc_id < b2.doc_id),
+       |lpair AS (SELECT doc_a, doc_b
+       |  FROM lcand JOIN $shName x2 ON x2.doc_id = lcand.doc_a JOIN $shName y2 ON y2.doc_id = lcand.doc_b
+       |  WHERE round(CAST(len(list_intersect(x2.sh, y2.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(x2.sh, y2.sh))), 6) >= 0.25),
+       |tund AS (SELECT doc_a AS src, doc_b AS dst FROM lpair
+       |        UNION SELECT doc_b, doc_a FROM lpair),
+       |treach(src, dst) AS (
+       |  SELECT src, src FROM tund
+       |  UNION
+       |  SELECT r.src, u.dst FROM treach r JOIN tund u ON u.src = r.dst),
+       |tcl AS MATERIALIZED (SELECT src AS doc_id, min(dst) AS canonical_id
+       |       FROM treach GROUP BY src),
+       |tjn AS (SELECT tcl.canonical_id, tcl.doc_id, qq.q,
+       |  row_number() OVER (PARTITION BY tcl.canonical_id ORDER BY qq.q DESC, tcl.doc_id) AS rn
+       |  FROM tcl JOIN $qName qq USING (doc_id)),
+       |tsv AS (SELECT canonical_id, doc_id AS survivor_id FROM tjn WHERE rn = 1),
+       |k1 AS MATERIALIZED (SELECT d3.doc_id, d3.text, d3.quality_score FROM $decSrc d3
+       |  LEFT JOIN tcl USING (doc_id)
+       |  LEFT JOIN tsv ON tsv.canonical_id = tcl.canonical_id
+       |  WHERE tcl.canonical_id IS NULL OR d3.doc_id = tsv.survivor_id)""".stripMargin
+  }
+
+  /** Output tail over the final kept frame `kfinName` (doc_id, text):
+    * language-id, the md5 sample draw (en 0.5 / default 0.9), and the
+    * doc_id%8 shard packing at budget 4096; emits samp/pbin. */
+  private def e2eTailCtes(kfinName: String): String =
+    s"""${e2eLangCtes(kfinName, "ll")},
+       |samp AS MATERIALIZED (SELECT k9.doc_id, k9.text, lld.detected_lang
+       |  FROM $kfinName k9 JOIN lld USING (doc_id)
+       |  WHERE ('0x' || substr(md5(k9.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+       |    < CAST(floor(CASE lld.detected_lang WHEN 'en' THEN 0.5 ELSE 0.9 END * 1000000) AS BIGINT)),
+       |ptk AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM samp),
+       |psh AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard FROM ptk),
+       |ppre AS (SELECT *, coalesce(sum(n_tokens) OVER (
+       |    PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix FROM psh),
+       |pbin AS (SELECT shard, CAST(floor(prefix / 4096) AS BIGINT) AS bin
+       |  FROM ppre GROUP BY shard, CAST(floor(prefix / 4096) AS BIGINT))""".stripMargin
+
+  /** DuckDB replay of the FULL `CurationRun.run` pipeline (q137,
+    * VERDICT r06 item 8) — every stage of the end-to-end curation pass
+    * composed into one query, producing the nine per-stage audit
+    * counts the engine's `Stats` row reports. Stage fragments reuse
+    * the per-operator oracle disciplines (q46 normalize, q42 redact,
+    * q17 quality, q82 classifier GD replay, q47 decon, q69 spans, q22
+    * LSH, q53 closure, q58 survivors, q70 semantic dedup, q48 sample
+    * draw, q49 packing) via the shared e2e* fragment builders above,
+    * re-anchored on the intermediate CTEs so each stage sees the
+    * previous stage's TRANSFORMED text exactly as the engine does.
+    * Constants must match [[q137CurationE2e]]. */
+  private lazy val curationE2eOracleSql: String = {
+    val em = graft.operators.TextAnalysis.EmailPattern
+    val ur = graft.operators.TextAnalysis.UrlPattern
     // The classifier artifact trains on the NORMALIZED full table (the
     // text shape it will score: a model trained on raw-cased grams
     // sees disjoint feature buckets after lowercasing and gates
@@ -2245,99 +2485,33 @@ object ExtQueries {
        |red AS MATERIALIZED (SELECT doc_id,
        |  regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ur', '<URL>', 'g') AS text
        |  FROM nrm),
-       |${qualityCtes("red", "hq")},
+       |${e2eQualityCtes("red", "hq")},
        |hg AS MATERIALIZED (SELECT red.doc_id, red.text, hqq.q AS quality_score
        |  FROM red JOIN hqq USING (doc_id) WHERE hqq.q >= 0.75),
        |$classifier,
-       |ctk AS (SELECT doc_id, $duckToks AS t FROM hg),
-       |cg AS (SELECT doc_id, unnest(list_concat(t, CASE WHEN len(t) - 1 >= 1
-       |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
-       |  ELSE [array_to_string(t, ' ')] END)) AS cgr FROM ctk),
-       |cbk AS (SELECT doc_id, ('0x' || substr(md5(cgr), 1, 8))::BIGINT % 256 AS b FROM cg),
-       |cdb AS (SELECT doc_id, b, count(*) AS n FROM cbk GROUP BY 1, 2),
-       |cz AS (SELECT cdb.doc_id, sum(CAST(cdb.n AS DECIMAL(10,0)) * w3.w) AS z
-       |  FROM cdb JOIN w3 USING (b) GROUP BY 1),
-       |cp AS (SELECT doc_id, CAST(round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 8) AS DECIMAL(20,8)) AS p FROM cz),
+       |${e2eScoreCtes("hg", "")},
        |mg AS MATERIALIZED (SELECT hg.doc_id, hg.text, hg.quality_score
        |  FROM hg JOIN cp USING (doc_id) WHERE cp.p >= 0.0001),
        |bsr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-       |${shingleCte("bsr", "bshc")},
+       |${e2eShingleCte("bsr", "bshc")},
        |bsh AS (SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM bshc)),
-       |${shingleCte("mg", "cshc")},
+       |${e2eShingleCte("mg", "cshc")},
        |cex AS (SELECT doc_id, unnest(sh) AS s FROM cshc),
        |cont AS (SELECT doc_id, count(*) AS ncs FROM cex JOIN bsh USING (s) GROUP BY doc_id),
        |dec AS MATERIALIZED (SELECT mg.doc_id, mg.text, mg.quality_score FROM mg
        |  LEFT JOIN cont USING (doc_id) WHERE coalesce(cont.ncs, 0) < 1),
-       |dtk AS MATERIALIZED (SELECT doc_id, $duckToks AS toks FROM dec),
-       |sgp AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
-       |  SELECT doc_id, unnest([{'pos': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')} for i in range(1, len(toks) - 6)]) AS u
-       |  FROM dtk WHERE len(toks) >= 8)),
+       |${e2eSpanGramCtes("dec", "")},
        |srep AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM sgp)
        |        GROUP BY gram HAVING count(*) >= 2),
-       |spr AS (SELECT doc_id, pos FROM sgp JOIN srep USING (gram)),
-       |srun AS (SELECT doc_id, min(pos) AS start_pos, max(pos) AS end_pos
-       |  FROM (SELECT doc_id, pos,
-       |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp2
-       |        FROM spr)
-       |  GROUP BY doc_id, grp2),
-       |stp AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
-       |  SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]} for i in range(1, len(toks) + 1)]) AS u FROM dtk)),
-       |skp AS (SELECT p2.doc_id, p2.pos, p2.tok FROM stp p2
-       |  WHERE NOT EXISTS (SELECT 1 FROM srun s2 WHERE s2.doc_id = p2.doc_id
-       |    AND p2.pos BETWEEN s2.start_pos AND s2.end_pos + 7)),
-       |sag AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-       |    count(*) AS n_kept FROM skp GROUP BY doc_id),
-       |sp AS MATERIALIZED (SELECT d2.doc_id, coalesce(sag.clean_text, '') AS text, d2.quality_score,
-       |    CAST(len(dtk.toks) - coalesce(sag.n_kept, 0) AS BIGINT) AS n_removed
-       |  FROM dec d2 JOIN dtk USING (doc_id) LEFT JOIN sag USING (doc_id)),
-       |${qualityCtes("sp", "sq")},
-       |${shingleCte("sp", "shc")},
-       |lex AS (SELECT doc_id, unnest(sh) AS s3 FROM shc),
-       |lhh AS (SELECT doc_id, ('0x' || substr(md5(s3), 1, 8))::BIGINT AS h FROM lex),
-       |lsig AS MATERIALIZED (SELECT doc_id,
-       |  $minCols
-       |  FROM lhh GROUP BY doc_id),
-       |lband AS (SELECT doc_id,
-       |  unnest([$bandEntries]) AS bucket
-       |  FROM lsig),
-       |lcand AS (SELECT DISTINCT a2.doc_id AS doc_a, b2.doc_id AS doc_b
-       |  FROM lband a2 JOIN lband b2 ON a2.bucket = b2.bucket AND a2.doc_id < b2.doc_id),
-       |lpair AS (SELECT doc_a, doc_b
-       |  FROM lcand JOIN shc x2 ON x2.doc_id = lcand.doc_a JOIN shc y2 ON y2.doc_id = lcand.doc_b
-       |  WHERE round(CAST(len(list_intersect(x2.sh, y2.sh)) AS DOUBLE)
-       |        / len(list_distinct(list_concat(x2.sh, y2.sh))), 6) >= 0.25),
-       |tund AS (SELECT doc_a AS src, doc_b AS dst FROM lpair
-       |        UNION SELECT doc_b, doc_a FROM lpair),
-       |treach(src, dst) AS (
-       |  SELECT src, src FROM tund
-       |  UNION
-       |  SELECT r.src, u.dst FROM treach r JOIN tund u ON u.src = r.dst),
-       |tcl AS MATERIALIZED (SELECT src AS doc_id, min(dst) AS canonical_id
-       |       FROM treach GROUP BY src),
-       |tjn AS (SELECT tcl.canonical_id, tcl.doc_id, sqq.q,
-       |  row_number() OVER (PARTITION BY tcl.canonical_id ORDER BY sqq.q DESC, tcl.doc_id) AS rn
-       |  FROM tcl JOIN sqq USING (doc_id)),
-       |tsv AS (SELECT canonical_id, doc_id AS survivor_id FROM tjn WHERE rn = 1),
-       |k1 AS MATERIALIZED (SELECT sp.doc_id, sp.text, sp.quality_score FROM sp
-       |  LEFT JOIN tcl USING (doc_id)
-       |  LEFT JOIN tsv ON tsv.canonical_id = tcl.canonical_id
-       |  WHERE tcl.canonical_id IS NULL OR sp.doc_id = tsv.survivor_id),
+       |${e2eSpanRemovalCtes("", "srep", "dec")},
+       |${e2eQualityCtes("sp", "sq")},
+       |${e2eShingleCte("sp", "shc")},
+       |${e2eLshSurvivorCtes("shc", "sqq", "sp")},
        |$semantic,
        |kfin AS MATERIALIZED (SELECT k1.doc_id, k1.text FROM k1
        |  LEFT JOIN (SELECT vec_id FROM semdisp WHERE keep = 0) sdp ON sdp.vec_id = k1.doc_id
        |  WHERE sdp.vec_id IS NULL),
-       |${langCtes("kfin", "ll")},
-       |samp AS MATERIALIZED (SELECT kfin.doc_id, kfin.text, lld.detected_lang
-       |  FROM kfin JOIN lld USING (doc_id)
-       |  WHERE ('0x' || substr(md5(kfin.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
-       |    < CAST(floor(CASE lld.detected_lang WHEN 'en' THEN 0.5 ELSE 0.9 END * 1000000) AS BIGINT)),
-       |ptk AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM samp),
-       |psh AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard FROM ptk),
-       |ppre AS (SELECT *, coalesce(sum(n_tokens) OVER (
-       |    PARTITION BY shard ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix FROM psh),
-       |pbin AS (SELECT shard, CAST(floor(prefix / 4096) AS BIGINT) AS bin
-       |  FROM ppre GROUP BY shard, CAST(floor(prefix / 4096) AS BIGINT))
+       |${e2eTailCtes("kfin")}
        |SELECT
        | CAST((SELECT count(*) FROM nrm) AS BIGINT) AS input,
        | CAST((SELECT count(*) FROM hg) AS BIGINT) AS gated,
@@ -2346,6 +2520,150 @@ object ExtQueries {
        | CAST((SELECT count(*) FROM sp WHERE n_removed > 0) AS BIGINT) AS span_cleaned,
        | CAST((SELECT count(*) FROM k1) AS BIGINT) AS kept,
        | CAST((SELECT count(*) FROM semdisp WHERE keep = 0) AS BIGINT) AS sem_dropped,
+       | CAST((SELECT count(*) FROM samp) AS BIGINT) AS sampled,
+       | CAST((SELECT count(*) FROM pbin) AS BIGINT) AS bins""".stripMargin
+  }
+
+  /** DuckDB replay of the composed ALL-STATE weekly cadence (q146):
+    * init + two increments, STAGED exactly as the engine runs them.
+    * Batch b's line cleaning sees the line-df of batches 0..b (slice
+    * counts add across disjoint doc ids); its prep chain (normalize /
+    * redact / quality / classifier / decon) runs on ITS line-cleaned
+    * text; its span cleaning sees the gram-df of prepped batches
+    * 0..b. The composed decon rides the scratch LSH/survivor chain
+    * (incremental LSH+CC == scratch, spec-pinned); the semantic pass
+    * runs under the quantizer FROZEN at init (`trainPred` = init
+    * decon membership, assignments over every decon vector — the
+    * engine's per-batch incremental pair runs union to exactly this
+    * full within-cell pair set); survivors are the state cadence's
+    * min-KEPT-doc rule; the output tail is q137's. Constants must
+    * match [[q146CadenceE2e]]. */
+  private lazy val cadenceE2eOracleSql: String = {
+    val em = graft.operators.TextAnalysis.EmailPattern
+    val ur = graft.operators.TextAnalysis.UrlPattern
+    val classifier = classifierCtes(256, 3, 0.5, gramSource = "alln")
+      .stripPrefix("WITH ")
+    val kmeans = kmeansCtes(8, 64, 2,
+      embFrom = "embeddings JOIN dall ON dall.doc_id = embeddings.vec_id",
+      trainPred = "vec_id IN (SELECT doc_id FROM x0sp)")
+      .stripPrefix("WITH ")
+    def inBatches(b: Int): String =
+      (0 to b).map(i => s"doc_id % 3 = $i").mkString("(", " OR ", ")")
+    // Line stage, staged: df over batches 0..b, removal on batch b.
+    def lineChain(b: Int): String =
+      s"""ldf$b AS (SELECT line, count(DISTINCT doc_id) AS df FROM pl
+         |  WHERE line <> '' AND ${inBatches(b)} GROUP BY 1),
+         |lc$b AS MATERIALIZED (SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN NOT cut THEN line END, chr(10) ORDER BY pos), '') AS text,
+         |  CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         |  FROM (SELECT p.doc_id, p.pos, p.line, coalesce(d.df, 1) >= 2 AS cut
+         |        FROM pl p LEFT JOIN ldf$b d ON p.line = d.line
+         |        WHERE p.doc_id % 3 = $b) mk$b
+         |  GROUP BY doc_id)""".stripMargin
+    // Prep chain on batch b's line-cleaned text: q137's stage order
+    // (normalize, redact, heuristic gate, classifier gate, decon).
+    def prepChain(b: Int): String =
+      s"""nrm$b AS (SELECT doc_id,
+         |  trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS text
+         |  FROM lc$b),
+         |red$b AS MATERIALIZED (SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ur', '<URL>', 'g') AS text
+         |  FROM nrm$b),
+         |${e2eQualityCtes(s"red$b", s"h$b")},
+         |hg$b AS MATERIALIZED (SELECT r.doc_id, r.text, hq9.q AS quality_score
+         |  FROM red$b r JOIN h${b}q hq9 USING (doc_id) WHERE hq9.q >= 0.75),
+         |${e2eScoreCtes(s"hg$b", s"x$b")},
+         |mg$b AS (SELECT g.doc_id, g.text, g.quality_score
+         |  FROM hg$b g JOIN x${b}cp USING (doc_id) WHERE x${b}cp.p >= 0.0001),
+         |${e2eShingleCte(s"mg$b", s"csh$b")},
+         |cont$b AS (SELECT cx.doc_id, count(*) AS ncs FROM
+         |  (SELECT doc_id, unnest(sh) AS s FROM csh$b) cx JOIN bsh ON bsh.s = cx.s GROUP BY cx.doc_id),
+         |dec$b AS MATERIALIZED (SELECT m.doc_id, m.text, m.quality_score FROM mg$b m
+         |  LEFT JOIN cont$b USING (doc_id) WHERE coalesce(cont$b.ncs, 0) < 1)""".stripMargin
+    // Span stage, staged: gram-df over prepped batches 0..b (distinct
+    // per batch, then summed — batches are doc-disjoint), removal on
+    // batch b's prepped text.
+    def srep(b: Int): String = {
+      val union = (0 to b)
+        .map(i => s"SELECT DISTINCT doc_id, gram FROM x${i}sgp")
+        .mkString(" UNION ALL ")
+      s"""srep$b AS (SELECT gram FROM ($union)
+         |        GROUP BY gram HAVING count(*) >= 2)""".stripMargin
+    }
+    val batchChains = (0 to 2).map { b =>
+      Seq(lineChain(b), prepChain(b), e2eSpanGramCtes(s"dec$b", s"x$b"),
+        srep(b), e2eSpanRemovalCtes(s"x$b", s"srep$b", s"dec$b"))
+        .mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |alln AS MATERIALIZED (SELECT doc_id,
+       |  trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS text
+       |  FROM documents),
+       |$classifier,
+       |bsr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+       |${e2eShingleCte("bsr", "bshc")},
+       |bsh AS (SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM bshc)),
+       |tkl0 AS (SELECT doc_id, $duckToks AS t0 FROM documents WHERE doc_id % 97 != 0),
+       |tkl AS (SELECT doc_id, CASE
+       |    WHEN substr(md5(doc_id::VARCHAR || '#span'), 1, 1)
+       |         IN ('0','1','2','3','4','5','6','7')
+       |    THEN t0[1:o] || ['this','content','is','provided','under','the',
+       |      'creative','commons','attribution','license','terms','only']
+       |      || t0[o+1:len(t0)]
+       |    ELSE t0 END AS t
+       |  FROM (SELECT doc_id, t0,
+       |    CAST(('0x' || substr(md5(doc_id::VARCHAR || '#span'), 1, 8))::BIGINT % 3 + 1 AS INT) AS o
+       |    FROM tkl0)),
+       |tkla AS (SELECT doc_id, t FROM tkl
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000000 AS doc_id, ['copy'] || t AS t FROM tkl
+       |  WHERE substr(md5(doc_id::VARCHAR || '#dup'), 1, 1) IN ('0','1','2','3')),
+       |lsy AS (SELECT doc_id,
+       |  [array_to_string(t[i*8+1:i*8+8], ' ')
+       |   for i in range(0, greatest((len(t)+7)//8, 1))] ||
+       |  CASE WHEN substr(md5(doc_id::VARCHAR || '#footer'), 1, 1)
+       |         IN ('0','1','2','3','4','5','6','7')
+       |       THEN ['subscribe to the newsletter for weekly updates']
+       |       ELSE [] END AS lines FROM tkla),
+       |pl AS MATERIALIZED (SELECT doc_id, u.p AS pos, u.l AS line FROM (
+       |  SELECT doc_id,
+       |    unnest([{'p': i, 'l': lines[i+1]} for i in range(0, len(lines))]) AS u
+       |  FROM lsy)),
+       |$batchChains,
+       |dall AS MATERIALIZED (
+       |  SELECT doc_id, text, quality_score FROM x0sp
+       |  UNION ALL SELECT doc_id, text, quality_score FROM x1sp
+       |  UNION ALL SELECT doc_id, text, quality_score FROM x2sp),
+       |qual AS (SELECT doc_id, quality_score AS q FROM dall),
+       |${e2eShingleCte("dall", "shc")},
+       |${e2eLshSurvivorCtes("shc", "qual", "dall")},
+       |$kmeans,
+       |spair AS (SELECT ax.vec_id AS doc_a, ay.vec_id AS doc_b
+       |  FROM a2 ax JOIN a2 ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
+       |  JOIN e x ON x.vec_id = ax.vec_id JOIN e y ON y.vec_id = ay.vec_id
+       |  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.35),
+       |sund AS (SELECT doc_a AS src, doc_b AS dst FROM spair
+       |        UNION SELECT doc_b, doc_a FROM spair),
+       |sreach(src, dst) AS (
+       |  SELECT src, src FROM sund
+       |  UNION
+       |  SELECT r.src, u.dst FROM sreach r JOIN sund u ON u.src = r.dst),
+       |scl AS MATERIALIZED (SELECT src AS doc_id, min(dst) AS canonical_id
+       |       FROM sreach GROUP BY src),
+       |ssv AS (SELECT scl.canonical_id, min(k1.doc_id) AS surv
+       |  FROM k1 JOIN scl USING (doc_id) GROUP BY 1),
+       |kfin AS MATERIALIZED (SELECT k1.doc_id, k1.text FROM k1
+       |  LEFT JOIN scl USING (doc_id)
+       |  LEFT JOIN ssv ON ssv.canonical_id = scl.canonical_id
+       |  WHERE scl.canonical_id IS NULL OR k1.doc_id = ssv.surv),
+       |${e2eTailCtes("kfin")}
+       |SELECT
+       | CAST((SELECT count(*) FROM tkla WHERE doc_id % 3 = 2) AS BIGINT) AS input,
+       | CAST((SELECT count(*) FROM dall) AS BIGINT) AS decontaminated,
+       | CAST((SELECT count(*) FROM x2sp WHERE n_removed > 0) AS BIGINT) AS span_cleaned,
+       | CAST((SELECT count(*) FROM lc2 WHERE n_removed > 0) AS BIGINT) AS line_cleaned,
+       | CAST((SELECT count(*) FROM k1) AS BIGINT) AS kept,
+       | CAST((SELECT count(*) FROM k1) - (SELECT count(*) FROM kfin) AS BIGINT) AS sem_dropped,
        | CAST((SELECT count(*) FROM samp) AS BIGINT) AS sampled,
        | CAST((SELECT count(*) FROM pbin) AS BIGINT) AS bins""".stripMargin
   }
@@ -4779,6 +5097,10 @@ object ExtQueries {
 
     // q137: the composed ten-stage replay (see curationE2eOracleSql).
     "q137_curation_e2e" -> curationE2eOracleSql,
+
+    // q146: the staged three-batch all-state cadence replay (see
+    // cadenceE2eOracleSql).
+    "q146_cadence_e2e" -> cadenceE2eOracleSql,
 
     // q140: the q42 rewrite extended — same replacement order as the
     // engine (email -> URL -> IP -> phone), counts per pattern on raw.

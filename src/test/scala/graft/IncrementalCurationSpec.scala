@@ -644,4 +644,167 @@ class IncrementalCurationSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(consolidated == viaSlices)
   }
+
+  test("all four state cadences composed: init + two increments == scratch; retrain rebase == fresh semantic front (VERDICT r08 item 4)") {
+    import graft.operators.VectorSim
+    // Fixture with attrition planted at EVERY stage, df-aligned so the
+    // staged cadence equals a scratch run: the footer line and the
+    // 12-token boilerplate run both reach df >= 2 WITHIN batch 0 (so
+    // prefix-df cleaning == full-df cleaning for every batch), the
+    // near-dup pair (15, 4) is 7 tokens (no span grams) with distinct
+    // line content (line dedup must not eat it), and the semantic pair
+    // (3, 8) shares an exact embedding while every other cosine stays
+    // under the 0.9 threshold.
+    val boiler = "this content is provided under the creative commons " +
+      "attribution license terms only"
+    val footer = "footer one two three four"
+    val b0 = Seq(
+      (3L, s"unique river stones rest beside ancient wooden docks\n$footer"),
+      (6L, s"morning light climbs across tall mountain peaks slowly\n$footer"),
+      (9L, s"alpha opening words here $boiler closing alpha remarks"),
+      (12L, s"beta opening different words $boiler closing beta remarks"),
+      (15L, "alpha beta gamma delta epsilon theta kappa")
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (1L, s"gamma prelude tokens $boiler gamma ending words"),
+      (4L, "alpha beta gamma delta epsilon theta lambda"),
+      (7L, s"seventh doc speaks of green meadows and quiet ponds\n$footer"),
+      (10L, "pack my box with five dozen liquor jugs tonight")
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (2L, s"final batch opening $boiler final words two"),
+      (5L, s"fifth document about winter storms and icy windows\n$footer"),
+      (8L, "octave doc singing about distant stars and planets")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+    val emb = Seq(
+      (3L, Seq(1f, 0f, 0f, 0f)), (8L, Seq(1f, 0f, 0f, 0f)),
+      (6L, Seq(0f, 1f, 0f, 0f)), (9L, Seq(0f, 0f, 1f, 0f)),
+      (12L, Seq(0f, 0f, 0f, 1f)), (15L, Seq(1f, 1f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 1f, 0f)), (4L, Seq(0f, 0f, 1f, 1f)),
+      (7L, Seq(1f, 0f, 0f, 1f)), (5L, Seq(1f, 0f, 1f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 1f))).toDF("vec_id", "embedding")
+
+    val base = TestSpark.tmpDir("all_state_cadence")
+    def init(docs: org.apache.spark.sql.DataFrame, out: String, st: String,
+        centroidsIn: Option[String], ann: Boolean) =
+      CurationRun.runInit(docs, benchmark, out, st,
+        minQuality = 0.0, dedupThreshold = 0.25, minContaminatedShingles = 1,
+        defaultFraction = 1.0, packBudget = 64L, packShards = 2,
+        embeddings = Some(emb), semClusters = 2, semIters = 2,
+        semThreshold = 0.9,
+        semanticState = true, semSalt = 1, semCentroidsIn = centroidsIn,
+        annState = ann, annSubspaces = 2, annCodewords = 2,
+        annClusters = 2, annIters = 2,
+        spanState = true, spanK = 8, spanMinDf = 2,
+        lineState = true, lineMinDf = 2)
+    def inc(docs: org.apache.spark.sql.DataFrame, out: String,
+        stIn: String, stOut: String) =
+      CurationRun.runIncremental(docs, benchmark, out, stIn, stOut,
+        minQuality = 0.0, dedupThreshold = 0.25, minContaminatedShingles = 1,
+        defaultFraction = 1.0, packBudget = 64L, packShards = 2,
+        embeddings = Some(emb), semClusters = 2, semIters = 2,
+        semThreshold = 0.9, spanK = 8, spanMinDf = 2, lineMinDf = 2)
+
+    val st0 = init(b0, s"$base/out0", s"$base/state0", None, ann = true)
+    val st1 = inc(b1, s"$base/out1", s"$base/state0", s"$base/state1")
+    val st2 = inc(b2, s"$base/out2", s"$base/state1", s"$base/state2")
+
+    // Nonzero attrition at every active stage, every week it is due.
+    assert(st0.lineCleaned >= 1 && st1.lineCleaned >= 1 && st2.lineCleaned >= 1,
+      s"line stage must cut every week: $st0 / $st1 / $st2")
+    assert(st0.spanCleaned >= 1 && st1.spanCleaned >= 1 && st2.spanCleaned >= 1,
+      s"span stage must cut every week: $st0 / $st1 / $st2")
+    assert(st1.decontaminated == 8,
+      s"9 composed docs minus the contaminated one: $st1")
+    assert(st1.kept < st1.decontaminated,
+      s"the (15, 4) near-dup pair must lose a member: $st1")
+    assert(st2.semDropped >= 1,
+      s"the (3, 8) embedding pair must lose a member: $st2")
+
+    // Composed == scratch across ALL FOUR states at once. Scratch
+    // replays under the cadence's FROZEN quantizer (semCentroidsIn) —
+    // the frozen-model contract's scratch twin; text-side equality
+    // holds because every planted df crosses its threshold within
+    // batch 0 already.
+    init(b0.unionByName(b1).unionByName(b2), s"$base/outS", s"$base/stateS",
+      Some(s"$base/state2/sem_centroids"), ann = false)
+    def curated(dir: String): Set[(Long, String, String, Double)] =
+      spark.read.parquet(s"$dir/curated")
+        .select("doc_id", "text", "detected_lang", "quality_score")
+        .as[(Long, String, String, Double)].collect().toSet
+    assert(curated(s"$base/out2") == curated(s"$base/outS"),
+      "composed curated corpus must equal the scratch run's")
+    def pairsOf(paths: Seq[String]): Set[(Long, Long)] =
+      spark.read.parquet(paths: _*).as[(Long, Long)].collect().toSet
+    def dfOf(paths: Seq[String]): Set[(Long, Long)] =
+      spark.read.parquet(paths: _*)
+        .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs"))
+        .as[(Long, Long)].collect().toSet
+    val cadence = Seq(s"$base/state0", s"$base/state1", s"$base/state2")
+    assert(dfOf(cadence.map(_ + "/span_grams_batch")) ==
+      dfOf(Seq(s"$base/stateS/span_grams_batch")), "span df slices")
+    assert(dfOf(cadence.map(_ + "/line_df_batch")) ==
+      dfOf(Seq(s"$base/stateS/line_df_batch")), "line df slices")
+    def hashes(paths: Seq[String]): Set[(Long, String)] =
+      spark.read.parquet(paths: _*).as[(Long, String)].collect().toSet
+    assert(hashes(cadence.map(_ + "/hash_batch")) ==
+      hashes(Seq(s"$base/stateS/hash_batch")), "content-hash slices")
+    assert(pairsOf(Seq(s"$base/state2/clusters")) ==
+      pairsOf(Seq(s"$base/stateS/clusters")), "near-dup labels")
+    assert(pairsOf(cadence.map(_ + "/sem_cells_batch")) ==
+      pairsOf(Seq(s"$base/stateS/sem_cells_batch")), "semantic cells")
+    assert(pairsOf(Seq(s"$base/state2/sem_clusters")) ==
+      pairsOf(Seq(s"$base/stateS/sem_clusters")), "semantic labels")
+    // ANN codes: the composed slices equal a scratch encode of the
+    // composed decon vectors under the state's frozen model.
+    val (m2, cen2) = VectorSim.annModelFromFrame(
+      spark.read.parquet(s"$base/state2/ann_model"))
+    val composedVecs = spark.read
+      .parquet(cadence.map(_ + "/decon_batch"): _*)
+      .select(col("doc_id"))
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val expectCodes = VectorSim.annCodesFrame(composedVecs, m2, cen2)
+    val gotCodes = spark.read.parquet(cadence.map(_ + "/ann_codes_batch"): _*)
+    assert(gotCodes.except(expectCodes).isEmpty &&
+      expectCodes.except(gotCodes).isEmpty,
+      "composed ANN code slices must equal a scratch encode under the frozen model")
+
+    // Rebase WITH retrain over the composed four-state state: the
+    // semantic front re-trains on the COMPOSED decon vectors (equal to
+    // a fresh unseeded init over the composed corpus), the text-side
+    // df/hash states consolidate losslessly, and the ANN artifact
+    // consolidates as pure IO under the CARRIED model.
+    CurationRun.rebaseState(spark, s"$base/state2", s"$base/stateR",
+      retrainSemantic = true, embeddings = Some(emb),
+      semClusters = 2, semIters = 2, semThreshold = 0.9, semSalt = 1)
+    init(b0.unionByName(b1).unionByName(b2), s"$base/outF", s"$base/stateF",
+      None, ann = false)
+    def cenRows(d: String): Set[(Int, Seq[Double])] =
+      spark.read.parquet(s"$d/sem_centroids")
+        .as[(Int, Seq[Double])].collect().toSet
+    assert(cenRows(s"$base/stateR") == cenRows(s"$base/stateF"),
+      "retrain rebase must train the same quantizer a fresh init would")
+    assert(pairsOf(Seq(s"$base/stateR/sem_cells_batch")) ==
+      pairsOf(Seq(s"$base/stateF/sem_cells_batch")))
+    assert(pairsOf(Seq(s"$base/stateR/sem_clusters")) ==
+      pairsOf(Seq(s"$base/stateF/sem_clusters")))
+    assert(dfOf(Seq(s"$base/stateR/span_grams_batch")) ==
+      dfOf(Seq(s"$base/stateF/span_grams_batch")))
+    assert(dfOf(Seq(s"$base/stateR/line_df_batch")) ==
+      dfOf(Seq(s"$base/stateF/line_df_batch")))
+    assert(hashes(Seq(s"$base/stateR/hash_batch")) ==
+      hashes(Seq(s"$base/stateF/hash_batch")))
+    assert(pairsOf(Seq(s"$base/stateR/clusters")) ==
+      pairsOf(Seq(s"$base/state2/clusters")), "labels copy forward")
+    val rebCodes = spark.read.parquet(s"$base/stateR/ann_codes_batch")
+    assert(rebCodes.except(gotCodes).isEmpty &&
+      gotCodes.except(rebCodes).isEmpty,
+      "ANN codes consolidate as pure IO")
+    assert(spark.read.parquet(s"$base/stateR/ann_model").collect().toSet ==
+      spark.read.parquet(s"$base/state2/ann_model").collect().toSet,
+      "the frozen ANN model carries forward unchanged")
+  }
 }
