@@ -242,6 +242,23 @@ object CurationRun {
       m, cen, nprobe, k)
   }
 
+  /** [[annServe]]'s STREAMING twin (VERDICT r08 item 5): a stream of
+    * query vectors answered from the same composed code slices under
+    * the same read-back frozen model, via
+    * [[graft.streaming.StreamAnnServe.serve]]. The static code side is
+    * read once per state version; the caller persists it for the
+    * stream's lifetime (swap on a state-version boundary, the gate
+    * twins' contract). */
+  def annServeStream(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, queries: DataFrame, nprobe: Int,
+      k: Int): org.apache.spark.sql.Dataset[graft.streaming.StreamAnnServe.Hit] = {
+    val (m, cen) = VectorSim.annModelFromFrame(
+      spark.read.parquet(s"$stateDir/ann_model"))
+    graft.streaming.StreamAnnServe.serve(queries,
+      readSlices(spark, readLineage(stateDir), "ann_codes_batch"),
+      m, cen, nprobe, k)
+  }
+
   // ---------------------------------------------------------------
   // Incremental span-removal state: per-gram document frequency is the
   // corpus-scale quantity that kept span removal OUT of the weekly
