@@ -58,12 +58,17 @@ object DataMix {
     val d = df
       .withColumn("__ord", md5(col(idCol).cast("string")))
       .withColumn("__bkt", substring(col("__ord"), 1, 3))
+    // __bnd rename: the per-stratum offset cumulative runs over the
+    // strata x 4096-bucket aggregate — bounded frame, declared for
+    // graft.WindowTripwire and the PlanSpec catalog sweep (without the
+    // marker this reads as a single-key window on the LANGUAGE column,
+    // indistinguishable from the q103 hazard class it is not in).
     val offsets = d.groupBy(col(stratumCol), col("__bkt"))
-      .agg(sum(col(nTokensCol)).as("__btok"))
-      .withColumn("__offset", coalesce(sum(col("__btok")).over(
+      .agg(sum(col(nTokensCol)).as("__bnd_btok"))
+      .withColumn("__offset", coalesce(sum(col("__bnd_btok")).over(
         Window.partitionBy(col(stratumCol)).orderBy(col("__bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__btok")
+      .drop("__bnd_btok")
     val w = Window.partitionBy(col(stratumCol), col("__bkt"))
       .orderBy(col("__ord"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

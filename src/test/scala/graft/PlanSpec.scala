@@ -291,14 +291,27 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.length === 12 && rows.forall(r => !r.isNullAt(2)))
   }
 
-  test("q103/q106/q133 windows ride bounded frames (low-cardinality partition class)") {
-    // The hazard WindowTripwire cannot see: a window PARTITIONED by a
-    // low-cardinality key (source, band, group) still sorts the
-    // dominant group on one task. Post-rewrite every window in these
-    // plans is either a bounded histogram frame (declares itself via
-    // the __bnd marker) or a tie-group rank (partitionSpec includes
-    // the order value, >= 2 expressions). Regrowing a single-key
-    // corpus window here fails this pin.
+  test("catalog-wide window sweep: every WindowExec is bounded, tie-grouped, or entity-keyed (VERDICT r08 item 7)") {
+    // The hazard class WindowTripwire cannot see statically: a window
+    // PARTITIONED by a low-cardinality key (source, band, language,
+    // flag) still sorts the dominant group on one task. r07 closed
+    // q108; r08 hand-audited q103/q106/q133 and pinned those three
+    // plans — this sweep widens the pin to the WHOLE catalog, so the
+    // class cannot regrow silently in any entry. Every WindowExec in
+    // every catalog plan at sf0.001 must be one of:
+    //   - a __bnd-marked bounded frame (histograms, |shards|-row
+    //     aggregates, limit(k) survivor ranks);
+    //   - a tie-group / two-level partition (>= 2 partition keys — the
+    //     Ranking/tokenBudgetSample discipline);
+    //   - a single ENTITY key from the explicit allowlist below: a key
+    //     whose per-key row count is bounded by the entity (one
+    //     document's tokens, one user's events, one query's
+    //     candidates) or by caller-sized parallelism (shard), not by
+    //     the corpus.
+    // A new single-key window on anything else fails here until it is
+    // either rewritten onto the histogram discipline or explicitly
+    // sanctioned — the runtime window_skew counter (WindowTripwire)
+    // then covers the sanctioned keys' actual skew at bench time.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.window.WindowExec
@@ -311,21 +324,31 @@ class PlanSpec extends AnyFunSuite {
       }
       self ++ children.flatMap(windows) ++ p.subqueries.flatMap(windows)
     }
-    for ((name, df) <- Seq(
-        "q103" -> ExtQueries.q103BalancedShards(spark, sf),
-        "q106" -> ExtQueries.q106LengthProfile(spark, sf),
-        "q133" -> ExtQueries.q133LengthBatching(spark, sf))) {
-      val wins = windows(df.queryExecution.executedPlan)
-      assert(wins.nonEmpty, s"$name is expected to use windows")
-      wins.foreach { w =>
+    val entityKeys = Set(
+      "doc_id",    // per-document windows (token runs, spans, chunks)
+      "user_id",   // per-user sessionization / rolling windows
+      "q_id",      // per-query candidate ranking (query side is small)
+      "o_custkey", // per-customer top-n (TPC-H entity)
+      "entity_id", // per-entity dedup survivor pick
+      "__k",       // as-of join key (per-key event history)
+      "shard")     // caller-sized parallelism knob (packSequences)
+    val violations = new scala.collection.mutable.ArrayBuffer[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf)
+      windows(df.queryExecution.executedPlan).foreach { w =>
         val bounded =
-          w.child.output.exists(_.name.startsWith(WindowTripwire.Marker))
+          w.child.output.exists(_.name.startsWith(WindowTripwire.Marker)) ||
+            w.expressions.exists(_.references.exists(
+              _.name.startsWith(WindowTripwire.Marker)))
         val tieGroup = w.partitionSpec.size >= 2
-        assert(bounded || tieGroup,
-          s"$name: single-key window over an unbounded frame:\n" +
-            w.simpleString(200))
+        val entity = w.partitionSpec.size == 1 &&
+          w.partitionSpec.head.references.map(_.name).forall(entityKeys)
+        if (!bounded && !tieGroup && !entity)
+          violations += s"$name: ${w.simpleString(200).linesIterator.take(1).mkString}"
       }
     }
+    assert(violations.isEmpty,
+      s"unsanctioned window partitioning (single-key corpus window?):\n${violations.mkString("\n")}")
   }
 
   test("q130 fused quality scan is ONE whole-stage codegen span") {
