@@ -396,6 +396,16 @@ object ScaleStress {
           big.select(col("doc_id")), "doc_id", classes = 6))
     }
 
+    // Audio near-dup (q147) at 50k assets: encode+real-WAV-decode+
+    // band-energy fingerprint inside mapPartitions, then the hash
+    // groupBy — the image row's audio twin, pricing codec throughput
+    // on multi-second PCM payloads.
+    time("audio near-dup 50k WAVs") {
+      operators.Multimodal.audioNearDup(
+        operators.Multimodal.toneAssetsFromIds(
+          big.select(col("doc_id")), "doc_id", classes = 6))
+    }
+
     // Per-source cap (q80) with planted 80% skew: the bounded
     // aggregate keeps <= cap rows per group per task, so the hot
     // group costs map-side what any other does — the row the window

@@ -298,6 +298,118 @@ object Multimodal {
     }
   }
 
+  /** Tone-pattern WAV tooling for the audio near-dup pipeline (q147,
+    * VERDICT r08 item 8): decode → per-band energy pool →
+    * loudness-invariant fingerprint → dedup. The [[PatternCodec]]
+    * discipline in the time domain: the encoder writes 16 equal time
+    * BANDS whose |amplitude| is a fixed function of the id's pattern
+    * class, at id-VARIED band length and gain — exact per-band energy
+    * pooling plus a relative (above-the-file-mean) threshold recovers
+    * the class regardless of duration or loudness, so the fingerprint
+    * is a pure function of the class and the dedup expectation is
+    * SQL-expressible (`min(id) per id % classes`) even though the
+    * engine must earn it through real WAV decode + band analysis
+    * (equal payload bytes never occur: gain/length vary). */
+  object ToneCodec {
+    private val SampleRate = 8000
+    private val Bands = 16
+
+    /** Band amplitude for pattern class c — the [[PatternCodec]] cell
+      * arithmetic on 16 time bands; distinct thresholded fingerprints
+      * for every class (spec-pinned). */
+    def band(k: Int, c: Int): Int =
+      (k * 31 + c * 97 + k * k * 13) % 251
+
+    /** PCM16 mono WAV whose 16 equal time bands hold constant
+      * |amplitude| = gain * band(k, id % classes); band length
+      * (duration) and gain both vary with the id. */
+    def encodeToneWav(id: Long, classes: Int): Array[Byte] = {
+      val segLen = 800 * (1 + (id % 4).toInt)
+      val gain = 1 + (id % 3).toInt
+      val c = (id % classes).toInt
+      val n = Bands * segLen
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val amp = gain * band(i / segLen, c)
+        val v = (if (i % 2 == 0) amp else -amp).toShort
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Real WAV decode + exact per-band |sample| sums + the 16-bit
+      * loudness-invariant fingerprint: bit_k = band energy STRICTLY
+      * above the file mean (scaled-integer compare, no float
+      * thresholds — gain and band length cancel out of the
+      * inequality, so the fingerprint depends on the pattern class
+      * only). */
+    def toneFingerprint(bytes: Array[Byte]): Int = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val frames = ais.getFrameLength.toInt
+        require(frames % Bands == 0, s"frame count $frames not band-divisible")
+        val segLen = frames / Bands
+        val buf = ais.readAllBytes()
+        val sums = new Array[Long](Bands)
+        var i = 0
+        while (i < frames) {
+          val v = (((buf(2 * i + 1) & 0xff) << 8) | (buf(2 * i) & 0xff)).toShort
+          sums(i / segLen) += math.abs(v.toLong)
+          i += 1
+        }
+        var total = 0L
+        var k = 0
+        while (k < Bands) { total += sums(k); k += 1 }
+        var fp = 0
+        k = 0
+        while (k < Bands) {
+          if (sums(k) * Bands > total) fp |= (1 << k)
+          k += 1
+        }
+        fp
+      } finally ais.close()
+    }
+  }
+
+  /** Perceptual audio dedup over tone-pattern assets — [[imageNearDup]]
+    * for the audio modality: partition-batched decode + band-energy
+    * fingerprint, then the q20 canonical-survivor shape on the
+    * fingerprint (hash equi-groupBy — candidates from an equi-join
+    * key, pairs never materialize). */
+  def audioNearDup(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    val hashed = assets.mapPartitions { it =>
+      it.map(a => (a.asset_id, ToneCodec.toneFingerprint(a.payload)))
+    }.toDF("asset_id", "fingerprint")
+    hashed.join(
+      hashed.groupBy(col("fingerprint"))
+        .agg(org.apache.spark.sql.functions.min(col("asset_id"))
+          .as("canonical_id")),
+      "fingerprint")
+      .select(col("asset_id"), col("canonical_id"))
+  }
+
+  /** Tone-pattern WAV assets for [[audioNearDup]]. */
+  def toneAssetsFromIds(ids: DataFrame, idCol: String,
+      classes: Int): Dataset[MediaAsset] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      MediaAsset(id, "audio", ToneCodec.encodeToneWav(id, classes))
+    }
+  }
+
   /** One sampled video frame: real decoded dimensions. */
   case class SampledFrame(asset_id: Long, frame_idx: Int,
       width: Int, height: Int)

@@ -1952,6 +1952,20 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id")), "doc_id",
         classes = 6))
 
+  /** Perceptual audio dedup (q147, VERDICT r08 item 8 — q89's shape
+    * for the audio modality): ids synthesize tone-pattern WAVs whose
+    * banded-energy class is `id % 6` at id-varied duration AND gain;
+    * the engine must DECODE the real WAV bytes, pool per-band energy,
+    * and threshold against the file mean (the loudness-invariant
+    * fingerprint) before the hash groupBy — the oracle recomputes the
+    * expected canonical (min id per class) from ids alone, so a match
+    * proves the whole decode→band-pool→fingerprint pipeline. */
+  def q147AudioNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDup(
+      Multimodal.toneAssetsFromIds(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+        classes = 6))
+
   /** Video frame-sampling (q90): GVID containers of real PNG frames,
     * every 2nd frame parsed out and REALLY decoded; the oracle
     * recomputes (frame_idx, width, height) from ids alone, proving
@@ -3495,6 +3509,17 @@ object ExtQueries {
     // q89: the engine earns this via real PNG decode + average-pool +
     // aHash; the oracle only knows the construction (class = id % 6).
     "q89_image_neardup" ->
+      """SELECT d.doc_id AS asset_id, m.canonical_id
+        |FROM documents d JOIN (
+        |  SELECT doc_id % 6 AS cls, CAST(min(doc_id) AS BIGINT) AS canonical_id
+        |  FROM documents GROUP BY 1) m
+        |ON d.doc_id % 6 = m.cls""".stripMargin,
+
+    // q147: the audio twin of q89 — the engine earns this via real WAV
+    // decode + band-energy pooling + the loudness-invariant
+    // fingerprint; the oracle only knows the construction (class =
+    // id % 6).
+    "q147_audio_neardup" ->
       """SELECT d.doc_id AS asset_id, m.canonical_id
         |FROM documents d JOIN (
         |  SELECT doc_id % 6 AS cls, CAST(min(doc_id) AS BIGINT) AS canonical_id

@@ -138,4 +138,31 @@ class MultimodalSpec extends AnyFunSuite {
         s"asset $id: canonical $canon != class representative ${id % 6}")
     }
   }
+
+  test("tone fingerprint: duration- and gain-invariant within a class, distinct across classes (VERDICT r08 item 8)") {
+    import graft.operators.Multimodal.ToneCodec
+    // Same class at every (segLen, gain) combination the encoder can
+    // draw (id mod 12 spans all 4 lengths x 3 gains) must fingerprint
+    // identically; the 6 classes must all differ.
+    val fps = (0 until 6).map { c =>
+      val perVariant = (0 until 12).map(v =>
+        ToneCodec.toneFingerprint(ToneCodec.encodeToneWav(c + 6L * v, 6)))
+      assert(perVariant.distinct.size == 1,
+        s"class $c: fingerprint must not depend on duration or gain: $perVariant")
+      perVariant.head
+    }
+    assert(fps.distinct.size == 6, s"classes must separate: $fps")
+  }
+
+  test("audioNearDup groups real decoded band energies by content class") {
+    val ids = spark.range(0, 60).toDF("doc_id")
+    val out = Multimodal.audioNearDup(
+        Multimodal.toneAssetsFromIds(ids, "doc_id", classes = 6))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 60)
+    out.foreach { case (id, canon) =>
+      assert(canon == id % 6,
+        s"asset $id: canonical $canon != class representative ${id % 6}")
+    }
+  }
 }
