@@ -156,6 +156,7 @@ object SparkEntry {
     "q145_line_incremental" -> (ExtQueries.q145LineIncremental(_, _)),
     "q146_cadence_e2e"      -> (ExtQueries.q146CadenceE2e(_, _)),
     "q147_audio_neardup"    -> (ExtQueries.q147AudioNearDup(_, _)),
+    "q148_lowcard_rank"     -> (ExtQueries.q148LowCardRank(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

@@ -62,10 +62,16 @@ object WindowTripwire {
     * whole frame fits one task anyway and "skew" is fixture shape. */
   val SkewMinBytes: Long = 1L << 20
 
-  /** A `__bnd`-sanctioned window whose input shuffle exceeds this is a
-    * bounded-frame CLAIM that stopped being true at this run's scale
-    * (ADVICE r08: an 8dp score histogram reaches ~1e8 rows at corpus
-    * scale — a single-task sort the marker would otherwise hide). */
+  /** A `__bnd`-sanctioned window whose largest input shuffle PARTITION
+    * exceeds this is a bounded-frame CLAIM that stopped being true at
+    * this run's scale (ADVICE r08: an 8dp score histogram reaches
+    * ~1e8 rows at corpus scale — a single-task sort the marker would
+    * otherwise hide). Per-partition, not total: the claim is about
+    * what one TASK sorts — an unpartitioned window's shuffle is one
+    * partition (max == total), while a partitioned bounded frame (the
+    * [[graft.operators.Ranking]] per-value tie-bucket cumulative,
+    * <= 4096 rows per partition) legitimately grows its TOTAL with
+    * the corpus. */
   val BndCapBytes: Long = 256L << 20
 
   private val count = new AtomicInteger(0)
@@ -179,9 +185,10 @@ object WindowTripwire {
     *
     * `__bnd`-sanctioned windows are exempt from the share check —
     * a 2-group histogram cumulative legitimately concentrates — but
-    * their TOTAL size is audited against [[BndCapBytes]]: the bounded
-    * claim itself must hold at runtime (ADVICE r08). Returns (hit
-    * fragment, isBndOverflow) pairs. */
+    * their largest PARTITION is audited against [[BndCapBytes]]: the
+    * bounded claim is about what one task sorts, and it must hold at
+    * runtime (ADVICE r08). Returns (hit fragment, isBndOverflow)
+    * pairs. */
   def skewScan(p: SparkPlan): Seq[(String, Boolean)] = {
     val self = p match {
       case w: WindowExec =>
@@ -190,8 +197,8 @@ object WindowTripwire {
             val total = bytes.sum
             val max = bytes.max
             if (sanctioned(w)) {
-              if (total > BndCapBytes)
-                Seq((s"bnd-claim overflow (${total >> 20} MiB histogram): " +
+              if (max > BndCapBytes)
+                Seq((s"bnd-claim overflow (${max >> 20} MiB single-task frame): " +
                   w.simpleString(200).linesIterator.take(1).mkString, true))
               else Seq.empty
             } else if (w.partitionSpec.nonEmpty && !entSanctioned(w) &&

@@ -309,7 +309,9 @@ object Multimodal {
     * is a pure function of the class and the dedup expectation is
     * SQL-expressible (`min(id) per id % classes`) even though the
     * engine must earn it through real WAV decode + band analysis
-    * (equal payload bytes never occur: gain/length vary). */
+    * (gain/length vary WITHIN every class — the replica index
+    * id / classes draws them — so the invariance is exercised by
+    * construction, never satisfied byte-for-byte). */
   object ToneCodec {
     private val SampleRate = 8000
     private val Bands = 16
@@ -322,10 +324,17 @@ object Multimodal {
 
     /** PCM16 mono WAV whose 16 equal time bands hold constant
       * |amplitude| = gain * band(k, id % classes); band length
-      * (duration) and gain both vary with the id. */
+      * (duration) and gain vary with the REPLICA index (id / classes),
+      * NOT the raw id — `id % 3` would be a pure function of
+      * `id % classes` whenever 3 divides `classes`, making gain
+      * constant within every class and the loudness-invariance claim
+      * vacuously untestable (a gain-DEPENDENT fingerprint regression
+      * would still pass). With the replica index, same-class assets
+      * sweep all 4 lengths x 3 gains as replicas accumulate. */
     def encodeToneWav(id: Long, classes: Int): Array[Byte] = {
-      val segLen = 800 * (1 + (id % 4).toInt)
-      val gain = 1 + (id % 3).toInt
+      val rep = (id / classes).toInt
+      val segLen = 800 * (1 + (rep % 4))
+      val gain = 1 + (rep % 3)
       val c = (id % classes).toInt
       val n = Bands * segLen
       val data = new Array[Byte](n * 2)

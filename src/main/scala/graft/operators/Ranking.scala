@@ -17,14 +17,16 @@ import org.apache.spark.sql.functions._
   * so report-tier rankings never regrow the single-partition path.
   *
   * Shape: one map-side-combined `groupBy(orderCol, tieBucket)` builds
-  * the distinct-(value, tie-bucket) histogram; an exclusive cumulative
-  * sum over that SMALL frame (its window columns carry the
-  * [[graft.WindowTripwire.Marker]] prefix marking the frame bounded)
-  * yields each (value, bucket)'s global offset; an equi-join (AQE
-  * broadcasts when small — never pinned, an 8dp score grid grows with
-  * the corpus) puts the offset back on every row; and a `row_number`
-  * over the (value, tie-bucket) partition completes the exact 1-based
-  * rank.
+  * the distinct-(value, tie-bucket) histogram; a TWO-LEVEL exclusive
+  * cumulative (level 1 over the |distinct values| per-value histogram,
+  * level 2 per value over its <= 4096 tie buckets — both frames carry
+  * the [[graft.WindowTripwire.Marker]] prefix declaring them bounded,
+  * and the single-task level-1 frame never inflates with the bucket
+  * fan-out) yields each (value, bucket)'s global offset; an equi-join
+  * (AQE broadcasts when small — never pinned, an 8dp score grid grows
+  * with the corpus) puts the offset back on every row; and a
+  * `row_number` over the (value, tie-bucket) partition completes the
+  * exact 1-based rank.
   *
   * Tie order is the MD5 order of the tiebreak column — rank is under
   * (`orderCol`, `md5(cast(tieCol as string))`, `tieCol`), the same
@@ -76,22 +78,39 @@ object Ranking {
     val hist = d.groupBy((gcols :+ col(orderCol) :+ col("__tbkt")): _*)
       .agg(count(lit(1)).as("__bnd_nb"))
     val ord = if (descending) col(orderCol).desc else col(orderCol).asc
-    // Bounded frame: |distinct (value, bucket)| rows, never corpus
-    // rows. The __bnd_nb column sanctions the cumulative for the
-    // WindowTripwire; the runtime bounded-claim audit
-    // ([[graft.WindowTripwire]] skew scan) still sizes it per run.
-    val histW = (if (groupCols.isEmpty) Window.orderBy(ord, col("__tbkt"))
-      else Window.partitionBy(gcols: _*).orderBy(ord, col("__tbkt")))
+    // TWO-LEVEL exclusive cumulative (the tokenBudgetSample shape).
+    // One cumulative over the full (value, bucket) histogram would
+    // put up to 4096 rows PER DISTINCT VALUE on the single-task
+    // sorted frame — for a mid-cardinality metric with small tie
+    // groups that frame approaches the corpus, re-growing through the
+    // __bnd exemption the very hazard the buckets exist to kill.
+    // Level 1 runs over the per-VALUE histogram (|distinct values|
+    // rows — the bounded claim, __bnd-named so the WindowTripwire
+    // sanctions it and its runtime audit sizes the claim per run);
+    // level 2 is per-value over the tie buckets (<= 4096 rows per
+    // partition BY CONSTRUCTION, __bnd-sanctioned likewise).
+    val valHist = hist.groupBy((gcols :+ col(orderCol)): _*)
+      .agg(sum(col("__bnd_nb")).as("__bnd_nv"))
+    val valW = (if (groupCols.isEmpty) Window.orderBy(ord)
+      else Window.partitionBy(gcols: _*).orderBy(ord))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs0 = hist
-      .withColumn("__off", coalesce(sum(col("__bnd_nb")).over(histW), lit(0L)))
-    val offs = (totalName match {
+    val valOffs0 = valHist.withColumn("__voff",
+      coalesce(sum(col("__bnd_nv")).over(valW), lit(0L)))
+    val valOffs = (totalName match {
       case Some(_) =>
         val nW = if (groupCols.isEmpty) Window.partitionBy()
           else Window.partitionBy(gcols: _*)
-        offs0.withColumn("__n", sum(col("__bnd_nb")).over(nW))
-      case None => offs0
-    }).drop("__bnd_nb")
+        valOffs0.withColumn("__n", sum(col("__bnd_nv")).over(nW))
+      case None => valOffs0
+    }).drop("__bnd_nv")
+    val bktW = Window.partitionBy((gcols :+ col(orderCol)): _*)
+      .orderBy(col("__tbkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist
+      .withColumn("__boff", coalesce(sum(col("__bnd_nb")).over(bktW), lit(0L)))
+      .join(valOffs, groupCols :+ orderCol)
+      .withColumn("__off", col("__voff") + col("__boff"))
+      .drop("__bnd_nb", "__voff", "__boff")
     // Plain equi-join: AQE broadcasts the offsets when they are small.
     // NOT a pinned broadcast() — the histogram is |distinct (value,
     // bucket)| rows, which for an 8dp-rounded score can reach 1e8 at

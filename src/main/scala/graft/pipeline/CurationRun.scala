@@ -246,17 +246,22 @@ object CurationRun {
     * query vectors answered from the same composed code slices under
     * the same read-back frozen model, via
     * [[graft.streaming.StreamAnnServe.serve]]. The static code side is
-    * read once per state version; the caller persists it for the
-    * stream's lifetime (swap on a state-version boundary, the gate
-    * twins' contract). */
+    * read once per state version and PERSISTED HERE — a stream-static
+    * join re-evaluates an unpersisted static side every micro-batch,
+    * which would re-scan every code slice's parquet per trigger. The
+    * returned release handle unpersists it; the caller invokes it when
+    * the stream stops or the state version swaps (the gate twins'
+    * swap-on-version-boundary contract). */
   def annServeStream(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, queries: DataFrame, nprobe: Int,
-      k: Int): org.apache.spark.sql.Dataset[graft.streaming.StreamAnnServe.Hit] = {
+      k: Int): (org.apache.spark.sql.Dataset[graft.streaming.StreamAnnServe.Hit],
+        () => Unit) = {
     val (m, cen) = VectorSim.annModelFromFrame(
       spark.read.parquet(s"$stateDir/ann_model"))
-    graft.streaming.StreamAnnServe.serve(queries,
-      readSlices(spark, readLineage(stateDir), "ann_codes_batch"),
-      m, cen, nprobe, k)
+    val codes = readSlices(spark, readLineage(stateDir), "ann_codes_batch")
+      .persist()
+    (graft.streaming.StreamAnnServe.serve(queries, codes, m, cen, nprobe, k),
+      () => { codes.unpersist(); () })
   }
 
   // ---------------------------------------------------------------
@@ -897,7 +902,7 @@ object CurationRun {
         // exactly, so one summed row == the union of slice rows for
         // every later decision.
         Sinks.overwriteParquet(
-          readSlices(spark, lineage, "sem_fit_batch")
+          semFitFrames(spark, lineage, stateInDir, embeddings)
             .agg(
               coalesce(sum(col("n_vectors")), lit(0L)).as("n_vectors"),
               coalesce(sum(col("sum_dist")), lit(0))
@@ -917,6 +922,37 @@ object CurationRun {
     writeLineage(stateOutDir, Seq(stateOutDir))
   }
 
+  /** Per-slice quantizer-fit rows (n_vectors, sum_dist, max_dist)
+    * along `dirs`: the persisted ingest-time `sem_fit_batch` summary
+    * where it exists; for slices written BEFORE the summary landed,
+    * the old re-score of that slice's vectors (its `sem_cells_batch`
+    * ids joined against the caller's embeddings) under the state's
+    * frozen quantizer — pre-upgrade lineages degrade per-slice instead
+    * of crashing, and never silently drop a slice's vectors from a
+    * drift decision or a consolidation. */
+  private def semFitFrames(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String], stateInDir: String,
+      embeddings: Option[DataFrame]): DataFrame = {
+    lazy val cen = readSemCentroids(spark, s"$stateInDir/sem_centroids")
+    dirs.map { d =>
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$d/sem_fit_batch")))
+        spark.read.parquet(s"$d/sem_fit_batch")
+          .select(col("n_vectors"), col("sum_dist"), col("max_dist"))
+      else {
+        val emb = embeddings.getOrElse(throw new IllegalStateException(
+          s"$d/sem_fit_batch is missing (slice written before the " +
+            "ingest-time fit summary existed) and no embeddings were " +
+            "supplied to re-score it — pass the corpus embeddings or " +
+            "rebase the state to backfill the summary"))
+        VectorSim.quantizerFitSlice(
+          emb.join(spark.read.parquet(s"$d/sem_cells_batch")
+            .select(col("vec_id")), "vec_id"), cen)
+          .select(col("n_vectors"), col("sum_dist"), col("max_dist"))
+      }
+    }.reduce(_ unionByName _)
+  }
+
   /** The drift DECISION behind [[rebaseIfDrifted]], exposed so its
     * cost can be priced alone: aggregate the lineage's one-row
     * `sem_fit_batch` summaries (state = every slice before the
@@ -926,16 +962,24 @@ object CurationRun {
     * embeddings under the frozen quantizer bit-for-bit (VERDICT r08
     * item 3; spec-pinned against the [[VectorSim.quantizerDrift]]
     * full-scan on both the planted-drift and stable corpora).
-    * Returns true when the retrain branch should run. */
+    * Returns true when the retrain branch should run.
+    *
+    * Lineages holding slices written BEFORE the ingest-time summary
+    * existed carry no `sem_fit_batch`; those slices (and only those)
+    * degrade to the old re-score — their `sem_cells_batch` vec ids
+    * joined against the caller-supplied `embeddings` and scored under
+    * the frozen quantizer. Without `embeddings` a pre-summary slice
+    * is a hard error naming the missing path, never a silent wrong
+    * decision. */
   def quantizerDriftDecision(spark: org.apache.spark.sql.SparkSession,
-      stateInDir: String, driftRatio: Double = 1.5): Boolean = {
+      stateInDir: String, driftRatio: Double = 1.5,
+      embeddings: Option[DataFrame] = None): Boolean = {
     val lineage = readLineage(stateInDir)
     val semActive = java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))
     semActive && lineage.size > 1 && {
       def sideFit(dirs: Seq[String]): (Long, Double) = {
-        val r = spark.read
-          .parquet(dirs.map(d => s"$d/sem_fit_batch"): _*)
+        val r = semFitFrames(spark, dirs, stateInDir, embeddings)
           .agg(coalesce(sum(col("n_vectors")), lit(0L)).as("n"),
             sum(col("sum_dist")).as("s"))
           // The SAME mean arithmetic quantizerDrift computes over raw
@@ -980,10 +1024,16 @@ object CurationRun {
       stateInDir: String, stateOutDir: String, embeddings: DataFrame,
       driftRatio: Double = 1.5, semClusters: Int = 16, semIters: Int = 2,
       semThreshold: Double = 0.99, semSalt: Int = 1): Boolean = {
-    val retrain = quantizerDriftDecision(spark, stateInDir, driftRatio)
+    // Pass the embeddings through so a lineage holding pre-summary
+    // slices degrades to re-scoring those slices instead of crashing.
+    val retrain = quantizerDriftDecision(spark, stateInDir, driftRatio,
+      embeddings = Some(embeddings))
+    // Embeddings ride BOTH branches: the compaction branch's fit-
+    // summary consolidation needs them iff a pre-summary slice must
+    // be re-scored (semFitFrames), the retrain branch always does.
     rebaseState(spark, stateInDir, stateOutDir,
       retrainSemantic = retrain,
-      embeddings = if (retrain) Some(embeddings) else None,
+      embeddings = Some(embeddings),
       semClusters = semClusters, semIters = semIters,
       semThreshold = semThreshold, semSalt = semSalt)
     retrain

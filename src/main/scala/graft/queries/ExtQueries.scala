@@ -1009,7 +1009,7 @@ object ExtQueries {
     // on both engines by the same inner join.
     val toksBase = Tables.documents(s, dir)
       .where(pmod(col("doc_id"), lit(97)) =!= 0)
-      .select(col("doc_id"), plantedToks(s).as("toks"))
+      .select(col("doc_id"), plantedToks.as("toks"))
     val replicas = toksBase
       .where(substring(md5(concat(col("doc_id").cast("string"), lit("#dup"))), 1, 1)
         .isin("0", "1", "2", "3"))
@@ -1101,15 +1101,16 @@ object ExtQueries {
     * the same df >= 2 rule on BOTH engines (the oracle counts line
     * strings where the operator counts 64-bit line hashes — the
     * [[graft.operators.TextDedup.gramFrame]] collision stance). */
-  /** Line-structure synthesis shared by q144/q145/q146: the corpus has
-    * no newlines, so line-granular dedup entries slice each document
-    * into 8-token lines and plant a nav-bar footer on the md5-drawn
-    * half of docs (deterministic, replayed verbatim by the oracles). */
-  /** The span-plant token stream q146 builds its corpus from: the
-    * raw whitespace tokens, with the 12-token boilerplate run
-    * inserted at an md5-derived unaligned offset on the drawn half
-    * (see [[linedDocs]]). */
-  private def plantedToks(s: SparkSession): Column = {
+  /** The span-plant token stream q146 builds its corpus from: the raw
+    * whitespace tokens, with a 12-token boilerplate run inserted at an
+    * md5-derived UNALIGNED offset (1..3) on the md5-drawn half of
+    * docs. Unaligned matters: the 8-token slice lines around the run
+    * stay doc-unique (the line stage must NOT eat the plant — an
+    * aligned run becomes a repeated line, and offsets >= 4 would push
+    * 8 consecutive boiler tokens into one cohort-shared line), while
+    * the identical token run itself crosses the span gram-df
+    * threshold corpus-wide. */
+  private def plantedToks: Column = {
     import graft.functions.TextFunctions.tokens
     val base = tokens(col("text"))
     val draw = md5(concat(col("doc_id").cast("string"), lit("#span")))
@@ -1125,21 +1126,16 @@ object ExtQueries {
       .otherwise(base)
   }
 
-  private def linedDocs(s: SparkSession, dir: String,
-      spanPlant: Boolean = false): DataFrame = {
+  /** Line-structure synthesis shared by q144/q145: the corpus has no
+    * newlines, so line-granular dedup entries slice each document into
+    * 8-token lines and plant a nav-bar footer on the md5-drawn half of
+    * docs (deterministic, replayed verbatim by the oracles). q146
+    * composes [[plantedToks]] + [[lineSynthesis]] directly instead —
+    * its corpus also needs the span plant and near-dup replicas. */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val base = tokens(col("text"))
-    // q146's span-stage attrition plant ([[plantedToks]]): a 12-token
-    // boilerplate run at an md5-derived UNALIGNED offset (1..3) on
-    // the md5-drawn half of docs. Unaligned means the 8-token slice
-    // lines around it stay doc-unique (the line stage must NOT eat
-    // it — an aligned plant becomes a repeated line; offsets >= 4
-    // would push 8 consecutive boiler tokens into one cohort-shared
-    // line), while the identical token run itself crosses the span
-    // gram-df threshold corpus-wide.
-    val toks = if (spanPlant) plantedToks(s) else base
     lineSynthesis(Tables.documents(s, dir).select(col("doc_id"),
-      toks.as("toks")))
+      tokens(col("text")).as("toks")))
   }
 
   /** 8-token slice lines + md5-drawn footer over a (doc_id, toks)
@@ -1966,6 +1962,29 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id")), "doc_id",
         classes = 6))
 
+  /** Corpus rank over a LOW-cardinality metric (q148): every document
+    * ranked by its Gopher rule pass COUNT — at most 8 distinct values
+    * over the whole corpus, so the tie group IS the corpus. This is
+    * the exact regime the r08 verdict named as [[Ranking]]'s residual
+    * hazard (a boolean gate / 0–7 rule count); running it as a
+    * catalog entry puts the md5 tie-bucket discipline under BOTH
+    * gates every round: the DuckDB hash compare (rank semantics) and
+    * the runtime window-skew tripwire at bench (no dominant-task
+    * sort). Null flags count as failed rules (coalesce to false on
+    * both engines), so `pass_ct` is total and no document is dropped
+    * by the rank's null contract. */
+  def q148LowCardRank(s: SparkSession, dir: String): DataFrame = {
+    val flags = TextAnalysis.gopherRules(
+      Tables.documents(s, dir), "doc_id", "text")
+    val okCols = Seq("words_ok", "word_len_ok", "symbol_ok", "bullet_ok",
+      "ellipsis_ok", "alpha_ok", "stopword_ok")
+    val passCt = okCols
+      .map(c => coalesce(col(c).cast("int"), lit(0))).reduce(_ + _)
+    Ranking.globalRank(
+      flags.select(col("doc_id"), passCt.as("pass_ct")),
+      "pass_ct", "doc_id", "rank")
+  }
+
   /** Video frame-sampling (q90): GVID containers of real PNG frames,
     * every 2nd frame parsed out and REALLY decoded; the oracle
     * recomputes (frame_idx, width, height) from ids alone, proving
@@ -1984,6 +2003,24 @@ object ExtQueries {
   /** DuckDB token expression mirroring [[graft.functions.TextFunctions.tokens]]. */
   private val duckToks =
     raw"""list_filter(string_split_regex(text, '\s+'), t -> t != '')"""
+
+  /** DuckDB mirror of the Gopher measure kernel over `documents` —
+    * the `WITH t, m` prefix shared by the q79 rule gate and the q148
+    * low-cardinality rank (no trailing SELECT: callers append their
+    * own CTEs/projection). */
+  private lazy val gopherMeasuresCte: String =
+    s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks,
+       |  string_split(text, chr(10)) AS lines FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(toks) AS INT) AS n_words,
+       |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_word_len,
+       |  round(((length(text) - length(replace(text, '#', ''))) +
+       |    (length(text) - length(replace(text, '...', ''))) / 3) / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+       |  round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines), 6) AS bullet_ratio,
+       |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) / len(lines), 6) AS ellipsis_ratio,
+       |  round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6) AS alpha_ratio,
+       |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(toks, w))) AS INT) AS stopword_hits
+       |FROM t)""".stripMargin
 
   /** DuckDB mirror of the full multi-table hyperplane-LSH ANN pipeline
     * (q26): re-derives the md5 hyperplane coefficients IN SQL — bit-exact
@@ -3448,18 +3485,7 @@ object ExtQueries {
     // q79: the Gopher rule measurements as list-lambda mirrors of the
     // engine's codegen'd HOFs; booleans compare as-is.
     "q79_gopher_rules" ->
-      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks,
-         |  string_split(text, chr(10)) AS lines FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(toks) AS INT) AS n_words,
-         |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS mean_word_len,
-         |  round(((length(text) - length(replace(text, '#', ''))) +
-         |    (length(text) - length(replace(text, '...', ''))) / 3) / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
-         |  round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines), 6) AS bullet_ratio,
-         |  round(CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE) / len(lines), 6) AS ellipsis_ratio,
-         |  round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6) AS alpha_ratio,
-         |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'], w -> list_contains(toks, w))) AS INT) AS stopword_hits
-         |FROM t)
+      s"""$gopherMeasuresCte
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
          |  ellipsis_ratio, alpha_ratio, stopword_hits,
          |  n_words >= 20 AND n_words <= 10000 AS words_ok,
@@ -3525,6 +3551,26 @@ object ExtQueries {
         |  SELECT doc_id % 6 AS cls, CAST(min(doc_id) AS BIGINT) AS canonical_id
         |  FROM documents GROUP BY 1) m
         |ON d.doc_id % 6 = m.cls""".stripMargin,
+
+    // q148: the q79 measure CTE + rule pass COUNT (nulls = failed
+    // rules on both engines), ranked by the md5 tie order the Ranking
+    // operator declares — the window form IS the oracle; the engine
+    // earns equality through the histogram + tie-bucket plan.
+    "q148_lowcard_rank" ->
+      s"""$gopherMeasuresCte,
+         |pc AS (SELECT doc_id,
+         |  CAST(coalesce(n_words >= 20 AND n_words <= 10000, false) AS INT) +
+         |  CAST(coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, false) AS INT) +
+         |  CAST(coalesce(symbol_ratio <= 0.1, false) AS INT) +
+         |  CAST(coalesce(bullet_ratio <= 0.9, false) AS INT) +
+         |  CAST(coalesce(ellipsis_ratio <= 0.3, false) AS INT) +
+         |  CAST(coalesce(alpha_ratio >= 0.8, false) AS INT) +
+         |  CAST(coalesce(stopword_hits >= 2, false) AS INT) AS pass_ct
+         |FROM m)
+         |SELECT doc_id, pass_ct,
+         |  CAST(row_number() OVER (
+         |    ORDER BY pass_ct, md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+         |FROM pc""".stripMargin,
 
     // q88: the benchmark-side audit over the same shingle overlap
     // (per-doc shingle lists are already distinct).

@@ -111,10 +111,21 @@ object StreamAnnServe {
         (qid: Long, it: Iterator[Cand], state: GroupState[Int]) =>
           // A query's candidates arrive in its own micro-batch; the
           // state slot is never written — bounded state = empty.
-          it.toVector.sortBy(c => (c.adist, c.neighbor_id)).take(k)
-            .zipWithIndex
+          // Top-k is an O(k)-memory heap fold over the iterator, NOT
+          // a materialize-and-sort: one query's candidate set is
+          // ~nprobe/kClusters of the corpus, and buffering it in a
+          // single task is the hazard class the batch twin bounds
+          // with its TopKByScore partial aggregate.
+          val ord = Ordering.by[Cand, (Double, Long)](
+            c => (c.adist, c.neighbor_id))
+          val heap = scala.collection.mutable.PriorityQueue.empty[Cand](ord)
+          it.foreach { c =>
+            if (heap.size < k) heap.enqueue(c)
+            else if (ord.lt(c, heap.head)) { heap.dequeue(); heap.enqueue(c) }
+          }
+          val topk: Seq[Cand] = heap.dequeueAll
+          topk.reverseIterator.zipWithIndex
             .map { case (c, i) => Hit(qid, c.neighbor_id, c.adist, i + 1) }
-            .iterator
       }
   }
 }

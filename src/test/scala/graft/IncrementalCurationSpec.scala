@@ -527,6 +527,34 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(summaryFit(Seq(s"$b1/state_m")) ==
       summaryFit(Seq(s"$b1/state_1", s"$b1/state_2")),
       "pure-IO rebase must consolidate fit summaries losslessly")
+
+    // Pre-summary slices (a lineage whose older slices were written
+    // before the ingest-time fit summary existed): the decision and
+    // the consolidation must DEGRADE to re-scoring exactly those
+    // slices from the caller's embeddings — same branch, same
+    // consolidated summary — and without embeddings the missing
+    // summary is a hard error naming the path, never a silent wrong
+    // decision.
+    val preConsolidated = summaryFit(Seq(s"$b1/state_m"))
+    def rmTree(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(p)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(s"$b1/state_1/sem_fit_batch")
+    val err = intercept[IllegalStateException] {
+      CurationRun.quantizerDriftDecision(spark, s"$b1/state_2")
+    }
+    assert(err.getMessage.contains("sem_fit_batch"))
+    assert(!CurationRun.quantizerDriftDecision(spark, s"$b1/state_2",
+        embeddings = Some(embStable)),
+      "re-scored pre-summary slice must reach the same (stable) branch")
+    assert(!CurationRun.rebaseIfDrifted(spark, s"$b1/state_2",
+        s"$b1/state_m2", embStable, driftRatio = 1.5, semClusters = 2),
+      "policy over a degraded lineage must still compact")
+    assert(summaryFit(Seq(s"$b1/state_m2")) == preConsolidated,
+      "consolidation over a degraded lineage must rebuild the same summary")
   }
 
   test("span-df state cadence: batch cleaned against composed df, history frozen (append-only)") {

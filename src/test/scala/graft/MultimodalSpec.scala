@@ -142,11 +142,19 @@ class MultimodalSpec extends AnyFunSuite {
   test("tone fingerprint: duration- and gain-invariant within a class, distinct across classes (VERDICT r08 item 8)") {
     import graft.operators.Multimodal.ToneCodec
     // Same class at every (segLen, gain) combination the encoder can
-    // draw (id mod 12 spans all 4 lengths x 3 gains) must fingerprint
-    // identically; the 6 classes must all differ.
+    // draw (the REPLICA index id/classes mod 12 spans all 4 lengths x
+    // 3 gains — gain keyed on the raw id would be constant within a
+    // class, 3 | 6, and this test would pass vacuously) must
+    // fingerprint identically; the 6 classes must all differ.
     val fps = (0 until 6).map { c =>
-      val perVariant = (0 until 12).map(v =>
-        ToneCodec.toneFingerprint(ToneCodec.encodeToneWav(c + 6L * v, 6)))
+      val waves = (0 until 12).map(v => ToneCodec.encodeToneWav(c + 6L * v, 6))
+      // Fixture self-check: the 12 same-class variants really differ
+      // (4 payload lengths from segLen; distinct bytes from gain).
+      assert(waves.map(_.length).distinct.size == 4,
+        s"class $c: replica index must sweep all 4 band lengths")
+      assert(waves.map(_.toSeq).distinct.size == 12,
+        s"class $c: same-class variants must not repeat payload bytes")
+      val perVariant = waves.map(ToneCodec.toneFingerprint)
       assert(perVariant.distinct.size == 1,
         s"class $c: fingerprint must not depend on duration or gain: $perVariant")
       perVariant.head

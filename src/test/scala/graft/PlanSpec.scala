@@ -333,9 +333,8 @@ class PlanSpec extends AnyFunSuite {
       "__k",       // as-of join key (per-key event history)
       "shard")     // caller-sized parallelism knob (packSequences)
     val violations = new scala.collection.mutable.ArrayBuffer[String]
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val df = fn(spark, sf)
-      windows(df.queryExecution.executedPlan).foreach { w =>
+    def audit(name: String, plan: SparkPlan): Unit =
+      windows(plan).foreach { w =>
         val bounded =
           w.child.output.exists(_.name.startsWith(WindowTripwire.Marker)) ||
             w.expressions.exists(_.references.exists(
@@ -346,7 +345,36 @@ class PlanSpec extends AnyFunSuite {
         if (!bounded && !tieGroup && !entity)
           violations += s"$name: ${w.simpleString(200).linesIterator.take(1).mkString}"
       }
+    // Eager entries (q137/q141/q146, the trainers) execute their whole
+    // pipeline INSIDE the query fn and return a tiny result frame —
+    // auditing only the returned plan would exclude exactly the
+    // heaviest pipelines. A listener captures every plan EXECUTED
+    // while an entry builds, so those interior actions are swept too.
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, SparkPlan)]
+    @volatile var current = ""
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = captured.add(current -> qe.executedPlan)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
     }
+    spark.listenerManager.register(listener)
+    try {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        current = s"$name (interior action)"
+        val df = fn(spark, sf)
+        audit(name, df.queryExecution.executedPlan)
+      }
+      org.apache.spark.graft.SparkShims
+        .waitUntilListenerBusEmpty(spark, 30000)
+    } finally {
+      spark.listenerManager.unregister(listener)
+    }
+    import scala.jdk.CollectionConverters._
+    captured.asScala.foreach { case (name, plan) => audit(name, plan) }
     assert(violations.isEmpty,
       s"unsanctioned window partitioning (single-key corpus window?):\n${violations.mkString("\n")}")
   }

@@ -65,7 +65,7 @@ class StreamAnnServeSpec extends AnyFunSuite {
     assert(batchWant.nonEmpty, "fixture must produce batch hits")
 
     val mem = MemoryStream[StreamAnnServe.Query]
-    val out = CurationRun.annServeStream(spark, s"$base/state1",
+    val (out, release) = CurationRun.annServeStream(spark, s"$base/state1",
       mem.toDF(), nprobe = 2, k = 3)
     val dir = TestSpark.tmpDir("stream_ann_q")
     val q = out.writeStream
@@ -84,6 +84,6 @@ class StreamAnnServeSpec extends AnyFunSuite {
         .as[(Long, Long, Double, Int)].collect().toSet
       assert(got == batchWant,
         "stream hits (ids, exact adist, rank) must equal batch annServe")
-    } finally q.stop()
+    } finally { q.stop(); release() }
   }
 }
