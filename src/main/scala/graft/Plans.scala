@@ -110,7 +110,11 @@ object Plans {
       "q144_line_dedup" ->
         "line posexplode (map tier) -> hash-df count (one shuffle) -> anti-join vs the few boilerplate keys (AQE broadcasts) -> per-doc ordered reassembly — work tracks corpus lines, never corpus^2",
       "q145_line_incremental" ->
-        "weekly-cadence line dedup: history counts FILTERED to batch line keys by one equi-join before summing — per-increment work is batch lines + the key join, never the composed corpus")
+        "weekly-cadence line dedup: history counts FILTERED to batch line keys by one equi-join before summing — per-increment work is batch lines + the key join, never the composed corpus",
+      "q147_audio_neardup" ->
+        "mapPartitions decode tier (per-partition codec init) -> fingerprint groupBy -> canonical equi-join back — the q20 survivor shape, candidates never pairwise",
+      "q148_lowcard_rank" ->
+        "LOW-cardinality (0..7) corpus rank: gopher_measures kernel in the scan projection; two-level __bnd histogram cumulatives; per-row window partitioned by (pass_ct, md5 tie bucket) — a corpus-sized tie group never sorts on one task")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `graft.Plans`, sf0.001)\n")
     sb.append("\n_q137_curation_e2e has no plan artifact by construction: the entry " +
