@@ -71,8 +71,11 @@ object WindowTripwire {
     * partition (max == total), while a partitioned bounded frame (the
     * [[graft.operators.Ranking]] per-value tie-bucket cumulative,
     * <= 4096 rows per partition) legitimately grows its TOTAL with
-    * the corpus. */
-  val BndCapBytes: Long = 256L << 20
+    * the corpus. Test-adjustable (private var) so the overflow RED
+    * branch is exercisable at spec scale — an untested tripwire
+    * branch is itself a silent-failure risk. */
+  @volatile private[graft] var bndCapBytes: Long = 256L << 20
+  def BndCapBytes: Long = bndCapBytes
 
   private val count = new AtomicInteger(0)
   private val recent = new ConcurrentLinkedQueue[String]()

@@ -95,6 +95,32 @@ class WindowTripwireSpec extends AnyFunSuite {
     WindowTripwire.skewWindows + WindowTripwire.bndOverflows - before
   }
 
+  test("bnd-overflow red branch: a __bnd claim past the cap trips window_bnd_overflow") {
+    // The marker exempts a window from BOTH counters on the claim
+    // that its single-task frame is bounded; the cap audits that
+    // claim at runtime. Lower the cap to spec scale to drive the red
+    // branch (the production 256 MiB is untestable in a unit), then
+    // restore: the same sanctioned window under the real cap is
+    // green.
+    val claimed = skewedFrame
+      .withColumnRenamed("payload", "__bnd_payload")
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("id"), col("__bnd_payload"))))
+    val restore = WindowTripwire.bndCapBytes
+    try {
+      WindowTripwire.bndCapBytes = 1024L
+      val before = WindowTripwire.skewWindows
+      assert(skewDelta(claimed, expectMove = true) >= 1,
+        "a stale bounded claim must be counted at runtime")
+      assert(WindowTripwire.skewMessages.exists(_.contains("bnd-claim overflow")),
+        s"hit should name the overflow: ${WindowTripwire.skewMessages}")
+      assert(WindowTripwire.skewWindows == before,
+        "an overflowing __bnd claim is a bnd hit, not a skew hit")
+    } finally WindowTripwire.bndCapBytes = restore
+    assert(skewDelta(claimed, expectMove = false) === 0,
+      s"the same claim under the real cap is green: ${WindowTripwire.skewMessages}")
+  }
+
   test("skew red branch: a single-key-dominated partitioned window trips window_skew") {
     // The q103/q106/q133 class: a partition key EXISTS (so the
     // plan-shape counter stays silent) but one key holds 90% of a
