@@ -172,8 +172,10 @@ object Bench {
     // see), or a __bnd bounded-frame claim overflowed its size cap.
     val wsk = WindowTripwire.skewWindows
     val wbo = WindowTripwire.bndOverflows
-    if (wsk + wbo > 0) WindowTripwire.skewMessages.foreach(m =>
+    if (wsk > 0) WindowTripwire.skewMessages.foreach(m =>
       System.err.println(s"[bench] window_skew: $m"))
+    if (wbo > 0) WindowTripwire.bndMessages.foreach(m =>
+      System.err.println(s"[bench] window_bnd_overflow: $m"))
     // Lease health (VERDICT r06 item 6): nonzero means some entry's
     // cache lease never fired on its own action and the rep-boundary
     // releaseAll had to reclaim it — identity matching regressed.

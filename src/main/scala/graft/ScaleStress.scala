@@ -482,10 +482,8 @@ object ScaleStress {
       // The replaced shape: re-score EVERY state slice's embeddings
       // under the frozen quantizer (what r07's policy paid per week).
       t0 = System.nanoTime()
-      val cen10 = spark.read
-        .parquet("/tmp/graft_drift_state2/sem_centroids")
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-        .sortBy(_._1).map(_._2).toSeq
+      val cen10 = CurationRun.readSemCentroids(spark,
+        "/tmp/graft_drift_state2/sem_centroids")
       val stateVecs = spark.read.parquet(
           "/tmp/graft_drift_state0/decon_batch",
           "/tmp/graft_drift_state1/decon_batch")

@@ -107,10 +107,18 @@ object WindowTripwire {
     recent.asScala.toSeq
   }
 
-  /** Hit fragments for [[skewWindows]] / [[bndOverflows]]. */
+  /** Hit fragments for [[skewWindows]] (skew hits only — bnd-claim
+    * overflows report via [[bndMessages]], so log lines and triage
+    * greps land on the counter that actually moved). */
   def skewMessages: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    (skewRecent.asScala ++ bndRecent.asScala).toSeq
+    skewRecent.asScala.toSeq
+  }
+
+  /** Hit fragments for [[bndOverflows]]. */
+  def bndMessages: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    bndRecent.asScala.toSeq
   }
 
   def reset(): Unit = {
@@ -222,19 +230,37 @@ object WindowTripwire {
     self ++ children.flatMap(skewScan) ++ p.subqueries.flatMap(skewScan)
   }
 
-  /** Per-reduce-partition sizes of the shuffle feeding a window:
-    * descend the linear chain of shape-preserving nodes (sort,
-    * project, filter, codegen wrappers, AQE shuffle reads) to the
-    * materialized stage. Anything else — a join, an aggregate, an
-    * already-co-partitioned child with no exchange — yields None and
-    * the window is skipped (no stats to judge, conservatively
-    * green). */
+  /** Per-TASK sizes of the shuffle feeding a window: descend the
+    * linear chain of shape-preserving nodes (sort, project, filter,
+    * codegen wrappers) to the materialized stage. An
+    * `AQEShuffleReadExec` re-aggregates the raw reduce-partition
+    * bytes into its COALESCED task layout — both audits are about
+    * what one TASK sorts, and a coalesced read merges many small raw
+    * partitions into one task (400 x 1 MiB raw partitions read as
+    * 2 x 200 MiB tasks must be judged at 200 MiB, not 1 MiB). A read
+    * carrying any non-coalesced spec (skew splits) keeps the raw
+    * numbers: splitting only shrinks tasks, so raw over-reports —
+    * conservative toward a hit, and those specs do not appear on
+    * window inputs in practice. Anything else — a join, an
+    * aggregate, an already-co-partitioned child with no exchange —
+    * yields None and the window is skipped (no stats to judge,
+    * conservatively green). */
   private def inputShuffleBytes(p: SparkPlan): Option[Array[Long]] =
     SparkShims.shuffleBytesByPartition(p).orElse(p match {
       case q: QueryStageExec => inputShuffleBytes(q.plan)
       case a: AdaptiveSparkPlanExec => inputShuffleBytes(a.executedPlan)
+      case r: AQEShuffleReadExec =>
+        inputShuffleBytes(r.child).map { raw =>
+          val coalesced = r.partitionSpecs.collect {
+            case c: org.apache.spark.sql.execution.CoalescedPartitionSpec => c
+          }
+          if (coalesced.size != r.partitionSpecs.size) raw
+          else coalesced.map(c =>
+            (c.startReducerIndex until c.endReducerIndex)
+              .map(i => if (i < raw.length) raw(i) else 0L).sum).toArray
+        }
       case _: SortExec | _: ProjectExec | _: FilterExec | _: InputAdapter |
-           _: WholeStageCodegenExec | _: AQEShuffleReadExec =>
+           _: WholeStageCodegenExec =>
         p.children.headOption.flatMap(inputShuffleBytes)
       case _ => None
     })

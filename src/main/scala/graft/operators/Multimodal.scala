@@ -275,17 +275,30 @@ object Multimodal {
     * 64-bit aHash (hash equi-groupBy — pairs never materialize; at
     * near-dup thresholds > 0 the hash would feed the SimHash byte-band
     * join instead). */
-  def imageNearDup(assets: Dataset[MediaAsset]): DataFrame = {
+  def imageNearDup(assets: Dataset[MediaAsset]): DataFrame =
+    canonicalByFingerprint(assets, "ahash",
+      a => (a.asset_id, PatternCodec.ahashPng(a.payload)))
+
+  /** Shared canonical-survivor tail of [[imageNearDup]] /
+    * [[audioNearDup]]: per-partition decode+fingerprint, then the q20
+    * shape (min-id per fingerprint, equi-joined back — candidates
+    * never pairwise). The fingerprint frame is PERSISTED with a
+    * [[CacheLease]]: it feeds BOTH join sides, and unpersisted each
+    * side would re-run the decode tier (the dominant cost — real
+    * codec work per asset) in its own exchange subtree. */
+  private def canonicalByFingerprint(assets: Dataset[MediaAsset],
+      fpCol: String, fp: MediaAsset => (Long, Long)): DataFrame = {
     import assets.sparkSession.implicits._
-    val hashed = assets.mapPartitions { it =>
-      it.map(a => (a.asset_id, PatternCodec.ahashPng(a.payload)))
-    }.toDF("asset_id", "ahash")
-    hashed.join(
-      hashed.groupBy(col("ahash"))
-        .agg(org.apache.spark.sql.functions.min(col("asset_id"))
-          .as("canonical_id")),
-      "ahash")
-      .select(col("asset_id"), col("canonical_id"))
+    val hashed = assets.mapPartitions(it => it.map(fp))
+      .toDF("asset_id", fpCol).persist()
+    CacheLease.releaseAfterAction(
+      hashed.join(
+        hashed.groupBy(col(fpCol))
+          .agg(org.apache.spark.sql.functions.min(col("asset_id"))
+            .as("canonical_id")),
+        fpCol)
+        .select(col("asset_id"), col("canonical_id")))(
+      () => { hashed.unpersist(); () })
   }
 
   /** Patterned-PNG assets for [[imageNearDup]]. */
@@ -396,18 +409,9 @@ object Multimodal {
     * fingerprint, then the q20 canonical-survivor shape on the
     * fingerprint (hash equi-groupBy — candidates from an equi-join
     * key, pairs never materialize). */
-  def audioNearDup(assets: Dataset[MediaAsset]): DataFrame = {
-    import assets.sparkSession.implicits._
-    val hashed = assets.mapPartitions { it =>
-      it.map(a => (a.asset_id, ToneCodec.toneFingerprint(a.payload)))
-    }.toDF("asset_id", "fingerprint")
-    hashed.join(
-      hashed.groupBy(col("fingerprint"))
-        .agg(org.apache.spark.sql.functions.min(col("asset_id"))
-          .as("canonical_id")),
-      "fingerprint")
-      .select(col("asset_id"), col("canonical_id"))
-  }
+  def audioNearDup(assets: Dataset[MediaAsset]): DataFrame =
+    canonicalByFingerprint(assets, "fingerprint",
+      a => (a.asset_id, ToneCodec.toneFingerprint(a.payload).toLong))
 
   /** Tone-pattern WAV assets for [[audioNearDup]]. */
   def toneAssetsFromIds(ids: DataFrame, idCol: String,

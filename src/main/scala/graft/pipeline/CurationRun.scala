@@ -351,7 +351,7 @@ object CurationRun {
         (i, w.toSeq) }).toDF("cell", "vec"),
       s"$stateDir/sem_centroids", numFiles = 1)
 
-  private def readSemCentroids(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readSemCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Array[Double]] =
     spark.read.parquet(path).orderBy(col("cell"))
       .collect().map(_.getSeq[Double](1).toArray).toSeq

@@ -1035,6 +1035,7 @@ object ExtQueries {
     val base = scratchDir("q146_cadence")
     def b(i: Int) = lined.where(pmod(col("doc_id"), lit(3)) === i)
     val emb = Tables.embeddings(s, dir)
+    val st = try {
     CurationRun.runInit(b(0), benchmark, s"$base/out0", s"$base/state0",
       minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
       fractions = Map("en" -> 0.5), defaultFraction = 0.9,
@@ -1056,17 +1057,18 @@ object ExtQueries {
       semThreshold = 0.35,
       classifier = Some((weights, 256)), minClassifierScore = 0.0001,
       spanK = 8, spanMinDf = 2, lineMinDf = 2)
-    val st =
-      try CurationRun.runIncremental(b(2), benchmark, s"$base/out2",
-        s"$base/state1", s"$base/state2",
-        minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
-        fractions = Map("en" -> 0.5), defaultFraction = 0.9,
-        packBudget = 4096L, packShards = 8,
-        embeddings = Some(emb), semClusters = 8, semIters = 2,
-        semThreshold = 0.35,
-        classifier = Some((weights, 256)), minClassifierScore = 0.0001,
-        spanK = 8, spanMinDf = 2, lineMinDf = 2)
-      finally lined.unpersist()
+    CurationRun.runIncremental(b(2), benchmark, s"$base/out2",
+      s"$base/state1", s"$base/state2",
+      minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
+      fractions = Map("en" -> 0.5), defaultFraction = 0.9,
+      packBudget = 4096L, packShards = 8,
+      embeddings = Some(emb), semClusters = 8, semIters = 2,
+      semThreshold = 0.35,
+      classifier = Some((weights, 256)), minClassifierScore = 0.0001,
+      spanK = 8, spanMinDf = 2, lineMinDf = 2)
+    // The finally covers ALL THREE eager runs: a failure in runInit
+    // must not leak the persisted corpus for the session's lifetime.
+    } finally lined.unpersist()
     s.createDataFrame(Seq((st.input, st.decontaminated, st.spanCleaned,
         st.lineCleaned, st.kept, st.semDropped, st.sampled, st.bins)))
       .toDF("input", "decontaminated", "span_cleaned", "line_cleaned",

@@ -38,5 +38,12 @@ object SparkShims {
   def waitUntilListenerBusEmpty(spark: SparkSession,
       timeoutMillis: Long): Boolean =
     try { spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis); true }
-    catch { case _: Throwable => false }
+    catch {
+      case _: InterruptedException =>
+        // A shutdown interrupt during the drain must not be swallowed
+        // — restore the flag so the caller's next blocking call sees
+        // it and the JVM can terminate promptly.
+        Thread.currentThread().interrupt(); false
+      case _: Throwable => false
+    }
 }

@@ -367,9 +367,13 @@ class PlanSpec extends AnyFunSuite {
         current = s"$name (interior action)"
         val df = fn(spark, sf)
         audit(name, df.queryExecution.executedPlan)
+        // Drain per entry: listener delivery is async, and `current`
+        // is read at DELIVERY time — without the drain an event from
+        // this entry lands while the loop is already on the next one
+        // and a violation is reported under the wrong entry name.
+        org.apache.spark.graft.SparkShims
+          .waitUntilListenerBusEmpty(spark, 30000)
       }
-      org.apache.spark.graft.SparkShims
-        .waitUntilListenerBusEmpty(spark, 30000)
     } finally {
       spark.listenerManager.unregister(listener)
     }

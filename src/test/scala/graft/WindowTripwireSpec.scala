@@ -112,8 +112,10 @@ class WindowTripwireSpec extends AnyFunSuite {
       val before = WindowTripwire.skewWindows
       assert(skewDelta(claimed, expectMove = true) >= 1,
         "a stale bounded claim must be counted at runtime")
-      assert(WindowTripwire.skewMessages.exists(_.contains("bnd-claim overflow")),
-        s"hit should name the overflow: ${WindowTripwire.skewMessages}")
+      assert(WindowTripwire.bndMessages.exists(_.contains("bnd-claim overflow")),
+        s"hit should name the overflow: ${WindowTripwire.bndMessages}")
+      assert(!WindowTripwire.skewMessages.exists(_.contains("bnd-claim")),
+        "overflow hits must not be filed under the skew log")
       assert(WindowTripwire.skewWindows == before,
         "an overflowing __bnd claim is a bnd hit, not a skew hit")
     } finally WindowTripwire.bndCapBytes = restore
