@@ -230,37 +230,35 @@ object WindowTripwire {
     self ++ children.flatMap(skewScan) ++ p.subqueries.flatMap(skewScan)
   }
 
-  /** Per-TASK sizes of the shuffle feeding a window: descend the
-    * linear chain of shape-preserving nodes (sort, project, filter,
-    * codegen wrappers) to the materialized stage. An
-    * `AQEShuffleReadExec` re-aggregates the raw reduce-partition
-    * bytes into its COALESCED task layout — both audits are about
-    * what one TASK sorts, and a coalesced read merges many small raw
-    * partitions into one task (400 x 1 MiB raw partitions read as
-    * 2 x 200 MiB tasks must be judged at 200 MiB, not 1 MiB). A read
-    * carrying any non-coalesced spec (skew splits) keeps the raw
-    * numbers: splitting only shrinks tasks, so raw over-reports —
-    * conservative toward a hit, and those specs do not appear on
-    * window inputs in practice. Anything else — a join, an
-    * aggregate, an already-co-partitioned child with no exchange —
-    * yields None and the window is skipped (no stats to judge,
-    * conservatively green). */
+  /** RAW per-reduce-partition sizes of the shuffle feeding a window:
+    * descend the linear chain of shape-preserving nodes (sort,
+    * project, filter, codegen wrappers, AQE shuffle reads) to the
+    * materialized stage.
+    *
+    * Deliberately RAW, not the AQE-coalesced task layout — measured,
+    * not assumed: a window's shuffle hashes its partition KEYS, so a
+    * key's bytes land in exactly one raw partition and the raw
+    * max-partition share UPPER-BOUNDS the max-key share — the
+    * key-dominance signal both audits want. Re-aggregating into
+    * coalesced task sizes was tried and reverted: on small frames AQE
+    * merges everything into 1-2 tasks, so task share reads ~1.0
+    * whenever the FRAME is small — a full-catalog run lit 24
+    * window_skew false positives, every one an entity-keyed
+    * (doc_id / user_id / as-of key) 1-3 MiB frame, none a dominant
+    * key. Coalescing also cannot push a bounded claim past
+    * [[BndCapBytes]]: merges stop at AQE's advisory partition size
+    * (default 64 MB, far under the cap), so only a single raw
+    * partition can exceed the cap — which the raw max measures
+    * exactly. Anything else — a join, an aggregate, an
+    * already-co-partitioned child with no exchange — yields None and
+    * the window is skipped (no stats to judge, conservatively
+    * green). */
   private def inputShuffleBytes(p: SparkPlan): Option[Array[Long]] =
     SparkShims.shuffleBytesByPartition(p).orElse(p match {
       case q: QueryStageExec => inputShuffleBytes(q.plan)
       case a: AdaptiveSparkPlanExec => inputShuffleBytes(a.executedPlan)
-      case r: AQEShuffleReadExec =>
-        inputShuffleBytes(r.child).map { raw =>
-          val coalesced = r.partitionSpecs.collect {
-            case c: org.apache.spark.sql.execution.CoalescedPartitionSpec => c
-          }
-          if (coalesced.size != r.partitionSpecs.size) raw
-          else coalesced.map(c =>
-            (c.startReducerIndex until c.endReducerIndex)
-              .map(i => if (i < raw.length) raw(i) else 0L).sum).toArray
-        }
       case _: SortExec | _: ProjectExec | _: FilterExec | _: InputAdapter |
-           _: WholeStageCodegenExec =>
+           _: WholeStageCodegenExec | _: AQEShuffleReadExec =>
         p.children.headOption.flatMap(inputShuffleBytes)
       case _ => None
     })
