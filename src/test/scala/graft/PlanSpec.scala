@@ -379,6 +379,10 @@ class PlanSpec extends AnyFunSuite {
     }
     import scala.jdk.CollectionConverters._
     captured.asScala.foreach { case (name, plan) => audit(name, plan) }
+    // The sweep BUILDS lease-bearing entries without running them —
+    // drain the armed one-shot listeners so they don't scan every
+    // later suite's actions for plans that will never execute.
+    graft.operators.CacheLease.releaseAll()
     assert(violations.isEmpty,
       s"unsanctioned window partitioning (single-key corpus window?):\n${violations.mkString("\n")}")
   }
