@@ -933,24 +933,30 @@ object CurationRun {
   private def semFitFrames(spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String], stateInDir: String,
       embeddings: Option[DataFrame]): DataFrame = {
-    lazy val cen = readSemCentroids(spark, s"$stateInDir/sem_centroids")
-    dirs.map { d =>
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$d/sem_fit_batch")))
-        spark.read.parquet(s"$d/sem_fit_batch")
-          .select(col("n_vectors"), col("sum_dist"), col("max_dist"))
-      else {
-        val emb = embeddings.getOrElse(throw new IllegalStateException(
-          s"$d/sem_fit_batch is missing (slice written before the " +
-            "ingest-time fit summary existed) and no embeddings were " +
-            "supplied to re-score it — pass the corpus embeddings or " +
-            "rebase the state to backfill the summary"))
-        VectorSim.quantizerFitSlice(
-          emb.join(spark.read.parquet(s"$d/sem_cells_batch")
-            .select(col("vec_id")), "vec_id"), cen)
-          .select(col("n_vectors"), col("sum_dist"), col("max_dist"))
-      }
-    }.reduce(_ unionByName _)
+    val cols = Seq(col("n_vectors"), col("sum_dist"), col("max_dist"))
+    val (withSummary, preSummary) = dirs.partition(d =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$d/sem_fit_batch")))
+    // Common case (every slice carries its ingest-time summary): one
+    // multi-path read, not |lineage| separate reads.
+    val summaries =
+      if (withSummary.isEmpty) Nil
+      else Seq(spark.read
+        .parquet(withSummary.map(d => s"$d/sem_fit_batch"): _*)
+        .select(cols: _*))
+    val rescored = preSummary.map { d =>
+      val emb = embeddings.getOrElse(throw new IllegalStateException(
+        s"$d/sem_fit_batch is missing (slice written before the " +
+          "ingest-time fit summary existed) and no embeddings were " +
+          "supplied to re-score it — pass the corpus embeddings or " +
+          "rebase the state to backfill the summary"))
+      VectorSim.quantizerFitSlice(
+        emb.join(spark.read.parquet(s"$d/sem_cells_batch")
+          .select(col("vec_id")), "vec_id"),
+        readSemCentroids(spark, s"$stateInDir/sem_centroids"))
+        .select(cols: _*)
+    }
+    (summaries ++ rescored).reduce(_ unionByName _)
   }
 
   /** The drift DECISION behind [[rebaseIfDrifted]], exposed so its
