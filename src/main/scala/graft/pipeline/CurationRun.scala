@@ -937,6 +937,9 @@ object CurationRun {
     val (withSummary, preSummary) = dirs.partition(d =>
       java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$d/sem_fit_batch")))
+    // Hoisted: one centroid read/collect shared by every re-scored
+    // slice (and skipped entirely when no slice needs it).
+    lazy val cen = readSemCentroids(spark, s"$stateInDir/sem_centroids")
     // Common case (every slice carries its ingest-time summary): one
     // multi-path read, not |lineage| separate reads.
     val summaries =
@@ -952,8 +955,7 @@ object CurationRun {
           "rebase the state to backfill the summary"))
       VectorSim.quantizerFitSlice(
         emb.join(spark.read.parquet(s"$d/sem_cells_batch")
-          .select(col("vec_id")), "vec_id"),
-        readSemCentroids(spark, s"$stateInDir/sem_centroids"))
+          .select(col("vec_id")), "vec_id"), cen)
         .select(cols: _*)
     }
     (summaries ++ rescored).reduce(_ unionByName _)

@@ -376,13 +376,14 @@ class PlanSpec extends AnyFunSuite {
       }
     } finally {
       spark.listenerManager.unregister(listener)
+      // The sweep BUILDS lease-bearing entries without running them —
+      // drain the armed one-shot listeners so they don't scan every
+      // later suite's actions for plans that will never execute. In
+      // the finally: a mid-sweep throw must not skip the drain.
+      graft.operators.CacheLease.releaseAll()
     }
     import scala.jdk.CollectionConverters._
     captured.asScala.foreach { case (name, plan) => audit(name, plan) }
-    // The sweep BUILDS lease-bearing entries without running them —
-    // drain the armed one-shot listeners so they don't scan every
-    // later suite's actions for plans that will never execute.
-    graft.operators.CacheLease.releaseAll()
     assert(violations.isEmpty,
       s"unsanctioned window partitioning (single-key corpus window?):\n${violations.mkString("\n")}")
   }
