@@ -497,6 +497,63 @@ object ScaleStress {
       spark.catalog.clearCache(); System.gc()
     }
 
+    // Bucketed-state read pruning (VERDICT r09 item 1): the weekly
+    // cadences' state READS prune to the batch's key buckets — measure
+    // actual task input bytes for a span-df-shaped history read,
+    // pruned vs full scan, as the lineage grows 1 -> 4 under a FIXED
+    // batch. The full scan's bytes grow with the corpus; the pruned
+    // read is bounded by hitBuckets x bucketBytes per slice (~
+    // batchKeys/B of the state) and the JOIN RESULT is pinned equal.
+    // Between rebases the lineage length is itself bounded, and a
+    // rebase re-derives B as the corpus grows (StateLayout scaladoc) —
+    // which is what keeps per-increment read IO batch-proportional at
+    // 100 TB instead of a weekly full-corpus pass.
+    {
+      import pipeline.StateLayout
+      import java.util.concurrent.atomic.AtomicLong
+      val base = "/tmp/graft_stress_statelayout"
+      val sliceRows = 400000L
+      for (l <- 0 until 4)
+        StateLayout.writeBucketed(
+          spark.range(sliceRows).select(
+            (col("id") * 4L + l).as("h"), // disjoint gram keys per slice
+            (col("id") % 5 + 1).as("n_docs")),
+          s"$base/s$l/art", "h", buckets = 512)
+      // Fixed batch: 64 gram keys, half present in slice 0, half novel.
+      val batchKeys = spark.range(64).select(
+        when(col("id") % 2 === 0, col("id") * 64L)
+          .otherwise(col("id") * 1000000000L + 7L).as("h"))
+        .persist()
+      batchKeys.count()
+      val stateBytes = new AtomicLong(0L)
+      val tapeListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            stateBytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(tapeListener)
+      def readBytes(df: => DataFrame): (Long, Long) = {
+        org.apache.spark.graft.SparkShims.waitUntilListenerBusEmpty(spark, 30000)
+        stateBytes.set(0L)
+        val matched = df.join(batchKeys, Seq("h")).count()
+        org.apache.spark.graft.SparkShims.waitUntilListenerBusEmpty(spark, 30000)
+        (stateBytes.get, matched)
+      }
+      for (l <- 1 to 4) {
+        val dirs = (0 until l).map(i => s"$base/s$i")
+        val (bp, mp) = readBytes(
+          StateLayout.readSlicesPruned(spark, dirs, "art", "h", batchKeys))
+        val (bf, mf) = readBytes(StateLayout.readSlices(spark, dirs, "art"))
+        require(mp == mf, s"pruned state read changed the join: $mp != $mf")
+        println(f"state-read pruning, lineage $l    pruned ${bp / 1e6}%6.2f MB" +
+          f"  full ${bf / 1e6}%6.2f MB  (join rows $mp, equal)")
+      }
+      spark.sparkContext.removeSparkListener(tapeListener)
+      batchKeys.unpersist()
+      spark.catalog.clearCache(); System.gc()
+    }
+
     // BPE trainer (VERDICT r04 item 1 done-criterion): vocab-8k run
     // over the 10x corpus. Corpus-scale work is the one word-frequency
     // aggregate; the merge loop is vocabulary-bounded. Driver regime =

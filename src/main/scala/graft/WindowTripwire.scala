@@ -71,11 +71,49 @@ object WindowTripwire {
     * partition (max == total), while a partitioned bounded frame (the
     * [[graft.operators.Ranking]] per-value tie-bucket cumulative,
     * <= 4096 rows per partition) legitimately grows its TOTAL with
-    * the corpus. Test-adjustable (private var) so the overflow RED
+    * the corpus.
+    *
+    * SCALE-AWARE (VERDICT r09 item 7): [[install]] derives the cap
+    * from the session's per-task memory budget via [[derivedBndCap]]
+    * — a fixed 256 MiB constant is meaningless on a 4 GiB executor
+    * (where it exceeds the whole task share) and needlessly tight on
+    * a 128 GiB one. Test-adjustable (private var) so the overflow RED
     * branch is exercisable at spec scale — an untested tripwire
     * branch is itself a silent-failure risk. */
   @volatile private[graft] var bndCapBytes: Long = 256L << 20
   def BndCapBytes: Long = bndCapBytes
+
+  /** Floor under the derived cap: below this, legitimate histogram
+    * cumulatives (a few MiB at any SF) would start tripping on small
+    * boxes and the audit becomes noise instead of a claim check. */
+  val MinBndCapBytes: Long = 64L << 20
+
+  /** The bounded-frame cap for a box: ONE TASK'S share of unified
+    * execution memory — `memory x spark.memory.fraction / cores` —
+    * floored at [[MinBndCapBytes]]. A `__bnd` claim says "one task can
+    * sort this frame comfortably"; the number that makes that claim
+    * checkable is the task's actual memory share on THIS session, not
+    * a constant tuned to one box. Pure function so the spec can pin
+    * the math and exercise the red branch under a small budget. */
+  def derivedBndCap(memBytes: Long, cores: Int, memoryFraction: Double): Long =
+    math.max(MinBndCapBytes,
+      (memBytes * memoryFraction / math.max(1, cores)).toLong)
+
+  /** [[derivedBndCap]] from a live session: local master → this JVM's
+    * heap and its core count; cluster master → the per-executor
+    * memory/cores confs. */
+  private def sessionBndCap(spark: SparkSession): Long = {
+    val conf = spark.sparkContext.getConf
+    val local = conf.get("spark.master", "local[*]").startsWith("local")
+    val mem =
+      if (local) Runtime.getRuntime.maxMemory
+      else org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(conf.get("spark.executor.memory", "1g"))
+    val cores =
+      if (local) math.max(1, spark.sparkContext.defaultParallelism)
+      else conf.getInt("spark.executor.cores", 1)
+    derivedBndCap(mem, cores, conf.getDouble("spark.memory.fraction", 0.6))
+  }
 
   private val count = new AtomicInteger(0)
   private val recent = new ConcurrentLinkedQueue[String]()
@@ -125,31 +163,58 @@ object WindowTripwire {
     count.set(0); recent.clear()
     skewCount.set(0); skewRecent.clear()
     bndCount.set(0); bndRecent.clear()
+    seenHits.clear()
   }
 
-  /** Register the listener on `spark` (idempotent per session). */
+  /** Register the listener on `spark` (idempotent per session) and
+    * derive this session's [[BndCapBytes]] (first install wins; the
+    * spec-facing private var stays overridable afterwards). */
   def install(spark: SparkSession): Unit = sessions.synchronized {
-    if (sessions.add(spark))
+    if (sessions.add(spark)) {
+      if (sessions.size == 1) bndCapBytes = sessionBndCap(spark)
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit = inspect(qe)
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = inspect(qe)
       })
+    }
   }
+
+  /** Counter dedup (ADVICE r09): one logical window re-inspected
+    * across an entry's several actions or reused AQE query stages is
+    * the SAME plan instance — count it once, so a counter value reads
+    * as "distinct hazard sites this run", not hit-occurrences. Keyed
+    * by (identityHashCode, fragment) — no strong plan reference, FIFO
+    * bounded — so a re-PLANNED duplicate (new instance) still counts. */
+  private val seenHits = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Int, String), java.lang.Boolean](128, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), java.lang.Boolean]): Boolean =
+        size() > 1024
+    })
+
+  private def firstSighting(id: Int, frag: String): Boolean =
+    seenHits.put((id, frag), java.lang.Boolean.TRUE) == null
 
   private def inspect(qe: QueryExecution): Unit = {
     try scan(qe.executedPlan).foreach { hit =>
-      count.incrementAndGet()
-      if (recent.size < 16) recent.add(hit)
+      if (firstSighting(0, s"g:$hit")) {
+        count.incrementAndGet()
+        if (recent.size < 16) recent.add(hit)
+      }
     } catch { case _: Throwable => () }
     try skewScan(qe.executedPlan).foreach {
       case (hit, true) =>
-        bndCount.incrementAndGet()
-        if (bndRecent.size < 16) bndRecent.add(hit)
+        if (firstSighting(0, s"b:$hit")) {
+          bndCount.incrementAndGet()
+          if (bndRecent.size < 16) bndRecent.add(hit)
+        }
       case (hit, false) =>
-        skewCount.incrementAndGet()
-        if (skewRecent.size < 16) skewRecent.add(hit)
+        if (firstSighting(0, s"s:$hit")) {
+          skewCount.incrementAndGet()
+          if (skewRecent.size < 16) skewRecent.add(hit)
+        }
     } catch { case _: Throwable => () }
   }
 
@@ -169,6 +234,42 @@ object WindowTripwire {
       case _ => p.children
     }
     self ++ children.flatMap(scan) ++ p.subqueries.flatMap(scan)
+  }
+
+  /** STATIC window-partitioning audit — the PlanSpec catalog sweep's
+    * predicate (VERDICT r09 item 2). Every `WindowExec` in a plan must
+    * be one of:
+    *   - `__bnd`-bounded (histograms, |shards|-row aggregates,
+    *     limit(k) survivor ranks — the [[Marker]] declaration);
+    *   - tie-grouped: >= 2 partition keys (the
+    *     [[graft.operators.Ranking]] / tokenBudgetSample discipline);
+    *   - entity-keyed: a single partition key CARRYING the
+    *     [[EntityMarker]] prefix, declared AT THE SITE by renaming the
+    *     partition column to `__ent_<name>`.
+    * r08's sweep allowlisted entity keys by NAME (`doc_id`, `user_id`,
+    * ...), so a future corpus-scale frame that merely reuses such a
+    * name rode through silently; the marker moves sanctioning from
+    * names to site provenance — a planted window keyed by a column
+    * NAMED `doc_id` now fails (PlanSpec pins both directions).
+    * Returns one-line fragments of every violation (empty =
+    * scale-safe). */
+  def staticAudit(p: SparkPlan): Seq[String] = {
+    val self = p match {
+      case w: WindowExec =>
+        val tieGroup = w.partitionSpec.size >= 2
+        val entity = w.partitionSpec.size == 1 &&
+          w.partitionSpec.head.references
+            .forall(_.name.startsWith(EntityMarker))
+        if (sanctioned(w) || tieGroup || entity) Seq.empty
+        else Seq(w.simpleString(200).linesIterator.take(1).mkString)
+      case _ => Seq.empty
+    }
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case _ => p.children
+    }
+    self ++ children.flatMap(staticAudit) ++ p.subqueries.flatMap(staticAudit)
   }
 
   /** A site is sanctioned when any attribute its window expressions,

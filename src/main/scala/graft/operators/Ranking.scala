@@ -49,7 +49,13 @@ import org.apache.spark.sql.functions._
   * sorted window would rank them nulls-first; callers rank non-null
   * metrics — coalesce first if null keys must rank, as
   * [[DataMix.balancedShards]] does.) A NULL TIE value draws
-  * `md5('')` and sorts among its tie group nulls-first.
+  * `md5('')` — so the exact window twin is `row_number()` over
+  * `ORDER BY (orderCol, md5(coalesce(cast(tieCol as string), '')),
+  * tieCol)`: the null tie sorts at md5('')'s position
+  * ('d41d8cd9...', mid-range among the hex draws), NOT nulls-first,
+  * and only WITHIN that md5 group does the trailing `tieCol`
+  * (asc = nulls first) order it before any non-null collision
+  * (RankingSpec pins the null-tie ORDER against this twin).
   */
 object Ranking {
 
@@ -130,8 +136,9 @@ object Ranking {
 
   /** Exact 1-based global rank of every row under
     * (`orderCol` ASC, md5 tie order) — equal to `row_number().over(
-    * Window.orderBy(orderCol, md5(cast(tieCol as string)), tieCol))`
-    * (spec-pinned) without the single-partition sort and without a
+    * Window.orderBy(orderCol, md5(coalesce(cast(tieCol as string),
+    * '')), tieCol))` (spec-pinned, including the null-tie order)
+    * without the single-partition sort and without a
     * corpus-scale tie-group partition. Rows with a NULL `orderCol`
     * are excluded (see the null contract above). `totalName`, when
     * set, also appends the total ranked row count N (needed by
@@ -196,8 +203,8 @@ object Ranking {
 
   /** Exact per-GROUP 1-based rank under (`orderCol` ASC|DESC, md5 tie
     * order) — equal to `row_number().over(Window.partitionBy(groupCols)
-    * .orderBy(orderCol, md5(cast(tieCol as string)), tieCol))`
-    * (spec-pinned) without the group-scale sorted window. A window
+    * .orderBy(orderCol, md5(coalesce(cast(tieCol as string), '')),
+    * tieCol))` (spec-pinned) without the group-scale sorted window. A window
     * partitioned by a LOW-cardinality key (source, length band, shard
     * group) is the same scale hazard as an unpartitioned one — the
     * dominant group's rows all sort on one task — and it is invisible

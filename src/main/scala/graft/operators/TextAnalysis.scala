@@ -708,26 +708,29 @@ object TextAnalysis {
     * (ties: longest run, then earliest start — deterministic). */
   def tokenRuns(docs: DataFrame, idCol: String, textCol: String,
       loopAt: Int = 5): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
+    // "__ent_doc_id": the run-length windows are bounded by one
+    // document's tokens — marker-sanctioned (VERDICT r09 item 2).
+    val base = docs.select(col(idCol).as("__ent_doc_id"),
       tokens(col(textCol)).as("toks"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val byDoc = Window.partitionBy(col("__ent_doc_id")).orderBy(col("pos"))
     val runs = base.where(size(col("toks")) >= 1)
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("__ent_doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
       .withColumn("brk",
         when(lag(col("tok"), 1).over(byDoc).isNull ||
           lag(col("tok"), 1).over(byDoc) =!= col("tok"), 1).otherwise(0))
       .withColumn("run_id",
         sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("run_id"))
+      .groupBy(col("__ent_doc_id"), col("run_id"))
       .agg(count(lit(1)).cast("int").as("run_len"),
         min(col("pos")).as("start_pos"), first(col("tok")).as("tok"))
     val best = runs
-      .groupBy(col("doc_id"))
+      .groupBy(col("__ent_doc_id"))
       .agg(max(struct(col("run_len"), (-col("start_pos")).as("np"),
         col("tok"))).as("m"))
-      .select(col("doc_id"), col("m.run_len").as("max_run"),
+      .select(col("__ent_doc_id").as("doc_id"), col("m.run_len").as("max_run"),
         col("m.tok").as("run_token"))
-    base.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+    base.select(col("__ent_doc_id").as("doc_id"),
+        size(col("toks")).as("n_tokens"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("max_run"), lit(0)).as("max_run"),

@@ -326,15 +326,22 @@ object TextDedup {
     * direction only (a slightly LARGER prefix — more candidates, never
     * a missed pair). */
   private[graft] def prefixCandidates(inverted: DataFrame, threshold: Double): DataFrame = {
-    val bySh = Window.partitionBy(col("sh"))
-    val byDoc = Window.partitionBy(col("doc_id"))
+    // Per-shingle df rides a groupBy + equi-join, NOT a window
+    // partitioned by the shingle hash: a hot (stopword-like) shingle's
+    // postings would all sort on one task under the window form — the
+    // exact hazard class the prefix filter exists to kill downstream.
+    // The per-doc windows carry the __ent provenance marker (one
+    // document's shingle set is entity-bounded; VERDICT r09 item 2).
+    val dfBySh = inverted.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("__ent_doc_id"))
     val prefix = inverted
-      .withColumn("df", count(lit(1)).over(bySh))
+      .withColumnRenamed("doc_id", "__ent_doc_id")
+      .join(dfBySh, Seq("sh"))
       .withColumn("n_sh", count(lit(1)).over(byDoc))
       .withColumn("rnk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
       .where(col("rnk") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("sh"))
+      .select(col("__ent_doc_id").as("doc_id"), col("sh"))
     prefix.as("a")
       .join(prefix.as("b").hint("shuffle_hash"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -867,13 +874,28 @@ object TextDedup {
     * BOTH returned frames (they share the persisted line frame). */
   def removeRepeatedLinesIncremental(newDocs: DataFrame, idCol: String,
       textCol: String, minDf: Int,
-      historyCounts: DataFrame): (DataFrame, DataFrame, () => Unit) = {
+      historyCounts: DataFrame): (DataFrame, DataFrame, () => Unit) =
+    removeRepeatedLinesIncrementalBy(newDocs, idCol, textCol, minDf,
+      _ => historyCounts)
+
+  /** [[removeRepeatedLinesIncremental]] with the history supplied as a
+    * FUNCTION of this batch's counts slice — the key-pushdown form
+    * (VERDICT r09 item 1): the caller derives a bucket-pruned state
+    * read from the batch's line keys
+    * ([[graft.pipeline.StateLayout.readSlicesPruned]]) instead of
+    * scanning the whole composed line-df state, and the batch keys are
+    * computed ONCE on the shared persisted line frame. Exact: history
+    * rows are only consulted through the `h` equi-join below, and a
+    * history row matching a batch key is always inside a hit bucket. */
+  def removeRepeatedLinesIncrementalBy(newDocs: DataFrame, idCol: String,
+      textCol: String, minDf: Int,
+      historyOf: DataFrame => DataFrame): (DataFrame, DataFrame, () => Unit) = {
     val base = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     val lines = lineFrame(base).persist()
     val batchCounts = lines.where(col("line") =!= "")
       .select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-    val histMatched = historyCounts
+    val histMatched = historyOf(batchCounts)
       .join(batchCounts.select(col("h")), Seq("h"))
       .groupBy(col("h")).agg(sum(col("n_docs")).as("h_docs"))
     val repeated = batchCounts
@@ -1042,14 +1064,16 @@ object TextDedup {
     * draw so the oracle replays the exact selection. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
+    // "__ent_doc_id": the sliding fingerprint window is bounded by one
+    // document's grams — marker-sanctioned (VERDICT r09 item 2).
     val g = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("__ent_doc_id"), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= k)
-      .select(col("doc_id"),
+      .select(col("__ent_doc_id"),
         posexplode(wordNgramsNative(col("toks"), k)).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+      .select(col("__ent_doc_id"), col("pos").cast("long").as("pos"),
         conv(substring(md5(col("gram")), 1, 13), 16, 10).cast("long").as("h"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val win = Window.partitionBy(col("__ent_doc_id")).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
     // The selected-fingerprint frame feeds BOTH rollups (per-doc
     // census + the fp-keyed shared side) — persisted compact (three
@@ -1059,7 +1083,8 @@ object TextDedup {
       .withColumn("wn", count(lit(1)).over(win))
       .withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
       .where(col("wn") === w)
-      .select(col("doc_id"), (-col("m.np")).as("pos"), col("m.h").as("fp"))
+      .select(col("__ent_doc_id").as("doc_id"), (-col("m.np")).as("pos"),
+        col("m.h").as("fp"))
       .distinct()
       .persist()
     val docFps = sel.select(col("doc_id"), col("fp")).distinct()
@@ -1165,13 +1190,16 @@ object TextDedup {
       .join(cuts.withColumnRenamed("cut_end", "pos")
         .withColumn("is_cut", lit(1L)), Seq("doc_id", "pos"), "left")
       .withColumn("is_cut", coalesce(col("is_cut"), lit(0L)))
-    val chunkW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      // "__ent_doc_id": the chunk-id running sum is bounded by one
+      // document's tokens — marker-sanctioned (VERDICT r09 item 2).
+      .withColumnRenamed("doc_id", "__ent_doc_id")
+    val chunkW = Window.partitionBy(col("__ent_doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     flagged
       .withColumn("chunk_id", coalesce(sum(col("is_cut")).over(chunkW), lit(0L)))
-      .groupBy(col("doc_id"), col("chunk_id"))
+      .groupBy(col("__ent_doc_id"), col("chunk_id"))
       .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("ordered"))
-      .select(col("doc_id"),
+      .select(col("__ent_doc_id").as("doc_id"),
         md5(array_join(col("ordered.tok"), " ")).as("chunk_hash"),
         size(col("ordered")).cast("int").as("chunk_tokens"))
   }
@@ -1270,12 +1298,16 @@ object TextDedup {
     * the islands step shared by repeated-span dedup and benchmark span
     * decontamination. */
   private def spanRuns(positions: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // "__ent_doc_id": the islands window is bounded by one document's
+    // flagged positions — marker-sanctioned (VERDICT r09 item 2).
+    val w = Window.partitionBy(col("__ent_doc_id")).orderBy(col("pos"))
     positions
+      .withColumnRenamed("doc_id", "__ent_doc_id")
       .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("grp"))
+      .groupBy(col("__ent_doc_id"), col("grp"))
       .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"))
-      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+      .select(col("__ent_doc_id").as("doc_id"), col("start_pos"),
+        col("end_pos"),
         (col("end_pos") - col("start_pos") + lit(k.toLong)).as("span_tokens"))
   }
 
@@ -1333,11 +1365,21 @@ object TextDedup {
     * BOTH returned frames (they share the persisted gram frame). */
   def removeRepeatedSpansIncremental(newDocs: DataFrame, idCol: String,
       textCol: String, k: Int, minDf: Int,
-      historyCounts: DataFrame): (DataFrame, DataFrame, () => Unit) = {
+      historyCounts: DataFrame): (DataFrame, DataFrame, () => Unit) =
+    removeRepeatedSpansIncrementalBy(newDocs, idCol, textCol, k, minDf,
+      _ => historyCounts)
+
+  /** [[removeRepeatedSpansIncremental]] with the history supplied as a
+    * FUNCTION of this batch's counts slice — the key-pushdown form
+    * (VERDICT r09 item 1), same contract as
+    * [[removeRepeatedLinesIncrementalBy]]. */
+  def removeRepeatedSpansIncrementalBy(newDocs: DataFrame, idCol: String,
+      textCol: String, k: Int, minDf: Int,
+      historyOf: DataFrame => DataFrame): (DataFrame, DataFrame, () => Unit) = {
     val grams = gramFrame(newDocs, idCol, textCol, k).persist()
     val batchCounts = grams.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-    val histMatched = historyCounts
+    val histMatched = historyOf(batchCounts)
       .join(batchCounts.select(col("h")), Seq("h"))
       .groupBy(col("h")).agg(sum(col("n_docs")).as("h_docs"))
     val repeated = batchCounts

@@ -210,8 +210,8 @@ object CurationRun {
     val cen = VectorSim.kmeansCentroids(vecs, clusters, iters)
     Sinks.overwriteParquet(VectorSim.annModelFrame(spark, m, cen),
       s"$stateOutDir/ann_model", numFiles = 1)
-    Sinks.overwriteParquet(VectorSim.annCodesFrame(vecs, m, cen),
-      s"$stateOutDir/ann_codes_batch", numFiles = 1)
+    StateLayout.writeBucketed(VectorSim.annCodesFrame(vecs, m, cen),
+      s"$stateOutDir/ann_codes_batch", "cell")
   }
 
   /** Weekly ANN append: read back the frozen model, encode ONLY this
@@ -221,8 +221,8 @@ object CurationRun {
     val modelF = spark.read.parquet(s"$stateInDir/ann_model")
     val (m, cen) = VectorSim.annModelFromFrame(modelF)
     Sinks.overwriteParquet(modelF, s"$stateOutDir/ann_model", numFiles = 1)
-    Sinks.overwriteParquet(VectorSim.annCodesFrame(vecsNew, m, cen),
-      s"$stateOutDir/ann_codes_batch", numFiles = 1)
+    StateLayout.writeBucketed(VectorSim.annCodesFrame(vecsNew, m, cen),
+      s"$stateOutDir/ann_codes_batch", "cell")
   }
 
   private def annStateActive(stateInDir: String): Boolean =
@@ -230,16 +230,27 @@ object CurationRun {
       java.nio.file.Paths.get(s"$stateInDir/ann_model"))
 
   /** Serve ANN search from the state's persisted index: probe
-    * selection + LUT join over the UNION of the lineage's code slices
-    * — a query batch never pays a corpus encode pass (the q138
-    * contract, now weekly-cadence-shaped). */
+    * selection + LUT join over the lineage's code slices — a query
+    * batch never pays a corpus encode pass (the q138 contract, now
+    * weekly-cadence-shaped). The code-slice READ is pruned to the
+    * buckets the query batch actually probes (VERDICT r09 item 1):
+    * probes derive once (query-side, persisted — they also feed the
+    * candidate join), their distinct cells drive the
+    * [[StateLayout.readSlicesPruned]] partition filter, and the
+    * serving scan touches `nprobe/|cells|` of the code bytes instead
+    * of all of them. The persisted probe frame releases after the
+    * caller's first action over the result. */
   def annServe(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val (m, cen) = VectorSim.annModelFromFrame(
       spark.read.parquet(s"$stateDir/ann_model"))
-    VectorSim.pqSearchIvfFromCodes(queries,
-      readSlices(spark, readLineage(stateDir), "ann_codes_batch"),
-      m, cen, nprobe, k)
+    val probes = VectorSim.probeFrame(queries, cen, nprobe).persist()
+    val codes = StateLayout.readSlicesPruned(spark, readLineage(stateDir),
+      "ann_codes_batch", "cell", probes.select(col("cell")))
+    CacheLease.releaseAfterAction(
+      VectorSim.pqSearchIvfWithProbes(probes, queries, codes, m, k)) { () =>
+      probes.unpersist(); ()
+    }
   }
 
   /** [[annServe]]'s STREAMING twin (VERDICT r08 item 5): a stream of
@@ -289,14 +300,19 @@ object CurationRun {
   /** Shared span-state stage: clean `deconRaw` against history+batch
     * gram counts, land this batch's counts slice, return the cleaned
     * 3-col decon frame, the audit count (docs that lost a span), and
-    * the release hook the caller fires after landing the frame. */
-  private def spanStateStage(deconRaw: DataFrame, historyCounts: DataFrame,
+    * the release hook the caller fires after landing the frame.
+    * History arrives as a FUNCTION of the batch's counts slice so the
+    * incremental caller reads only the state buckets the batch's gram
+    * keys hit (VERDICT r09 item 1); the slice itself lands bucketed by
+    * gram hash for the next increment's pruned read. */
+  private def spanStateStage(deconRaw: DataFrame,
+      historyOf: DataFrame => DataFrame,
       stateOutDir: String, spanK: Int,
       spanMinDf: Int): (DataFrame, Long, () => Unit) = {
     val raw = deconRaw.persist() // grams + removal base + quality join
-    val (cleaned, slice, gramsRel) = TextDedup.removeRepeatedSpansIncremental(
-      raw, "doc_id", "text", spanK, spanMinDf, historyCounts)
-    Sinks.overwriteParquet(slice, s"$stateOutDir/span_grams_batch", numFiles = 1)
+    val (cleaned, slice, gramsRel) = TextDedup.removeRepeatedSpansIncrementalBy(
+      raw, "doc_id", "text", spanK, spanMinDf, historyOf)
+    StateLayout.writeBucketed(slice, s"$stateOutDir/span_grams_batch", "h")
     val withQ = cleaned
       .join(raw.select(col("doc_id"), col("quality_score")), "doc_id")
       .select(col("doc_id"), col("clean_text").as("text"),
@@ -322,12 +338,13 @@ object CurationRun {
     * operational order (RefinedWeb dedups extracted lines, then
     * normalizes). Line df is therefore always counted on RAW batch
     * text, which keeps the composed-df equality exact across weeks. */
-  private def lineStateStage(rawDocs: DataFrame, historyCounts: DataFrame,
+  private def lineStateStage(rawDocs: DataFrame,
+      historyOf: DataFrame => DataFrame,
       stateOutDir: String, lineMinDf: Int): (DataFrame, Long, () => Unit) = {
     val raw = rawDocs.select(col("doc_id"), col("text")).persist()
-    val (cleaned, slice, linesRel) = TextDedup.removeRepeatedLinesIncremental(
-      raw, "doc_id", "text", lineMinDf, historyCounts)
-    Sinks.overwriteParquet(slice, s"$stateOutDir/line_df_batch", numFiles = 1)
+    val (cleaned, slice, linesRel) = TextDedup.removeRepeatedLinesIncrementalBy(
+      raw, "doc_id", "text", lineMinDf, historyOf)
+    StateLayout.writeBucketed(slice, s"$stateOutDir/line_df_batch", "h")
     val out = cleaned
       .select(col("doc_id"), col("clean_text").as("text"), col("n_removed"))
       .persist()
@@ -448,10 +465,13 @@ object CurationRun {
       dirs.mkString("", "\n", "\n"))
   }
 
-  /** Union one artifact's batch slices along a state lineage. */
+  /** Union one artifact's batch slices along a state lineage —
+    * layout-aware full scan (see [[StateLayout.readSlices]]; readers
+    * that can derive a batch key set use
+    * [[StateLayout.readSlicesPruned]] instead, VERDICT r09 item 1). */
   private def readSlices(spark: org.apache.spark.sql.SparkSession,
       lineage: Seq[String], name: String): DataFrame =
-    spark.read.parquet(lineage.map(d => s"$d/$name"): _*)
+    StateLayout.readSlices(spark, lineage, name)
 
   /** Map tier + quality gate + benchmark decontamination for one batch
     * of raw docs — the batch-scale front of both cadences. */
@@ -555,7 +575,7 @@ object CurationRun {
     // Line-df state (opt-in, on RAW text before normalization — see
     // lineStateStage): init cleans against its own counts.
     val (docsLine, lineCleaned, lineRel) =
-      if (lineState) lineStateStage(docs, emptyGramCounts(spark),
+      if (lineState) lineStateStage(docs, _ => emptyGramCounts(spark),
         stateOutDir, lineMinDf)
       else (docs, -1L, () => ())
     val deconRaw = prepBatch(docsLine, benchmark, minQuality,
@@ -563,15 +583,15 @@ object CurationRun {
     // Span-df state (opt-in): init cleans against its own counts (an
     // empty history is the from-scratch df), landing cleaned text.
     val (decon, spanCleaned, spanRel) =
-      if (spanState) spanStateStage(deconRaw, emptyGramCounts(spark),
+      if (spanState) spanStateStage(deconRaw, _ => emptyGramCounts(spark),
         stateOutDir, spanK, spanMinDf)
       else (deconRaw, -1L, () => ())
     Sinks.overwriteParquet(decon, s"$stateOutDir/decon_batch", numFiles = 4)
     spanRel(); lineRel()
     val deconS = spark.read.parquet(s"$stateOutDir/decon_batch")
-    Sinks.overwriteParquet(
+    StateLayout.writeBucketed(
       deconS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
-      s"$stateOutDir/hash_batch", numFiles = 1)
+      s"$stateOutDir/hash_batch", "content_hash")
     val idx = TextDedup.buildIndex(deconS, "doc_id", "text", n = 3, bits = 32)
     Sinks.overwriteParquet(idx.df, s"$stateOutDir/index_batch", numFiles = 4)
     val idxS = TextDedup.indexFromFrame(
@@ -605,14 +625,14 @@ object CurationRun {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"),
           s"$semSalt\n")
-        Sinks.overwriteParquet(VectorSim.semanticCells(vecs, cen, semSalt),
-          s"$stateOutDir/sem_cells_batch", numFiles = 1)
+        StateLayout.writeBucketed(VectorSim.semanticCells(vecs, cen, semSalt),
+          s"$stateOutDir/sem_cells_batch", "cell")
         // Ingest-time fit summary (VERDICT r08 item 3): the batch's
         // embeddings are in hand NOW — one extra tiny aggregate here
         // makes every later drift decision O(#slices), not O(corpus).
         Sinks.overwriteParquet(VectorSim.quantizerFitSlice(vecs, cen),
           s"$stateOutDir/sem_fit_batch", numFiles = 1)
-        val cellsS = spark.read.parquet(s"$stateOutDir/sem_cells_batch")
+        val cellsS = StateLayout.readSlice(spark, s"$stateOutDir/sem_cells_batch")
         Sinks.overwriteParquet(
           TextDedup.connectedComponents(VectorSim.semanticPairsIncremental(
             cellsS, emb, cellsS.select(col("vec_id")), semThreshold)),
@@ -665,11 +685,14 @@ object CurationRun {
 
     // Line-df state (auto-detected, on RAW text before normalization —
     // see lineStateStage): clean the batch against the composed line
-    // counts, land its slice.
+    // counts, land its slice. The history READ prunes to the buckets
+    // the batch's line keys hit (VERDICT r09 item 1) — state IO per
+    // increment tracks the batch like the compute already does.
     val (newLine, lineCleaned, lineRel) =
       if (lineStateActive(stateInDir))
         lineStateStage(newDocs,
-          readSlices(spark, lineage, "line_df_batch"),
+          bc => StateLayout.readSlicesPruned(spark, lineage,
+            "line_df_batch", "h", bc.select(col("h"))),
           stateOutDir, lineMinDf)
       else (newDocs, -1L, () => ())
 
@@ -692,29 +715,45 @@ object CurationRun {
     val deconRouted =
       if (!exactGate) deconNew
       else {
-        val histKeys = readSlices(spark, lineage, "hash_batch")
+        // The batch's hashed frame persists FIRST: the pruned history
+        // read collects the batch's bucket set (materializing this
+        // cache), so deriving keys never re-runs the prep front, and
+        // the history scan touches only the buckets those keys hit
+        // (VERDICT r09 item 1) — previously a full composed-corpus
+        // hash_batch read every week. The Bloom route is unchanged on
+        // top: pruned keys are a SUPERSET of the batch's true matches,
+        // so routing and the exact confirm join stay output-identical
+        // (BloomGateCurationSpec pins the cadence equality).
+        val hashedBatch = deconNew
+          .withColumn("content_hash", TextDedup.contentHash(col("text")))
+          .persist()
+        val histKeys = StateLayout.readSlicesPruned(spark, lineage,
+          "hash_batch", "content_hash", hashedBatch.select(col("content_hash")))
           .select(col("content_hash")).distinct().persist()
         val nHist = histKeys.count()
-        val novel = TextDedup.bloomGatedNewByKeys(histKeys,
-          deconNew.withColumn("content_hash", TextDedup.contentHash(col("text"))),
+        val novel = TextDedup.bloomGatedNewByKeys(histKeys, hashedBatch,
           "content_hash", nHist)
           .drop("content_hash")
-        CacheLease.releaseAfterAction(novel) { () => histKeys.unpersist(); () }
+        CacheLease.releaseAfterAction(novel) { () =>
+          histKeys.unpersist(); hashedBatch.unpersist(); ()
+        }
       }
     // Span-df state (auto-detected like the semantic/ANN state): clean
-    // the batch against the composed gram counts, land its slice.
+    // the batch against the composed gram counts — read pruned to the
+    // batch's gram-key buckets — and land its slice.
     val (deconFinal, spanCleaned, spanRel) =
       if (spanStateActive(stateInDir))
         spanStateStage(deconRouted,
-          readSlices(spark, lineage, "span_grams_batch"),
+          bc => StateLayout.readSlicesPruned(spark, lineage,
+            "span_grams_batch", "h", bc.select(col("h"))),
           stateOutDir, spanK, spanMinDf)
       else (deconRouted, -1L, () => ())
     Sinks.overwriteParquet(deconFinal, s"$stateOutDir/decon_batch", numFiles = 2)
     spanRel(); lineRel()
     val deconNewS = spark.read.parquet(s"$stateOutDir/decon_batch")
-    Sinks.overwriteParquet(
+    StateLayout.writeBucketed(
       deconNewS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
-      s"$stateOutDir/hash_batch", numFiles = 1)
+      s"$stateOutDir/hash_batch", "content_hash")
     val idxNew = TextDedup.buildIndex(deconNewS, "doc_id", "text", n = 3, bits = 32)
     Sinks.overwriteParquet(idxNew.df, s"$stateOutDir/index_batch", numFiles = 2)
     val idxNewS = spark.read.parquet(s"$stateOutDir/index_batch")
@@ -756,15 +795,21 @@ object CurationRun {
           .join(emb.select(col("vec_id"), col("embedding")),
             col("doc_id") === col("vec_id"))
           .select(col("vec_id"), col("embedding"))
-        Sinks.overwriteParquet(VectorSim.semanticCells(vecsNew, cen, salt),
-          s"$stateOutDir/sem_cells_batch", numFiles = 1)
+        StateLayout.writeBucketed(VectorSim.semanticCells(vecsNew, cen, salt),
+          s"$stateOutDir/sem_cells_batch", "cell")
         // Batch fit under the FROZEN quantizer, landed beside the
         // slice: the weekly drift decision reads these one-row
         // summaries instead of re-scanning state embeddings.
         Sinks.overwriteParquet(VectorSim.quantizerFitSlice(vecsNew, cen),
           s"$stateOutDir/sem_fit_batch", numFiles = 1)
-        val cellsAll = readSlices(spark, lineage, "sem_cells_batch")
-          .unionByName(spark.read.parquet(s"$stateOutDir/sem_cells_batch"))
+        // Old cell slices matter only where they share a cell with the
+        // batch (semanticPairsIncremental's candidate join) — prune the
+        // state read to the batch slice's cells (VERDICT r09 item 1).
+        val cellsNewS = StateLayout.readSlice(spark,
+          s"$stateOutDir/sem_cells_batch")
+        val cellsAll = StateLayout.readSlicesPruned(spark, lineage,
+          "sem_cells_batch", "cell", cellsNewS.select(col("cell")))
+          .unionByName(cellsNewS)
         // Batch-scale pair work: only the new docs' cells join.
         val semPairsNew = VectorSim.semanticPairsIncremental(cellsAll, emb,
           deconNewS.select(col("doc_id").as("vec_id")), semThreshold)
@@ -824,8 +869,13 @@ object CurationRun {
       s"$stateOutDir/index_batch", numFiles = 4)
     Sinks.overwriteParquet(readSlices(spark, lineage, "signatures_batch"),
       s"$stateOutDir/signatures_batch", numFiles = 4)
-    Sinks.overwriteParquet(readSlices(spark, lineage, "hash_batch"),
-      s"$stateOutDir/hash_batch", numFiles = 1)
+    // Consolidated corpus-keyed slices land BUCKETED (VERDICT r09
+    // item 1) — the rebase is where a production deployment also
+    // re-derives the bucket count as the corpus grows (B ~ slice
+    // bytes / target bucket bytes), keeping per-increment pruned
+    // reads batch-proportional between rebases.
+    StateLayout.writeBucketed(readSlices(spark, lineage, "hash_batch"),
+      s"$stateOutDir/hash_batch", "content_hash")
     Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/clusters"),
       s"$stateOutDir/clusters", numFiles = 1)
     // Semantic state, when present. Default rebase is pure IO: cell
@@ -846,24 +896,24 @@ object CurationRun {
     // consolidation is one sum per gram hash — equivalent to the union
     // the readers sum at use time, in one compact slice.
     if (spanStateActive(stateInDir))
-      Sinks.overwriteParquet(
+      StateLayout.writeBucketed(
         readSlices(spark, lineage, "span_grams_batch")
           .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs")),
-        s"$stateOutDir/span_grams_batch", numFiles = 1)
+        s"$stateOutDir/span_grams_batch", "h")
     // Line-df state consolidates the same way: slice counts add.
     if (lineStateActive(stateInDir))
-      Sinks.overwriteParquet(
+      StateLayout.writeBucketed(
         readSlices(spark, lineage, "line_df_batch")
           .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs")),
-        s"$stateOutDir/line_df_batch", numFiles = 1)
+        s"$stateOutDir/line_df_batch", "h")
     // ANN index state: codes consolidate as pure IO; the frozen model
     // copies forward (ANN retrain = a fresh annState init over the
     // composed corpus — the codes are index artifacts, not labels, so
     // unlike the semantic quantizer there is no cross-batch label
     // state to re-derive and no retrain valve needed here).
     if (annStateActive(stateInDir)) {
-      Sinks.overwriteParquet(readSlices(spark, lineage, "ann_codes_batch"),
-        s"$stateOutDir/ann_codes_batch", numFiles = 1)
+      StateLayout.writeBucketed(readSlices(spark, lineage, "ann_codes_batch"),
+        s"$stateOutDir/ann_codes_batch", "cell")
       Sinks.overwriteParquet(spark.read.parquet(s"$stateInDir/ann_model"),
         s"$stateOutDir/ann_model", numFiles = 1)
     }
@@ -881,22 +931,23 @@ object CurationRun {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"),
           s"$semSalt\n")
-        Sinks.overwriteParquet(VectorSim.semanticCells(vecs, cen, semSalt),
-          s"$stateOutDir/sem_cells_batch", numFiles = 1)
+        StateLayout.writeBucketed(VectorSim.semanticCells(vecs, cen, semSalt),
+          s"$stateOutDir/sem_cells_batch", "cell")
         // Retraining re-pays the semantic front anyway, so the fit
         // summary under the NEW centroids is one extra aggregate over
         // vectors already in hand — the consolidated baseline every
         // later drift decision compares batches against.
         Sinks.overwriteParquet(VectorSim.quantizerFitSlice(vecs, cen),
           s"$stateOutDir/sem_fit_batch", numFiles = 1)
-        val cellsS = spark.read.parquet(s"$stateOutDir/sem_cells_batch")
+        val cellsS = StateLayout.readSlice(spark,
+          s"$stateOutDir/sem_cells_batch")
         Sinks.overwriteParquet(
           TextDedup.connectedComponents(VectorSim.semanticPairsIncremental(
             cellsS, emb, cellsS.select(col("vec_id")), semThreshold)),
           s"$stateOutDir/sem_clusters", numFiles = 1)
       } else {
-        Sinks.overwriteParquet(readSlices(spark, lineage, "sem_cells_batch"),
-          s"$stateOutDir/sem_cells_batch", numFiles = 1)
+        StateLayout.writeBucketed(readSlices(spark, lineage, "sem_cells_batch"),
+          s"$stateOutDir/sem_cells_batch", "cell")
         // Fit summaries consolidate like the df slices: the frozen
         // quantizer is unchanged, and decimal distance sums add
         // exactly, so one summed row == the union of slice rows for

@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed state-slice layout + key-pushdown scan pruning for the
+  * weekly cadences (VERDICT r09 item 1).
+  *
+  * The compute tier's discipline is that per-increment WORK is
+  * O(batch): history joins filter to batch keys, LSH candidates come
+  * from the batch's band keys, labels merge through the contracted
+  * graph. But the state READS feeding those joins were full scans —
+  * `hash_batch` / `span_grams_batch` / `line_df_batch` /
+  * `sem_cells_batch` / `ann_codes_batch` slices were re-read end to
+  * end every week, IO that grows with the CORPUS, not the batch. At
+  * 100 TB of state that is a weekly full-corpus read for joins whose
+  * matching rows are batch-scale.
+  *
+  * This is the storage-side twin of the equi-join discipline: every
+  * slice is written PARTITIONED by `bucket = pmod(hash(key), B)`
+  * (directory layout, `bucket=N/` subdirs), sorted by key within each
+  * file (row-group min/max stay tight for engines that push key
+  * bounds), with the bucket count recorded in a `_graft_buckets`
+  * sidecar (underscore-prefixed — Spark's file listing ignores it; the
+  * local-file manifest stance `lineage.txt` already takes). At read
+  * time the consumer derives the BATCH's bucket set (a bounded
+  * `<= B`-int collect — the batch's keys hashed through the same
+  * function) and prunes the state scan to matching `bucket=` dirs via
+  * a static partition filter. Any state row whose key equals a batch
+  * key hashes to a batch bucket, so pruned reads are EXACT for every
+  * downstream equi-join / anti-join / Bloom-confirm (StateLayoutSpec
+  * pins join-result equality vs the full scan; the cadence catalog
+  * entries q142/q145/q137/q146 pin composed results bit-equal through
+  * the DuckDB oracle).
+  *
+  * Read IO per increment becomes `hitBuckets x stateBytes / B` —
+  * bounded by `batchKeys x bucketBytes` instead of the corpus. `B` is
+  * a per-slice write parameter (recorded per slice, so mixed lineages
+  * compose); production sizes it so one bucket stays near a target
+  * byte size as the corpus grows — a lineage REBASE rewrites the
+  * consolidated slice under a larger B (pure IO, like the rest of the
+  * rebase), which keeps per-increment reads proportional to the batch
+  * between rebases. Slices written BEFORE this layout (no sidecar, no
+  * `bucket=` dirs) read as LEGACY full scans and consolidate into the
+  * bucketed layout at the next rebase — pre-upgrade lineages degrade,
+  * never break.
+  *
+  * The bucket hash canonicalizes the key through a STRING cast:
+  * Spark's murmur3 hashes int 5 and long 5L to different values, and
+  * slice key types legitimately differ across artifacts (md5 strings,
+  * 64-bit gram hashes, int cell ids) — the string form makes
+  * write-side and probe-side buckets agree no matter which numeric
+  * width a caller's key frame carries.
+  */
+object StateLayout {
+
+  /** Default bucket count for test-SF state. Production sizing rule:
+    * B ~ consolidated slice bytes / target bucket bytes (e.g. 128 MiB
+    * per bucket), re-derived at rebase. */
+  val DefaultBuckets = 64
+
+  private val MarkerFile = "_graft_buckets"
+  private[pipeline] val BucketCol = "bucket"
+
+  /** The write/probe bucket of a key — identical expression on both
+    * sides, string-canonicalized (see class doc). */
+  def bucketOf(key: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(key.cast("string")), lit(buckets))
+
+  /** Bucket count a slice was written with; None = legacy layout. */
+  def bucketsOf(path: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(path, MarkerFile)
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim.toInt)
+    else None
+  }
+
+  /** Write one state slice bucketed by `hash(keyCol) % buckets`:
+    * `bucket=N/` directory layout, each bucket wholly inside one task
+    * (files <= B regardless of parallelism), rows sorted by key within
+    * files. An EMPTY slice falls back to a plain single-file write —
+    * a zero-row partitionBy write lands no files at all and the
+    * read-back would have no schema to infer. */
+  def writeBucketed(df: DataFrame, path: String, keyCol: String,
+      buckets: Int = DefaultBuckets, tasks: Int = 4): Unit = {
+    df.withColumn(BucketCol, bucketOf(col(keyCol), buckets))
+      .repartition(math.min(buckets, tasks), col(BucketCol))
+      .sortWithinPartitions(col(BucketCol), col(keyCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+    val wroteData = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      try s.anyMatch(p => p.getFileName.toString.startsWith(s"$BucketCol="))
+      finally s.close()
+    }
+    if (wroteData)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, MarkerFile), s"$buckets\n")
+    else
+      graft.sources.Sinks.overwriteParquet(df, path, numFiles = 1)
+  }
+
+  /** Read one slice dir regardless of layout (bucket column dropped). */
+  def readSlice(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (bucketsOf(path).isDefined) df.drop(BucketCol) else df
+  }
+
+  /** Union one artifact's slices along `dirs`, full scan, layout-
+    * aware: bucketed and legacy roots cannot share one multi-path read
+    * (their partition schemas conflict), so each group reads once and
+    * the bucket column is dropped. */
+  def readSlices(spark: SparkSession, dirs: Seq[String],
+      name: String): DataFrame =
+    readSlicePaths(spark, dirs.map(d => s"$d/$name"))
+
+  /** [[readSlices]] over explicit slice paths (spec/tooling form).
+    * Each bucketed root reads on its own (multi-root partition
+    * discovery rejects sibling `bucket=` trees —
+    * CONFLICTING_DIRECTORY_STRUCTURES); legacy roots share one read. */
+  def readSlicePaths(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val (bucketed, legacy) = paths.partition(p => bucketsOf(p).isDefined)
+    val parts =
+      bucketed.map(p => spark.read.parquet(p).drop(BucketCol)) ++
+        (if (legacy.nonEmpty) Seq(spark.read.parquet(legacy: _*)) else Nil)
+    parts.reduce(_ unionByName _)
+  }
+
+  /** [[readSlices]] PRUNED to the buckets `keys` hits: collect the
+    * batch's distinct bucket ids (bounded by B — the one driver-side
+    * value this layout ever materializes) per distinct write-side B in
+    * the lineage, and read each group under a static `bucket IN (...)`
+    * partition filter — non-matching `bucket=` dirs are never listed
+    * into the scan. Legacy slices read in full (no layout to prune).
+    * EXACT for key-equality consumers: a state row matching a batch
+    * key is, by the shared hash, inside a hit bucket. */
+  def readSlicesPruned(spark: SparkSession, dirs: Seq[String], name: String,
+      keyCol: String, keys: DataFrame): DataFrame = {
+    val paths = dirs.map(d => s"$d/$name")
+    val (bucketed, legacy) = paths.partition(p => bucketsOf(p).isDefined)
+    // One bucket-set collect per distinct write-side B (usually one);
+    // each bucketed root reads on its own (multi-root partition
+    // discovery rejects sibling `bucket=` trees).
+    val hitByB = bucketed.map(p => bucketsOf(p).get).distinct.map { b =>
+      b -> keys
+        .select(bucketOf(col(keyCol), b).as("__b")).distinct()
+        .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    }.toMap
+    val parts =
+      bucketed.map { p =>
+        spark.read.parquet(p)
+          .where(col(BucketCol).isin(hitByB(bucketsOf(p).get): _*))
+          .drop(BucketCol)
+      } ++
+        (if (legacy.nonEmpty) Seq(spark.read.parquet(legacy: _*)) else Nil)
+    parts.reduce(_ unionByName _)
+  }
+}

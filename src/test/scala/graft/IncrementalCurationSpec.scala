@@ -253,7 +253,7 @@ class IncrementalCurationSpec extends AnyFunSuite {
       spark.read.parquet(s"$d/sem_clusters")
         .as[(Long, Long)].collect().toSet
     def cells(d: String): Set[(Long, Long)] =
-      spark.read.parquet(s"$d/sem_cells_batch")
+      graft.pipeline.StateLayout.readSlice(spark, s"$d/sem_cells_batch")
         .as[(Long, Long)].collect().toSet
     assert(centroids(s"$base/state_r") == centroids(s"$base/state_f"),
       "retrained quantizer must equal the fresh-init quantizer")
@@ -363,7 +363,8 @@ class IncrementalCurationSpec extends AnyFunSuite {
       embeddings = Some(emb))
 
     def rows(path: String): Set[Seq[Any]] =
-      spark.read.parquet(path).collect().map(_.toSeq).toSet
+      graft.pipeline.StateLayout.readSlicePaths(spark, Seq(path))
+        .collect().map(_.toSeq).toSet
 
     // The frozen model carries forward unchanged.
     assert(rows(s"$base/state_2/ann_model") == rows(s"$base/state_1/ann_model"),
@@ -413,7 +414,7 @@ class IncrementalCurationSpec extends AnyFunSuite {
       spark.read.parquet(s"$d/sem_clusters")
         .as[(Long, Long)].collect().toSet
     def cells(d: String): Set[(Long, Long)] =
-      spark.read.parquet(s"$d/sem_cells_batch")
+      graft.pipeline.StateLayout.readSlice(spark, s"$d/sem_cells_batch")
         .as[(Long, Long)].collect().toSet
     // Init corpus: four docs whose embeddings form two TIGHT pairs, so
     // k=2 converges to the pair split and every state vector sits the
@@ -614,10 +615,11 @@ class IncrementalCurationSpec extends AnyFunSuite {
       "landed history text is append-only — never rewritten")
     // Rebase consolidates the counts into one summed slice.
     CurationRun.rebaseState(spark, s"$base/state_2", s"$base/state_r")
-    val consolidated = spark.read.parquet(s"$base/state_r/span_grams_batch")
+    val consolidated = graft.pipeline.StateLayout
+      .readSlicePaths(spark, Seq(s"$base/state_r/span_grams_batch"))
       .as[(Long, Long)].collect().toSet
-    val viaSlices = spark.read
-      .parquet(s"$base/state_1/span_grams_batch", s"$base/state_2/span_grams_batch")
+    val viaSlices = graft.pipeline.StateLayout.readSlicePaths(spark,
+        Seq(s"$base/state_1/span_grams_batch", s"$base/state_2/span_grams_batch"))
       .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs"))
       .as[(Long, Long)].collect().toSet
     assert(consolidated == viaSlices)
@@ -664,10 +666,11 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(storedB(11L) == scratch)
     // Rebase consolidates the line counts into one summed slice.
     CurationRun.rebaseState(spark, s"$base/state_2", s"$base/state_r")
-    val consolidated = spark.read.parquet(s"$base/state_r/line_df_batch")
+    val consolidated = graft.pipeline.StateLayout
+      .readSlicePaths(spark, Seq(s"$base/state_r/line_df_batch"))
       .as[(Long, Long)].collect().toSet
-    val viaSlices = spark.read
-      .parquet(s"$base/state_1/line_df_batch", s"$base/state_2/line_df_batch")
+    val viaSlices = graft.pipeline.StateLayout.readSlicePaths(spark,
+        Seq(s"$base/state_1/line_df_batch", s"$base/state_2/line_df_batch"))
       .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs"))
       .as[(Long, Long)].collect().toSet
     assert(consolidated == viaSlices)
@@ -764,9 +767,10 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(curated(s"$base/out2") == curated(s"$base/outS"),
       "composed curated corpus must equal the scratch run's")
     def pairsOf(paths: Seq[String]): Set[(Long, Long)] =
-      spark.read.parquet(paths: _*).as[(Long, Long)].collect().toSet
+      graft.pipeline.StateLayout.readSlicePaths(spark, paths)
+        .as[(Long, Long)].collect().toSet
     def dfOf(paths: Seq[String]): Set[(Long, Long)] =
-      spark.read.parquet(paths: _*)
+      graft.pipeline.StateLayout.readSlicePaths(spark, paths)
         .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs"))
         .as[(Long, Long)].collect().toSet
     val cadence = Seq(s"$base/state0", s"$base/state1", s"$base/state2")
@@ -775,7 +779,8 @@ class IncrementalCurationSpec extends AnyFunSuite {
     assert(dfOf(cadence.map(_ + "/line_df_batch")) ==
       dfOf(Seq(s"$base/stateS/line_df_batch")), "line df slices")
     def hashes(paths: Seq[String]): Set[(Long, String)] =
-      spark.read.parquet(paths: _*).as[(Long, String)].collect().toSet
+      graft.pipeline.StateLayout.readSlicePaths(spark, paths)
+        .as[(Long, String)].collect().toSet
     assert(hashes(cadence.map(_ + "/hash_batch")) ==
       hashes(Seq(s"$base/stateS/hash_batch")), "content-hash slices")
     assert(pairsOf(Seq(s"$base/state2/clusters")) ==
@@ -795,7 +800,8 @@ class IncrementalCurationSpec extends AnyFunSuite {
         col("doc_id") === col("vec_id"))
       .select(col("vec_id"), col("embedding"))
     val expectCodes = VectorSim.annCodesFrame(composedVecs, m2, cen2)
-    val gotCodes = spark.read.parquet(cadence.map(_ + "/ann_codes_batch"): _*)
+    val gotCodes = graft.pipeline.StateLayout.readSlicePaths(spark,
+      cadence.map(_ + "/ann_codes_batch"))
     assert(gotCodes.except(expectCodes).isEmpty &&
       expectCodes.except(gotCodes).isEmpty,
       "composed ANN code slices must equal a scratch encode under the frozen model")
@@ -827,7 +833,8 @@ class IncrementalCurationSpec extends AnyFunSuite {
       hashes(Seq(s"$base/stateF/hash_batch")))
     assert(pairsOf(Seq(s"$base/stateR/clusters")) ==
       pairsOf(Seq(s"$base/state2/clusters")), "labels copy forward")
-    val rebCodes = spark.read.parquet(s"$base/stateR/ann_codes_batch")
+    val rebCodes = graft.pipeline.StateLayout
+      .readSlice(spark, s"$base/stateR/ann_codes_batch")
     assert(rebCodes.except(gotCodes).isEmpty &&
       gotCodes.except(rebCodes).isEmpty,
       "ANN codes consolidate as pure IO")

@@ -222,10 +222,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"cut-set join must be an equi-join on (doc_id, pos):\n$plan")
-    // Every window/sort in the plan partitions by doc_id — bounded by
-    // one document's tokens, never a global sort.
+    // Every window/sort in the plan partitions by the __ent-marked
+    // doc id — bounded by one document's tokens, never a global sort.
     assert(!plan.contains("Window [") ||
-      plan.contains("windowspecdefinition(doc_id"),
+      plan.contains("windowspecdefinition(__ent_doc_id"),
       s"chunk-id windows must partition per document:\n$plan")
   }
 
@@ -291,60 +291,21 @@ class PlanSpec extends AnyFunSuite {
     assert(rows.length === 12 && rows.forall(r => !r.isNullAt(2)))
   }
 
-  test("catalog-wide window sweep: every WindowExec is bounded, tie-grouped, or entity-keyed (VERDICT r08 item 7)") {
+  test("catalog-wide window sweep: every WindowExec is bounded, tie-grouped, or __ent-marked (VERDICT r08 item 7, r09 item 2)") {
     // The hazard class WindowTripwire cannot see statically: a window
     // PARTITIONED by a low-cardinality key (source, band, language,
     // flag) still sorts the dominant group on one task. r07 closed
-    // q108; r08 hand-audited q103/q106/q133 and pinned those three
-    // plans — this sweep widens the pin to the WHOLE catalog, so the
-    // class cannot regrow silently in any entry. Every WindowExec in
-    // every catalog plan at sf0.001 must be one of:
-    //   - a __bnd-marked bounded frame (histograms, |shards|-row
-    //     aggregates, limit(k) survivor ranks);
-    //   - a tie-group / two-level partition (>= 2 partition keys — the
-    //     Ranking/tokenBudgetSample discipline);
-    //   - a single ENTITY key from the explicit allowlist below: a key
-    //     whose per-key row count is bounded by the entity (one
-    //     document's tokens, one user's events, one query's
-    //     candidates) or by caller-sized parallelism (shard), not by
-    //     the corpus.
-    // A new single-key window on anything else fails here until it is
-    // either rewritten onto the histogram discipline or explicitly
-    // sanctioned — the runtime window_skew counter (WindowTripwire)
-    // then covers the sanctioned keys' actual skew at bench time.
+    // q108; r08 widened the pin to the whole catalog with a NAME-based
+    // entity allowlist; r09 replaces names with __ent provenance —
+    // each legitimate entity-keyed site renames its partition column
+    // to __ent_<name>, so a future corpus frame that merely REUSES a
+    // name like doc_id no longer rides through (the planted test
+    // below pins that direction). The predicate itself lives in
+    // WindowTripwire.staticAudit beside the runtime counters.
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.window.WindowExec
-    def windows(p: SparkPlan): Seq[WindowExec] = {
-      val self = p match { case w: WindowExec => Seq(w); case _ => Seq.empty }
-      val children = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case s: QueryStageExec => Seq(s.plan)
-        case _ => p.children
-      }
-      self ++ children.flatMap(windows) ++ p.subqueries.flatMap(windows)
-    }
-    val entityKeys = Set(
-      "doc_id",    // per-document windows (token runs, spans, chunks)
-      "user_id",   // per-user sessionization / rolling windows
-      "q_id",      // per-query candidate ranking (query side is small)
-      "o_custkey", // per-customer top-n (TPC-H entity)
-      "entity_id", // per-entity dedup survivor pick
-      "__k",       // as-of join key (per-key event history)
-      "shard")     // caller-sized parallelism knob (packSequences)
     val violations = new scala.collection.mutable.ArrayBuffer[String]
     def audit(name: String, plan: SparkPlan): Unit =
-      windows(plan).foreach { w =>
-        val bounded =
-          w.child.output.exists(_.name.startsWith(WindowTripwire.Marker)) ||
-            w.expressions.exists(_.references.exists(
-              _.name.startsWith(WindowTripwire.Marker)))
-        val tieGroup = w.partitionSpec.size >= 2
-        val entity = w.partitionSpec.size == 1 &&
-          w.partitionSpec.head.references.map(_.name).forall(entityKeys)
-        if (!bounded && !tieGroup && !entity)
-          violations += s"$name: ${w.simpleString(200).linesIterator.take(1).mkString}"
-      }
+      WindowTripwire.staticAudit(plan).foreach(v => violations += s"$name: $v")
     // Eager entries (q137/q141/q146, the trainers) execute their whole
     // pipeline INSIDE the query fn and return a tiny result frame —
     // auditing only the returned plan would exclude exactly the
@@ -371,9 +332,20 @@ class PlanSpec extends AnyFunSuite {
         // is read at DELIVERY time — without the drain an event from
         // this entry lands while the loop is already on the next one
         // and a violation is reported under the wrong entry name.
-        org.apache.spark.graft.SparkShims
-          .waitUntilListenerBusEmpty(spark, 30000)
+        // The drain must SUCCEED (ADVICE r09): a timed-out drain would
+        // silently mislabel late events or drop post-loop ones — the
+        // exact eager entries the listener exists to sweep.
+        assert(org.apache.spark.graft.SparkShims
+          .waitUntilListenerBusEmpty(spark, 60000),
+          s"listener bus failed to drain within 60s after $name — " +
+            "sweep coverage would be incomplete")
       }
+      // One final drain before unregistering: events from the last
+      // entry still in flight must land while the listener is alive.
+      assert(org.apache.spark.graft.SparkShims
+        .waitUntilListenerBusEmpty(spark, 60000),
+        "listener bus failed its final drain — sweep coverage would " +
+          "be incomplete")
     } finally {
       spark.listenerManager.unregister(listener)
       // The sweep BUILDS lease-bearing entries without running them —
@@ -386,6 +358,26 @@ class PlanSpec extends AnyFunSuite {
     captured.asScala.foreach { case (name, plan) => audit(name, plan) }
     assert(violations.isEmpty,
       s"unsanctioned window partitioning (single-key corpus window?):\n${violations.mkString("\n")}")
+  }
+
+  test("window sweep flags a corpus frame whose key is merely NAMED doc_id (VERDICT r09 item 2)") {
+    import org.apache.spark.sql.expressions.Window
+    // The r08 allowlist sanctioned this BY NAME — the gap the __ent
+    // provenance marker closes: a column named doc_id carries no
+    // evidence its per-key groups are entity-bounded.
+    val planted = spark.range(1000)
+      .select(($"id" % 3).as("doc_id"), $"id".as("v"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"doc_id").orderBy($"v")))
+    assert(WindowTripwire.staticAudit(planted.queryExecution.executedPlan).nonEmpty,
+      "a single-key window on an unmarked doc_id column must be flagged")
+    // The declared form passes: the site renames its key to __ent_*.
+    val declared = spark.range(1000)
+      .select(($"id" % 3).as("__ent_doc_id"), $"id".as("v"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"__ent_doc_id").orderBy($"v")))
+    assert(WindowTripwire.staticAudit(declared.queryExecution.executedPlan).isEmpty,
+      "an __ent-marked entity window must pass the sweep")
   }
 
   test("q130 fused quality scan is ONE whole-stage codegen span") {

@@ -141,10 +141,30 @@ class RankingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(q === Map("g" -> 1.0, "h" -> 3.0),
       "quantiles exclude null keys/values")
-    // A NULL TIE value still ranks (draws md5('')).
-    val tn = Seq((1.0, Some("a")), (1.0, Option.empty[String]))
+    // A NULL TIE value still ranks, drawing md5('') — and its POSITION
+    // matches the documented window twin exactly (ADVICE r09: md5('')
+    // = 'd41d8cd9...' sorts mid-range among the hex draws, NOT
+    // nulls-first; only within an equal-md5 group does the trailing
+    // tieCol order apply). Pin the ORDER, not just the count, against
+    // row_number over (orderCol, md5(coalesce(cast(tie), '')), tie).
+    val tn = Seq(
+      (1.0, Some("a")), (1.0, Option.empty[String]), (1.0, Some("zz")),
+      (1.0, Some("b")), (2.0, Option.empty[String]), (2.0, Some("k")))
       .toDF("score", "id")
-    assert(Ranking.globalRank(tn, "score", "id").count() === 2)
+    val got = Ranking.globalRank(tn, "score", "id")
+      .select(col("rank"), col("score"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)))).toSet
+    val twinW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"),
+        md5(coalesce(col("id").cast("string"), lit(""))), col("id"))
+    val want = tn
+      .withColumn("rank", row_number().over(twinW).cast("long"))
+      .select(col("rank"), col("score"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)))).toSet
+    assert(got === want,
+      "null-tie rows must rank exactly where the documented twin puts them")
   }
 
   test("balancedShards never loses a null-weight document (ADVICE r08)") {

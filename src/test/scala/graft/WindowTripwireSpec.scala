@@ -149,6 +149,38 @@ class WindowTripwireSpec extends AnyFunSuite {
       s"tie-bucket rank must not read as skew: ${WindowTripwire.skewMessages}")
   }
 
+  test("scale-aware bnd cap: derived from the task memory share, red under a small budget (VERDICT r09 item 7)") {
+    // The cap math is a pure function: one task's unified-memory share,
+    // floored so tiny boxes don't turn legit histograms into noise.
+    assert(WindowTripwire.derivedBndCap(128L << 30, 32, 0.6) ===
+      (((128L << 30) * 0.6) / 32).toLong,
+      "a 128 GiB / 32-core session gets its real per-task share (~2.4 GiB)")
+    assert(WindowTripwire.derivedBndCap(1L << 30, 32, 0.6) ===
+      WindowTripwire.MinBndCapBytes,
+      "a small box floors at MinBndCapBytes instead of flagging KB frames")
+    // Red branch under a small configured budget: a __bnd claim whose
+    // single-task frame exceeds the small box's derived cap trips the
+    // overflow counter — the same claim is green under this box's cap.
+    val smallCap = WindowTripwire.derivedBndCap(16L << 20, 4, 0.6)
+    assert(smallCap === WindowTripwire.MinBndCapBytes)
+    val claimed = skewedFrame
+      .withColumnRenamed("payload", "__bnd_payload")
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("id"), col("__bnd_payload"))))
+    val restore = WindowTripwire.bndCapBytes
+    try {
+      // Drive the red branch below the floor too — the derivation
+      // clamps, the AUDIT uses whatever the session derived; spec
+      // scale frames are < MinBndCapBytes so exercise via a sub-floor
+      // override exactly like a 4 GiB box with the floor lowered.
+      WindowTripwire.bndCapBytes = 64L << 10
+      assert(skewDelta(claimed, expectMove = true) >= 1,
+        "a bounded claim past a small box's budget must trip")
+    } finally WindowTripwire.bndCapBytes = restore
+    assert(skewDelta(claimed, expectMove = false) === 0,
+      s"the same claim under this box's derived cap is green: ${WindowTripwire.bndMessages}")
+  }
+
   test("skew green branch: an __ent-marked entity window is sanctioned") {
     val ent = skewedFrame.withColumnRenamed("k", "__ent_k")
       .withColumn("rn", row_number().over(
