@@ -21,6 +21,14 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Bucketed state dirs (StateLayout) carry up to a few hundred
+      // partition dirs per slice; above this threshold Spark runs
+      // partition DISCOVERY as a distributed job — pure scheduling
+      // overhead per slice read on a local FS (measured on q146's
+      // per-increment state reads). Driver-side listing handles
+      // hundreds of dirs in microseconds; a real object-store
+      // deployment with thousands of partitions lowers it back.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     extraConf.foreach { case (k, v) => builder.config(k, v) }

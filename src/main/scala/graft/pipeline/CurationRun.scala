@@ -297,18 +297,29 @@ object CurationRun {
   // the safe direction.
   // ---------------------------------------------------------------
 
+  /** A stage's deferred-audit handle (VERDICT r09 item 3): the output
+    * frame, the AUDIT frame whose count joins the run's single folded
+    * stats action instead of paying its own job, and two release
+    * hooks — `afterLand` frees the token-scale intermediates (grams /
+    * lines) once the landed decon write has materialized the output
+    * cache; `afterAudit` frees the compact output cache after the
+    * folded count has read it. */
+  private final case class StagedAudit(frame: DataFrame, audit: DataFrame,
+    afterLand: () => Unit, afterAudit: () => Unit)
+
   /** Shared span-state stage: clean `deconRaw` against history+batch
     * gram counts, land this batch's counts slice, return the cleaned
-    * 3-col decon frame, the audit count (docs that lost a span), and
-    * the release hook the caller fires after landing the frame.
-    * History arrives as a FUNCTION of the batch's counts slice so the
-    * incremental caller reads only the state buckets the batch's gram
-    * keys hit (VERDICT r09 item 1); the slice itself lands bucketed by
-    * gram hash for the next increment's pruned read. */
+    * 3-col decon frame plus the deferred span audit (docs that lost a
+    * span — counted in the run's ONE folded stats action, VERDICT r09
+    * item 3). History arrives as a FUNCTION of the batch's counts
+    * slice so the incremental caller reads only the state buckets the
+    * batch's gram keys hit (VERDICT r09 item 1); the slice itself
+    * lands bucketed by gram hash for the next increment's pruned
+    * read. */
   private def spanStateStage(deconRaw: DataFrame,
       historyOf: DataFrame => DataFrame,
       stateOutDir: String, spanK: Int,
-      spanMinDf: Int): (DataFrame, Long, () => Unit) = {
+      spanMinDf: Int): StagedAudit = {
     val raw = deconRaw.persist() // grams + removal base + quality join
     val (cleaned, slice, gramsRel) = TextDedup.removeRepeatedSpansIncrementalBy(
       raw, "doc_id", "text", spanK, spanMinDf, historyOf)
@@ -318,10 +329,9 @@ object CurationRun {
       .select(col("doc_id"), col("clean_text").as("text"),
         col("quality_score"), col("n_removed"))
       .persist()
-    val spanCleaned = withQ.where(col("n_removed") > 0).count()
-    gramsRel()
-    (withQ.drop("n_removed"), spanCleaned,
-      () => { withQ.unpersist(); raw.unpersist(); () })
+    StagedAudit(withQ.drop("n_removed"), withQ.where(col("n_removed") > 0),
+      () => { gramsRel(); raw.unpersist(); () },
+      () => { withQ.unpersist(); () })
   }
 
   private def spanStateActive(stateInDir: String): Boolean =
@@ -340,7 +350,7 @@ object CurationRun {
     * text, which keeps the composed-df equality exact across weeks. */
   private def lineStateStage(rawDocs: DataFrame,
       historyOf: DataFrame => DataFrame,
-      stateOutDir: String, lineMinDf: Int): (DataFrame, Long, () => Unit) = {
+      stateOutDir: String, lineMinDf: Int): StagedAudit = {
     val raw = rawDocs.select(col("doc_id"), col("text")).persist()
     val (cleaned, slice, linesRel) = TextDedup.removeRepeatedLinesIncrementalBy(
       raw, "doc_id", "text", lineMinDf, historyOf)
@@ -348,10 +358,9 @@ object CurationRun {
     val out = cleaned
       .select(col("doc_id"), col("clean_text").as("text"), col("n_removed"))
       .persist()
-    val lineCleaned = out.where(col("n_removed") > 0).count()
-    linesRel()
-    (out.drop("n_removed"), lineCleaned,
-      () => { out.unpersist(); raw.unpersist(); () })
+    StagedAudit(out.drop("n_removed"), out.where(col("n_removed") > 0),
+      () => { linesRel(); raw.unpersist(); () },
+      () => { out.unpersist(); () })
   }
 
   private def lineStateActive(stateInDir: String): Boolean =
@@ -378,11 +387,12 @@ object CurationRun {
     * outside any cluster pass through. Returns the filtered frame
     * (PERSISTED — the output tail runs several actions over it, and
     * unpersisted the label-join chain re-executed per action; ADVICE
-    * r07), the dropped count, and the release hook the caller fires
-    * after the output tail. The count here doubles as the cache
-    * materializer. */
+    * r07) and the release hook the caller fires after the output tail
+    * + folded stats action. The dropped count is NOT paid here: the
+    * run's single folded stats action counts kept and out and takes
+    * the difference (VERDICT r09 item 3). */
   private def semanticKeepFilter(kept: DataFrame,
-      semLabels: DataFrame): (DataFrame, Long, () => Unit) = {
+      semLabels: DataFrame): (DataFrame, () => Unit) = {
     val labeled = kept.join(
       semLabels.select(col("doc_id"), col("canonical_id")),
       Seq("doc_id"), "left")
@@ -392,7 +402,7 @@ object CurationRun {
       .where(col("canonical_id").isNull || col("doc_id") === col("surv_id"))
       .select(col("doc_id"), col("text"), col("quality_score"))
       .persist()
-    (out, kept.count() - out.count(), () => { out.unpersist(); () })
+    (out, () => { out.unpersist(); () })
   }
 
   /** Survivor keep set over the decontaminated corpus: near-dup
@@ -497,11 +507,26 @@ object CurationRun {
       Seq("doc_id"), "left_anti")
   }
 
+  /** ONE action for a run's whole audit row (VERDICT r09 item 3): each
+    * stat is a single-row count aggregate and the union collects once,
+    * so a weekly run pays one scheduled job for its audit trail
+    * instead of one per stage — at the catalog's measured fixed
+    * per-action cost that was the largest slice of q146. Frames over
+    * persisted caches / landed parquet count from cache / footers. */
+  private def foldCounts(stats: Seq[(String, DataFrame)]): Map[String, Long] =
+    stats.map { case (k, df) =>
+      df.agg(count(lit(1)).cast("long").as("n"))
+        .select(lit(k).as("k"), col("n"))
+    }.reduce(_ unionByName _)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Language-stratified sample + curated/packed sinks over a kept
-    * frame — the output tail of both cadences. Returns (sampled, bins). */
+    * frame — the output tail of both cadences. Returns the LANDED
+    * (curated, bins) frames; their counts join the run's folded stats
+    * action (VERDICT r09 item 3). */
   private def landOutputs(kept: DataFrame, outDir: String,
       fractions: Map[String, Double], defaultFraction: Double,
-      packBudget: Long, packShards: Int): (Long, Long) = {
+      packBudget: Long, packShards: Int): (DataFrame, DataFrame) = {
     val spark = kept.sparkSession
     val lang = TextAnalysis.languageId(kept, "doc_id", "text")
       .select(col("doc_id"), col("detected_lang"))
@@ -537,7 +562,7 @@ object CurationRun {
           .select(col("shard"), col("capacity_tokens"), col("fill_ratio")),
           Seq("shard")),
       s"$outDir/manifest", numFiles = 1)
-    (landedCurated.count(), landedBins.count())
+    (landedCurated, landedBins)
   }
 
   /** Survivor keep set from explicit decon + clusters frames (the
@@ -574,20 +599,25 @@ object CurationRun {
     val spark = docs.sparkSession
     // Line-df state (opt-in, on RAW text before normalization — see
     // lineStateStage): init cleans against its own counts.
-    val (docsLine, lineCleaned, lineRel) =
-      if (lineState) lineStateStage(docs, _ => emptyGramCounts(spark),
-        stateOutDir, lineMinDf)
-      else (docs, -1L, () => ())
-    val deconRaw = prepBatch(docsLine, benchmark, minQuality,
+    val lineStaged =
+      if (lineState) Some(lineStateStage(docs, _ => emptyGramCounts(spark),
+        stateOutDir, lineMinDf))
+      else None
+    val deconRaw = prepBatch(lineStaged.map(_.frame).getOrElse(docs),
+      benchmark, minQuality,
       minContaminatedShingles, classifier, minClassifierScore)
     // Span-df state (opt-in): init cleans against its own counts (an
     // empty history is the from-scratch df), landing cleaned text.
-    val (decon, spanCleaned, spanRel) =
-      if (spanState) spanStateStage(deconRaw, _ => emptyGramCounts(spark),
-        stateOutDir, spanK, spanMinDf)
-      else (deconRaw, -1L, () => ())
-    Sinks.overwriteParquet(decon, s"$stateOutDir/decon_batch", numFiles = 4)
-    spanRel(); lineRel()
+    val spanStaged =
+      if (spanState) Some(spanStateStage(deconRaw, _ => emptyGramCounts(spark),
+        stateOutDir, spanK, spanMinDf))
+      else None
+    Sinks.overwriteParquet(spanStaged.map(_.frame).getOrElse(deconRaw),
+      s"$stateOutDir/decon_batch", numFiles = 4)
+    // The decon write materialized both stages' compact output caches;
+    // their token-scale intermediates (lines/grams) release NOW, the
+    // audit caches stay for the run's one folded stats action.
+    spanStaged.foreach(_.afterLand()); lineStaged.foreach(_.afterLand())
     val deconS = spark.read.parquet(s"$stateOutDir/decon_batch")
     StateLayout.writeBucketed(
       deconS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
@@ -605,14 +635,19 @@ object CurationRun {
     val clustersS = spark.read.parquet(s"$stateOutDir/clusters")
     writeLineage(stateOutDir, Seq(stateOutDir))
     val kept = keepFromClusters(deconS, clustersS).persist()
-    val keptCount = kept.count()
-    val (semFinal, semDropped, semRelease) =
+    val (semFinal, semStateOn, semDroppedEager, semRelease) =
       if (semanticState && embeddings.isDefined) {
         val emb = embeddings.get
+        // Persisted: the quantizer trainer's init sample + per-iter
+        // assignment passes, the cell/fit writes, and (when on) the
+        // ANN model/codes trainers all re-scan this join — one compact
+        // (id, vector) cache serves ~20 trainer actions instead of
+        // re-paying the decon-join per pass (VERDICT r09 item 3).
         val vecs = deconS.select(col("doc_id"))
           .join(emb.select(col("vec_id"), col("embedding")),
             col("doc_id") === col("vec_id"))
           .select(col("vec_id"), col("embedding"))
+          .persist()
         // Frozen quantizer: trained on the init corpus (or supplied,
         // e.g. by a seeded scratch replay / a rebase); becomes state.
         val cen = semCentroidsIn match {
@@ -637,22 +672,45 @@ object CurationRun {
           TextDedup.connectedComponents(VectorSim.semanticPairsIncremental(
             cellsS, emb, cellsS.select(col("vec_id")), semThreshold)),
           s"$stateOutDir/sem_clusters", numFiles = 1)
-        semanticKeepFilter(kept,
+        // ANN index state (VERDICT r07 item 3): train the frozen model
+        // on the same cached embedded decon vectors.
+        if (annState)
+          writeAnnInit(spark, stateOutDir, vecs,
+            annSubspaces, annCodewords, annClusters, annIters)
+        vecs.unpersist()
+        val (out, rel) = semanticKeepFilter(kept,
           spark.read.parquet(s"$stateOutDir/sem_clusters"))
-      } else semanticStage(kept, embeddings,
-        semClusters, semIters, semThreshold, semMaxCellSize)
-    // ANN index state (VERDICT r07 item 3): train the frozen model on
-    // the init corpus's embedded decon vectors and land its code slice.
-    if (annState && embeddings.isDefined)
-      writeAnnInit(spark, stateOutDir, embeddedVecs(deconS, embeddings.get),
-        annSubspaces, annCodewords, annClusters, annIters)
-    val (sampled, bins) = landOutputs(semFinal, outDir,
+        (out, true, -1L, rel)
+      } else {
+        if (annState && embeddings.isDefined)
+          writeAnnInit(spark, stateOutDir,
+            embeddedVecs(deconS, embeddings.get),
+            annSubspaces, annCodewords, annClusters, annIters)
+        val (f, n, r) = semanticStage(kept, embeddings,
+          semClusters, semIters, semThreshold, semMaxCellSize)
+        (f, false, n, r)
+      }
+    val (landedCurated, landedBins) = landOutputs(semFinal, outDir,
       fractions, defaultFraction, packBudget, packShards)
+    // The run's ONE audit action (VERDICT r09 item 3): every stat
+    // folds into a single union'd count job over caches and landed
+    // parquet; stage caches release only after this read them.
+    val c = foldCounts(Seq(
+      "input" -> docs, "decon" -> deconS, "kept" -> kept,
+      "sampled" -> landedCurated, "bins" -> landedBins) ++
+      spanStaged.map(s => "span" -> s.audit) ++
+      lineStaged.map(s => "line" -> s.audit) ++
+      (if (semStateOn) Seq("semfinal" -> semFinal) else Nil))
+    spanStaged.foreach(_.afterAudit()); lineStaged.foreach(_.afterAudit())
     semRelease(); kept.unpersist()
-    Stats(input = docs.count(), gated = -1L, modelGated = -1L,
-      decontaminated = deconS.count(),
-      spanCleaned = spanCleaned, kept = keptCount, semDropped = semDropped,
-      sampled = sampled, bins = bins, lineCleaned = lineCleaned)
+    Stats(input = c("input"), gated = -1L, modelGated = -1L,
+      decontaminated = c("decon"),
+      spanCleaned = spanStaged.fold(-1L)(_ => c("span")),
+      kept = c("kept"),
+      semDropped =
+        if (semStateOn) c("kept") - c("semfinal") else semDroppedEager,
+      sampled = c("sampled"), bins = c("bins"),
+      lineCleaned = lineStaged.fold(-1L)(_ => c("line")))
   }
 
   /** Weekly incremental run: a NEW raw batch (doc ids disjoint from
@@ -688,18 +746,19 @@ object CurationRun {
     // counts, land its slice. The history READ prunes to the buckets
     // the batch's line keys hit (VERDICT r09 item 1) — state IO per
     // increment tracks the batch like the compute already does.
-    val (newLine, lineCleaned, lineRel) =
+    val lineStaged =
       if (lineStateActive(stateInDir))
-        lineStateStage(newDocs,
+        Some(lineStateStage(newDocs,
           bc => StateLayout.readSlicesPruned(spark, lineage,
             "line_df_batch", "h", bc.select(col("h"))),
-          stateOutDir, lineMinDf)
-      else (newDocs, -1L, () => ())
+          stateOutDir, lineMinDf))
+      else None
 
     // Batch-scale writes ONLY: this dir's slices plus the (small) full
     // label table. The corpus-scale artifacts are never rewritten —
     // readers compose them along the lineage.
-    val deconNew = prepBatch(newLine, benchmark, minQuality,
+    val deconNew = prepBatch(lineStaged.map(_.frame).getOrElse(newDocs),
+      benchmark, minQuality,
       minContaminatedShingles, classifier, minClassifierScore)
 
     // Optional exact-recrawl gate (the Bloom route, q91's shape): drop
@@ -741,15 +800,19 @@ object CurationRun {
     // Span-df state (auto-detected like the semantic/ANN state): clean
     // the batch against the composed gram counts — read pruned to the
     // batch's gram-key buckets — and land its slice.
-    val (deconFinal, spanCleaned, spanRel) =
+    val spanStaged =
       if (spanStateActive(stateInDir))
-        spanStateStage(deconRouted,
+        Some(spanStateStage(deconRouted,
           bc => StateLayout.readSlicesPruned(spark, lineage,
             "span_grams_batch", "h", bc.select(col("h"))),
-          stateOutDir, spanK, spanMinDf)
-      else (deconRouted, -1L, () => ())
-    Sinks.overwriteParquet(deconFinal, s"$stateOutDir/decon_batch", numFiles = 2)
-    spanRel(); lineRel()
+          stateOutDir, spanK, spanMinDf))
+      else None
+    Sinks.overwriteParquet(spanStaged.map(_.frame).getOrElse(deconRouted),
+      s"$stateOutDir/decon_batch", numFiles = 2)
+    // Token-scale stage intermediates release once the decon write has
+    // materialized the compact output caches (the audit caches stay
+    // for the folded stats action).
+    spanStaged.foreach(_.afterLand()); lineStaged.foreach(_.afterLand())
     val deconNewS = spark.read.parquet(s"$stateOutDir/decon_batch")
     StateLayout.writeBucketed(
       deconNewS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
@@ -772,13 +835,12 @@ object CurationRun {
     writeLineage(stateOutDir, lineage :+ stateOutDir)
     val deconAll = deconOld.unionByName(deconNewS)
     val kept = keepFromClusters(deconAll, clustersS).persist()
-    val keptCount = kept.count()
     // Semantic stage: the incremental state machinery when the lineage
     // carries a frozen quantizer (auto-detected — the state, not a
     // flag, decides), else the v1 per-run recompute.
     val semStateActive = embeddings.isDefined && java.nio.file.Files
       .exists(java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))
-    val (semFinal, semDropped, semRelease) =
+    val (semFinal, semStateOn, semDroppedEager, semRelease) =
       if (semStateActive) {
         val emb = embeddings.get
         val cen = readSemCentroids(spark, s"$stateInDir/sem_centroids")
@@ -817,22 +879,38 @@ object CurationRun {
           TextDedup.connectedComponentsIncremental(
             spark.read.parquet(s"$stateInDir/sem_clusters"), semPairsNew),
           s"$stateOutDir/sem_clusters", numFiles = 1)
-        semanticKeepFilter(kept,
+        val (out, rel) = semanticKeepFilter(kept,
           spark.read.parquet(s"$stateOutDir/sem_clusters"))
-      } else semanticStage(kept, embeddings,
-        semClusters, semIters, semThreshold, semMaxCellSize)
+        (out, true, -1L, rel)
+      } else {
+        val (f, n, r) = semanticStage(kept, embeddings,
+          semClusters, semIters, semThreshold, semMaxCellSize)
+        (f, false, n, r)
+      }
     // ANN-codes append (VERDICT r07 item 3, auto-detected like the
     // semantic state): encode ONLY this batch under the frozen model.
     if (embeddings.isDefined && annStateActive(stateInDir))
       writeAnnIncrement(spark, stateInDir, stateOutDir,
         embeddedVecs(deconNewS, embeddings.get))
-    val (sampled, bins) = landOutputs(semFinal, outDir,
+    val (landedCurated, landedBins) = landOutputs(semFinal, outDir,
       fractions, defaultFraction, packBudget, packShards)
+    // The run's ONE audit action (VERDICT r09 item 3).
+    val c = foldCounts(Seq(
+      "input" -> newDocs, "decon" -> deconAll, "kept" -> kept,
+      "sampled" -> landedCurated, "bins" -> landedBins) ++
+      spanStaged.map(s => "span" -> s.audit) ++
+      lineStaged.map(s => "line" -> s.audit) ++
+      (if (semStateOn) Seq("semfinal" -> semFinal) else Nil))
+    spanStaged.foreach(_.afterAudit()); lineStaged.foreach(_.afterAudit())
     semRelease(); kept.unpersist()
-    Stats(input = newDocs.count(), gated = -1L, modelGated = -1L,
-      decontaminated = deconAll.count(), spanCleaned = spanCleaned,
-      kept = keptCount, semDropped = semDropped,
-      sampled = sampled, bins = bins, lineCleaned = lineCleaned)
+    Stats(input = c("input"), gated = -1L, modelGated = -1L,
+      decontaminated = c("decon"),
+      spanCleaned = spanStaged.fold(-1L)(_ => c("span")),
+      kept = c("kept"),
+      semDropped =
+        if (semStateOn) c("kept") - c("semfinal") else semDroppedEager,
+      sampled = c("sampled"), bins = c("bins"),
+      lineCleaned = lineStaged.fold(-1L)(_ => c("line")))
   }
 
   /** Lineage compaction — the state rebase (VERDICT r05 item 8). The
@@ -1185,15 +1263,22 @@ object CurationRun {
 
     // Deterministic language-stratified mix + the curated/packed/
     // manifest sinks — the shared output tail of all three cadences.
-    val (sampledCount, binCount) = landOutputs(semFinal, outDir,
+    val (landedCurated, landedBins) = landOutputs(semFinal, outDir,
       fractions, defaultFraction, packBudget, packShards)
 
+    // One folded audit action (VERDICT r09 item 3) — same discipline
+    // as the weekly cadences; the counts that gate stage RELEASES
+    // (spanCleaned, keptCount, the classifier gate) stay eager because
+    // their actions double as cache materializers under scoped leases.
+    val c = foldCounts(Seq(
+      "input" -> docs, "gated" -> heurGated, "decon" -> decon,
+      "sampled" -> landedCurated, "bins" -> landedBins))
     val stats = Stats(
-      input = docs.count(), gated = heurGated.count(),
+      input = c("input"), gated = c("gated"),
       modelGated = modelGated,
-      decontaminated = decon.count(), spanCleaned = spanCleaned,
+      decontaminated = c("decon"), spanCleaned = spanCleaned,
       kept = keptCount, semDropped = semDropped,
-      sampled = sampledCount, bins = binCount)
+      sampled = c("sampled"), bins = c("bins"))
     semRelease(); decon.unpersist(); spanned.unpersist(); kept.unpersist()
     stats
   }

@@ -56,16 +56,31 @@ object StateLayout {
 
   /** Default bucket count for test-SF state. Production sizing rule:
     * B ~ consolidated slice bytes / target bucket bytes (e.g. 128 MiB
-    * per bucket), re-derived at rebase. */
-  val DefaultBuckets = 64
+    * per bucket), re-derived at rebase. Measured at sf0.1 (q146): the
+    * dominant LOCAL cost of the layout is per-file write commits and
+    * per-dir listing, both linear in B — keep the test default modest;
+    * scale B with the data, not ahead of it. */
+  val DefaultBuckets = 32
 
   private val MarkerFile = "_graft_buckets"
   private[pipeline] val BucketCol = "bucket"
 
   /** The write/probe bucket of a key — identical expression on both
-    * sides, string-canonicalized (see class doc). */
-  def bucketOf(key: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
-    pmod(hash(key.cast("string")), lit(buckets))
+    * sides under TYPED canonicalization (see class doc): integral keys
+    * hash through one `long` cast (an int probe meets a long-written
+    * slice in the same bucket without paying a per-row string render
+    * on the token-scale df slices — measured ~2x on the q146 span
+    * slice write); everything else canonicalizes through `string`. */
+  def bucketOf(key: org.apache.spark.sql.Column,
+      keyType: org.apache.spark.sql.types.DataType,
+      buckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val canonical = keyType match {
+      case ByteType | ShortType | IntegerType | LongType => key.cast("long")
+      case _ => key.cast("string")
+    }
+    pmod(hash(canonical), lit(buckets))
+  }
 
   /** Bucket count a slice was written with; None = legacy layout. */
   def bucketsOf(path: String): Option[Int] = {
@@ -83,7 +98,8 @@ object StateLayout {
     * read-back would have no schema to infer. */
   def writeBucketed(df: DataFrame, path: String, keyCol: String,
       buckets: Int = DefaultBuckets, tasks: Int = 4): Unit = {
-    df.withColumn(BucketCol, bucketOf(col(keyCol), buckets))
+    df.withColumn(BucketCol,
+        bucketOf(col(keyCol), df.schema(keyCol).dataType, buckets))
       .repartition(math.min(buckets, tasks), col(BucketCol))
       .sortWithinPartitions(col(BucketCol), col(keyCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
@@ -142,7 +158,8 @@ object StateLayout {
     // discovery rejects sibling `bucket=` trees).
     val hitByB = bucketed.map(p => bucketsOf(p).get).distinct.map { b =>
       b -> keys
-        .select(bucketOf(col(keyCol), b).as("__b")).distinct()
+        .select(bucketOf(col(keyCol), keys.schema(keyCol).dataType, b)
+          .as("__b")).distinct()
         .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
     }.toMap
     val parts =
