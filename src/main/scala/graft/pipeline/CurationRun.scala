@@ -253,6 +253,22 @@ object CurationRun {
     }
   }
 
+  /** One ANN state version's serving side: the read-back frozen model
+    * plus the composed code slices tagged with a `state_version`
+    * column (the state dir IS the version id — lineage-stable and
+    * human-debuggable). Codes persist here; the caller releases. The
+    * shared loader of both serving forms ([[annServeStream]] and
+    * [[AnnServeSession]]). */
+  private def loadAnnVersion(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): (VectorSim.PqModel, Seq[Array[Double]], DataFrame) = {
+    val (m, cen) = VectorSim.annModelFromFrame(
+      spark.read.parquet(s"$stateDir/ann_model"))
+    val codes = readSlices(spark, readLineage(stateDir), "ann_codes_batch")
+      .withColumn("state_version", lit(stateDir))
+      .persist()
+    (m, cen, codes)
+  }
+
   /** [[annServe]]'s STREAMING twin (VERDICT r08 item 5): a stream of
     * query vectors answered from the same composed code slices under
     * the same read-back frozen model, via
@@ -260,20 +276,97 @@ object CurationRun {
     * read once per state version and PERSISTED HERE — a stream-static
     * join re-evaluates an unpersisted static side every micro-batch,
     * which would re-scan every code slice's parquet per trigger. The
-    * returned release handle unpersists it; the caller invokes it when
-    * the stream stops or the state version swaps (the gate twins'
-    * swap-on-version-boundary contract). */
+    * returned release handle unpersists it. The static side is FIXED
+    * for the stream's lifetime (the plan binds it at start) — a
+    * long-lived server that must follow rebase boundaries uses
+    * [[annServeSession]], whose swap helper re-resolves the static
+    * side per micro-batch (VERDICT r09 item 4). */
   def annServeStream(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, queries: DataFrame, nprobe: Int,
       k: Int): (org.apache.spark.sql.Dataset[graft.streaming.StreamAnnServe.Hit],
         () => Unit) = {
-    val (m, cen) = VectorSim.annModelFromFrame(
-      spark.read.parquet(s"$stateDir/ann_model"))
-    val codes = readSlices(spark, readLineage(stateDir), "ann_codes_batch")
-      .persist()
+    val (m, cen, codes) = loadAnnVersion(spark, stateDir)
     (graft.streaming.StreamAnnServe.serve(queries, codes, m, cen, nprobe, k),
       () => { codes.unpersist(); () })
   }
+
+  /** Long-lived ANN serving session with a SWAPPABLE state version
+    * (VERDICT r09 item 4 — closes the gate-family asymmetry where the
+    * other cadence twins re-derive their gates per micro-batch but the
+    * ANN twin's static side was a frozen snapshot the CALLER had to
+    * re-plumb on a rebase): each micro-batch of query vectors is
+    * answered under the version current AT THAT BATCH, so a weekly
+    * rebase swaps in mid-stream without restarting the query.
+    *
+    * Shape: `foreachBatch` — the micro-batch is a plain DataFrame, so
+    * each batch runs EXACTLY the batch [[annServe]] search
+    * (probe selection + LUT join over the session's persisted codes;
+    * bit-equal by construction, spec-pinned) against a `@volatile`
+    * version handle. No stateful streaming operator exists anywhere in
+    * the plan — bounded state trivially, zero entries. [[swapTo]]
+    * loads and WARMS the next version before redirecting, so the
+    * first post-swap batch never pays the state scan inline; the old
+    * side unpersists after the swap (an in-flight batch holds the
+    * version it started with via its local reference). Hits carry the
+    * answering `state_version`, so a consumer can attribute every
+    * result row to the exact state that produced it. */
+  final class AnnServeSession private[CurationRun] (
+      spark: org.apache.spark.sql.SparkSession,
+      initialStateDir: String, nprobe: Int, k: Int) {
+    private case class V(dir: String, m: VectorSim.PqModel,
+      cen: Seq[Array[Double]], codes: DataFrame)
+    @volatile private var current: V = load(initialStateDir)
+
+    private def load(dir: String): V = {
+      val (m, cen, codes) = loadAnnVersion(spark, dir)
+      // Warm via toRdd: materializes the persist without posting
+      // per-stage plan updates on the serving driver.
+      codes.queryExecution.toRdd.count()
+      V(dir, m, cen, codes)
+    }
+
+    /** The state version currently answering. */
+    def version: String = current.dir
+
+    /** Swap to a new state version (a rebase boundary): load + warm
+      * the new static side, atomically redirect, release the old. A
+      * micro-batch in flight finishes under the version it started
+      * with; the next batch serves the new one. */
+    def swapTo(stateDir: String): Unit = {
+      val next = load(stateDir)
+      val old = current
+      current = next
+      old.codes.unpersist()
+    }
+
+    /** One query batch answered under the CURRENT version — exactly
+      * [[annServe]] on that version, hits tagged with the answering
+      * state_version. */
+    def answer(queries: DataFrame): DataFrame = {
+      val v = current
+      VectorSim.pqSearchIvfFromCodes(queries, v.codes, v.m, v.cen, nprobe, k)
+        .withColumn("state_version", lit(v.dir))
+    }
+
+    /** Serve a STREAM of query vectors: per micro-batch, [[answer]]
+      * under the version current at that batch; result rows hand to
+      * `sink`. */
+    def serve(queries: DataFrame, checkpoint: String)(
+        sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      queries.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, _: Long) => sink(answer(b)) }
+        .start()
+
+    /** Release the current version's persisted static side. */
+    def close(): Unit = current.codes.unpersist()
+  }
+
+  /** Open an [[AnnServeSession]] at `stateDir`. */
+  def annServeSession(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, nprobe: Int, k: Int): AnnServeSession =
+    new AnnServeSession(spark, stateDir, nprobe, k)
 
   // ---------------------------------------------------------------
   // Incremental span-removal state: per-gram document frequency is the
