@@ -497,6 +497,41 @@ object ScaleStress {
       spark.catalog.clearCache(); System.gc()
     }
 
+    // df-capped direct Jaccard (VERDICT r09 item 5): the adversarial
+    // hot-shingle corpus — ONE shared shingle in 20% of 200k docs,
+    // below the qualifying threshold (J ~ 0.037 < t = 0.05), plus 100
+    // genuine near-dup pairs. Uncapped, the hot shingle ALONE feeds
+    // C(40k, 2) ~ 8e8 candidate pairs into the self-join before the
+    // threshold can reject them; capped, it never generates (its docs
+    // are far from risky at 1 hot shingle of 14), and the candidate
+    // volume is the true near-dup mass. The printed contrast is the
+    // uncapped volume computed from the df table — exactness is
+    // spec-pinned (TextOpsSpec), this row prices the worst case.
+    {
+      import operators.TextDedup
+      val nAdv = 200000L
+      val docsAdv = spark.range(nAdv).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          ((0 until 12).map(i => concat(lit(s"w${i}_"), col("id"))) :+
+            when(pmod(col("id"), lit(5)) === 0,
+              lit("shared footer phrase")).otherwise(
+              concat(lit("uniq_"), col("id")))): _*).as("text"))
+      val dupsAdv = docsAdv.where(col("doc_id") < 100)
+        .select((col("doc_id") + nAdv).as("doc_id"), col("text"))
+      val idxAdv = TextDedup.buildIndex(docsAdv.unionByName(dupsAdv),
+        "doc_id", "text", n = 3, bits = 64).persist()
+      val uncappedVolume = idxAdv.df
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .agg(sum(expr("df * (df - 1) div 2")).as("v")).head().getLong(0)
+      var t0 = System.nanoTime()
+      val nPairs = TextDedup.ngramJaccardDirect(idxAdv, 0.05).count()
+      println(f"jaccard direct df-capped (hot 20%%) ${(System.nanoTime() - t0) / 1e9}%7.1f s" +
+        f"  ($nPairs pairs out; uncapped candidate volume $uncappedVolume)")
+      idxAdv.df.unpersist()
+      spark.catalog.clearCache(); System.gc()
+    }
+
     // Bucketed-state read pruning (VERDICT r09 item 1): the weekly
     // cadences' state READS prune to the batch's key buckets — measure
     // actual task input bytes for a span-df-shaped history read,

@@ -392,26 +392,87 @@ object TextDedup {
     * mode via [[ngramJaccardDirect]] / [[ngramJaccardPrefix]]. */
   val PrefixFilterFrom: Double = 0.35
 
-  /** Direct mode: count shared shingles straight off the inverted-index
-    * self-join (one join + one partial-aggregated groupBy — optimal
-    * when document-frequency is near-uniform or the threshold is low,
-    * where nearly every co-occurring pair must be scored anyway). */
-  def ngramJaccardDirect(index: ShingleIndex, threshold: Double): DataFrame = {
+  /** Candidate-generating df cap for [[ngramJaccardDirect]]: shingles
+    * with document frequency above this never GENERATE candidates
+    * (their pairs arrive through low-df co-occurrences or the risky
+    * residual below), bounding the self-join at `maxDf x |postings|`
+    * pairs instead of `sum(df^2)` — the hot-shingle worst case that
+    * made uncapped direct mode a watched residue since r04 (one
+    * stopword-like shingle in 20% of a corpus yields (0.2 N)^2 / 2
+    * candidate pairs on its own). */
+  val DirectMaxDf: Int = 128
+
+  /** Direct mode: count shared shingles off the inverted-index
+    * self-join — optimal when document frequency is near-uniform or
+    * the threshold is low, where nearly every co-occurring pair must
+    * be scored anyway (one join + one partial-aggregated groupBy).
+    *
+    * DF-CAPPED, drop-and-verify (VERDICT r09 item 5): shingles with
+    * df > `maxDf` are dropped from CANDIDATE GENERATION, and the rows
+    * they alone would have connected are recovered exactly through the
+    * risky-doc residual. Soundness: a qualifying pair (J >= t) missed
+    * by the low-df self-join shares ONLY hot shingles; with
+    * b = the pair's smaller member, `s >= t(|a|+|b|)/(1+t) >=
+    * 2t|b|/(1+t)` shared shingles all sit inside b's hot set, so
+    * `hot(b) >= 2t/(1+t) x |b|` — b is RISKY. Candidates therefore =
+    * (low-df self-join) UNION (hot postings of risky docs x hot
+    * postings), and scoring verifies over the FULL index — exact at
+    * every threshold (spec-pinned capped == uncapped on a hot-shingle
+    * fixture). On corpora where hot shingles are sporadic per doc
+    * (the adversarial case the cap exists for) the risky set is empty
+    * and the residual costs nothing; a corpus where most docs are
+    * mostly-hot genuinely contains that near-dup mass and pays for
+    * exactly the pairs it has. The risky filter evaluates
+    * `hot x (1+t) >= 2t x n - eps` with a 1e-6 slack — FP rounding can
+    * only ADD a borderline doc to the residual, never drop one.
+    * `threshold <= 0` keeps every pair by definition, so no cap can
+    * prune: the uncapped self-join runs (pass `maxDf = Int.MaxValue`
+    * to force it at any threshold). */
+  def ngramJaccardDirect(index: ShingleIndex, threshold: Double,
+      maxDf: Int = DirectMaxDf): DataFrame = {
     val inverted = index.df
     val sizes = inverted.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    inverted.as("a")
-      .join(inverted.as("b").hint("shuffle_hash"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
-      .withColumn("jaccard",
-        round(col("n_shared").cast("double") /
-          (col("n_a") + col("n_b") - col("n_shared")), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    if (threshold <= 0 || maxDf == Int.MaxValue)
+      // Uncapped: the co-occurrence count off the self-join IS the
+      // shared count — one pass, no separate verify.
+      inverted.as("a")
+        .join(inverted.as("b").hint("shuffle_hash"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
+        .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
+        .withColumn("jaccard",
+          round(col("n_shared").cast("double") /
+            (col("n_a") + col("n_b") - col("n_shared")), 6))
+        .where(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    else {
+      val dfBySh = inverted.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+      val posting = inverted.join(dfBySh, Seq("sh"))
+      val cold = posting.where(col("__df") <= maxDf)
+        .select(col("doc_id"), col("sh"))
+      val coldPairs = cold.as("a")
+        .join(cold.as("b").hint("shuffle_hash"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val hot = posting.where(col("__df") > maxDf)
+        .select(col("doc_id"), col("sh"))
+      val risky = hot.groupBy(col("doc_id")).agg(count(lit(1)).as("__h"))
+        .join(sizes, "doc_id")
+        .where(col("__h") * (lit(1.0) + lit(threshold)) >=
+          lit(2.0) * lit(threshold) * col("n_sh") - lit(1e-6))
+        .select(col("doc_id"))
+      val hotPairs = hot.join(risky, Seq("doc_id"))
+        .select(col("doc_id").as("r_id"), col("sh"))
+        .join(hot.hint("shuffle_hash"), Seq("sh"))
+        .where(col("r_id") =!= col("doc_id"))
+        .select(least(col("r_id"), col("doc_id")).as("doc_a"),
+          greatest(col("r_id"), col("doc_id")).as("doc_b"))
+      jaccardFromIndex(inverted, threshold,
+        coldPairs.unionByName(hotPairs).distinct())
+    }
   }
 
   /** Dedup survivor selection: per near-dup cluster keep the member

@@ -112,6 +112,45 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("df-capped direct jaccard equals uncapped, including hot-only pairs via the risky residual (VERDICT r09 item 5)") {
+    // Three regimes on one fixture, k = 3, t = 0.3 (below the prefix
+    // crossover, so this IS the auto-routed mode):
+    //   - docs 0..9: unique 10-token bodies + a SHARED 15-token footer
+    //     (footer shingles df = 10 > maxDf = 4 -> hot). Their pairs
+    //     share ONLY hot shingles (13 of 23; J ~ 0.39 >= t) — they
+    //     exist in the output IFF the risky residual works (hot share
+    //     0.57 >= 2t/(1+t) = 0.46 -> risky).
+    //   - docs 20..39: unique 12-token bodies with one shared token
+    //     inserted (3 hot shingles of 11, share 0.27 < 0.46 -> NOT
+    //     risky; their pairwise J <= 3/19 < t, so dropping them from
+    //     generation loses nothing — the soundness bound at work).
+    //   - docs 50/51: a cold near-identical pair (unique low-df
+    //     shingles) caught by the cold self-join.
+    val footer = (1 to 15).map(i => s"f$i").mkString(" ")
+    val fixture =
+      (0L until 10L).map(i =>
+        (i, (1 to 10).map(j => s"a${i}_$j").mkString(" ") + " " + footer)) ++
+      (20L until 40L).map(i =>
+        (i, (1 to 6).map(j => s"b${i}_$j").mkString(" ") + " COMMON " +
+          (7 to 12).map(j => s"b${i}_$j").mkString(" "))) ++
+      Seq(
+        (50L, (1 to 20).map(j => s"c$j").mkString(" ")),
+        (51L, (1 to 19).map(j => s"c$j").mkString(" ") + " CHANGED"))
+    val idx = TextDedup.buildIndex(
+      fixture.toDF("doc_id", "text"), "doc_id", "text", n = 3)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val capped = rows(TextDedup.ngramJaccardDirect(idx, 0.3, maxDf = 4))
+    val uncapped = rows(TextDedup.ngramJaccardDirect(idx, 0.3, Int.MaxValue))
+    assert(capped === uncapped,
+      "the df cap must be drop-and-VERIFY exact, never lossy")
+    assert(capped.exists(p => p._1 < 10 && p._2 < 10),
+      "footer pairs share ONLY hot shingles — the risky residual must recover them")
+    assert(capped.exists(p => p._1 == 50L && p._2 == 51L),
+      "cold near-dup pair must arrive through the capped self-join")
+  }
+
   test("minhashLshPairs recovers exact duplicates with jaccard 1.0") {
     val txt = (1 to 40).map(i => s"t$i").mkString(" ")
     val other = (1 to 40).map(i => s"u$i").mkString(" ")
