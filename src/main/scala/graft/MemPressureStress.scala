@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * family's chain (the q58/q60 shape: shingle index -> MinHash
   * signatures -> banded LSH pairs -> connected components -> survivor
   * pick) over the 10x replicated corpus in a session whose unified
-  * memory manager is capped at 4 GiB (`spark.testing.memory` — the
-  * knob Spark's own tests size the manager with; the reference's own
-  * executor config), asserting green completion and recording the
+  * memory manager is capped via `spark.testing.memory` (the knob
+  * Spark's own tests size the manager with) — default 1 GiB over 8
+  * task slots, the corpus/memory RATIO that genuinely pressures this
+  * SF (see the sizing comment in `main`; the reference's literal
+  * 4 GiB completes spill-free here and would test nothing) —
+  * asserting green completion and recording the
   * spill the cap forces. Nonzero spill is the point: the operators hit
   * the memory ceiling and DEGRADE (sort/aggregate spill to disk)
   * instead of failing — the posture a 1000-executor deployment's worst

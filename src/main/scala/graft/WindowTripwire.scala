@@ -106,7 +106,12 @@ object WindowTripwire {
     val conf = spark.sparkContext.getConf
     val local = conf.get("spark.master", "local[*]").startsWith("local")
     val mem =
-      if (local) Runtime.getRuntime.maxMemory
+      // spark.testing.memory overrides the unified manager's sizing
+      // (graft.MemPressureStress's constraint knob) — the cap must
+      // follow the memory tasks actually get, not the JVM heap.
+      if (conf.contains("spark.testing.memory"))
+        conf.getLong("spark.testing.memory", Runtime.getRuntime.maxMemory)
+      else if (local) Runtime.getRuntime.maxMemory
       else org.apache.spark.network.util.JavaUtils
         .byteStringAsBytes(conf.get("spark.executor.memory", "1g"))
     val cores =
@@ -183,10 +188,13 @@ object WindowTripwire {
 
   /** Counter dedup (ADVICE r09): one logical window re-inspected
     * across an entry's several actions or reused AQE query stages is
-    * the SAME plan instance — count it once, so a counter value reads
-    * as "distinct hazard sites this run", not hit-occurrences. Keyed
-    * by (identityHashCode, fragment) — no strong plan reference, FIFO
-    * bounded — so a re-PLANNED duplicate (new instance) still counts. */
+    * the SAME WindowExec instance — count it once, so a counter value
+    * reads as "distinct hazard sites this run", not hit-occurrences.
+    * Keyed by (the NODE's identityHashCode, fragment) — no strong plan
+    * reference, FIFO bounded — so a re-PLANNED duplicate (a fresh
+    * instance, e.g. a later rerun of the same query) still counts and
+    * a green-branch spec that re-executes a fixed frame stays
+    * falsifiable. */
   private val seenHits = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(Int, String), java.lang.Boolean](128, 0.75f, false) {
       override def removeEldestEntry(
@@ -198,20 +206,20 @@ object WindowTripwire {
     seenHits.put((id, frag), java.lang.Boolean.TRUE) == null
 
   private def inspect(qe: QueryExecution): Unit = {
-    try scan(qe.executedPlan).foreach { hit =>
-      if (firstSighting(0, s"g:$hit")) {
+    try scanNodes(qe.executedPlan).foreach { case (w, hit) =>
+      if (firstSighting(System.identityHashCode(w), s"g:$hit")) {
         count.incrementAndGet()
         if (recent.size < 16) recent.add(hit)
       }
     } catch { case _: Throwable => () }
-    try skewScan(qe.executedPlan).foreach {
-      case (hit, true) =>
-        if (firstSighting(0, s"b:$hit")) {
+    try skewScanNodes(qe.executedPlan).foreach {
+      case (w, hit, true) =>
+        if (firstSighting(System.identityHashCode(w), s"b:$hit")) {
           bndCount.incrementAndGet()
           if (bndRecent.size < 16) bndRecent.add(hit)
         }
-      case (hit, false) =>
-        if (firstSighting(0, s"s:$hit")) {
+      case (w, hit, false) =>
+        if (firstSighting(System.identityHashCode(w), s"s:$hit")) {
           skewCount.incrementAndGet()
           if (skewRecent.size < 16) skewRecent.add(hit)
         }
@@ -222,10 +230,12 @@ object WindowTripwire {
     * in `p` (empty = scale-safe) — the listener's check exposed for
     * plan specs. Descends through AQE wrappers/stages and subqueries;
     * `collect` alone stops at AdaptiveSparkPlanExec leaves. */
-  def scan(p: SparkPlan): Seq[String] = {
+  def scan(p: SparkPlan): Seq[String] = scanNodes(p).map(_._2)
+
+  private def scanNodes(p: SparkPlan): Seq[(WindowExec, String)] = {
     val self = p match {
       case w: WindowExec if w.partitionSpec.isEmpty && !sanctioned(w) =>
-        Seq(w.simpleString(200).linesIterator.take(1).mkString)
+        Seq((w, w.simpleString(200).linesIterator.take(1).mkString))
       case _ => Seq.empty
     }
     val children = p match {
@@ -233,7 +243,7 @@ object WindowTripwire {
       case s: QueryStageExec => Seq(s.plan)
       case _ => p.children
     }
-    self ++ children.flatMap(scan) ++ p.subqueries.flatMap(scan)
+    self ++ children.flatMap(scanNodes) ++ p.subqueries.flatMap(scanNodes)
   }
 
   /** STATIC window-partitioning audit — the PlanSpec catalog sweep's
@@ -256,10 +266,17 @@ object WindowTripwire {
   def staticAudit(p: SparkPlan): Seq[String] = {
     val self = p match {
       case w: WindowExec =>
-        val tieGroup = w.partitionSpec.size >= 2
-        val entity = w.partitionSpec.size == 1 &&
-          w.partitionSpec.head.references
-            .forall(_.name.startsWith(EntityMarker))
+        val tieGroup = w.partitionSpec.size >= 2 &&
+          w.partitionSpec.forall(_.references.nonEmpty)
+        // references.nonEmpty guards the vacuous-forall hole: a
+        // literal partition key (partitionBy(lit(0)) — a one-task
+        // global sort) has ZERO attribute references and must not
+        // read as entity-sanctioned (the r08 name allowlist had the
+        // same hole; the marker rewrite closes it).
+        val entity = w.partitionSpec.size == 1 && {
+          val refs = w.partitionSpec.head.references
+          refs.nonEmpty && refs.forall(_.name.startsWith(EntityMarker))
+        }
         if (sanctioned(w) || tieGroup || entity) Seq.empty
         else Seq(w.simpleString(200).linesIterator.take(1).mkString)
       case _ => Seq.empty
@@ -301,7 +318,10 @@ object WindowTripwire {
     * bounded claim is about what one task sorts, and it must hold at
     * runtime (ADVICE r08). Returns (hit fragment, isBndOverflow)
     * pairs. */
-  def skewScan(p: SparkPlan): Seq[(String, Boolean)] = {
+  def skewScan(p: SparkPlan): Seq[(String, Boolean)] =
+    skewScanNodes(p).map(t => (t._2, t._3))
+
+  private def skewScanNodes(p: SparkPlan): Seq[(WindowExec, String, Boolean)] = {
     val self = p match {
       case w: WindowExec =>
         inputShuffleBytes(w.child) match {
@@ -310,12 +330,12 @@ object WindowTripwire {
             val max = bytes.max
             if (sanctioned(w)) {
               if (max > BndCapBytes)
-                Seq((s"bnd-claim overflow (${max >> 20} MiB single-task frame): " +
+                Seq((w, s"bnd-claim overflow (${max >> 20} MiB single-task frame): " +
                   w.simpleString(200).linesIterator.take(1).mkString, true))
               else Seq.empty
             } else if (w.partitionSpec.nonEmpty && !entSanctioned(w) &&
                 total >= SkewMinBytes && max.toDouble / total > SkewShare) {
-              Seq((f"dominant window partition (${max.toDouble / total}%.2f " +
+              Seq((w, f"dominant window partition (${max.toDouble / total}%.2f " +
                 s"of ${total >> 20} MiB): " +
                 w.simpleString(200).linesIterator.take(1).mkString, false))
             } else Seq.empty
@@ -328,7 +348,7 @@ object WindowTripwire {
       case s: QueryStageExec => Seq(s.plan)
       case _ => p.children
     }
-    self ++ children.flatMap(skewScan) ++ p.subqueries.flatMap(skewScan)
+    self ++ children.flatMap(skewScanNodes) ++ p.subqueries.flatMap(skewScanNodes)
   }
 
   /** RAW per-reduce-partition sizes of the shuffle feeding a window:

@@ -159,7 +159,11 @@ object DataMix {
       .withColumn("prefix",
         coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
       .withColumn("bin", floor(col("prefix") / budget))
-      .withColumnRenamed("__ent_shard", "shard")
+      // withColumn (not a rename): an input that already carries a
+      // `shard` column keeps the old replace-in-place contract instead
+      // of gaining an ambiguous duplicate.
+      .withColumn("shard", col("__ent_shard"))
+      .drop("__ent_shard")
   }
 
   /** Packed-sequence CONTENTS — the output a training-data writer

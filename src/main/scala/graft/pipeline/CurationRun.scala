@@ -331,8 +331,12 @@ object CurationRun {
     /** Swap to a new state version (a rebase boundary): load + warm
       * the new static side, atomically redirect, release the old. A
       * micro-batch in flight finishes under the version it started
-      * with; the next batch serves the new one. */
-    def swapTo(stateDir: String): Unit = {
+      * with; the next batch serves the new one. Synchronized: two
+      * concurrent swaps (or a swap racing [[close]]) would otherwise
+      * both read the same `old` and strand one loaded version's
+      * persisted corpus-scale codes cache for the server's lifetime —
+      * the pinned-cache hazard class. */
+    def swapTo(stateDir: String): Unit = this.synchronized {
       val next = load(stateDir)
       val old = current
       current = next
@@ -360,7 +364,7 @@ object CurationRun {
         .start()
 
     /** Release the current version's persisted static side. */
-    def close(): Unit = current.codes.unpersist()
+    def close(): Unit = this.synchronized { current.codes.unpersist() }
   }
 
   /** Open an [[AnnServeSession]] at `stateDir`. */

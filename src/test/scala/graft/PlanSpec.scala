@@ -378,6 +378,22 @@ class PlanSpec extends AnyFunSuite {
         row_number().over(Window.partitionBy($"__ent_doc_id").orderBy($"v")))
     assert(WindowTripwire.staticAudit(declared.queryExecution.executedPlan).isEmpty,
       "an __ent-marked entity window must pass the sweep")
+    // LITERAL partition keys reference no attribute — a one-task
+    // global sort wearing a partitionBy costume. The vacuous-forall
+    // hole would sanction it as entity-keyed (and two literals as a
+    // tie group); both must flag.
+    val litKey = spark.range(1000)
+      .select($"id".as("v"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(lit(0)).orderBy($"v")))
+    assert(WindowTripwire.staticAudit(litKey.queryExecution.executedPlan).nonEmpty,
+      "a literal partition key is an unpartitioned sort in disguise")
+    val litKeys = spark.range(1000)
+      .select($"id".as("v"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(lit(0), lit(1)).orderBy($"v")))
+    assert(WindowTripwire.staticAudit(litKeys.queryExecution.executedPlan).nonEmpty,
+      "two literal keys are not a tie group")
   }
 
   test("q130 fused quality scan is ONE whole-stage codegen span") {
