@@ -113,42 +113,59 @@ class TextOpsSpec extends AnyFunSuite {
   }
 
   test("df-capped direct jaccard equals uncapped, including hot-only pairs via the risky residual (VERDICT r09 item 5)") {
-    // Three regimes on one fixture, k = 3, t = 0.3 (below the prefix
-    // crossover, so this IS the auto-routed mode):
-    //   - docs 0..9: unique 10-token bodies + a SHARED 15-token footer
-    //     (footer shingles df = 10 > maxDf = 4 -> hot). Their pairs
-    //     share ONLY hot shingles (13 of 23; J ~ 0.39 >= t) — they
-    //     exist in the output IFF the risky residual works (hot share
-    //     0.57 >= 2t/(1+t) = 0.46 -> risky).
-    //   - docs 20..39: unique 12-token bodies with one shared token
-    //     inserted (3 hot shingles of 11, share 0.27 < 0.46 -> NOT
-    //     risky; their pairwise J <= 3/19 < t, so dropping them from
-    //     generation loses nothing — the soundness bound at work).
-    //   - docs 50/51: a cold near-identical pair (unique low-df
-    //     shingles) caught by the cold self-join.
-    val footer = (1 to 15).map(i => s"f$i").mkString(" ")
+    // The adversarial shape the cap exists for, k = 3, t = 0.3 (below
+    // the prefix crossover, so this IS the auto-routed mode):
+    //   - docs 0..199: unique 30-token bodies + a SHARED 5-token
+    //     footer. The three fully-footer shingles have df = 202 > 64
+    //     -> hot, feeding C(202,2) x 3 candidate rows uncapped; the
+    //     carriers' hot share is 3/33 < 2t/(1+t) = 0.46 (not risky)
+    //     and their pairwise J = 3/63 < t — dropping them from
+    //     generation loses nothing (the soundness bound at work).
+    //   - docs 300/301: SHORT footer-dominated docs (hot share 3/5 >=
+    //     0.46 -> risky) whose mutual J = 3/7 ~ 0.43 >= t through hot
+    //     shingles ONLY — they exist in the output IFF the risky
+    //     residual works.
+    //   - docs 400/401: a cold near-identical pair (low-df shingles)
+    //     caught by the capped self-join.
+    val footer = (1 to 5).map(i => s"f$i").mkString(" ")
     val fixture =
-      (0L until 10L).map(i =>
-        (i, (1 to 10).map(j => s"a${i}_$j").mkString(" ") + " " + footer)) ++
-      (20L until 40L).map(i =>
-        (i, (1 to 6).map(j => s"b${i}_$j").mkString(" ") + " COMMON " +
-          (7 to 12).map(j => s"b${i}_$j").mkString(" "))) ++
+      (0L until 200L).map(i =>
+        (i, (1 to 30).map(j => s"a${i}_$j").mkString(" ") + " " + footer)) ++
       Seq(
-        (50L, (1 to 20).map(j => s"c$j").mkString(" ")),
-        (51L, (1 to 19).map(j => s"c$j").mkString(" ") + " CHANGED"))
+        (300L, s"s1 s2 $footer"),
+        (301L, s"t1 t2 $footer"),
+        (400L, (1 to 20).map(j => s"c$j").mkString(" ")),
+        (401L, (1 to 19).map(j => s"c$j").mkString(" ") + " CHANGED"))
     val idx = TextDedup.buildIndex(
       fixture.toDF("doc_id", "text"), "doc_id", "text", n = 3)
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
       df.select("doc_a", "doc_b", "jaccard")
         .as[(Long, Long, Double)].collect().toSet
-    val capped = rows(TextDedup.ngramJaccardDirect(idx, 0.3, maxDf = 4))
+    val cappedDf = TextDedup.ngramJaccardDirect(idx, 0.3, maxDf = 64)
+    assert(TextDedup.lastDirectCapped,
+      "sporadic-hot fixture must ROUTE to the capped drop-and-verify plan")
+    val capped = rows(cappedDf)
     val uncapped = rows(TextDedup.ngramJaccardDirect(idx, 0.3, Int.MaxValue))
     assert(capped === uncapped,
       "the df cap must be drop-and-VERIFY exact, never lossy")
-    assert(capped.exists(p => p._1 < 10 && p._2 < 10),
-      "footer pairs share ONLY hot shingles — the risky residual must recover them")
-    assert(capped.exists(p => p._1 == 50L && p._2 == 51L),
+    assert(capped.exists(p => p._1 == 300L && p._2 == 301L),
+      "the risky pair shares ONLY hot shingles — the residual must recover it")
+    assert(capped.exists(p => p._1 == 400L && p._2 == 401L),
       "cold near-dup pair must arrive through the capped self-join")
+    assert(!capped.exists(p => p._1 < 200L && p._2 < 200L),
+      "footer carriers sit below the threshold — dropping their hot " +
+        "candidates must lose nothing")
+    // A dup-DENSE corpus (qualifying hot mass everywhere) must route
+    // back to the one-pass count — the measured 830s-vs-26s lesson.
+    val dense = (0L until 120L).map(i =>
+      (i, (1 to 12).map(j => s"d$j").mkString(" ") + s" x$i"))
+    val idxDense = TextDedup.buildIndex(
+      dense.toDF("doc_id", "text"), "doc_id", "text", n = 3)
+    val denseOut = rows(TextDedup.ngramJaccardDirect(idxDense, 0.3, maxDf = 64))
+    assert(!TextDedup.lastDirectCapped,
+      "a dup-dense corpus must route to the one-pass plan")
+    assert(denseOut ===
+      rows(TextDedup.ngramJaccardDirect(idxDense, 0.3, Int.MaxValue)))
   }
 
   test("minhashLshPairs recovers exact duplicates with jaccard 1.0") {
