@@ -584,6 +584,20 @@ object ScaleStress {
         println(f"state-read pruning, lineage $l    pruned ${bp / 1e6}%6.2f MB" +
           f"  full ${bf / 1e6}%6.2f MB  (join rows $mp, equal)")
       }
+      // The REBASE step of the policy: consolidate the lineage into
+      // one slice under a B scaled to the grown state (512 -> 2048 for
+      // 4x the rows — the StateLayout sizing rule), and the pruned
+      // read drops back to ~one batch's bucket span. THIS is what
+      // keeps per-increment state reads flat at 100 TB: bounded
+      // lineage between rebases, B re-derived at each rebase.
+      StateLayout.writeBucketed(
+        StateLayout.readSlices(spark, (0 until 4).map(i => s"$base/s$i"), "art")
+          .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs")),
+        s"$base/r/art", "h", buckets = 2048, tasks = 8)
+      val (br, mr) = readBytes(
+        StateLayout.readSlicesPruned(spark, Seq(s"$base/r"), "art", "h", batchKeys))
+      println(f"state-read pruning, post-rebase   pruned ${br / 1e6}%6.2f MB" +
+        f"  (B 512 -> 2048 at consolidation; join rows $mr)")
       spark.sparkContext.removeSparkListener(tapeListener)
       batchKeys.unpersist()
       spark.catalog.clearCache(); System.gc()

@@ -97,6 +97,28 @@ class StateLayoutSpec extends AnyFunSuite {
       "schema must survive the empty round trip")
   }
 
+  test("a lineage mixing bucket counts prunes each slice under ITS own B") {
+    // The rebase-rebucket policy creates exactly this shape: old
+    // weekly slices at the write-time default, a consolidated slice
+    // rewritten under a larger B — one lineage, two layouts. The
+    // pruned read must derive a bucket set PER distinct B (a key hits
+    // different bucket ids under different moduli).
+    val dir = TestSpark.tmpDir("slayout_mixedb")
+    StateLayout.writeBucketed(slice(800, 0), s"$dir/d1/art", "h", buckets = 16)
+    StateLayout.writeBucketed(slice(800, 1), s"$dir/d2/art", "h", buckets = 64)
+    assert(StateLayout.bucketsOf(s"$dir/d1/art") === Some(16))
+    assert(StateLayout.bucketsOf(s"$dir/d2/art") === Some(64))
+    val dirs = Seq(s"$dir/d1", s"$dir/d2")
+    val keys = Seq(7919L, 7920L, 555L * 7919L, 555L * 7919L + 1L).toDF("h")
+    val pruned = StateLayout.readSlicesPruned(spark, dirs, "art", "h", keys)
+    val full = StateLayout.readSlices(spark, dirs, "art")
+    assert(
+      pruned.join(keys, Seq("h")).as[(Long, Long)].collect().toSet ===
+        full.join(keys, Seq("h")).as[(Long, Long)].collect().toSet,
+      "per-B bucket sets must keep the pruned join exact across layouts")
+    assert(pruned.count() < full.count())
+  }
+
   test("bucket hash is key-width-insensitive: int probes hit long-written buckets") {
     val dir = TestSpark.tmpDir("slayout_width")
     // Written with LONG cell ids (the semanticCells shape)...
