@@ -596,8 +596,11 @@ object ScaleStress {
         s"$base/r/art", "h", buckets = 2048, tasks = 8)
       val (br, mr) = readBytes(
         StateLayout.readSlicesPruned(spark, Seq(s"$base/r"), "art", "h", batchKeys))
+      val (_, mrf) = readBytes(StateLayout.readSlices(spark, Seq(s"$base/r"), "art"))
+      require(mr == mrf,
+        s"post-rebase pruned read changed the join: $mr != $mrf")
       println(f"state-read pruning, post-rebase   pruned ${br / 1e6}%6.2f MB" +
-        f"  (B 512 -> 2048 at consolidation; join rows $mr)")
+        f"  (B 512 -> 2048 at consolidation; join rows $mr, equal)")
       spark.sparkContext.removeSparkListener(tapeListener)
       batchKeys.unpersist()
       spark.catalog.clearCache(); System.gc()

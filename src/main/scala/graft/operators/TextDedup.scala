@@ -367,6 +367,15 @@ object TextDedup {
       .join(inverted.select(col("doc_id").as("doc_b"), col("sh")),
         Seq("doc_b", "sh"))
       .select(col("doc_a"), col("doc_b"))
+    jaccardOfShared(shared, sizes, threshold)
+  }
+
+  /** Shared scoring tail of both exact modes: co-occurrence rows ->
+    * n_shared -> sizes joins -> 6dp jaccard -> threshold. ONE copy so
+    * the rounding/threshold semantics the equality specs pin cannot
+    * diverge between the one-pass and candidate/verify paths. */
+  private def jaccardOfShared(shared: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
     shared
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -377,7 +386,6 @@ object TextDedup {
           (col("n_a") + col("n_b") - col("n_shared")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** Crossover for [[ngramJaccardPairs]] mode selection, MEASURED at
     * sf0.1 on both a uniform-df and a hot-shingle (stopword-footer)
@@ -456,14 +464,27 @@ object TextDedup {
       // aggregates over the (caller-persisted) index.
       val dfBySh = inverted.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
         .persist()
-      val volRow = dfBySh.agg(
-        coalesce(sum(when(col("__df") <= maxDf,
-          expr("__df * (__df - 1) div 2")).otherwise(0L)), lit(0L)).as("cold"),
-        coalesce(sum(when(col("__df") > maxDf,
-          expr("__df * (__df - 1) div 2")).otherwise(0L)), lit(0L)).as("hot"))
-        .head()
-      val (coldVol, hotVol) = (volRow.getLong(0), volRow.getLong(1))
-      if (hotVol == 0L) {
+      // Volumes compare in DOUBLE: at contract scale a single
+      // universal shingle's df*(df-1)/2 overflows Long (df ~ 4e9) and
+      // a silent wrap would mis-route to the one-pass plan on exactly
+      // the corpus the cap exists for; the 2x routing heuristic needs
+      // magnitude, not the lost low bits. A decision-action failure
+      // unpersists before rethrowing (no leaked cache on the throw
+      // path); a capped plan that is built but never executed leaves
+      // its lease to the harness releaseAll points, like every other
+      // armed lease.
+      val (coldVol, hotVol) = try {
+        val volRow = dfBySh.agg(
+          coalesce(sum(when(col("__df") <= maxDf,
+            expr("__df * (CAST(__df AS DOUBLE) - 1) / 2")).otherwise(0.0)),
+            lit(0.0)).as("cold"),
+          coalesce(sum(when(col("__df") > maxDf,
+            expr("__df * (CAST(__df AS DOUBLE) - 1) / 2")).otherwise(0.0)),
+            lit(0.0)).as("hot"))
+          .head()
+        (volRow.getDouble(0), volRow.getDouble(1))
+      } catch { case e: Throwable => dfBySh.unpersist(); throw e }
+      if (hotVol == 0.0) {
         // No hot shingles at all: the cap is a no-op, skip the
         // candidate/verify split entirely.
         dfBySh.unpersist()
@@ -477,12 +498,15 @@ object TextDedup {
           .where(col("__h") * (lit(1.0) + lit(threshold)) >=
             lit(2.0) * lit(threshold) * col("n_sh") - lit(1e-6))
           .select(col("doc_id"))
-        val riskyVol = hot.join(risky, Seq("doc_id"))
-          .groupBy(col("sh")).agg(count(lit(1)).as("__r"))
-          .join(dfBySh, Seq("sh"))
-          .agg(coalesce(sum(col("__r") * col("__df")), lit(0L)))
-          .head().getLong(0)
-        if (2L * (coldVol + riskyVol) >= coldVol + hotVol) {
+        val riskyVol = try {
+          hot.join(risky, Seq("doc_id"))
+            .groupBy(col("sh")).agg(count(lit(1)).as("__r"))
+            .join(dfBySh, Seq("sh"))
+            .agg(coalesce(
+              sum(col("__r") * col("__df").cast("double")), lit(0.0)))
+            .head().getDouble(0)
+        } catch { case e: Throwable => dfBySh.unpersist(); throw e }
+        if (2.0 * (coldVol + riskyVol) >= coldVol + hotVol) {
           dfBySh.unpersist()
           ngramJaccardOnePass(inverted, threshold)
         } else {
@@ -516,19 +540,12 @@ object TextDedup {
   private def ngramJaccardOnePass(inverted: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = inverted.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    inverted.as("a")
-      .join(inverted.as("b").hint("shuffle_hash"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), "doc_a")
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), "doc_b")
-      .withColumn("jaccard",
-        round(col("n_shared").cast("double") /
-          (col("n_a") + col("n_b") - col("n_shared")), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardOfShared(
+      inverted.as("a")
+        .join(inverted.as("b").hint("shuffle_hash"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")),
+      sizes, threshold)
   }
 
   /** Dedup survivor selection: per near-dup cluster keep the member
@@ -595,13 +612,22 @@ object TextDedup {
     if (threshold >= PrefixFilterFrom) ngramJaccardPrefix(index, threshold)
     else ngramJaccardDirect(index, threshold)
 
-  /** Convenience form: builds an unpersisted 64-bit index inline. For
-    * repeated or multi-operator use, build the index once with
-    * [[buildIndex]], persist it, and pass it explicitly. */
+  /** Convenience form: builds a 64-bit index inline, PERSISTED for
+    * the call (released after the result's first action): below the
+    * prefix crossover the direct-mode router runs two eager decision
+    * aggregates over the index before the plan's own action — an
+    * unpersisted inline index would pay the shingle explode + distinct
+    * three times. For repeated or multi-operator use, build the index
+    * once with [[buildIndex]], persist it, and pass it explicitly. */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame =
-    ngramJaccardPairs(buildIndex(docs, idCol, textCol, n, bits = 64), threshold)
+      n: Int, threshold: Double): DataFrame = {
+    val idx = buildIndex(docs, idCol, textCol, n, bits = 64)
+    idx.df.persist()
+    CacheLease.releaseAfterAction(ngramJaccardPairs(idx, threshold)) { () =>
+      idx.df.unpersist(); ()
+    }
+  }
 
   /** MinHash+LSH near-dup pairs from a prebuilt 32-bit index, verified
     * with exact Jaccard. Caller owns the index lifecycle.
