@@ -79,8 +79,15 @@ object QualityClassifier {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = labeled.sparkSession
     val feat = DataMix.docBuckets(labeled, idCol, textCol, buckets).persist()
+    // (doc_id, y) is compact but its LINEAGE is the caller's full prep
+    // chain (q146 hands a normalize-the-corpus join): uncached, the
+    // update join below re-executes that chain once per GD iteration.
+    // Measured on q146's trainer at sf0.1: post-warmup iterations run
+    // ~1.3/0.8 s with this persist; the trainer's remaining cost
+    // concentrates in the one-time feature materialization. Same
+    // discipline as `feat`.
     val lab = labeled.select(col(idCol).as("doc_id"),
-      col(labelCol).cast("int").as("y"))
+      col(labelCol).cast("int").as("y")).persist()
     // Internal bookkeeping actions run through `toRdd` throughout the
     // loop (the TextDedup.connectedComponents rationale): per-iteration
     // tracked SQL actions make AQE re-render the full plan string per
@@ -111,7 +118,7 @@ object QualityClassifier {
         b -> w.getOrElse(b, JBigDecimal.ZERO).subtract(u)
       }.toMap
     }
-    feat.unpersist()
+    feat.unpersist(); lab.unpersist()
     weightsFrame(spark, w)
   }
 
