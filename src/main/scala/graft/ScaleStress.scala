@@ -606,6 +606,111 @@ object ScaleStress {
       spark.catalog.clearCache(); System.gc()
     }
 
+    // Dedup-front state pruning (r10): the weekly LSH pairs read
+    // STORED history band rows (the corpus is never re-banded) and
+    // history index rows pruned to the candidate docs
+    // (TextDedup.minhashLshPairsIncrementalPruned). The honest IO
+    // bound is read fraction ~ min(1, probeKeys/B): this row measures
+    // BOTH regimes against the full combined-scan form, with the pair
+    // sets pinned equal in each — a 2000-doc weekly batch (~17k
+    // distinct probe keys >> B, pruning degrades to the same full
+    // scan, never more bytes) and a 16-doc trickle batch (~256 keys,
+    // the pruned read is a sliver).
+    {
+      import pipeline.StateLayout
+      import operators.TextDedup
+      import java.util.concurrent.atomic.AtomicLong
+      val base = "/tmp/graft_stress_lshstate"
+      val sliceN = 50000L
+      val B = 2048 // production sizing rule: B ~ slice bytes / target bucket bytes
+      def sliceDocs(l: Int) = spark.range(sliceN).select(
+        (col("id") + l * 10000000L).as("doc_id"),
+        concat_ws(" ",
+          (0 until 14).map(i =>
+            concat(lit(s"w${i}_"), (col("id") + l * 10000000L))): _*).as("text"))
+      for (l <- 0 until 3) {
+        val idx = TextDedup.buildIndex(sliceDocs(l), "doc_id", "text",
+          n = 3, bits = 32)
+        StateLayout.writeBucketed(idx.df, s"$base/s$l/index_batch", "doc_id",
+          buckets = B)
+        val sig = TextDedup.minhashSignatures(idx, 32)
+        graft.sources.Sinks.overwriteParquet(
+          sig, s"$base/s$l/signatures_batch", numFiles = 2)
+        StateLayout.writeBucketed(
+          TextDedup.bandFrame(
+            spark.read.parquet(s"$base/s$l/signatures_batch"), 32, 16),
+          s"$base/s$l/bands_batch", "band", buckets = B)
+      }
+      def mkBatch(nDup: Long, nNovel: Long) = spark.range(nDup).select(
+          (col("id") + 5000000000L).as("doc_id"),
+          concat_ws(" ",
+            (0 until 14).map(i => concat(lit(s"w${i}_"), col("id"))): _*)
+            .as("text"))
+        .unionByName(spark.range(nNovel).select(
+          (col("id") + 6000000000L).as("doc_id"),
+          concat_ws(" ",
+            (0 until 14).map(i =>
+              concat(lit(s"n${i}_"), col("id"))): _*).as("text")))
+      val ioBytes = new AtomicLong(0L)
+      val tape = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            ioBytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(tape)
+      def measured[A](body: => A): (Long, A) = {
+        org.apache.spark.graft.SparkShims.waitUntilListenerBusEmpty(spark, 30000)
+        ioBytes.set(0L)
+        val r = body
+        org.apache.spark.graft.SparkShims.waitUntilListenerBusEmpty(spark, 30000)
+        (ioBytes.get, r)
+      }
+      def compare(label: String, batch: DataFrame, dirs: Seq[String]): Unit = {
+        val newIdx = TextDedup.buildIndex(batch, "doc_id", "text",
+          n = 3, bits = 32).persist()
+        val newSig = TextDedup.minhashSignatures(newIdx, 32).persist()
+        newSig.queryExecution.toRdd.count() // isolate state IO from synthesis
+        val newBands = TextDedup.bandFrame(newSig, 32, 16)
+        val (bp, prunedPairs) = measured {
+          val (df, rel) = TextDedup.minhashLshPairsIncrementalPruned(
+            TextDedup.indexFromFrame(newIdx.df, bits = 32), newBands,
+            probe => StateLayout.readSlicesPruned(spark, dirs,
+              "bands_batch", "band", probe),
+            probe => StateLayout.readSlicesPruned(spark, dirs,
+              "index_batch", "doc_id", probe),
+            0.25)
+          val r = df.select(col("doc_a"), col("doc_b")).collect()
+            .map(x => (x.getLong(0), x.getLong(1))).toSet
+          rel(); r
+        }
+        val (bf, fullPairs) = measured {
+          val idxAll = TextDedup.indexFromFrame(
+            StateLayout.readSlices(spark, dirs, "index_batch")
+              .unionByName(newIdx.df), bits = 32)
+          val sigAll = dirs.map(d =>
+              spark.read.parquet(s"$d/signatures_batch"))
+            .reduce(_ unionByName _).unionByName(newSig)
+          TextDedup.minhashLshPairsIncremental(idxAll, sigAll,
+              batch.select(col("doc_id")), 0.25, 32, 16)
+            .select(col("doc_a"), col("doc_b")).collect()
+            .map(x => (x.getLong(0), x.getLong(1))).toSet
+        }
+        require(prunedPairs == fullPairs,
+          s"pruned LSH pairs diverged: ${prunedPairs.size} != ${fullPairs.size}")
+        newIdx.unpersist(); newSig.unpersist()
+        println(f"lsh-state pruning, $label%-22s pruned ${bp / 1e6}%7.2f MB" +
+          f"  full ${bf / 1e6}%7.2f MB  (${prunedPairs.size} pairs, equal)")
+      }
+      val dirsAll = (0 until 3).map(i => s"$base/s$i")
+      for (l <- 1 to 3)
+        compare(s"weekly 2k, lineage $l", mkBatch(1000, 1000),
+          (0 until l).map(i => s"$base/s$i"))
+      compare("trickle 16, lineage 3", mkBatch(8, 8), dirsAll)
+      spark.sparkContext.removeSparkListener(tape)
+      spark.catalog.clearCache(); System.gc()
+    }
+
     // BPE trainer (VERDICT r04 item 1 done-criterion): vocab-8k run
     // over the 10x corpus. Corpus-scale work is the one word-frequency
     // aggregate; the merge loop is vocabulary-bounded. Driver regime =

@@ -777,6 +777,90 @@ object TextDedup {
     new ShingleIndex(df.select(col("doc_id"), col("sh")), bits)
   }
 
+  /** Banding rows (doc_id, band) of a signature frame — `bands` rows
+    * per document, band = xxhash64 of the "i|md5(band i's minhash
+    * row)" band key. Two deliberate storage choices: (1) the column is
+    * named `band`, NOT `bucket` — that name is
+    * [[graft.pipeline.StateLayout]]'s reserved layout column, and a
+    * data column named like it would be clobbered at write
+    * (StateLayout now rejects the collision); (2) the key is stored as
+    * a 64-bit hash, not the hex string — equality is all the candidate
+    * join needs, a cross-key collision can only ADD a candidate pair
+    * that the exact-Jaccard verify then filters (output unchanged,
+    * spec-pinned vs the string-keyed form), and the artifact shrinks
+    * to two longs per row.
+    *
+    * As a PERSISTED state artifact the weekly candidate join's history
+    * side becomes pure IO — the corpus signatures are never re-BANDED
+    * (16 md5s per history doc per week in the combined-scan form). The
+    * bucketed layout additionally prunes the read in the
+    * small-increment regime; see [[minhashLshPairsIncrementalPruned]]
+    * for the honest bound. */
+  def bandFrame(sig: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sig.select(col("doc_id"),
+      explode(array(bandKeyCols(numHashes, bands): _*)).as("__bk"))
+      .select(col("doc_id"), xxhash64(col("__bk")).as("band"))
+
+  /** [[minhashLshPairsIncremental]] with PRUNED state reads — the
+    * dedup front's twin of the cadence-wide storage discipline
+    * (VERDICT r09 item 1): instead of taking the COMBINED index and
+    * signature frames (whose history side is a full corpus-state scan
+    * every week), this form takes the batch's own index and banding
+    * plus two read callbacks the caller backs with key-pruned state
+    * scans:
+    *
+    *  - `oldBandsOf(bandProbe)` → history banding rows; only rows
+    *    whose band key equals a PROBE key can join, so a read pruned
+    *    to the probe's hash-buckets is exact for candidate generation.
+    *  - `oldIndexOf(docProbe)` → history (doc_id, sh) rows; a doc's
+    *    full shingle set lands in ONE slice and rides whole through a
+    *    doc-keyed pruned read, so both the shared-shingle counts and
+    *    the |A|,|B| size terms of the exact-Jaccard verify are
+    *    unchanged under pruning.
+    *
+    * Output therefore equals [[minhashLshPairsIncremental]] over full
+    * scans (IncrementalPrunedLshSpec pins frame equality). Candidates
+    * persist internally — the doc-probe's bucket-set collect
+    * materializes the cache, and the verify's consumers read it back —
+    * and the returned release hook unpersists them; fire it after the
+    * first eager action over the pairs.
+    *
+    * THE HONEST IO BOUND (measured, ScaleStress lsh-state row): with
+    * uniformly-hashed keys the pruned read touches ~min(B, |distinct
+    * probe keys|) of B buckets per slice, so the read fraction is
+    * ~min(1, keys/B). A trickle increment or serving probe (keys << B)
+    * reads a sliver of the state; a BIG weekly batch (a 16-band batch
+    * of d docs probes ~16d band keys) saturates every bucket and the
+    * read honestly degrades to the same full scan the combined form
+    * pays — never more bytes, and still minus the weekly corpus
+    * re-banding compute that [[bandFrame]] persisted away. Equality
+    * holds in every regime; only the IO savings are regime-dependent. */
+  def minhashLshPairsIncrementalPruned(newIndex: ShingleIndex,
+      newBands: DataFrame,
+      oldBandsOf: DataFrame => DataFrame,
+      oldIndexOf: DataFrame => DataFrame,
+      threshold: Double): (DataFrame, () => Unit) = {
+    require(newIndex.bits == 32,
+      "MinHash needs the 32-bit md5 index (oracle-reproducible permutation input)")
+    val banded = oldBandsOf(newBands.select(col("band")))
+      .unionByName(newBands)
+    val candidates = newBands.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+      .persist()
+    // Both pair sides probe the index prune (new ids ride along — they
+    // only widen the bucket set, never the result: new docs' rows live
+    // in the batch slice, not the history slices being pruned).
+    val ids = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id")))
+    val idx = oldIndexOf(ids).unionByName(newIndex.df)
+    (jaccardFromIndex(idx, threshold, candidates),
+      () => { candidates.unpersist(); () })
+  }
+
   /** LSH near-dup pairs RESTRICTED to pairs touching a new-batch doc —
     * the weekly-cadence complement of [[connectedComponentsIncremental]]:
     * old-old pairs were found by previous runs, so candidates come from
@@ -785,7 +869,10 @@ object TextDedup {
     * stored signatures the old side is one cheap scan of numHashes
     * longs per doc — the corpus-scale shingle/signature work is paid
     * only for the batch. Verify is the same exact-Jaccard count against
-    * the combined index, touching only new-candidate shingle sets. */
+    * the combined index, touching only new-candidate shingle sets.
+    * Where the history index/signatures live as bucketed state slices,
+    * prefer [[minhashLshPairsIncrementalPruned]] — identical output
+    * without the full history scans. */
   def minhashLshPairsIncremental(combinedIndex: ShingleIndex,
       combinedSig: DataFrame, newIds: DataFrame, threshold: Double,
       numHashes: Int, bands: Int): DataFrame = {

@@ -538,8 +538,11 @@ object CurationRun {
   // only ITS batch's slice of the corpus-scale artifacts plus the full
   // (small) label table and a lineage manifest:
   //   decon_batch/      (doc_id, text, quality_score)  this batch, gated+decontaminated
-  //   index_batch/      (doc_id, sh)                    this batch's 32-bit shingle index
+  //   index_batch/      (doc_id, sh)                    this batch's 32-bit shingle index,
+  //                     bucketed by doc_id (pruned candidate-verify reads)
   //   signatures_batch/ (doc_id, m0..m{31})             this batch's MinHash signatures
+  //   bands_batch/      (doc_id, band)                  this batch's LSH band keys,
+  //                     bucketed by band (pruned candidate-join reads)
   //   clusters/         (doc_id, canonical_id)          FULL near-dup labels (small)
   //   lineage.txt       state dirs composing the corpus, oldest first, self last
   // Readers union the batch slices along the lineage, so a weekly run
@@ -547,8 +550,10 @@ object CurationRun {
   // each week would make incremental IO corpus-scale and erase the
   // cadence's advantage (measured: full-rewrite state put the 10%-batch
   // run within 8% of a from-scratch run). Candidates come from the
-  // batch's band keys against the combined banding
-  // (TextDedup.minhashLshPairsIncremental) and label merging is the
+  // batch's band keys against history band rows READ PRUNED to the
+  // batch's buckets, verified against history index rows read pruned
+  // to the candidate docs (TextDedup.minhashLshPairsIncrementalPruned
+  // — never a full history signature/index scan); label merging is the
   // contracted-graph solve (connectedComponentsIncremental). The
   // lineage file is the local-FS stand-in for a metastore manifest; a
   // caller compacts a long lineage by re-running runInit over the
@@ -579,6 +584,30 @@ object CurationRun {
   private def readSlices(spark: org.apache.spark.sql.SparkSession,
       lineage: Seq[String], name: String): DataFrame =
     StateLayout.readSlices(spark, lineage, name)
+
+  /** History banding rows along a lineage: the `bands_batch` slices
+    * where they exist — pruned to `pruneTo`'s bucket probes when given
+    * — DERIVED from the signature slices for lineage dirs written
+    * before the bands artifact existed (legacy doctrine: degrade to
+    * the old full-signature re-band, never break; the next rebase
+    * consolidates them into the bucketed layout). */
+  private def composedBands(spark: org.apache.spark.sql.SparkSession,
+      lineage: Seq[String], pruneTo: Option[DataFrame]): DataFrame = {
+    val (withBands, legacy) = lineage.partition(d =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/bands_batch")))
+    val parts =
+      (if (withBands.isEmpty) Nil
+       else Seq(pruneTo match {
+         case Some(p) => StateLayout.readSlicesPruned(spark, withBands,
+           "bands_batch", "band", p)
+         case None => StateLayout.readSlices(spark, withBands, "bands_batch")
+       })) ++
+      (if (legacy.isEmpty) Nil
+       else Seq(TextDedup.bandFrame(
+         readSlices(spark, legacy, "signatures_batch"), NumHashes, Bands)))
+    require(parts.nonEmpty, "composedBands needs a non-empty lineage")
+    parts.reduce(_ unionByName _)
+  }
 
   /** Map tier + quality gate + benchmark decontamination for one batch
     * of raw docs — the batch-scale front of both cadences. */
@@ -720,12 +749,22 @@ object CurationRun {
       deconS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
       s"$stateOutDir/hash_batch", "content_hash")
     val idx = TextDedup.buildIndex(deconS, "doc_id", "text", n = 3, bits = 32)
-    Sinks.overwriteParquet(idx.df, s"$stateOutDir/index_batch", numFiles = 4)
+    // The index slice lands bucketed BY DOC ID (VERDICT r09 item 1
+    // extended to the dedup front): later increments verify candidate
+    // pairs against history shingle sets read pruned to the candidate
+    // docs' buckets instead of scanning the corpus index weekly.
+    StateLayout.writeBucketed(idx.df, s"$stateOutDir/index_batch", "doc_id")
     val idxS = TextDedup.indexFromFrame(
-      spark.read.parquet(s"$stateOutDir/index_batch"), bits = 32)
+      StateLayout.readSlice(spark, s"$stateOutDir/index_batch"), bits = 32)
     val sig = TextDedup.minhashSignatures(idxS, NumHashes)
     Sinks.overwriteParquet(sig, s"$stateOutDir/signatures_batch", numFiles = 4)
     val sigS = spark.read.parquet(s"$stateOutDir/signatures_batch")
+    // Banding rows land as DERIVED state bucketed BY BAND KEY: an
+    // increment's candidate join reads only the history band rows in
+    // buckets its own band keys hash to — batch-proportional IO —
+    // instead of re-banding the corpus signatures every week.
+    StateLayout.writeBucketed(TextDedup.bandFrame(sigS, NumHashes, Bands),
+      s"$stateOutDir/bands_batch", "band")
     val clusters = TextDedup.connectedComponents(
       TextDedup.minhashLshPairs(idxS, sigS, dedupThreshold, NumHashes, Bands))
     Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
@@ -833,9 +872,14 @@ object CurationRun {
         "state in one job would corrupt it")
     val spark = newDocs.sparkSession
     val lineage = readLineage(stateInDir)
+    // The decon read stays a (layout-aware) full composition: the
+    // weekly publish re-samples and re-packs the COMPOSED corpus, so
+    // its input is corpus-scale by semantics. The index/signature
+    // history, by contrast, is consumed only through key-equality
+    // joins — those reads go through the pruned-or-degrade layout
+    // below (bands_batch + the doc-keyed index prune) instead of
+    // unconditional full scans.
     val deconOld = readSlices(spark, lineage, "decon_batch")
-    val idxOld = readSlices(spark, lineage, "index_batch")
-    val sigOld = readSlices(spark, lineage, "signatures_batch")
     val clustersOld = spark.read.parquet(s"$stateInDir/clusters")
 
     // Line-df state (auto-detected, on RAW text before normalization —
@@ -915,19 +959,39 @@ object CurationRun {
       deconNewS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
       s"$stateOutDir/hash_batch", "content_hash")
     val idxNew = TextDedup.buildIndex(deconNewS, "doc_id", "text", n = 3, bits = 32)
-    Sinks.overwriteParquet(idxNew.df, s"$stateOutDir/index_batch", numFiles = 2)
-    val idxNewS = spark.read.parquet(s"$stateOutDir/index_batch")
+    StateLayout.writeBucketed(idxNew.df, s"$stateOutDir/index_batch", "doc_id")
+    val idxNewS = StateLayout.readSlice(spark, s"$stateOutDir/index_batch")
     val sigNew = TextDedup.minhashSignatures(
       TextDedup.indexFromFrame(idxNewS, bits = 32), NumHashes)
     Sinks.overwriteParquet(sigNew, s"$stateOutDir/signatures_batch", numFiles = 2)
     val sigNewS = spark.read.parquet(s"$stateOutDir/signatures_batch")
+    StateLayout.writeBucketed(TextDedup.bandFrame(sigNewS, NumHashes, Bands),
+      s"$stateOutDir/bands_batch", "band")
+    val bandsNewS = StateLayout.readSlice(spark, s"$stateOutDir/bands_batch")
 
-    val idxAll = TextDedup.indexFromFrame(idxOld.unionByName(idxNewS), bits = 32)
-    val sigAll = sigOld.unionByName(sigNewS)
-    val newPairs = TextDedup.minhashLshPairsIncremental(idxAll, sigAll,
-      deconNewS.select(col("doc_id")), dedupThreshold, NumHashes, Bands)
+    // Pruned-state pairs (VERDICT r09 item 1 extended to the dedup
+    // front): candidates come from the batch's banding against history
+    // band rows read pruned to the batch's band keys; the
+    // exact-Jaccard verify reads history index rows pruned to the
+    // candidate docs. Two regime-dependent effects, stated honestly
+    // (TextDedup.minhashLshPairsIncrementalPruned scaladoc, measured
+    // in the ScaleStress lsh-state row): the weekly corpus re-BANDING
+    // compute is gone in every regime (banding is stored derived
+    // state now), while the IO pruning pays when the increment's key
+    // count is small against the bucket count (trickle batches,
+    // serving probes) and degrades to the same full scan — never more
+    // bytes — on big weekly batches.
+    val (newPairs, pairsRel) = TextDedup.minhashLshPairsIncrementalPruned(
+      TextDedup.indexFromFrame(idxNewS, bits = 32), bandsNewS,
+      probe => composedBands(spark, lineage, Some(probe)),
+      probe => StateLayout.readSlicesPruned(spark, lineage,
+        "index_batch", "doc_id", probe),
+      dedupThreshold)
     val clusters = TextDedup.connectedComponentsIncremental(clustersOld, newPairs)
     Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
+    // The clusters write is the pairs' first (and only) eager
+    // consumer; the internal candidates cache releases here.
+    pairsRel()
     val clustersS = spark.read.parquet(s"$stateOutDir/clusters")
     writeLineage(stateOutDir, lineage :+ stateOutDir)
     val deconAll = deconOld.unionByName(deconNewS)
@@ -1040,10 +1104,15 @@ object CurationRun {
     val lineage = readLineage(stateInDir)
     Sinks.overwriteParquet(readSlices(spark, lineage, "decon_batch"),
       s"$stateOutDir/decon_batch", numFiles = 4)
-    Sinks.overwriteParquet(readSlices(spark, lineage, "index_batch"),
-      s"$stateOutDir/index_batch", numFiles = 4)
+    StateLayout.writeBucketed(readSlices(spark, lineage, "index_batch"),
+      s"$stateOutDir/index_batch", "doc_id")
     Sinks.overwriteParquet(readSlices(spark, lineage, "signatures_batch"),
       s"$stateOutDir/signatures_batch", numFiles = 4)
+    // Banding consolidates as pure IO where slices exist; pre-bands
+    // lineage dirs re-derive from their signature slices ONCE here —
+    // the upgrade path into the bucketed layout.
+    StateLayout.writeBucketed(composedBands(spark, lineage, None),
+      s"$stateOutDir/bands_batch", "band")
     // Consolidated corpus-keyed slices land BUCKETED (VERDICT r09
     // item 1) — the rebase is where a production deployment also
     // re-derives the bucket count as the corpus grows (B ~ slice

@@ -98,6 +98,13 @@ object StateLayout {
     * read-back would have no schema to infer. */
   def writeBucketed(df: DataFrame, path: String, keyCol: String,
       buckets: Int = DefaultBuckets, tasks: Int = 4): Unit = {
+    // The layout column is synthesized here and dropped on read; a
+    // DATA column sharing its name would be silently clobbered by the
+    // withColumn below and lost from the slice (live near-miss: the
+    // LSH band-key artifact's key was first named `bucket`).
+    require(!df.columns.contains(BucketCol),
+      s"slice carries a data column named '$BucketCol' — that name is " +
+        "reserved for the bucketed layout; rename the data column")
     df.withColumn(BucketCol,
         bucketOf(col(keyCol), df.schema(keyCol).dataType, buckets))
       .repartition(math.min(buckets, tasks), col(BucketCol))
