@@ -707,6 +707,53 @@ object ScaleStress {
         compare(s"weekly 2k, lineage $l", mkBatch(1000, 1000),
           (0 until l).map(i => s"$base/s$i"))
       compare("trickle 16, lineage 3", mkBatch(8, 8), dirsAll)
+
+      // BM25 serving over the weekly postings state (q149's cadence):
+      // a keyword query probes a handful of terms, the canonical
+      // small-probe regime — serving bytes must be a sliver of the
+      // composed postings state and the ranking equal to the
+      // from-scratch corpus BM25.
+      {
+        import pipeline.Bm25State
+        val bmBase = "/tmp/graft_stress_bm25state"
+        def bmDocs(l: Int) = spark.range(sliceN).select(
+          (col("id") + l * 10000000L).as("doc_id"),
+          concat_ws(" ",
+            (0 until 14).map(i =>
+              concat(lit(s"w${i}_"), (col("id") + l * 10000000L))) :+
+              when(pmod(col("id"), lit(20 + l)) === 0, lit("vector"))
+                .otherwise(concat(lit("x_"), col("id"))) :+
+              when(pmod(col("id"), lit(31 + l)) === 0, lit("filter"))
+                .otherwise(concat(lit("y_"), col("id"))): _*).as("text"))
+        Bm25State.writeInit(bmDocs(0), "doc_id", "text", s"$bmBase/s0")
+        Bm25State.writeIncrement(bmDocs(1), "doc_id", "text",
+          s"$bmBase/s0", s"$bmBase/s1")
+        Bm25State.writeIncrement(bmDocs(2), "doc_id", "text",
+          s"$bmBase/s1", s"$bmBase/s2")
+        val (bs, served) = measured {
+          Bm25State.serve(spark, s"$bmBase/s2",
+              Seq("vector", "filter"), topK = 20)
+            .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        }
+        // The IO contrast: what serving would read WITHOUT the
+        // term-bucketed layout — a full postings-state scan (the
+        // filter still applies; only the scan bytes differ).
+        val (bfull, _) = measured {
+          StateLayout.readSlices(spark,
+              (0 until 3).map(i => s"$bmBase/s$i"), "postings_batch")
+            .where(col("tok").isin("vector", "filter")).count()
+        }
+        // Correctness pin (unmeasured — its input is in-memory
+        // synthesis): serve == from-scratch corpus BM25.
+        val scratch = operators.TextSearch.bm25(
+            (0 until 3).map(bmDocs).reduce(_ unionByName _),
+            "doc_id", "text", Seq("vector", "filter"), topK = 20)
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+        require(served == scratch,
+          "bm25 state serve diverged from the from-scratch ranking")
+        println(f"bm25-state serve, lineage 3       pruned ${bs / 1e6}%7.2f MB" +
+          f"  full-scan ${bfull / 1e6}%7.2f MB  (top-${served.size}, equal to scratch)")
+      }
       spark.sparkContext.removeSparkListener(tape)
       spark.catalog.clearCache(); System.gc()
     }

@@ -157,6 +157,7 @@ object SparkEntry {
     "q146_cadence_e2e"      -> (ExtQueries.q146CadenceE2e(_, _)),
     "q147_audio_neardup"    -> (ExtQueries.q147AudioNearDup(_, _)),
     "q148_lowcard_rank"     -> (ExtQueries.q148LowCardRank(_, _)),
+    "q149_bm25_state"       -> (ExtQueries.q149Bm25State(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

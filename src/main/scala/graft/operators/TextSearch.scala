@@ -29,7 +29,6 @@ object TextSearch {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], topK: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
     val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -39,6 +38,21 @@ object TextSearch {
     val tf = terms
       .where(col("tok").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    scoreBm25(tf, dl, stats, topK, k1, b)
+  }
+
+  /** The BM25 scoring tail over prepared frames — `tf` (doc_id, tok,
+    * tf: the query terms' term frequencies), `dl` (doc_id, dl), and a
+    * one-row `stats` (n_docs, avgdl). [[bm25]] derives them from a
+    * corpus pass; [[graft.pipeline.Bm25State]]'s serving side derives
+    * them from composed postings state read pruned to the query's
+    * terms. ONE definition of the arithmetic (8dp-rounded term scores,
+    * exact decimal doc sum, 6dp final round, deterministic top-k), so
+    * the two forms cannot drift — their bit-equality is
+    * Bm25StateSpec's pin and the q149 oracle's premise. */
+  private[graft] def scoreBm25(tf: DataFrame, dl: DataFrame,
+      stats: DataFrame, topK: Int, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val termScore = round(

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+import graft.operators.TextSearch
+import graft.sources.Sinks
+
+/** Weekly-cadence lexical retrieval index (the BM25 twin of the
+  * curation state families, q149): per-batch postings state +
+  * query-time serving that reads only the probed terms' buckets.
+  *
+  * Public technique: BM25 (Robertson & Zaragoza 2009) over an inverted
+  * index; the cadence shape mirrors the reference-free span/line df
+  * discipline ([[CurationRun]]) — batch doc ids are DISJOINT, so every
+  * corpus statistic BM25 needs composes exactly across slices:
+  *
+  *  - `postings_batch/` (doc_id, tok, tf, dl) — the batch's inverted
+  *    index, document length denormalized onto each posting (a doc's
+  *    dl never changes), bucketed BY TERM ([[StateLayout]]).
+  *  - `stats_batch/` one row (n_docs, sum_dl) — longs, so composed
+  *    N = Σ n_docs and avgdl = Σ sum_dl / Σ n_docs reproduce the
+  *    from-scratch aggregate BIT-EXACTLY (exact integer sums; one
+  *    double division in both forms). Docs with zero tokens are out
+  *    of both (the batch form's dl aggregate never sees them).
+  *  - `lineage.txt` — the shared manifest contract
+  *    ([[StateLayout.readLineage]]).
+  *
+  * Term df needs no artifact of its own: df(t) = the number of
+  * composed postings rows for t (one per (doc, t)), countable from the
+  * SAME pruned read that serves tf.
+  *
+  * SERVING is the regime where the bucketed layout's pruning genuinely
+  * pays (the measured min(1, probeKeys/B) bound): a query probes a
+  * handful of terms, so the postings read touches a sliver of the
+  * corpus state no matter how large the index grows — the 100 TB
+  * contract is per-query cost ∝ the probed terms' postings, never a
+  * corpus scan. Scoring reuses [[TextSearch.scoreBm25]] verbatim, so
+  * serve(composed state) ≡ [[TextSearch.bm25]](composed corpus)
+  * bit-for-bit (Bm25StateSpec pins it; the q149 DuckDB oracle replays
+  * the batch form).
+  *
+  * INGEST per increment is O(batch): one tokenize pass over the new
+  * docs, two map-side-combined aggregates, one bucketed write. History
+  * is never read at ingest — unlike the dedup front there is no
+  * cross-batch candidate structure to maintain; composition happens at
+  * serve time through the manifest.
+  */
+object Bm25State {
+
+  private def slices(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val postings = terms
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    (postings, stats)
+  }
+
+  private def writeSlices(docs: DataFrame, idCol: String, textCol: String,
+      stateOutDir: String): Unit = {
+    val (postings, stats) = slices(docs, idCol, textCol)
+    StateLayout.writeBucketed(postings, s"$stateOutDir/postings_batch", "tok")
+    Sinks.overwriteParquet(stats, s"$stateOutDir/stats_batch", numFiles = 1)
+  }
+
+  /** From-scratch index build that WRITES the weekly state. */
+  def writeInit(docs: DataFrame, idCol: String, textCol: String,
+      stateOutDir: String): Unit = {
+    writeSlices(docs, idCol, textCol, stateOutDir)
+    StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))
+  }
+
+  /** Weekly increment: a NEW batch (doc ids disjoint from the state's)
+    * lands ITS slice; nothing historical is read or rewritten. */
+  def writeIncrement(newDocs: DataFrame, idCol: String, textCol: String,
+      stateInDir: String, stateOutDir: String): Unit = {
+    require(stateInDir != stateOutDir,
+      "state is versioned by directory: reading and overwriting the same " +
+        "state in one job would corrupt it")
+    writeSlices(newDocs, idCol, textCol, stateOutDir)
+    StateLayout.writeLineage(stateOutDir,
+      StateLayout.readLineage(stateInDir) :+ stateOutDir)
+  }
+
+  /** Serve a keyword query from the composed state: postings read
+    * PRUNED to the query terms' buckets, df counted from the same
+    * read, corpus stats summed from the one-row slices (O(#slices)),
+    * scored through the shared [[TextSearch.scoreBm25]] tail. */
+  def serve(spark: SparkSession, stateDir: String, queryTerms: Seq[String],
+      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lineage = StateLayout.readLineage(stateDir)
+    import spark.implicits._
+    val probe = queryTerms.toDF("tok")
+    // Pruning keeps every posting of every probed term (bucket
+    // membership is derived from the term itself); the residual
+    // same-bucket neighbors drop out of this exact filter.
+    val post = StateLayout.readSlicesPruned(spark, lineage,
+        "postings_batch", "tok", probe)
+      .where(col("tok").isin(queryTerms: _*))
+      // One pruned scan feeds tf, df, and dl below.
+      .persist()
+    val tf = post.select(col("doc_id"), col("tok"), col("tf"))
+    val dl = post.select(col("doc_id"), col("dl")).distinct()
+    val stats = StateLayout.readSlices(spark, lineage, "stats_batch")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    graft.operators.CacheLease.releaseAfterAction(
+      TextSearch.scoreBm25(tf, dl, stats, topK, k1, b)) { () =>
+      post.unpersist(); ()
+    }
+  }
+
+  /** Lineage compaction — pure IO, the [[CurationRun.rebaseState]]
+    * discipline: postings consolidate into one bucketed slice (where a
+    * production deployment re-derives B for the grown corpus), the
+    * one-row stats slices sum into one (exact long adds). */
+  def rebase(spark: SparkSession, stateInDir: String,
+      stateOutDir: String): Unit = {
+    require(stateInDir != stateOutDir,
+      "rebase writes a new state version")
+    val lineage = StateLayout.readLineage(stateInDir)
+    StateLayout.writeBucketed(
+      StateLayout.readSlices(spark, lineage, "postings_batch"),
+      s"$stateOutDir/postings_batch", "tok")
+    Sinks.overwriteParquet(
+      StateLayout.readSlices(spark, lineage, "stats_batch")
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl")),
+      s"$stateOutDir/stats_batch", numFiles = 1)
+    StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))
+  }
+}

@@ -563,19 +563,11 @@ object CurationRun {
   private val NumHashes = 32
   private val Bands = 16
 
-  private def readLineage(stateDir: String): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files
-      .readAllLines(java.nio.file.Paths.get(s"$stateDir/lineage.txt"))
-      .asScala.toSeq.filter(_.nonEmpty)
-  }
+  private def readLineage(stateDir: String): Seq[String] =
+    StateLayout.readLineage(stateDir)
 
-  private def writeLineage(stateDir: String, dirs: Seq[String]): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$stateDir/lineage.txt"),
-      dirs.mkString("", "\n", "\n"))
-  }
+  private def writeLineage(stateDir: String, dirs: Seq[String]): Unit =
+    StateLayout.writeLineage(stateDir, dirs)
 
   /** Union one artifact's batch slices along a state lineage —
     * layout-aware full scan (see [[StateLayout.readSlices]]; readers

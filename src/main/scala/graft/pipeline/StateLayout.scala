@@ -90,6 +90,25 @@ object StateLayout {
     else None
   }
 
+  /** Lineage manifest shared by every state family (the local-FS
+    * stand-in for a metastore manifest): the state dirs composing the
+    * corpus, oldest first, self last. Originally private to
+    * [[CurationRun]]; hoisted here when a second cadence family
+    * ([[Bm25State]]) needed the same contract. */
+  def readLineage(stateDir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$stateDir/lineage.txt"))
+      .asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  def writeLineage(stateDir: String, dirs: Seq[String]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stateDir/lineage.txt"),
+      dirs.mkString("", "\n", "\n"))
+  }
+
   /** Write one state slice bucketed by `hash(keyCol) % buckets`:
     * `bucket=N/` directory layout, each bucket wholly inside one task
     * (files <= B regardless of parallelism), rows sorted by key within

@@ -1995,6 +1995,29 @@ object ExtQueries {
       "pass_ct", "doc_id", "rank")
   }
 
+  /** Weekly BM25 retrieval-index cadence (q149): init + two
+    * incremental postings batches ([[graft.pipeline.Bm25State]] — the
+    * lexical-retrieval member of the weekly state families), then
+    * serve q51's keyword query from the COMPOSED state at a different
+    * cut. Ingest per increment is one batch-scale tokenize + bucketed
+    * write (history never read); serving reads the postings state
+    * pruned to the probed terms — the measured sliver regime of the
+    * min(1, probeKeys/B) bound. The oracle replays the from-scratch
+    * batch BM25 over the full table: valid because tf/df and the
+    * one-row stats slices compose EXACTLY across disjoint-id batches
+    * (serve == batch bm25 bit-for-bit, Bm25StateSpec). */
+  def q149Bm25State(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Bm25State
+    val docs = Tables.documents(s, dir)
+    val base = scratchDir("q149_bm25")
+    def b(i: Int) = docs.where(pmod(col("doc_id"), lit(3)) === i)
+    Bm25State.writeInit(b(0), "doc_id", "text", s"$base/s0")
+    Bm25State.writeIncrement(b(1), "doc_id", "text", s"$base/s0", s"$base/s1")
+    Bm25State.writeIncrement(b(2), "doc_id", "text", s"$base/s1", s"$base/s2")
+    Bm25State.serve(s, s"$base/s2",
+      Seq("vector", "hash", "filter"), topK = 15)
+  }
+
   /** Video frame-sampling (q90): GVID containers of real PNG frames,
     * every 2nd frame parsed out and REALLY decoded; the oracle
     * recomputes (frame_idx, width, height) from ids alone, proving
@@ -2927,14 +2950,19 @@ object ExtQueries {
        |            JOIN e c ON c.vec_id = cand.neighbor_id)
        |WHERE rank <= $k""".stripMargin
 
-  /** DuckDB mirror of the full BM25 pipeline (q51; also nested as the
-    * lexical arm of the q52 hybrid fusion). */
-  private lazy val bm25Sql: String =
+  /** DuckDB mirror of the full BM25 pipeline, parameterized by query
+    * terms and cut (q51 at its fixed query; q149's cadence entry at
+    * its own — the INCREMENTAL state serve needs no staged oracle
+    * because tf/df/N/avgdl compose exactly across disjoint-id batches,
+    * so serve(composed state) == batch bm25(composed corpus),
+    * bit-equal, Bm25StateSpec-pinned). */
+  private def bm25SqlFor(terms: Seq[String], topK: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
-       |  WHERE tok IN ('vector', 'hash', 'filter') GROUP BY 1, 2),
+       |  WHERE tok IN ($inList) GROUP BY 1, 2),
        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
        |sc AS (SELECT tf.doc_id,
        |  round(CAST(sum(CAST(round(
@@ -2947,7 +2975,13 @@ object ExtQueries {
        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
        |    doc_id, score
        |  FROM sc)
-       |WHERE rank <= 20""".stripMargin
+       |WHERE rank <= $topK""".stripMargin
+  }
+
+  /** The q51 instance (also nested as the lexical arm of the q52
+    * hybrid fusion). */
+  private lazy val bm25Sql: String =
+    bm25SqlFor(Seq("vector", "hash", "filter"), 20)
 
   /** DuckDB mirror of the full Spark MinHash+LSH pipeline (q22; also
     * the edge set for q53's clustering): same per-shingle md5 hash,
@@ -3254,6 +3288,8 @@ object ExtQueries {
     },
 
     "q51_bm25" -> bm25Sql,
+
+    "q149_bm25_state" -> bm25SqlFor(Seq("vector", "hash", "filter"), 15),
 
     "q52_hybrid_rrf" ->
       s"""WITH lexq AS ($bm25Sql),
