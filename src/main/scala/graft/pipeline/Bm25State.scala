@@ -118,6 +118,37 @@ object Bm25State {
     }
   }
 
+  /** [[serve]]'s STREAMING twin: a stream of keyword queries answered
+    * from the same composed postings state via
+    * [[graft.streaming.StreamBm25Serve.serve]]. The static side —
+    * composed postings pre-joined with their term df — is built once
+    * per state version and PERSISTED HERE (an unpersisted stream-static
+    * side would re-scan every postings slice per trigger); the
+    * returned release handle unpersists it. N and avgdl read once from
+    * the one-row stats slices, exactly [[serve]]'s arithmetic. The
+    * static side is FIXED for the stream's lifetime; re-resolve on a
+    * state version boundary (the [[CurationRun.annServeStream]]
+    * contract). */
+  def serveStream(spark: SparkSession, stateDir: String,
+      queries: DataFrame, topK: Int, k1: Double = 1.2, b: Double = 0.75)
+      : (org.apache.spark.sql.Dataset[graft.streaming.StreamBm25Serve.Hit],
+        () => Unit) = {
+    val lineage = StateLayout.readLineage(stateDir)
+    val post = StateLayout.readSlices(spark, lineage, "postings_batch")
+    val statics = post
+      .join(post.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
+      .persist()
+    val statsRow = StateLayout.readSlices(spark, lineage, "stats_batch")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
+      .head()
+    val n = statsRow.getLong(0)
+    // Exactly serve's avgdl expression: cast(sum_dl as double) / n_docs.
+    val avgdl = statsRow.getLong(1).toDouble / n
+    (graft.streaming.StreamBm25Serve.serve(queries, statics, n, avgdl,
+      topK, k1, b),
+      () => { statics.unpersist(); () })
+  }
+
   /** Lineage compaction — pure IO, the [[CurationRun.rebaseState]]
     * discipline: postings consolidate into one bucketed slice (where a
     * production deployment re-derives B for the grown corpus), the
