@@ -673,16 +673,15 @@ object ScaleStress {
         newSig.queryExecution.toRdd.count() // isolate state IO from synthesis
         val newBands = TextDedup.bandFrame(newSig, 32, 16)
         val (bp, prunedPairs) = measured {
-          val (df, rel) = TextDedup.minhashLshPairsIncrementalPruned(
-            TextDedup.indexFromFrame(newIdx.df, bits = 32), newBands,
-            probe => StateLayout.readSlicesPruned(spark, dirs,
-              "bands_batch", "band", probe),
-            probe => StateLayout.readSlicesPruned(spark, dirs,
-              "index_batch", "doc_id", probe),
-            0.25)
-          val r = df.select(col("doc_a"), col("doc_b")).collect()
+          TextDedup.minhashLshPairsIncrementalPruned(
+              TextDedup.indexFromFrame(newIdx.df, bits = 32), newBands,
+              probe => StateLayout.readSlicesPruned(spark, dirs,
+                "bands_batch", "band", probe),
+              probe => StateLayout.readSlicesPruned(spark, dirs,
+                "index_batch", "doc_id", probe),
+              0.25)
+            .select(col("doc_a"), col("doc_b")).collect()
             .map(x => (x.getLong(0), x.getLong(1))).toSet
-          rel(); r
         }
         val (bf, fullPairs) = measured {
           val idxAll = TextDedup.indexFromFrame(
@@ -736,12 +735,16 @@ object ScaleStress {
             .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
         }
         // The IO contrast: what serving would read WITHOUT the
-        // term-bucketed layout — a full postings-state scan (the
-        // filter still applies; only the scan bytes differ).
+        // term-bucketed layout — a full postings-state scan carrying
+        // ALL the columns a real serve consumes (a count() here would
+        // column-prune to `tok` alone and understate the full bytes;
+        // review finding).
         val (bfull, _) = measured {
           StateLayout.readSlices(spark,
               (0 until 3).map(i => s"$bmBase/s$i"), "postings_batch")
-            .where(col("tok").isin("vector", "filter")).count()
+            .where(col("tok").isin("vector", "filter"))
+            .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+            .write.format("noop").mode("overwrite").save()
         }
         // Correctness pin (unmeasured — its input is in-memory
         // synthesis): serve == from-scratch corpus BM25.

@@ -822,8 +822,10 @@ object TextDedup {
     * scans (IncrementalPrunedLshSpec pins frame equality). Candidates
     * persist internally — the doc-probe's bucket-set collect
     * materializes the cache, and the verify's consumers read it back —
-    * and the returned release hook unpersists them; fire it after the
-    * first eager action over the pairs.
+    * released by a [[CacheLease]] on the caller's first completed
+    * action over the pairs (exception-safe: an armed-never-fired lease
+    * is observable and reclaimed at the harness quiesce points, never
+    * a silent session-long leak).
     *
     * THE HONEST IO BOUND (measured, ScaleStress lsh-state row): with
     * uniformly-hashed keys the pruned read touches ~min(B, |distinct
@@ -839,7 +841,7 @@ object TextDedup {
       newBands: DataFrame,
       oldBandsOf: DataFrame => DataFrame,
       oldIndexOf: DataFrame => DataFrame,
-      threshold: Double): (DataFrame, () => Unit) = {
+      threshold: Double): DataFrame = {
     require(newIndex.bits == 32,
       "MinHash needs the 32-bit md5 index (oracle-reproducible permutation input)")
     val banded = oldBandsOf(newBands.select(col("band")))
@@ -851,14 +853,20 @@ object TextDedup {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
       .persist()
-    // Both pair sides probe the index prune (new ids ride along — they
-    // only widen the bucket set, never the result: new docs' rows live
-    // in the batch slice, not the history slices being pruned).
+    // Only the OLD side of each pair probes the index prune: new-batch
+    // ids have no rows in the history slices, and in the trickle
+    // regime their ride-along buckets would roughly double the pruned
+    // bytes for nothing (review finding). The anti-join is
+    // candidate-scale.
     val ids = candidates.select(col("doc_a").as("doc_id"))
       .unionByName(candidates.select(col("doc_b").as("doc_id")))
+      .join(newIndex.df.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
     val idx = oldIndexOf(ids).unionByName(newIndex.df)
-    (jaccardFromIndex(idx, threshold, candidates),
-      () => { candidates.unpersist(); () })
+    CacheLease.releaseAfterAction(
+      jaccardFromIndex(idx, threshold, candidates)) { () =>
+      candidates.unpersist(); ()
+    }
   }
 
   /** LSH near-dup pairs RESTRICTED to pairs touching a new-batch doc —

@@ -41,33 +41,35 @@ import graft.sources.Sinks
   * bit-for-bit (Bm25StateSpec pins it; the q149 DuckDB oracle replays
   * the batch form).
   *
-  * INGEST per increment is O(batch): one tokenize pass over the new
-  * docs, two map-side-combined aggregates, one bucketed write. History
+  * INGEST per increment is O(batch): two tokenize aggregates over the
+  * new docs (tf and dl — the compact dl frame is cached across the
+  * postings and stats writes), one bucketed write. History
   * is never read at ingest — unlike the dedup front there is no
   * cross-batch candidate structure to maintain; composition happens at
   * serve time through the manifest.
   */
 object Bm25State {
 
-  private def slices(docs: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame) = {
+  private def writeSlices(docs: DataFrame, idCol: String, textCol: String,
+      stateOutDir: String): Unit = {
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
+    // The doc-length frame is doc-scale-compact and read by BOTH
+    // writes — persisted, so the batch tokenizes exactly twice (the tf
+    // and dl aggregates; `terms` itself is token-scale and deliberately
+    // NOT cached, the repo's array-intermediate caching lesson) and
+    // the stats write pays no third pass.
     val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .persist()
     val postings = terms
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .join(dl, "doc_id")
       .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    (postings, stats)
-  }
-
-  private def writeSlices(docs: DataFrame, idCol: String, textCol: String,
-      stateOutDir: String): Unit = {
-    val (postings, stats) = slices(docs, idCol, textCol)
     StateLayout.writeBucketed(postings, s"$stateOutDir/postings_batch", "tok")
-    Sinks.overwriteParquet(stats, s"$stateOutDir/stats_batch", numFiles = 1)
+    Sinks.overwriteParquet(
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
+      s"$stateOutDir/stats_batch", numFiles = 1)
+    dl.unpersist()
   }
 
   /** From-scratch index build that WRITES the weekly state. */
@@ -134,7 +136,11 @@ object Bm25State {
       : (org.apache.spark.sql.Dataset[graft.streaming.StreamBm25Serve.Hit],
         () => Unit) = {
     val lineage = StateLayout.readLineage(stateDir)
+    // Persisted BEFORE the df self-join: unpersisted, materializing
+    // `statics` would scan every composed postings slice twice (join
+    // left side + df aggregate side).
     val post = StateLayout.readSlices(spark, lineage, "postings_batch")
+      .persist()
     val statics = post
       .join(post.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
       .persist()
@@ -146,7 +152,7 @@ object Bm25State {
     val avgdl = statsRow.getLong(1).toDouble / n
     (graft.streaming.StreamBm25Serve.serve(queries, statics, n, avgdl,
       topK, k1, b),
-      () => { statics.unpersist(); () })
+      () => { statics.unpersist(); post.unpersist(); () })
   }
 
   /** Lineage compaction — pure IO, the [[CurationRun.rebaseState]]

@@ -245,7 +245,7 @@ object CurationRun {
     val (m, cen) = VectorSim.annModelFromFrame(
       spark.read.parquet(s"$stateDir/ann_model"))
     val probes = VectorSim.probeFrame(queries, cen, nprobe).persist()
-    val codes = StateLayout.readSlicesPruned(spark, readLineage(stateDir),
+    val codes = StateLayout.readSlicesPruned(spark, StateLayout.readLineage(stateDir),
       "ann_codes_batch", "cell", probes.select(col("cell")))
     CacheLease.releaseAfterAction(
       VectorSim.pqSearchIvfWithProbes(probes, queries, codes, m, k)) { () =>
@@ -263,7 +263,7 @@ object CurationRun {
       stateDir: String): (VectorSim.PqModel, Seq[Array[Double]], DataFrame) = {
     val (m, cen) = VectorSim.annModelFromFrame(
       spark.read.parquet(s"$stateDir/ann_model"))
-    val codes = readSlices(spark, readLineage(stateDir), "ann_codes_batch")
+    val codes = readSlices(spark, StateLayout.readLineage(stateDir), "ann_codes_batch")
       .withColumn("state_version", lit(stateDir))
       .persist()
     (m, cen, codes)
@@ -563,12 +563,6 @@ object CurationRun {
   private val NumHashes = 32
   private val Bands = 16
 
-  private def readLineage(stateDir: String): Seq[String] =
-    StateLayout.readLineage(stateDir)
-
-  private def writeLineage(stateDir: String, dirs: Seq[String]): Unit =
-    StateLayout.writeLineage(stateDir, dirs)
-
   /** Union one artifact's batch slices along a state lineage —
     * layout-aware full scan (see [[StateLayout.readSlices]]; readers
     * that can derive a batch key set use
@@ -761,7 +755,7 @@ object CurationRun {
       TextDedup.minhashLshPairs(idxS, sigS, dedupThreshold, NumHashes, Bands))
     Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
     val clustersS = spark.read.parquet(s"$stateOutDir/clusters")
-    writeLineage(stateOutDir, Seq(stateOutDir))
+    StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))
     val kept = keepFromClusters(deconS, clustersS).persist()
     val (semFinal, semStateOn, semDroppedEager, semRelease) =
       if (semanticState && embeddings.isDefined) {
@@ -863,7 +857,7 @@ object CurationRun {
       "state is versioned by directory: reading and overwriting the same " +
         "state in one job would corrupt it")
     val spark = newDocs.sparkSession
-    val lineage = readLineage(stateInDir)
+    val lineage = StateLayout.readLineage(stateInDir)
     // The decon read stays a (layout-aware) full composition: the
     // weekly publish re-samples and re-packs the COMPOSED corpus, so
     // its input is corpus-scale by semantics. The index/signature
@@ -973,19 +967,20 @@ object CurationRun {
     // count is small against the bucket count (trickle batches,
     // serving probes) and degrades to the same full scan — never more
     // bytes — on big weekly batches.
-    val (newPairs, pairsRel) = TextDedup.minhashLshPairsIncrementalPruned(
+    val newPairs = TextDedup.minhashLshPairsIncrementalPruned(
       TextDedup.indexFromFrame(idxNewS, bits = 32), bandsNewS,
       probe => composedBands(spark, lineage, Some(probe)),
       probe => StateLayout.readSlicesPruned(spark, lineage,
         "index_batch", "doc_id", probe),
       dedupThreshold)
+    // The candidates cache inside releases via its CacheLease on the
+    // first completed action over the pairs (the CC contraction's
+    // bookkeeping count — everything after reads the contracted
+    // cache, not the pairs), exception-safe on failed runs.
     val clusters = TextDedup.connectedComponentsIncremental(clustersOld, newPairs)
     Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
-    // The clusters write is the pairs' first (and only) eager
-    // consumer; the internal candidates cache releases here.
-    pairsRel()
     val clustersS = spark.read.parquet(s"$stateOutDir/clusters")
-    writeLineage(stateOutDir, lineage :+ stateOutDir)
+    StateLayout.writeLineage(stateOutDir, lineage :+ stateOutDir)
     val deconAll = deconOld.unionByName(deconNewS)
     val kept = keepFromClusters(deconAll, clustersS).persist()
     // Semantic stage: the incremental state machinery when the lineage
@@ -1093,7 +1088,7 @@ object CurationRun {
         "same state in one job would corrupt it")
     require(!retrainSemantic || embeddings.isDefined,
       "retrainSemantic needs the embeddings frame to re-derive cells")
-    val lineage = readLineage(stateInDir)
+    val lineage = StateLayout.readLineage(stateInDir)
     Sinks.overwriteParquet(readSlices(spark, lineage, "decon_batch"),
       s"$stateOutDir/decon_batch", numFiles = 4)
     StateLayout.writeBucketed(readSlices(spark, lineage, "index_batch"),
@@ -1206,7 +1201,7 @@ object CurationRun {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    writeLineage(stateOutDir, Seq(stateOutDir))
+    StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))
   }
 
   /** Per-slice quantizer-fit rows (n_vectors, sum_dist, max_dist)
@@ -1269,7 +1264,7 @@ object CurationRun {
   def quantizerDriftDecision(spark: org.apache.spark.sql.SparkSession,
       stateInDir: String, driftRatio: Double = 1.5,
       embeddings: Option[DataFrame] = None): Boolean = {
-    val lineage = readLineage(stateInDir)
+    val lineage = StateLayout.readLineage(stateInDir)
     val semActive = java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))
     semActive && lineage.size > 1 && {
