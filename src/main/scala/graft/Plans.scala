@@ -114,7 +114,9 @@ object Plans {
       "q147_audio_neardup" ->
         "mapPartitions decode tier (per-partition codec init) -> fingerprint groupBy -> canonical equi-join back — the q20 survivor shape, candidates never pairwise",
       "q148_lowcard_rank" ->
-        "LOW-cardinality (0..7) corpus rank: gopher_measures kernel in the scan projection; two-level __bnd histogram cumulatives; per-row window partitioned by (pass_ct, md5 tie bucket) — a corpus-sized tie group never sorts on one task")
+        "LOW-cardinality (0..7) corpus rank: gopher_measures kernel in the scan projection; two-level __bnd histogram cumulatives; per-row window partitioned by (pass_ct, md5 tie bucket) — a corpus-sized tie group never sorts on one task",
+      "q149_bm25_state" ->
+        "serving scan of the composed postings state carries the bucket= partition filter (the probed terms' buckets only, never a corpus scan); df counted from the same pruned read; broadcast stats; partial top_k_by_score — no sort")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `graft.Plans`, sf0.001)\n")
     sb.append("\n_q137_curation_e2e has no plan artifact by construction: the entry " +
