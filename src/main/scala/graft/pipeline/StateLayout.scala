@@ -33,8 +33,15 @@ import org.apache.spark.sql.functions._
   * entries q142/q145/q137/q146 pin composed results bit-equal through
   * the DuckDB oracle).
   *
-  * Read IO per increment becomes `hitBuckets x stateBytes / B` —
-  * bounded by `batchKeys x bucketBytes` instead of the corpus. `B` is
+  * Read IO per increment becomes `hitBuckets x stateBytes / B` with
+  * `hitBuckets ~ min(B, distinct probe keys)` under a uniform key
+  * hash — i.e. a read FRACTION of ~min(1, keys/B). Stated honestly
+  * (ScaleStress measures both regimes): a probe whose key count is
+  * small against B (serving queries, trickle increments, drift
+  * lookups) reads a sliver; a probe with keys >> B saturates every
+  * bucket and the read degrades to the full scan the unpruned form
+  * pays — exact in every regime, never MORE bytes, only
+  * regime-dependent savings. `B` is
   * a per-slice write parameter (recorded per slice, so mixed lineages
   * compose); production sizes it so one bucket stays near a target
   * byte size as the corpus grows — a lineage REBASE rewrites the
