@@ -673,15 +673,16 @@ object ScaleStress {
         newSig.queryExecution.toRdd.count() // isolate state IO from synthesis
         val newBands = TextDedup.bandFrame(newSig, 32, 16)
         val (bp, prunedPairs) = measured {
-          TextDedup.minhashLshPairsIncrementalPruned(
-              TextDedup.indexFromFrame(newIdx.df, bits = 32), newBands,
-              probe => StateLayout.readSlicesPruned(spark, dirs,
-                "bands_batch", "band", probe),
-              probe => StateLayout.readSlicesPruned(spark, dirs,
-                "index_batch", "doc_id", probe),
-              0.25)
-            .select(col("doc_a"), col("doc_b")).collect()
+          val (df, rel) = TextDedup.minhashLshPairsIncrementalPruned(
+            TextDedup.indexFromFrame(newIdx.df, bits = 32), newBands,
+            probe => StateLayout.readSlicesPruned(spark, dirs,
+              "bands_batch", "band", probe),
+            probe => StateLayout.readSlicesPruned(spark, dirs,
+              "index_batch", "doc_id", probe),
+            0.25)
+          try df.select(col("doc_a"), col("doc_b")).collect()
             .map(x => (x.getLong(0), x.getLong(1))).toSet
+          finally rel()
         }
         val (bf, fullPairs) = measured {
           val idxAll = TextDedup.indexFromFrame(

@@ -821,11 +821,16 @@ object TextDedup {
     * Output therefore equals [[minhashLshPairsIncremental]] over full
     * scans (IncrementalPrunedLshSpec pins frame equality). Candidates
     * persist internally — the doc-probe's bucket-set collect
-    * materializes the cache, and the verify's consumers read it back —
-    * released by a [[CacheLease]] on the caller's first completed
-    * action over the pairs (exception-safe: an armed-never-fired lease
-    * is observable and reclaimed at the harness quiesce points, never
-    * a silent session-long leak).
+    * materializes the cache, and the verify's consumers read it back.
+    * The returned release hook unpersists them; call it in a `finally`
+    * around the first eager consumer. Deliberately NOT a [[CacheLease]]:
+    * the cadence's consumer ([[connectedComponentsIncremental]]) runs
+    * its internal actions through UNTRACKED `toRdd` bookkeeping (the
+    * repo-wide discipline that avoids per-iteration AQE plan-string
+    * rendering), which a QueryExecutionListener lease never observes —
+    * tried, and the bench health counter reported every such lease as
+    * reclaimed-not-fired (cache_leases_reclaimed 8 on the full
+    * catalog), exactly the failure mode the counter exists to catch.
     *
     * THE HONEST IO BOUND (measured, ScaleStress lsh-state row): with
     * uniformly-hashed keys the pruned read touches ~min(B, |distinct
@@ -841,7 +846,7 @@ object TextDedup {
       newBands: DataFrame,
       oldBandsOf: DataFrame => DataFrame,
       oldIndexOf: DataFrame => DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): (DataFrame, () => Unit) = {
     require(newIndex.bits == 32,
       "MinHash needs the 32-bit md5 index (oracle-reproducible permutation input)")
     val banded = oldBandsOf(newBands.select(col("band")))
@@ -863,10 +868,8 @@ object TextDedup {
       .join(newIndex.df.select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
     val idx = oldIndexOf(ids).unionByName(newIndex.df)
-    CacheLease.releaseAfterAction(
-      jaccardFromIndex(idx, threshold, candidates)) { () =>
-      candidates.unpersist(); ()
-    }
+    (jaccardFromIndex(idx, threshold, candidates),
+      () => { candidates.unpersist(); () })
   }
 
   /** LSH near-dup pairs RESTRICTED to pairs touching a new-batch doc —

@@ -967,19 +967,23 @@ object CurationRun {
     // count is small against the bucket count (trickle batches,
     // serving probes) and degrades to the same full scan — never more
     // bytes — on big weekly batches.
-    val newPairs = TextDedup.minhashLshPairsIncrementalPruned(
+    val (newPairs, pairsRel) = TextDedup.minhashLshPairsIncrementalPruned(
       TextDedup.indexFromFrame(idxNewS, bits = 32), bandsNewS,
       probe => composedBands(spark, lineage, Some(probe)),
       probe => StateLayout.readSlicesPruned(spark, lineage,
         "index_batch", "doc_id", probe),
       dedupThreshold)
-    // The candidates cache inside releases via its CacheLease on the
-    // first completed action over the pairs (the CC contraction's
-    // bookkeeping count — everything after reads the contracted
-    // cache, not the pairs), exception-safe on failed runs.
-    val clusters = TextDedup.connectedComponentsIncremental(clustersOld, newPairs)
-    Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
-    val clustersS = spark.read.parquet(s"$stateOutDir/clusters")
+    // finally, not a lease: CC incremental consumes the pairs through
+    // untracked toRdd bookkeeping a listener lease never sees (see the
+    // operator's scaladoc); after its contraction materializes,
+    // nothing re-reads the pairs, so releasing here is both safe and
+    // exception-tight.
+    val clustersS = try {
+      val clusters =
+        TextDedup.connectedComponentsIncremental(clustersOld, newPairs)
+      Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
+      spark.read.parquet(s"$stateOutDir/clusters")
+    } finally pairsRel()
     StateLayout.writeLineage(stateOutDir, lineage :+ stateOutDir)
     val deconAll = deconOld.unionByName(deconNewS)
     val kept = keepFromClusters(deconAll, clustersS).persist()

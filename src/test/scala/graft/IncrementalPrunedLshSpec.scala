@@ -61,14 +61,16 @@ class IncrementalPrunedLshSpec extends AnyFunSuite {
       newDocs.select(col("doc_id")), 0.25, NumHashes, Bands)
       .as[(Long, Long, Double)].collect().toSet
 
-    val pruned = TextDedup.minhashLshPairsIncrementalPruned(
-        newIdx, newBands,
-        probe => StateLayout.readSlicesPruned(spark, Seq(s"$dir/old"),
-          "bands_batch", "band", probe),
-        probe => StateLayout.readSlicesPruned(spark, Seq(s"$dir/old"),
-          "index_batch", "doc_id", probe),
-        0.25)
-      .as[(Long, Long, Double)].collect().toSet
+    val (prunedDf, prunedRel) = TextDedup.minhashLshPairsIncrementalPruned(
+      newIdx, newBands,
+      probe => StateLayout.readSlicesPruned(spark, Seq(s"$dir/old"),
+        "bands_batch", "band", probe),
+      probe => StateLayout.readSlicesPruned(spark, Seq(s"$dir/old"),
+        "index_batch", "doc_id", probe),
+      0.25)
+    val pruned =
+      try prunedDf.as[(Long, Long, Double)].collect().toSet
+      finally prunedRel()
 
     assert(pruned === full, "pruned-state pairs diverged from full-scan pairs")
     // The fixture exercises all three quadrant kinds the incremental
