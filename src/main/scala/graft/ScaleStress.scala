@@ -735,14 +735,31 @@ object ScaleStress {
               Seq("vector", "filter"), topK = 20)
             .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
         }
-        // The IO contrast: what serving would read WITHOUT the
-        // term-bucketed layout — a full postings-state scan carrying
-        // ALL the columns a real serve consumes (a count() here would
-        // column-prune to `tok` alone and understate the full bytes;
-        // review finding).
+        // TWO IO contrasts, because the layout wins twice and a single
+        // "full scan" number conflates them (measured: the
+        // bucketed-but-unpruned scan is ITSELF a sliver — writeBucketed
+        // sorts by key within files, so parquet page-level min/max
+        // skips non-matching pages under the pushed tok filter even
+        // without bucket pruning): (a) the same layout WITHOUT the
+        // bucket partition filter — isolates what dir-level pruning
+        // adds (file opens, not bytes, at this SF); (b) a NAIVE
+        // unsorted single-dir layout — what an engine without the
+        // state layout actually pays for the same filtered read. All
+        // columns a real serve consumes ride both (a count() would
+        // column-prune to `tok` alone; review finding).
         val (bfull, _) = measured {
           StateLayout.readSlices(spark,
               (0 until 3).map(i => s"$bmBase/s$i"), "postings_batch")
+            .where(col("tok").isin("vector", "filter"))
+            .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        graft.sources.Sinks.overwriteParquet(
+          StateLayout.readSlices(spark,
+            (0 until 3).map(i => s"$bmBase/s$i"), "postings_batch"),
+          s"$bmBase/naive/postings", numFiles = 6)
+        val (bnaive, _) = measured {
+          spark.read.parquet(s"$bmBase/naive/postings")
             .where(col("tok").isin("vector", "filter"))
             .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
             .write.format("noop").mode("overwrite").save()
@@ -756,7 +773,9 @@ object ScaleStress {
         require(served == scratch,
           "bm25 state serve diverged from the from-scratch ranking")
         println(f"bm25-state serve, lineage 3       pruned ${bs / 1e6}%7.2f MB" +
-          f"  full-scan ${bfull / 1e6}%7.2f MB  (top-${served.size}, equal to scratch)")
+          f"  sorted-unpruned ${bfull / 1e6}%7.2f MB" +
+          f"  naive-unsorted ${bnaive / 1e6}%7.2f MB" +
+          f"  (top-${served.size}, equal to scratch)")
       }
       spark.sparkContext.removeSparkListener(tape)
       spark.catalog.clearCache(); System.gc()
