@@ -48,10 +48,18 @@ object WindowTripwire {
     * entity-bounded — the per-key row count cannot grow with the
     * corpus (a per-document window over bounded documents, a per-query
     * frame), so a dominant shuffle partition at small SF is fixture
-    * shape, not a scale hazard. Rename the partition column to
-    * `__ent_<name>` at the sanctioned site. No current site needs it —
-    * the marker exists so a future exemption is a visible plan
-    * declaration, not a tripwire edit. */
+    * shape, not a scale hazard. This is the sanctioning CURRENCY of
+    * the static catalog sweep ([[staticAudit]]): a single-key window
+    * is sanctioned ONLY when its partition column carries this prefix
+    * at the site — name-matching alone (a column that happens to be
+    * called `doc_id`) does NOT sanction, and a literal partition key
+    * (`partitionBy(lit(0))`) flags. The repo's sanctioned sites (~58
+    * marker uses across the dedup/ranking/LM/mix operators) each
+    * rename the key to `__ent_<name>` AT the window and rename back
+    * immediately after. Discipline for adding one: rename at the site
+    * with a comment stating WHY the per-key row count is bounded, and
+    * plant the negative in PlanSpec (an unmarked twin of the shape
+    * must still flag) so the exemption stays falsifiable. */
   val EntityMarker = "__ent"
 
   /** A partitioned window whose largest shuffle partition holds more

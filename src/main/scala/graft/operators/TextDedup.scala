@@ -785,10 +785,14 @@ object TextDedup {
     * data column named like it would be clobbered at write
     * (StateLayout now rejects the collision); (2) the key is stored as
     * a 64-bit hash, not the hex string — equality is all the candidate
-    * join needs, a cross-key collision can only ADD a candidate pair
-    * that the exact-Jaccard verify then filters (output unchanged,
-    * spec-pinned vs the string-keyed form), and the artifact shrinks
-    * to two longs per row.
+    * join needs, and the artifact shrinks to two longs per row. A
+    * cross-key xxhash64 collision (~2^-64 per pair) can only ADD a
+    * candidate pair; the exact-Jaccard verify then filters it UNLESS
+    * the colliding pair really is above the threshold — i.e. the
+    * hashed form can emit a true near-dup pair the string-keyed LSH
+    * happened to miss. Equality with the string-keyed form therefore
+    * holds up to 64-bit hash collisions, not absolutely (and the extra
+    * pair, when it exists, is a correct near-dup).
     *
     * As a PERSISTED state artifact the weekly candidate join's history
     * side becomes pure IO — the corpus signatures are never re-BANDED

