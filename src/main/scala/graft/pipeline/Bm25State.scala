@@ -159,9 +159,11 @@ object Bm25State {
     * side would re-scan every postings slice per trigger); the
     * returned release handle unpersists it. N and avgdl read once from
     * the one-row stats slices, exactly [[serve]]'s arithmetic. The
-    * static side is FIXED for the stream's lifetime; re-resolve on a
-    * state version boundary (the [[CurationRun.annServeStream]]
-    * contract). */
+    * static side is FIXED for the stream's lifetime (the
+    * [[CurationRun.annServeStream]] contract) — a long-lived server
+    * that must follow rebase boundaries without a restart uses
+    * [[bm25ServeSession]], whose swap helper re-resolves the static
+    * side per micro-batch (VERDICT r10 item 3). */
   def serveStream(spark: SparkSession, stateDir: String,
       queries: DataFrame, topK: Int, k1: Double = 1.2, b: Double = 0.75)
       : (org.apache.spark.sql.Dataset[graft.streaming.StreamBm25Serve.Hit],
@@ -185,6 +187,104 @@ object Bm25State {
       topK, k1, b),
       () => { statics.unpersist(); post.unpersist(); () })
   }
+
+  /** One BM25 state version's serving side: composed postings
+    * pre-joined with term df, persisted and WARMED (toRdd count — no
+    * per-stage plan updates on a serving driver), plus the composed
+    * corpus stats. The postings frame itself persists only while the
+    * df self-join materializes, then releases — the session holds one
+    * cached frame per version, not two. */
+  private def loadServeVersion(spark: SparkSession, stateDir: String)
+      : (DataFrame, Long, Double) = {
+    val lineage = StateLayout.readLineage(stateDir)
+    val post = StateLayout.readSlices(spark, lineage, "postings_batch")
+      .persist()
+    val statics = post
+      .join(post.groupBy(col("tok")).agg(count(lit(1)).as("df")), "tok")
+      .persist()
+    statics.queryExecution.toRdd.count()
+    post.unpersist()
+    val statsRow = StateLayout.readSlices(spark, lineage, "stats_batch")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s"))
+      .head()
+    val n = statsRow.getLong(0)
+    (statics, n, statsRow.getLong(1).toDouble / n)
+  }
+
+  /** Long-lived BM25 serving session with a SWAPPABLE state version
+    * (VERDICT r10 item 3 — closes the same gate-family asymmetry
+    * [[CurationRun.AnnServeSession]] closed for the ANN twin:
+    * [[serveStream]]'s static side is FIXED at stream start, so a
+    * weekly rebase forced the caller to restart the query): each
+    * micro-batch of keyword queries is answered under the version
+    * current AT THAT BATCH.
+    *
+    * Shape: `foreachBatch` against a `@volatile` version handle — the
+    * micro-batch is a plain DataFrame, so each batch runs the
+    * two-stage bounded fold of [[graft.streaming.StreamBm25Serve
+    * .serve]] in BATCH mode (bit-equal to [[serve]] per query —
+    * StreamBm25ServeSpec pins the fold against batch serve, scores
+    * included) over the session's persisted postings+df static side.
+    * No stateful streaming operator exists anywhere in the plan.
+    * [[swapTo]] loads and WARMS the next version before redirecting
+    * (first post-swap batch never pays the state scan inline); an
+    * in-flight batch finishes under the version it started with via
+    * its local reference; the old static side unpersists after the
+    * redirect. Synchronized like the ANN session: two concurrent
+    * swaps (or a swap racing [[close]]) would both read the same old
+    * handle and strand one persisted corpus-scale cache for the
+    * server's lifetime. Hits carry the answering `state_version`. */
+  final class Bm25ServeSession private[Bm25State] (spark: SparkSession,
+      initialStateDir: String, topK: Int, k1: Double, b: Double) {
+    private case class V(dir: String, statics: DataFrame, n: Long,
+      avgdl: Double)
+    @volatile private var current: V = load(initialStateDir)
+
+    private def load(dir: String): V = {
+      val (statics, n, avgdl) = loadServeVersion(spark, dir)
+      V(dir, statics, n, avgdl)
+    }
+
+    /** The state version currently answering. */
+    def version: String = current.dir
+
+    /** Swap to a new state version (a rebase boundary): load + warm,
+      * atomically redirect, release the old static side. */
+    def swapTo(stateDir: String): Unit = this.synchronized {
+      val next = load(stateDir)
+      val old = current
+      current = next
+      old.statics.unpersist()
+    }
+
+    /** One query batch (q_id, terms) answered under the CURRENT
+      * version, hits tagged with the answering state_version. */
+    def answer(queries: DataFrame): DataFrame = {
+      val v = current
+      graft.streaming.StreamBm25Serve.serve(queries, v.statics, v.n,
+          v.avgdl, topK, k1, b)
+        .withColumn("state_version", lit(v.dir))
+    }
+
+    /** Serve a STREAM of keyword queries: per micro-batch, [[answer]]
+      * under the version current at that batch; result rows hand to
+      * `sink`. */
+    def serve(queries: DataFrame, checkpoint: String)(
+        sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      queries.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) => sink(answer(batch)) }
+        .start()
+
+    /** Release the current version's persisted static side. */
+    def close(): Unit = this.synchronized { current.statics.unpersist() }
+  }
+
+  /** Open a [[Bm25ServeSession]] at `stateDir`. */
+  def bm25ServeSession(spark: SparkSession, stateDir: String, topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): Bm25ServeSession =
+    new Bm25ServeSession(spark, stateDir, topK, k1, b)
 
   /** Lineage compaction — pure IO, the [[CurationRun.rebaseState]]
     * discipline: postings consolidate into one bucketed slice (where a
