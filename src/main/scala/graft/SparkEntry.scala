@@ -158,6 +158,7 @@ object SparkEntry {
     "q147_audio_neardup"    -> (ExtQueries.q147AudioNearDup(_, _)),
     "q148_lowcard_rank"     -> (ExtQueries.q148LowCardRank(_, _)),
     "q149_bm25_state"       -> (ExtQueries.q149Bm25State(_, _)),
+    "q150_lm_state"         -> (ExtQueries.q150LmState(_, _)),
     "q32_curation_pipeline" -> (ExtQueries.q32CurationPipeline(_, _)),
     // Analytics tier: TPC-H-style BI shapes (the reference's
     // BigQuery/Looker layer, SURVEY.md §2.4 note).

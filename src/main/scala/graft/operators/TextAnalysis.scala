@@ -273,11 +273,23 @@ object TextAnalysis {
     * pinned). Cross-engine determinism: ln rounded to 8dp per bigram,
     * mean rounded to 6dp (the q51 BM25 discipline). */
   def ngramLmScore(train: DataFrame, docs: DataFrame,
-      idCol: String, textCol: String, n: Int = 2): DataFrame = {
-    val m = lmTrain(train, textCol, n)
-    lmLogProbs(
-      docs.select(col(idCol).as("doc_id"),
-        explode(wordNgramsNative(tokens(col(textCol)), n)).as("bg")), m)
+      idCol: String, textCol: String, n: Int = 2): DataFrame =
+    lmScoreDocs(lmDocGrams(docs, idCol, textCol, n), lmTrain(train, textCol, n))
+
+  /** The per-doc gram explode of [[ngramLmScore]]'s scoring side —
+    * shared with the weekly count-state family
+    * ([[graft.pipeline.LmState]]) so both paths explode the SAME
+    * expression. */
+  private[graft] def lmDocGrams(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(wordNgramsNative(tokens(col(textCol)), n)).as("bg"))
+
+  /** The per-doc aggregation tail of [[ngramLmScore]], shared verbatim
+    * with [[graft.pipeline.LmState.serve]] so composed-state scoring is
+    * bit-equal by construction. */
+  private[graft] def lmScoreDocs(grams: DataFrame, m: LmStats): DataFrame =
+    lmLogProbs(grams, m)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -289,7 +301,6 @@ object TextAnalysis {
         // The decimal sum is exact, hence order- and engine-invariant.
         round(sum(col("lp").cast("decimal(20,8)")).cast("double") /
           count(lit(1)), 6).as("avg_logprob"))
-  }
 
   /** Batch-trained n-gram LM statistics as COUNT FRAMES (never driver
     * data — the vocabulary scales with the corpus). The caller owns the

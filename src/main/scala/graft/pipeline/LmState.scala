@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+import graft.sources.Sinks
+
+/** Weekly-cadence n-gram LM count state (q150 — VERDICT r10 item 4):
+  * the language-model twin of the BM25 retrieval index
+  * ([[Bm25State]]). The LM operators' sufficient statistics compose
+  * exactly across disjoint-id batches — n-grams never span documents,
+  * so per-batch gram and history counts are plain long ADDS — which
+  * makes the batch-only q57/q59 scoring a state family: ingest lands a
+  * batch's counts without reading corpus text, and scoring a query set
+  * reads only the grams that set actually contains.
+  *
+  * Artifacts per state version:
+  *
+  *  - `bg_counts_batch/` (bg, c12) — this batch's n-gram occurrence
+  *    counts, bucketed BY GRAM ([[StateLayout]]).
+  *  - `prefix_counts_batch/` (w, c1) — this batch's history
+  *    ((n−1)-gram) counts, bucketed by history.
+  *  - `vocab.txt` — the COMPOSED smoothing vocabulary |distinct
+  *    histories| as of this version. Unlike the counts it is NOT
+  *    additive (the same history recurs across batches), but it
+  *    composes exactly as `v += |batch histories unseen in state|`:
+  *    the increment anti-joins the batch's distinct histories against
+  *    the history slices read PRUNED to the batch's key buckets —
+  *    batch-scale IO, and the running value equals the from-scratch
+  *    distinct count (LmStateSpec pins it per version).
+  *  - `lm_order.txt` — the n-gram order frozen at init (the
+  *    `sem_salt.txt` discipline: recorded in state so increments and
+  *    serving cannot drift from init's value).
+  *  - `lineage.txt` — the shared manifest contract.
+  *
+  * SERVING ([[serve]]) scores a query doc set under the composed
+  * statistics through the SAME shared expressions as the batch
+  * operator ([[TextAnalysis.lmDocGrams]] / [[TextAnalysis.lmScoreDocs]]
+  * — add-one smoothing, 8dp-rounded ln, decimal-exact doc sums), with
+  * both count reads pruned to the query's own gram/history buckets:
+  * per-query cost ∝ the query's grams, never the corpus vocabulary.
+  * Because counts and vocabulary compose exactly, serve(composed
+  * state) ≡ [[TextAnalysis.ngramLmScore]](composed corpus, query docs)
+  * bit-for-bit — the q150 DuckDB oracle replays exactly that batch
+  * form over the full table.
+  *
+  * INGEST per increment is O(batch): two tokenize aggregates over the
+  * new docs, two bucketed writes, one pruned anti-join for the
+  * vocabulary delta. History counts are never re-read at ingest beyond
+  * the vocabulary delta's pruned probe.
+  */
+object LmState {
+
+  private def orderOf(stateDir: String): Int =
+    java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$stateDir/lm_order.txt"))
+      .trim.toInt
+
+  private def vocabOf(stateDir: String): Long =
+    java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$stateDir/vocab.txt"))
+      .trim.toLong
+
+  private def writeMeta(stateDir: String, n: Int, vocab: Long): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stateDir/lm_order.txt"), s"$n\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stateDir/vocab.txt"), s"$vocab\n")
+  }
+
+  /** Land one batch's count slices; returns nothing — the caller
+    * composes vocabulary and lineage per cadence position. */
+  private def writeSlices(docs: DataFrame, textCol: String, n: Int,
+      stateOutDir: String): Unit = {
+    val m = TextAnalysis.lmTrain(docs, textCol, n)
+    StateLayout.writeBucketed(m.bgCounts, s"$stateOutDir/bg_counts_batch", "bg")
+    StateLayout.writeBucketed(m.prefixCounts,
+      s"$stateOutDir/prefix_counts_batch", "w")
+  }
+
+  /** From-scratch count build that WRITES the weekly state. */
+  def writeInit(docs: DataFrame, textCol: String, stateOutDir: String,
+      n: Int = 2): Unit = {
+    writeSlices(docs, textCol, n, stateOutDir)
+    // Init vocabulary = the batch's own distinct histories — the
+    // grouped slice has one row per history, so footer-count suffices.
+    val v = docs.sparkSession.read
+      .parquet(s"$stateOutDir/prefix_counts_batch").count()
+    writeMeta(stateOutDir, n, v)
+    StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))
+  }
+
+  /** Weekly increment: a NEW batch (doc ids disjoint from the state's
+    * — the [[Bm25State.writeIncrement]] contract; a re-ingested doc
+    * would double-count its grams with no error) lands ITS slices;
+    * history is touched only by the vocabulary delta's PRUNED probe. */
+  def writeIncrement(newDocs: DataFrame, textCol: String,
+      stateInDir: String, stateOutDir: String): Unit = {
+    require(stateInDir != stateOutDir,
+      "state is versioned by directory: reading and overwriting the same " +
+        "state in one job would corrupt it")
+    val spark = newDocs.sparkSession
+    val n = orderOf(stateInDir)
+    val lineage = StateLayout.readLineage(stateInDir)
+    writeSlices(newDocs, textCol, n, stateOutDir)
+    // Vocabulary delta: batch histories unseen anywhere in state. The
+    // batch's slice is already grouped (one row per history), and the
+    // history read prunes to the batch keys' buckets — batch-scale IO.
+    val batchW = StateLayout.readSlice(spark,
+      s"$stateOutDir/prefix_counts_batch").select(col("w"))
+    val novel = batchW.join(
+      StateLayout.readSlicesPruned(spark, lineage, "prefix_counts_batch",
+        "w", batchW).select(col("w")).distinct(),
+      Seq("w"), "left_anti").count()
+    writeMeta(stateOutDir, n, vocabOf(stateInDir) + novel)
+    StateLayout.writeLineage(stateOutDir, lineage :+ stateOutDir)
+  }
+
+  /** Score `docs` under the composed state — bit-equal to
+    * [[TextAnalysis.ngramLmScore]] over the composed corpus (shared
+    * gram explode, log-prob, and doc-aggregation expressions; composed
+    * counts are exact long sums; the vocabulary literal is the exact
+    * running distinct count). Both count reads are PRUNED to the
+    * query's gram/history buckets, then re-summed — exact, because
+    * every slice's rows for a probed key live in that key's bucket. */
+  def serve(spark: SparkSession, stateDir: String, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val n = orderOf(stateDir)
+    val lineage = StateLayout.readLineage(stateDir)
+    import spark.implicits._
+    // The query's grams feed two prune probes AND the scoring join —
+    // persist the compact (doc_id, bg) frame across those three uses.
+    val grams = TextAnalysis.lmDocGrams(docs, idCol, textCol, n).persist()
+    val bg = StateLayout.readSlicesPruned(spark, lineage, "bg_counts_batch",
+        "bg", grams.select(col("bg")))
+      .groupBy(col("bg")).agg(sum(col("c12")).as("c12"))
+    val pre = StateLayout.readSlicesPruned(spark, lineage,
+        "prefix_counts_batch", "w",
+        grams.select(substring_index(col("bg"), " ", n - 1).as("w")))
+      .groupBy(col("w")).agg(sum(col("c1")).as("c1"))
+    val m = TextAnalysis.LmStats(bg, pre, Seq(vocabOf(stateDir)).toDF("v"), n)
+    graft.operators.CacheLease.releaseAfterAction(
+      TextAnalysis.lmScoreDocs(grams, m)) { () => grams.unpersist(); () }
+  }
+
+  /** Lineage compaction — pure IO plus exact long re-sums (the
+    * [[CurationRun.rebaseState]] discipline): both count artifacts
+    * consolidate into one bucketed slice each (where production
+    * re-derives B for the grown vocabulary); the vocabulary is
+    * re-derived as the consolidated slice's row count, which equals
+    * the carried running value (LmStateSpec pins the equality). */
+  def rebase(spark: SparkSession, stateInDir: String,
+      stateOutDir: String): Unit = {
+    require(stateInDir != stateOutDir, "rebase writes a new state version")
+    val lineage = StateLayout.readLineage(stateInDir)
+    StateLayout.writeBucketed(
+      StateLayout.readSlices(spark, lineage, "bg_counts_batch")
+        .groupBy(col("bg")).agg(sum(col("c12")).as("c12")),
+      s"$stateOutDir/bg_counts_batch", "bg")
+    StateLayout.writeBucketed(
+      StateLayout.readSlices(spark, lineage, "prefix_counts_batch")
+        .groupBy(col("w")).agg(sum(col("c1")).as("c1")),
+      s"$stateOutDir/prefix_counts_batch", "w")
+    val v = spark.read.parquet(s"$stateOutDir/prefix_counts_batch").count()
+    writeMeta(stateOutDir, orderOf(stateInDir), v)
+    StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))
+  }
+}

@@ -2018,6 +2018,30 @@ object ExtQueries {
       Seq("vector", "hash", "filter"), topK = 15)
   }
 
+  /** Weekly n-gram LM count-state cadence (q150): init + two
+    * incremental count batches ([[graft.pipeline.LmState]] — the
+    * language-model member of the weekly state families), then score
+    * the q59 held-out slice from the COMPOSED state. Ingest per
+    * increment is two batch-scale tokenize aggregates + bucketed
+    * writes plus one pruned anti-join for the vocabulary delta;
+    * serving reads both count artifacts pruned to the query docs' own
+    * gram/history buckets. The oracle replays the from-scratch batch
+    * LM scoring over the full table: valid because gram and history
+    * counts ADD across disjoint-id batches (n-grams never span
+    * documents) and the running vocabulary equals the from-scratch
+    * distinct-history count (LmStateSpec pins both, bit-for-bit). */
+  def q150LmState(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.LmState
+    val docs = Tables.documents(s, dir)
+    val base = scratchDir("q150_lm")
+    def b(i: Int) = docs.where(pmod(col("doc_id"), lit(3)) === i)
+    LmState.writeInit(b(0), "text", s"$base/s0")
+    LmState.writeIncrement(b(1), "text", s"$base/s0", s"$base/s1")
+    LmState.writeIncrement(b(2), "text", s"$base/s1", s"$base/s2")
+    LmState.serve(s, s"$base/s2",
+      docs.where(pmod(col("doc_id"), lit(97)) === 0), "doc_id", "text")
+  }
+
   /** Video frame-sampling (q90): GVID containers of real PNG frames,
     * every 2nd frame parsed out and REALLY decoded; the oracle
     * recomputes (frame_idx, width, height) from ids alone, proving
@@ -3436,6 +3460,28 @@ object ExtQueries {
          |FROM bg JOIN bc USING (bg)
          |  JOIN un ON un.w = split_part(bg.bg, ' ', 1)
          |  CROSS JOIN vv
+         |GROUP BY doc_id""".stripMargin,
+
+    // q150: the weekly LM count-state cadence. The oracle is the
+    // from-scratch batch scoring over the FULL table (counts and the
+    // smoothing vocabulary compose exactly across disjoint-id
+    // batches; serve == batch scoring bit-for-bit, LmStateSpec).
+    // Scored docs are a corpus subset, so every gram is seen and
+    // inner joins mirror the operator's left joins (the q57 rule).
+    "q150_lm_state" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) - 1 >= 1
+         |  THEN [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t)-1)]
+         |  ELSE [array_to_string(t, ' ')] END) AS bg FROM tk),
+         |bc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+         |un AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM un)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(CAST(sum(CAST(round(ln((bc.c12 + 1) / (un.c1 + vv.v)), 8) AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_logprob
+         |FROM bg JOIN bc USING (bg)
+         |  JOIN un ON un.w = split_part(bg.bg, ' ', 1)
+         |  CROSS JOIN vv
+         |WHERE doc_id % 97 = 0
          |GROUP BY doc_id""".stripMargin,
 
     // q57's chain split: counts from the 99% split, held-out docs
