@@ -484,9 +484,9 @@ object ScaleStress {
       t0 = System.nanoTime()
       val cen10 = CurationRun.readSemCentroids(spark,
         "/tmp/graft_drift_state2/sem_centroids")
-      val stateVecs = spark.read.parquet(
+      val stateVecs = graft.pipeline.StateLayout.readSlicePaths(spark, Seq(
           "/tmp/graft_drift_state0/decon_batch",
-          "/tmp/graft_drift_state1/decon_batch")
+          "/tmp/graft_drift_state1/decon_batch"))
         .select(col("doc_id"))
         .join(emb10.select(col("vec_id"), col("embedding")),
           col("doc_id") === col("vec_id"))

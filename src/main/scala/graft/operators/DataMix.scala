@@ -25,11 +25,20 @@ object DataMix {
     * RNG state, reproducible under retries and partition reshuffles
     * (the classic failure of `rand()`-based sampling at scale). */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
-      fractions: Map[String, Double], default: Double): DataFrame = {
+      fractions: Map[String, Double], default: Double): DataFrame =
+    df.where(sampleKeepExpr(col(idCol), col(stratumCol), fractions, default))
+
+  /** The [[stratifiedSample]] keep PREDICATE as a column — shared with
+    * [[graft.pipeline.PublishState]]'s per-doc ledger so the delta
+    * publisher's membership flags replay the sample's exact draw
+    * (same md5 bucket, same fraction fold) rather than a parallel
+    * reimplementation that could drift. */
+  def sampleKeepExpr(id: Column, stratum: Column,
+      fractions: Map[String, Double], default: Double): Column = {
     val frac = fractions.foldLeft(lit(default)) { case (els, (k, f)) =>
-      when(col(stratumCol) === k, lit(f)).otherwise(els)
+      when(stratum === k, lit(f)).otherwise(els)
     }
-    df.where(bucket(col(idCol)) < (frac * 1000000L).cast("long"))
+    bucket(id) < (frac * 1000000L).cast("long")
   }
 
   /** Token-BUDGET stratified sample: keep documents, in the
@@ -147,15 +156,26 @@ object DataMix {
 
   /** Shared (shard, prefix, bin) assignment for the packing family. */
   private def withBins(docs: DataFrame, idCol: String, nTokensCol: String,
-      budget: Long, shards: Int): DataFrame = {
-    require(budget > 0 && shards > 0, "budget and shards must be positive")
+      budget: Long, shards: Int): DataFrame =
+    withBinsBy(docs, idCol, nTokensCol, budget,
+      (col(idCol) % shards).cast("int"))
+
+  /** [[withBins]] under a caller-supplied shard expression — the
+    * cadence publish shards by id RANGE (`doc_id div span`) so a
+    * monotonic-id weekly batch lands in its OWN new shards instead of
+    * spraying one doc into every modulo shard (which would mark the
+    * whole publish changed every week and defeat the delta carry). */
+  private def withBinsBy(docs: DataFrame, idCol: String, nTokensCol: String,
+      budget: Long, shardOf: Column): DataFrame = {
+    require(budget > 0, "budget must be positive")
     // "__ent_shard": the per-shard packing window is bounded by
-    // caller-sized parallelism, not the corpus — marker-sanctioned
-    // (VERDICT r09 item 2); renamed back before callers group on it.
+    // caller-sized parallelism (modulo form) or the id-range span —
+    // marker-sanctioned (VERDICT r09 item 2); renamed back before
+    // callers group on it.
     val w = Window.partitionBy(col("__ent_shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .withColumn("__ent_shard", (col(idCol) % shards).cast("int"))
+      .withColumn("__ent_shard", shardOf)
       .withColumn("prefix",
         coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
       .withColumn("bin", floor(col("prefix") / budget))
@@ -180,7 +200,16 @@ object DataMix {
     * document. */
   def packSequenceContents(docs: DataFrame, idCol: String, nTokensCol: String,
       textCol: String, budget: Long, shards: Int): DataFrame =
-    withBins(docs, idCol, nTokensCol, budget, shards)
+    packSequenceContentsBy(docs, idCol, nTokensCol, textCol, budget,
+      (col(idCol) % shards).cast("int"))
+
+  /** [[packSequenceContents]] under a caller-supplied shard
+    * expression (see [[withBinsBy]] — the cadence publish's
+    * range-sharded form). */
+  def packSequenceContentsBy(docs: DataFrame, idCol: String,
+      nTokensCol: String, textCol: String, budget: Long,
+      shardOf: Column): DataFrame =
+    withBinsBy(docs, idCol, nTokensCol, budget, shardOf)
       .groupBy(col("shard"), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -635,10 +635,16 @@ object CurationRun {
   /** Language-stratified sample + curated/packed sinks over a kept
     * frame — the output tail of both cadences. Returns the LANDED
     * (curated, bins) frames; their counts join the run's folded stats
-    * action (VERDICT r09 item 3). */
+    * action (VERDICT r09 item 3). Both artifacts land in the
+    * per-shard flat-file layout ([[PublishState.writeSharded]],
+    * shard = doc_id div publishSpan — RANGE sharding, the same
+    * function the packer uses: a monotonic-id weekly batch lands in
+    * its OWN new shards, so the DELTA publish can carry unchanged
+    * shards forward as pure IO; row sets are unchanged from the flat
+    * layout). */
   private def landOutputs(kept: DataFrame, outDir: String,
       fractions: Map[String, Double], defaultFraction: Double,
-      packBudget: Long, packShards: Int): (DataFrame, DataFrame) = {
+      packBudget: Long, publishSpan: Long): (DataFrame, DataFrame) = {
     val spark = kept.sparkSession
     val lang = TextAnalysis.languageId(kept, "doc_id", "text")
       .select(col("doc_id"), col("detected_lang"))
@@ -646,9 +652,12 @@ object CurationRun {
       kept.join(lang, "doc_id"), "doc_id", "detected_lang",
       fractions, defaultFraction)
     import graft.functions.TextFunctions.tokens
+    val shardOf = floor(col("doc_id") / lit(publishSpan)).cast("int")
     val curated = sampled
-      .select(col("doc_id"), col("text"), col("detected_lang"), col("quality_score"))
-    Sinks.overwriteParquet(curated, s"$outDir/curated", numFiles = 4)
+      .select(col("doc_id"), col("text"), col("detected_lang"), col("quality_score"),
+        shardOf.as("shard"))
+    PublishState.writeSharded(curated, s"$outDir/curated",
+      keepShardInContent = false)
     // Pack from the LANDED curated table, not the lazy chain: the
     // curated write above already paid the full upstream pipeline once;
     // re-deriving `curated` here would pay it a second time (measured
@@ -657,11 +666,12 @@ object CurationRun {
     // write-then-read-back discipline the manifest below uses — parquet
     // round-trips the rows exactly (VERDICT r07 item 6).
     val landedCurated = spark.read.parquet(s"$outDir/curated")
-    val packed = DataMix.packSequenceContents(
+    val packed = DataMix.packSequenceContentsBy(
       landedCurated.select(col("doc_id"), col("text"),
         size(tokens(col("text"))).cast("long").as("n_tokens")),
-      "doc_id", "n_tokens", "text", budget = packBudget, shards = packShards)
-    Sinks.overwriteParquet(packed, s"$outDir/packed", numFiles = 1)
+      "doc_id", "n_tokens", "text", budget = packBudget, shardOf = shardOf)
+    PublishState.writeSharded(packed, s"$outDir/packed",
+      keepShardInContent = true)
     // Writer-side validation record (q72/q107): per-shard totals +
     // order-invariant checksum + bin fill, derived from the LANDED
     // bins (read back, so the manifest describes exactly what a
@@ -694,7 +704,7 @@ object CurationRun {
       stateOutDir: String, minQuality: Double = 0.5,
       dedupThreshold: Double = 0.25, minContaminatedShingles: Int = 1,
       fractions: Map[String, Double] = Map.empty, defaultFraction: Double = 1.0,
-      packBudget: Long = 4096L, packShards: Int = 8,
+      packBudget: Long = 4096L, publishSpan: Long = 1024L,
       embeddings: Option[DataFrame] = None, semClusters: Int = 16,
       semIters: Int = 2, semThreshold: Double = 0.99,
       semMaxCellSize: Int = 1000,
@@ -724,13 +734,16 @@ object CurationRun {
       if (spanState) Some(spanStateStage(deconRaw, _ => emptyGramCounts(spark),
         stateOutDir, spanK, spanMinDf))
       else None
-    Sinks.overwriteParquet(spanStaged.map(_.frame).getOrElse(deconRaw),
-      s"$stateOutDir/decon_batch", numFiles = 4)
+    // Bucketed by doc_id (VERDICT r10 item 1): the delta publisher's
+    // rare re-surfacing-doc lookup reads decon text PRUNED to those
+    // ids' buckets instead of scanning the composed corpus.
+    StateLayout.writeBucketed(spanStaged.map(_.frame).getOrElse(deconRaw),
+      s"$stateOutDir/decon_batch", "doc_id")
     // The decon write materialized both stages' compact output caches;
     // their token-scale intermediates (lines/grams) release NOW, the
     // audit caches stay for the run's one folded stats action.
     spanStaged.foreach(_.afterLand()); lineStaged.foreach(_.afterLand())
-    val deconS = spark.read.parquet(s"$stateOutDir/decon_batch")
+    val deconS = StateLayout.readSlice(spark, s"$stateOutDir/decon_batch")
     StateLayout.writeBucketed(
       deconS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
       s"$stateOutDir/hash_batch", "content_hash")
@@ -813,7 +826,20 @@ object CurationRun {
         (f, false, n, r)
       }
     val (landedCurated, landedBins) = landOutputs(semFinal, outDir,
-      fractions, defaultFraction, packBudget, packShards)
+      fractions, defaultFraction, packBudget, publishSpan)
+    // Publish state (VERDICT r10 item 1): written whenever later
+    // increments can maintain membership incrementally — no
+    // embeddings, or the frozen-quantizer semantic state (the eager
+    // per-run semantic stage re-clusters the composed corpus weekly,
+    // so its disposition is not locally recomputable).
+    if (embeddings.isEmpty || semStateOn)
+      writePublishState(spark, deconS, kept, semFinal,
+        if (semStateOn)
+          Some(spark.read.parquet(s"$stateOutDir/sem_clusters"))
+        else None,
+        PublishState.Config(fractions, defaultFraction,
+          packBudget, publishSpan),
+        stateOutDir, outDir, v = 0L)
     // The run's ONE audit action (VERDICT r09 item 3): every stat
     // folds into a single union'd count job over caches and landed
     // parquet; stage caches release only after this read them.
@@ -845,7 +871,7 @@ object CurationRun {
       stateInDir: String, stateOutDir: String, minQuality: Double = 0.5,
       dedupThreshold: Double = 0.25, minContaminatedShingles: Int = 1,
       fractions: Map[String, Double] = Map.empty, defaultFraction: Double = 1.0,
-      packBudget: Long = 4096L, packShards: Int = 8,
+      packBudget: Long = 4096L, publishSpan: Long = 1024L,
       embeddings: Option[DataFrame] = None, semClusters: Int = 16,
       semIters: Int = 2, semThreshold: Double = 0.99,
       semMaxCellSize: Int = 1000,
@@ -934,13 +960,13 @@ object CurationRun {
             "span_grams_batch", "h", bc.select(col("h"))),
           stateOutDir, spanK, spanMinDf))
       else None
-    Sinks.overwriteParquet(spanStaged.map(_.frame).getOrElse(deconRouted),
-      s"$stateOutDir/decon_batch", numFiles = 2)
+    StateLayout.writeBucketed(spanStaged.map(_.frame).getOrElse(deconRouted),
+      s"$stateOutDir/decon_batch", "doc_id")
     // Token-scale stage intermediates release once the decon write has
     // materialized the compact output caches (the audit caches stay
     // for the folded stats action).
     spanStaged.foreach(_.afterLand()); lineStaged.foreach(_.afterLand())
-    val deconNewS = spark.read.parquet(s"$stateOutDir/decon_batch")
+    val deconNewS = StateLayout.readSlice(spark, s"$stateOutDir/decon_batch")
     StateLayout.writeBucketed(
       deconNewS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
       s"$stateOutDir/hash_batch", "content_hash")
@@ -985,84 +1011,426 @@ object CurationRun {
       spark.read.parquet(s"$stateOutDir/clusters")
     } finally pairsRel()
     StateLayout.writeLineage(stateOutDir, lineage :+ stateOutDir)
-    val deconAll = deconOld.unionByName(deconNewS)
-    val kept = keepFromClusters(deconAll, clustersS).persist()
-    // Semantic stage: the incremental state machinery when the lineage
-    // carries a frozen quantizer (auto-detected — the state, not a
-    // flag, decides), else the v1 per-run recompute.
+    // Semantic STATE writes (frozen-quantizer cadence, auto-detected —
+    // the state, not a flag, decides): batch cells + fit summary +
+    // merged labels land regardless of which publish tail runs below.
     val semStateActive = embeddings.isDefined && java.nio.file.Files
       .exists(java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))
-    val (semFinal, semStateOn, semDroppedEager, semRelease) =
-      if (semStateActive) {
-        val emb = embeddings.get
-        val cen = readSemCentroids(spark, s"$stateInDir/sem_centroids")
-        val salt = java.nio.file.Files
-          .readString(java.nio.file.Paths.get(s"$stateInDir/sem_salt.txt"))
-          .trim.toInt
-        // Carry the frozen quantizer forward so every state version is
-        // self-contained (rebase and third batches read their input
-        // state dir only).
-        writeSemCentroids(spark, stateOutDir, cen)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"), s"$salt\n")
-        val vecsNew = deconNewS.select(col("doc_id"))
-          .join(emb.select(col("vec_id"), col("embedding")),
-            col("doc_id") === col("vec_id"))
-          .select(col("vec_id"), col("embedding"))
-        StateLayout.writeBucketed(VectorSim.semanticCells(vecsNew, cen, salt),
-          s"$stateOutDir/sem_cells_batch", "cell")
-        // Batch fit under the FROZEN quantizer, landed beside the
-        // slice: the weekly drift decision reads these one-row
-        // summaries instead of re-scanning state embeddings.
-        Sinks.overwriteParquet(VectorSim.quantizerFitSlice(vecsNew, cen),
-          s"$stateOutDir/sem_fit_batch", numFiles = 1)
-        // Old cell slices matter only where they share a cell with the
-        // batch (semanticPairsIncremental's candidate join) — prune the
-        // state read to the batch slice's cells (VERDICT r09 item 1).
-        val cellsNewS = StateLayout.readSlice(spark,
-          s"$stateOutDir/sem_cells_batch")
-        val cellsAll = StateLayout.readSlicesPruned(spark, lineage,
-          "sem_cells_batch", "cell", cellsNewS.select(col("cell")))
-          .unionByName(cellsNewS)
-        // Batch-scale pair work: only the new docs' cells join.
-        val semPairsNew = VectorSim.semanticPairsIncremental(cellsAll, emb,
-          deconNewS.select(col("doc_id").as("vec_id")), semThreshold)
-        Sinks.overwriteParquet(
-          TextDedup.connectedComponentsIncremental(
-            spark.read.parquet(s"$stateInDir/sem_clusters"), semPairsNew),
-          s"$stateOutDir/sem_clusters", numFiles = 1)
-        val (out, rel) = semanticKeepFilter(kept,
-          spark.read.parquet(s"$stateOutDir/sem_clusters"))
-        (out, true, -1L, rel)
-      } else {
-        val (f, n, r) = semanticStage(kept, embeddings,
-          semClusters, semIters, semThreshold, semMaxCellSize)
-        (f, false, n, r)
-      }
+    if (semStateActive)
+      semStateIncrementWrites(spark, stateInDir, stateOutDir, lineage,
+        deconNewS, embeddings.get, semThreshold)
     // ANN-codes append (VERDICT r07 item 3, auto-detected like the
     // semantic state): encode ONLY this batch under the frozen model.
     if (embeddings.isDefined && annStateActive(stateInDir))
       writeAnnIncrement(spark, stateInDir, stateOutDir,
         embeddedVecs(deconNewS, embeddings.get))
-    val (landedCurated, landedBins) = landOutputs(semFinal, outDir,
-      fractions, defaultFraction, packBudget, packShards)
-    // The run's ONE audit action (VERDICT r09 item 3).
+
+    // Publish tail. DELTA (VERDICT r10 item 1) when the state carries
+    // publish artifacts under the SAME config and the membership flags
+    // are incrementally derivable (no embeddings, or the frozen-
+    // quantizer semantic state — the eager per-run semantic stage
+    // re-clusters the composed corpus each week, so its disposition
+    // is not a per-cluster-local recompute). Otherwise the full
+    // re-publish, which (re)builds the publish state for next week.
+    val cfg = PublishState.Config(fractions, defaultFraction,
+      packBudget, publishSpan)
+    val deltaOk = PublishState.active(stateInDir) &&
+      (embeddings.isEmpty || semStateActive) && {
+        val (fp, prevOut) = PublishState.readMeta(stateInDir)
+        fp == cfg.fingerprint && prevOut != outDir &&
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$prevOut/curated"))
+      }
+    if (deltaOk)
+      deltaPublishTail(spark, newDocs, deconNewS, clustersS, cfg,
+        stateInDir, stateOutDir, lineage, outDir, semStateActive,
+        spanStaged, lineStaged)
+    else {
+      val deconAll = deconOld.unionByName(deconNewS)
+      val kept = keepFromClusters(deconAll, clustersS).persist()
+      val (semFinal, semDroppedEager, semRelease) =
+        if (semStateActive) {
+          val (out, rel) = semanticKeepFilter(kept,
+            spark.read.parquet(s"$stateOutDir/sem_clusters"))
+          (out, -1L, rel)
+        } else {
+          val (f, n, r) = semanticStage(kept, embeddings,
+            semClusters, semIters, semThreshold, semMaxCellSize)
+          (f, n, r)
+        }
+      val (landedCurated, landedBins) = landOutputs(semFinal, outDir,
+        fractions, defaultFraction, packBudget, publishSpan)
+      // (Re)build the publish state from the full frames so the NEXT
+      // increment can delta — the upgrade path for pre-publish-state
+      // lineages and the recovery path after a config change.
+      if (embeddings.isEmpty || semStateActive)
+        writePublishState(spark, deconAll, kept, semFinal,
+          if (semStateActive)
+            Some(spark.read.parquet(s"$stateOutDir/sem_clusters"))
+          else None,
+          cfg, stateOutDir, outDir, v = lineage.size)
+      // The run's ONE audit action (VERDICT r09 item 3).
+      val c = foldCounts(Seq(
+        "input" -> newDocs, "decon" -> deconAll, "kept" -> kept,
+        "sampled" -> landedCurated, "bins" -> landedBins) ++
+        spanStaged.map(s => "span" -> s.audit) ++
+        lineStaged.map(s => "line" -> s.audit) ++
+        (if (semStateActive) Seq("semfinal" -> semFinal) else Nil))
+      spanStaged.foreach(_.afterAudit()); lineStaged.foreach(_.afterAudit())
+      semRelease(); kept.unpersist()
+      Stats(input = c("input"), gated = -1L, modelGated = -1L,
+        decontaminated = c("decon"),
+        spanCleaned = spanStaged.fold(-1L)(_ => c("span")),
+        kept = c("kept"),
+        semDropped =
+          if (semStateActive) c("kept") - c("semfinal") else semDroppedEager,
+        sampled = c("sampled"), bins = c("bins"),
+        lineCleaned = lineStaged.fold(-1L)(_ => c("line")))
+    }
+  }
+
+  /** The incremental semantic-state WRITES, extracted from the publish
+    * tail (VERDICT r10 item 1): carry the frozen quantizer forward,
+    * land the batch's cells + fit summary, merge the batch's
+    * (batch-incident) semantic pairs into the full label table. Both
+    * publish tails consume the landed `sem_clusters`. */
+  private def semStateIncrementWrites(spark: org.apache.spark.sql.SparkSession,
+      stateInDir: String, stateOutDir: String, lineage: Seq[String],
+      deconNewS: DataFrame, emb: DataFrame, semThreshold: Double): Unit = {
+    val cen = readSemCentroids(spark, s"$stateInDir/sem_centroids")
+    val salt = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$stateInDir/sem_salt.txt"))
+      .trim.toInt
+    // Carry the frozen quantizer forward so every state version is
+    // self-contained (rebase and third batches read their input
+    // state dir only).
+    writeSemCentroids(spark, stateOutDir, cen)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"), s"$salt\n")
+    val vecsNew = embeddedVecs(deconNewS, emb)
+    StateLayout.writeBucketed(VectorSim.semanticCells(vecsNew, cen, salt),
+      s"$stateOutDir/sem_cells_batch", "cell")
+    // Batch fit under the FROZEN quantizer, landed beside the
+    // slice: the weekly drift decision reads these one-row
+    // summaries instead of re-scanning state embeddings.
+    Sinks.overwriteParquet(VectorSim.quantizerFitSlice(vecsNew, cen),
+      s"$stateOutDir/sem_fit_batch", numFiles = 1)
+    // Old cell slices matter only where they share a cell with the
+    // batch (semanticPairsIncremental's candidate join) — prune the
+    // state read to the batch slice's cells (VERDICT r09 item 1).
+    val cellsNewS = StateLayout.readSlice(spark,
+      s"$stateOutDir/sem_cells_batch")
+    val cellsAll = StateLayout.readSlicesPruned(spark, lineage,
+      "sem_cells_batch", "cell", cellsNewS.select(col("cell")))
+      .unionByName(cellsNewS)
+    // Batch-scale pair work: only the new docs' cells join.
+    val semPairsNew = VectorSim.semanticPairsIncremental(cellsAll, emb,
+      deconNewS.select(col("doc_id").as("vec_id")), semThreshold)
+    Sinks.overwriteParquet(
+      TextDedup.connectedComponentsIncremental(
+        spark.read.parquet(s"$stateInDir/sem_clusters"), semPairsNew),
+      s"$stateOutDir/sem_clusters", numFiles = 1)
+  }
+
+  /** DELTA weekly publish (VERDICT r10 item 1): re-derive membership
+    * flags ONLY where the batch can have moved them, diff per-shard
+    * fingerprints against the stored ones, re-publish exactly the
+    * changed shards, and carry the rest of the previous publish
+    * forward as hard links — the weekly publish's TEXT IO becomes
+    * ∝ batch + changed shards instead of ∝ corpus. Bit-equality with
+    * the full re-publish is by construction (every flag recompute
+    * mirrors the full path's survivor rules on a restriction that is
+    * exact per cluster; DeltaPublishSpec pins rows AND stats) and the
+    * composed-ledger audit counts replace the corpus-frame counts
+    * one-for-one. The ledger compose is a narrow metadata shuffle —
+    * the same regime as the full cluster-label table the cadence
+    * already maintains — never a text read; text is read only for the
+    * batch, the changed shards' previous curated files, and (rare) a
+    * re-surfacing doc's bucket-pruned decon lookup. */
+  private def deltaPublishTail(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, deconNewS: DataFrame, clustersS: DataFrame,
+      cfg: PublishState.Config, stateInDir: String, stateOutDir: String,
+      lineageOld: Seq[String], outDir: String, semStateOn: Boolean,
+      spanStaged: Option[StagedAudit],
+      lineStaged: Option[StagedAudit]): Stats = {
+    import graft.functions.TextFunctions.tokens
+    val (_, prevOut) = PublishState.readMeta(stateInDir)
+    val batchBase = PublishState.baseRows(
+      deconNewS.select(col("doc_id"), col("text"), col("quality_score")), cfg)
+    val prevLedger = PublishState.composeLedger(spark, lineageOld).persist()
+    val semLabels =
+      if (semStateOn) Some(spark.read.parquet(s"$stateOutDir/sem_clusters"))
+      else None
+    val updated = deltaLedgerRows(batchBase, prevLedger, clustersS, semLabels)
+      .persist()
+    val composedNew = prevLedger
+      .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(updated)
+      .persist()
+    // Changed shards: recomputed fingerprints vs stored — full outer,
+    // so a shard gaining its first member or losing its last counts.
+    val newFps = PublishState.fingerprintsOf(composedNew)
+    val changed = newFps.as("n").join(
+        PublishState.readFingerprints(spark, stateInDir).as("o"),
+        col("n.shard") === col("o.shard"), "full_outer")
+      .where(col("n.shard").isNull || col("o.shard").isNull ||
+        col("n.n_member") =!= col("o.n_member") ||
+        col("n.fp") =!= col("o.fp"))
+      .select(coalesce(col("n.shard"), col("o.shard")).as("shard"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+    // Carry = every shard present in the previous publish that the
+    // diff did not flag (shard ids are open-ended under range
+    // sharding — enumerate the previous publish's FILES, not a
+    // 0-until-N range).
+    val changedSet = changed.toSet
+
+    // CURATED: carried links + a partial sharded write of the changed.
+    PublishState.prepareDir(s"$outDir/curated")
+    PublishState.linkShardsExcept(s"$prevOut/curated", s"$outDir/curated",
+      changedSet)
+    if (changed.nonEmpty) {
+      val members = composedNew
+        .where(col("member") && col("shard").isin(changed: _*))
+        .select(col("doc_id"), col("detected_lang"), col("quality_score"),
+          col("shard"))
+        .persist()
+      val batchText = deconNewS.select(col("doc_id"), col("text"))
+      val prevFiles = changed.flatMap(n =>
+        PublishState.shardFiles(s"$prevOut/curated", n))
+      val prevCur =
+        if (prevFiles.nonEmpty)
+          spark.read.parquet(prevFiles: _*)
+            .select(col("doc_id"), col("text"))
+        else spark.range(0)
+          .select(col("id").as("doc_id"), lit("").as("text"))
+      // Re-surfacing docs (old, member again, absent from the previous
+      // curated — a batch doc displaced their sem-cluster peer): text
+      // via the doc-bucket-pruned decon read, never a corpus scan.
+      val enterIds = members.select(col("doc_id"))
+        .join(batchText.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(prevCur.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val enterText = StateLayout.readSlicesPruned(spark, lineageOld,
+          "decon_batch", "doc_id", enterIds)
+        .join(enterIds, Seq("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val curatedNew = members
+        .join(batchText.unionByName(prevCur).unionByName(enterText),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("detected_lang"),
+          col("quality_score"), col("shard"))
+      PublishState.writeSharded(curatedNew, s"$outDir/curated",
+        keepShardInContent = false, clear = false)
+      members.unpersist()
+    }
+
+    // PACKED: carried links + re-pack of exactly the changed shards
+    // (within-shard packing is a pure function of the shard's member
+    // set, so the restriction equals the full run's shards).
+    PublishState.prepareDir(s"$outDir/packed")
+    PublishState.linkShardsExcept(s"$prevOut/packed", s"$outDir/packed",
+      changedSet)
+    val newBins = {
+      val changedCuratedFiles = changed.flatMap(n =>
+        PublishState.shardFiles(s"$outDir/curated", n))
+      if (changedCuratedFiles.nonEmpty) {
+        val cur = spark.read.parquet(changedCuratedFiles: _*)
+        PublishState.writeSharded(
+          DataMix.packSequenceContentsBy(
+            cur.select(col("doc_id"), col("text"),
+              size(tokens(col("text"))).cast("long").as("n_tokens")),
+            "doc_id", "n_tokens", "text",
+            budget = cfg.packBudget, shardOf = cfg.shardOf(col("doc_id"))),
+          s"$outDir/packed", keepShardInContent = true, clear = false)
+        val files = changed.flatMap(n =>
+          PublishState.shardFiles(s"$outDir/packed", n))
+        if (files.nonEmpty) Some(spark.read.parquet(files: _*)) else None
+      } else None
+    }
+
+    // MANIFEST: carried rows + recomputed rows for the changed shards
+    // (each row is a pure per-shard aggregate of its bins).
+    val prevManifest = spark.read.parquet(s"$prevOut/manifest")
+    val carriedRows =
+      if (changed.isEmpty) prevManifest
+      else prevManifest.where(!col("shard").isin(changed: _*))
+    val manifest = newBins match {
+      case Some(b) =>
+        carriedRows.unionByName(
+          DataMix.shardManifest(b).join(
+            DataMix.packingEfficiency(b, cfg.packBudget)
+              .select(col("shard"), col("capacity_tokens"), col("fill_ratio")),
+            Seq("shard")))
+      case None => carriedRows
+    }
+    Sinks.overwriteParquet(manifest, s"$outDir/manifest", numFiles = 1)
+
+    // Next week's state: the correction slice, fresh fingerprints, and
+    // the meta pointing at THIS publish.
+    PublishState.writeLedgerSlice(updated, stateOutDir, v = lineageOld.size)
+    PublishState.writeFingerprints(spark, newFps, stateOutDir)
+    PublishState.writeMeta(stateOutDir, cfg, outDir)
+
+    // Audit: the composed ledger's aggregates replace the corpus-frame
+    // counts one-for-one; bins from the landed manifest (tiny read).
     val c = foldCounts(Seq(
-      "input" -> newDocs, "decon" -> deconAll, "kept" -> kept,
-      "sampled" -> landedCurated, "bins" -> landedBins) ++
+      "input" -> newDocs,
+      "decon" -> composedNew,
+      "kept" -> composedNew.where(col("surv")),
+      "sampled" -> composedNew.where(col("member"))) ++
       spanStaged.map(s => "span" -> s.audit) ++
       lineStaged.map(s => "line" -> s.audit) ++
-      (if (semStateOn) Seq("semfinal" -> semFinal) else Nil))
+      (if (semStateOn)
+        Seq("semfinal" -> composedNew.where(col("surv") && col("semok")))
+      else Nil))
     spanStaged.foreach(_.afterAudit()); lineStaged.foreach(_.afterAudit())
-    semRelease(); kept.unpersist()
+    val bins = spark.read.parquet(s"$outDir/manifest")
+      .agg(coalesce(sum(col("n_bins")), lit(0L))).head().getLong(0)
+    prevLedger.unpersist(); updated.unpersist(); composedNew.unpersist()
     Stats(input = c("input"), gated = -1L, modelGated = -1L,
       decontaminated = c("decon"),
       spanCleaned = spanStaged.fold(-1L)(_ => c("span")),
       kept = c("kept"),
-      semDropped =
-        if (semStateOn) c("kept") - c("semfinal") else semDroppedEager,
-      sampled = c("sampled"), bins = c("bins"),
+      semDropped = if (semStateOn) c("kept") - c("semfinal") else -1L,
+      sampled = c("sampled"), bins = bins,
       lineCleaned = lineStaged.fold(-1L)(_ => c("line")))
+  }
+
+  /** Membership-flag recompute for the delta publisher: batch rows
+    * plus corrected rows for every old doc a flag COULD have moved
+    * for. Exactness rests on three locality facts: (1) every new LSH
+    * pair is batch-incident, so dedup-survivor choice can change only
+    * in clusters holding a batch doc; (2) every new semantic pair is
+    * batch-incident, and the semantic disposition additionally depends
+    * on members' SURV flags, so it can change only in semantic
+    * clusters holding a batch doc or a surv-changed doc; (3) the
+    * remaining flag inputs (quality, language, token count, the md5
+    * sample draw) are pure functions of the landed row and never
+    * change. Each recompute mirrors the full path's rule verbatim:
+    * [[TextDedup.dedupSurvivors]]' max(struct(quality, -id)) and
+    * [[semanticKeepFilter]]'s lowest-KEPT-id survivor. */
+  private def deltaLedgerRows(batchBase: DataFrame, prevLedger: DataFrame,
+      clusters: DataFrame, semLabels: Option[DataFrame]): DataFrame = {
+    val batchIds = batchBase.select(col("doc_id"))
+    val touchedCanon = clusters.join(batchIds, Seq("doc_id"))
+      .select(col("canonical_id")).distinct()
+    val membersD = clusters.join(touchedCanon, Seq("canonical_id"))
+      .select(col("doc_id"), col("canonical_id"))
+    val qual = prevLedger.select(col("doc_id"), col("quality_score"))
+      .unionByName(batchBase.select(col("doc_id"), col("quality_score")))
+    val survivors = membersD.join(qual, Seq("doc_id"))
+      .groupBy(col("canonical_id"))
+      .agg(max(struct(col("quality_score").as("q"),
+        (-col("doc_id")).as("negid"))).as("__best"))
+      .select(col("canonical_id"), (-col("__best.negid")).as("survivor_id"))
+    val dedupFlags = membersD.join(survivors, Seq("canonical_id"))
+      .select(col("doc_id"), (col("doc_id") === col("survivor_id")).as("surv"))
+    // Batch rows: clustered docs take the recomputed flag; unclustered
+    // docs are their own survivor (survivorFilter's null branch).
+    val batchFlagged = batchBase
+      .join(dedupFlags.withColumnRenamed("surv", "__ds"), Seq("doc_id"), "left")
+      .withColumn("surv", coalesce(col("__ds"), lit(true)))
+      .drop("__ds")
+    val oldDedup = dedupFlags.join(batchIds, Seq("doc_id"), "left_anti")
+    val semFlags = semLabels match {
+      case None => None
+      case Some(labels0) =>
+        val labels = labels0.select(col("doc_id"), col("canonical_id"))
+        // Seed: the batch plus old docs whose surv flag MOVED (their
+        // sem clusters must re-pick the lowest kept id).
+        val survChanged = oldDedup.as("n")
+          .join(prevLedger.select(col("doc_id"), col("surv").as("__o")),
+            Seq("doc_id"))
+          .where(col("surv") =!= col("__o"))
+          .select(col("doc_id"))
+        val touchedSem = labels
+          .join(batchIds.unionByName(survChanged).distinct(), Seq("doc_id"))
+          .select(col("canonical_id")).distinct()
+        val membersS = labels.join(touchedSem, Seq("canonical_id"))
+        // Current surv per member: recomputed where known, else the
+        // ledger's standing value.
+        val knownSurv = batchFlagged.select(col("doc_id"), col("surv"))
+          .unionByName(oldDedup)
+        val sSurv = membersS
+          .join(knownSurv.withColumnRenamed("surv", "__k"),
+            Seq("doc_id"), "left")
+          .join(prevLedger.select(col("doc_id"), col("surv").as("__p")),
+            Seq("doc_id"), "left")
+          .withColumn("__cur", coalesce(col("__k"), col("__p")))
+        val semSurv = sSurv.where(col("__cur"))
+          .groupBy(col("canonical_id")).agg(min(col("doc_id")).as("surv_id"))
+        Some(sSurv.join(semSurv, Seq("canonical_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("doc_id") === col("surv_id"), lit(false))
+              .as("semok")))
+    }
+    val batchRows = (semFlags match {
+      case None => batchFlagged.withColumn("semok", lit(true))
+      case Some(sf) =>
+        // Labeled batch docs are always in a touched cluster (their
+        // own); unlabeled pass through (semanticKeepFilter's null
+        // branch).
+        batchFlagged
+          .join(sf.withColumnRenamed("semok", "__sk"), Seq("doc_id"), "left")
+          .withColumn("semok", coalesce(col("__sk"), lit(true)))
+          .drop("__sk")
+    }).select(col("doc_id"), col("quality_score"), col("detected_lang"),
+      col("n_tokens"), col("sampled"), col("surv"), col("semok"),
+      col("shard"))
+    val oldIds = (semFlags match {
+      case None => oldDedup.select(col("doc_id"))
+      case Some(sf) => oldDedup.select(col("doc_id"))
+        .unionByName(sf.select(col("doc_id"))
+          .join(batchIds, Seq("doc_id"), "left_anti"))
+    }).distinct()
+    val oldRows = oldIds
+      .join(prevLedger, Seq("doc_id"))
+      .join(oldDedup.withColumnRenamed("surv", "__ns"), Seq("doc_id"), "left")
+      .join(semFlags.getOrElse(
+          batchIds.where(lit(false)).withColumn("semok", lit(true)))
+          .withColumnRenamed("semok", "__nk"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_score"), col("detected_lang"),
+        col("n_tokens"), col("sampled"),
+        coalesce(col("__ns"), col("surv")).as("surv"),
+        coalesce(col("__nk"), col("semok")).as("semok"),
+        col("shard"))
+    batchRows.unionByName(oldRows)
+      .withColumn("member", col("surv") && col("semok") && col("sampled"))
+  }
+
+  /** (Re)build the publish state from the FULL frames — the init path
+    * and the fallback publish's upgrade hook: per-doc ledger rows with
+    * flags read off the actual kept/semFinal frames (so the stored
+    * flags equal the landed publish by construction), the per-shard
+    * fingerprints, and the meta pointing at this publish. */
+  private def writePublishState(spark: org.apache.spark.sql.SparkSession,
+      decon: DataFrame, kept: DataFrame, semFinal: DataFrame,
+      semLabels: Option[DataFrame], cfg: PublishState.Config,
+      stateOutDir: String, outDir: String, v: Long): Unit = {
+    val base = PublishState.baseRows(
+      decon.select(col("doc_id"), col("text"), col("quality_score")), cfg)
+    val labeled = semLabels match {
+      case Some(l) => l.select(col("doc_id")).withColumn("__l", lit(true))
+      case None => spark.range(0)
+        .select(col("id").as("doc_id"), lit(true).as("__l"))
+    }
+    val ledger = base
+      .join(kept.select(col("doc_id")).withColumn("__k", lit(true)),
+        Seq("doc_id"), "left")
+      .join(semFinal.select(col("doc_id")).withColumn("__s", lit(true)),
+        Seq("doc_id"), "left")
+      .join(labeled, Seq("doc_id"), "left")
+      .withColumn("surv", coalesce(col("__k"), lit(false)))
+      .withColumn("semok",
+        col("__l").isNull || coalesce(col("__s"), lit(false)))
+      .withColumn("member", col("surv") && col("semok") && col("sampled"))
+      .drop("__k", "__s", "__l")
+    PublishState.writeLedgerSlice(ledger, stateOutDir, v)
+    PublishState.writeFingerprints(spark,
+      PublishState.fingerprintsOf(
+        PublishState.composeLedger(spark, Seq(stateOutDir))),
+      stateOutDir)
+    PublishState.writeMeta(stateOutDir, cfg, outDir)
   }
 
   /** Lineage compaction — the state rebase (VERDICT r05 item 8). The
@@ -1093,8 +1461,8 @@ object CurationRun {
     require(!retrainSemantic || embeddings.isDefined,
       "retrainSemantic needs the embeddings frame to re-derive cells")
     val lineage = StateLayout.readLineage(stateInDir)
-    Sinks.overwriteParquet(readSlices(spark, lineage, "decon_batch"),
-      s"$stateOutDir/decon_batch", numFiles = 4)
+    StateLayout.writeBucketed(readSlices(spark, lineage, "decon_batch"),
+      s"$stateOutDir/decon_batch", "doc_id")
     StateLayout.writeBucketed(readSlices(spark, lineage, "index_batch"),
       s"$stateOutDir/index_batch", "doc_id")
     Sinks.overwriteParquet(readSlices(spark, lineage, "signatures_batch"),
@@ -1204,6 +1572,19 @@ object CurationRun {
           java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
+    }
+    // Publish state consolidates like the df slices: latest-wins
+    // compose into ONE complete slice (v resets with the lineage);
+    // fingerprints and the previous-publish pointer copy forward
+    // unchanged — a rebase compacts state, it does not publish.
+    if (PublishState.active(stateInDir)) {
+      PublishState.writeLedgerSlice(
+        PublishState.composeLedger(spark, lineage), stateOutDir, v = 0L)
+      Sinks.overwriteParquet(
+        PublishState.readFingerprints(spark, stateInDir),
+        s"$stateOutDir/publish_shards", numFiles = 1)
+      val (fp, prevOut) = PublishState.readMeta(stateInDir)
+      PublishState.writeMetaRaw(stateOutDir, fp, prevOut)
     }
     StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))
   }
@@ -1340,7 +1721,7 @@ object CurationRun {
       minQuality: Double = 0.5, dedupThreshold: Double = 0.25,
       minContaminatedShingles: Int = 1,
       fractions: Map[String, Double] = Map.empty, defaultFraction: Double = 1.0,
-      packBudget: Long = 4096L, packShards: Int = 8,
+      packBudget: Long = 4096L, publishSpan: Long = 1024L,
       spanK: Int = 8, spanMinDf: Int = 2,
       embeddings: Option[DataFrame] = None, semClusters: Int = 16,
       semIters: Int = 2, semThreshold: Double = 0.99,
@@ -1421,7 +1802,7 @@ object CurationRun {
     // Deterministic language-stratified mix + the curated/packed/
     // manifest sinks — the shared output tail of all three cadences.
     val (landedCurated, landedBins) = landOutputs(semFinal, outDir,
-      fractions, defaultFraction, packBudget, packShards)
+      fractions, defaultFraction, packBudget, publishSpan)
 
     // One folded audit action (VERDICT r09 item 3) — same discipline
     // as the weekly cadences; the counts that gate stage RELEASES

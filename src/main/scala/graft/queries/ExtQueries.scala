@@ -1039,7 +1039,7 @@ object ExtQueries {
     CurationRun.runInit(b(0), benchmark, s"$base/out0", s"$base/state0",
       minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
       fractions = Map("en" -> 0.5), defaultFraction = 0.9,
-      packBudget = 4096L, packShards = 8,
+      packBudget = 4096L, publishSpan = 1024L,
       embeddings = Some(emb), semClusters = 8, semIters = 2,
       semThreshold = 0.35,
       classifier = Some((weights, 256)), minClassifierScore = 0.0001,
@@ -1052,7 +1052,7 @@ object ExtQueries {
       s"$base/state0", s"$base/state1",
       minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
       fractions = Map("en" -> 0.5), defaultFraction = 0.9,
-      packBudget = 4096L, packShards = 8,
+      packBudget = 4096L, publishSpan = 1024L,
       embeddings = Some(emb), semClusters = 8, semIters = 2,
       semThreshold = 0.35,
       classifier = Some((weights, 256)), minClassifierScore = 0.0001,
@@ -1061,7 +1061,7 @@ object ExtQueries {
       s"$base/state1", s"$base/state2",
       minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
       fractions = Map("en" -> 0.5), defaultFraction = 0.9,
-      packBudget = 4096L, packShards = 8,
+      packBudget = 4096L, publishSpan = 1024L,
       embeddings = Some(emb), semClusters = 8, semIters = 2,
       semThreshold = 0.35,
       classifier = Some((weights, 256)), minClassifierScore = 0.0001,
@@ -1857,7 +1857,7 @@ object ExtQueries {
     val st = CurationRun.run(corpus, benchmark, out,
       minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
       fractions = Map("en" -> 0.5), defaultFraction = 0.9,
-      packBudget = 4096L, packShards = 8,
+      packBudget = 4096L, publishSpan = 1024L,
       spanK = 8, spanMinDf = 2,
       embeddings = Some(Tables.embeddings(s, dir)),
       semClusters = 8, semIters = 2, semThreshold = 0.35,
@@ -2546,7 +2546,9 @@ object ExtQueries {
 
   /** Output tail over the final kept frame `kfinName` (doc_id, text):
     * language-id, the md5 sample draw (en 0.5 / default 0.9), and the
-    * doc_id%8 shard packing at budget 4096; emits samp/pbin. */
+    * RANGE-sharded packing (shard = doc_id div 1024 — the cadence
+    * publish's batch-affine sharding, VERDICT r10 item 1) at budget
+    * 4096; emits samp/pbin. */
   private def e2eTailCtes(kfinName: String): String =
     s"""${e2eLangCtes(kfinName, "ll")},
        |samp AS MATERIALIZED (SELECT k9.doc_id, k9.text, lld.detected_lang
@@ -2554,7 +2556,7 @@ object ExtQueries {
        |  WHERE ('0x' || substr(md5(k9.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
        |    < CAST(floor(CASE lld.detected_lang WHEN 'en' THEN 0.5 ELSE 0.9 END * 1000000) AS BIGINT)),
        |ptk AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM samp),
-       |psh AS (SELECT doc_id, n_tokens, CAST(doc_id % 8 AS INT) AS shard FROM ptk),
+       |psh AS (SELECT doc_id, n_tokens, CAST(doc_id // 1024 AS INT) AS shard FROM ptk),
        |ppre AS (SELECT *, coalesce(sum(n_tokens) OVER (
        |    PARTITION BY shard ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix FROM psh),

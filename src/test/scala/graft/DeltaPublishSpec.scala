@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Delta weekly publish (VERDICT r10 item 1): the increment that
+  * re-publishes ONLY shards whose member set changed must be
+  * bit-equal — curated rows, packed bins, manifest rows, audit stats —
+  * to the full re-publish of the composed corpus, across two
+  * increments, INCLUDING the hard cases: a batch near-dup displacing
+  * an old survivor (its shard changes, the doc leaves), the displaced
+  * doc's semantic-cluster peer RE-SURFACING (enters curated without
+  * ever being in the previous publish — text via the doc-pruned decon
+  * read), and untouched shards carried forward as hard links (pinned
+  * by inode equality, proving pure IO, zero bytes rewritten). */
+class DeltaPublishSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Fixture geometry (publishSpan = 4, shard = doc_id div 4):
+  //  - doc 1 ("a", shard 0): 16 tokens -> misses the >= 20-token
+  //    quality band, score 0.75; sem-paired with doc 2.
+  //  - doc 2 ("b", shard 0): textually distinct, same embedding as 1;
+  //    at init the sem cluster {1, 2} keeps the lower kept id (1), so
+  //    2 is NOT in the first publish.
+  //  - docs 4, 5, 7 (shard 1) and 8 (shard 2): stable fillers,
+  //    mutually distinct texts.
+  //  - inc1 batch doc 11 (shard 2): doc 1's text + six extra tokens
+  //    -> 22 tokens, quality 1.0, 3-gram Jaccard vs doc 1 = 14/20 —
+  //    displaces 1 as dedup survivor; sem cluster {1, 2}'s kept
+  //    members become {2}, so 2 RE-SURFACES. Changed shards: 0
+  //    (1 leaves, 2 enters) and 2 (11 appends); shard 1 carries.
+  //  - inc2 batch doc 14 (shard 3): its own NEW shard — range
+  //    sharding keeps a pure-append week from touching ANY old
+  //    shard; 0, 1, 2 all carry.
+  private val aText =
+    "the amber lantern swung gently above wooden crates stacked " +
+      "beside narrow canal boats every misty evening"
+  private val cText = aText + " before the cold autumn rains arrived"
+  private val bText =
+    "granite cliffs rise steeply where gulls wheel over cold grey " +
+      "water and distant sails fade slowly into the northern haze line"
+  private val initDocs = Seq(
+    1L -> aText, 2L -> bText,
+    4L -> ("four bakers arranged warm loaves along the counter before " +
+      "sunrise brought the first customers through the door"),
+    5L -> ("five gardeners planted rows of tulips beside the gravel " +
+      "path while morning light spread slowly across the lawn"),
+    7L -> ("seven sailors mended canvas sails under the harbor lamps " +
+      "as the tide pushed small boats against the wooden pier"),
+    8L -> ("eight students copied maps of ancient rivers onto thin " +
+      "paper during the long quiet afternoon lesson hour"))
+  private val inc1Docs = Seq(11L -> cText)
+  private val inc2Docs = Seq(14L ->
+    ("fourteen carved chess pieces waited patiently under glass while " +
+      "rain traced long silver lines down the museum front tonight"))
+  private val emb = Seq(
+    1L -> Seq(1f, 0f, 0f, 0f),
+    2L -> Seq(0.999f, 0.04f, 0f, 0f),
+    4L -> Seq(0f, 1f, 0f, 0f),
+    5L -> Seq(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+  private val benchmark = Seq(900L ->
+    "zyx wvu tsr qpo nml kji hgf edc ba9 87z y6x w5v u4t s3r q2p o1n")
+    .toDF("doc_id", "text")
+
+  private def runChain(base: String, forceFull: Boolean): Seq[CurationRun.Stats] = {
+    def docs(s: Seq[(Long, String)]) = s.toDF("doc_id", "text")
+    def stripMeta(stateDir: String): Unit =
+      if (forceFull)
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$stateDir/publish_meta.txt"))
+    val init = CurationRun.runInit(docs(initDocs), benchmark,
+      s"$base/out0", s"$base/s0", minQuality = 0.0,
+      embeddings = Some(emb), semClusters = 2, semIters = 2,
+      semThreshold = 0.9, semanticState = true, publishSpan = 4L,
+      packBudget = 64L)
+    stripMeta(s"$base/s0")
+    val i1 = CurationRun.runIncremental(docs(inc1Docs), benchmark,
+      s"$base/out1", s"$base/s0", s"$base/s1", minQuality = 0.0,
+      embeddings = Some(emb), semThreshold = 0.9, publishSpan = 4L,
+      packBudget = 64L)
+    stripMeta(s"$base/s1")
+    val i2 = CurationRun.runIncremental(docs(inc2Docs), benchmark,
+      s"$base/out2", s"$base/s1", s"$base/s2", minQuality = 0.0,
+      embeddings = Some(emb), semThreshold = 0.9, publishSpan = 4L,
+      packBudget = 64L)
+    Seq(init, i1, i2)
+  }
+
+  private def curatedSet(dir: String) =
+    spark.read.parquet(s"$dir/curated")
+      .select(col("doc_id"), col("text"), col("detected_lang"),
+        col("quality_score"))
+      .as[(Long, String, String, Double)].collect().toSet
+
+  private def packedSet(dir: String) =
+    spark.read.parquet(s"$dir/packed")
+      .select(col("shard"), col("bin"), col("n_docs"), col("total_tokens"),
+        col("doc_ids"), col("packed_text"))
+      .as[(Int, Long, Long, Long, String, String)].collect().toSet
+
+  private def manifestSet(dir: String) =
+    spark.read.parquet(s"$dir/manifest")
+      .select(col("shard"), col("n_bins"), col("n_docs"),
+        col("total_tokens"), col("checksum"), col("capacity_tokens"),
+        col("fill_ratio"))
+      .as[(Int, Long, Long, Long, Long, Long, Double)].collect().toSet
+
+  private def ino(p: String): Any =
+    java.nio.file.Files.getAttribute(java.nio.file.Paths.get(p), "unix:ino")
+
+  test("delta publish == full re-publish across two increments") {
+    val baseA = TestSpark.tmpDir("delta_pub_a") // delta (default)
+    val baseB = TestSpark.tmpDir("delta_pub_b") // publish state stripped
+    val statsA = runChain(baseA, forceFull = false)
+    val statsB = runChain(baseB, forceFull = true)
+    assert(statsA == statsB, "audit stats must match the full path")
+    for (out <- Seq("out0", "out1", "out2")) {
+      assert(curatedSet(s"$baseA/$out") == curatedSet(s"$baseB/$out"),
+        s"$out curated")
+      assert(packedSet(s"$baseA/$out") == packedSet(s"$baseB/$out"),
+        s"$out packed")
+      assert(manifestSet(s"$baseA/$out") == manifestSet(s"$baseB/$out"),
+        s"$out manifest")
+    }
+
+    // The fixture's churn actually happened: 11 displaced 1, and 2
+    // re-surfaced (it was absent from out0 — the enter path ran).
+    val c0 = curatedSet(s"$baseA/out0").map(_._1)
+    val c1 = curatedSet(s"$baseA/out1").map(_._1)
+    assert(c0.contains(1L) && !c0.contains(2L) && !c0.contains(11L))
+    assert(!c1.contains(1L), "doc 1 must be displaced by its near-dup")
+    assert(c1.contains(11L), "the higher-quality near-dup survives")
+    assert(c1.contains(2L), "the sem-cluster peer must re-surface")
+
+    // Carried shards are HARD LINKS of the previous publish's files —
+    // pure IO, zero bytes rewritten. Shard 1 (fillers 4, 5, 7) never
+    // changes; its inc1 and inc2 files share inodes with out0's.
+    for (art <- Seq("curated", "packed")) {
+      val f0 = PublishState.shardFiles(s"$baseA/out0/$art", 1)
+      assert(f0.nonEmpty, s"shard 1 must exist in out0/$art")
+      for (out <- Seq("out1", "out2")) {
+        val f = PublishState.shardFiles(s"$baseA/$out/$art", 1)
+        assert(f.map(ino).toSet == f0.map(ino).toSet,
+          s"$out/$art shard 1 must be hard links of out0's files")
+      }
+    }
+    // A changed shard was really rewritten (fresh inodes)...
+    val p1 = PublishState.shardFiles(s"$baseA/out1/curated", 0)
+    val p0 = PublishState.shardFiles(s"$baseA/out0/curated", 0)
+    assert(p0.map(ino).toSet.intersect(p1.map(ino).toSet).isEmpty,
+      "shard 0 changed (doc 1 left, doc 2 entered) — files must be rewritten")
+    // ...and a pure-append week (inc2's doc 14 -> its own new shard 3)
+    // carries EVERY old shard — range sharding's point: the batch
+    // never sprays into old shards, so publish IO is the batch alone.
+    for (art <- Seq("curated", "packed"); n <- Seq(0, 2)) {
+      val prev = PublishState.shardFiles(s"$baseA/out1/$art", n)
+      val now = PublishState.shardFiles(s"$baseA/out2/$art", n)
+      assert(prev.nonEmpty && now.map(ino).toSet == prev.map(ino).toSet,
+        s"out2/$art shard $n must carry forward (pure-append week)")
+    }
+    assert(PublishState.shardFiles(s"$baseA/out2/curated", 3).nonEmpty,
+      "the append week's batch lands in its own new shard")
+  }
+}

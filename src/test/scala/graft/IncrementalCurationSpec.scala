@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions.{coalesce, col, lit, round, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.pipeline.CurationRun
+import graft.pipeline.{CurationRun, StateLayout}
 
 /** Weekly-cadence curation (VERDICT r04 item 8): init(A) then
   * incremental(B) must land the SAME curated corpus, packed bins, and
@@ -378,8 +378,8 @@ class IncrementalCurationSpec extends AnyFunSuite {
     // composed decon corpus under the read-back frozen model.
     val (m, cen) = VectorSim.annModelFromFrame(
       spark.read.parquet(s"$base/state_2/ann_model"))
-    val deconIds = spark.read
-      .parquet(s"$base/state_1/decon_batch", s"$base/state_2/decon_batch")
+    val deconIds = StateLayout.readSlicePaths(spark,
+        Seq(s"$base/state_1/decon_batch", s"$base/state_2/decon_batch"))
       .select(col("doc_id"))
     val vecsAll = deconIds
       .join(emb, col("doc_id") === col("vec_id"))
@@ -495,7 +495,7 @@ class IncrementalCurationSpec extends AnyFunSuite {
       spark.read.parquet(s"$d/sem_centroids").as[(Int, Seq[Double])]
         .collect().sortBy(_._1).map(_._2.toArray).toSeq
     def vecsOf(stateDirs: Seq[String], emb: org.apache.spark.sql.DataFrame) =
-      spark.read.parquet(stateDirs.map(d => s"$d/decon_batch"): _*)
+      StateLayout.readSlicePaths(spark, stateDirs.map(d => s"$d/decon_batch"))
         .select(col("doc_id"))
         .join(emb.select(col("vec_id"), col("embedding")),
           col("doc_id") === col("vec_id"))
@@ -600,7 +600,7 @@ class IncrementalCurationSpec extends AnyFunSuite {
       s"$base/state_1", spanState = true)
     assert(init.spanCleaned == 0L, "boilerplate is unique within the init corpus")
     def stored(d: String): Map[Long, String] =
-      spark.read.parquet(s"$d/decon_batch")
+      StateLayout.readSlice(spark, s"$d/decon_batch")
         .select("doc_id", "text").as[(Long, String)].collect().toMap
     val storedA = stored(s"$base/state_1")
     assert(storedA(2L).contains("standard license header"),
@@ -642,7 +642,7 @@ class IncrementalCurationSpec extends AnyFunSuite {
       s"$base/state_1", lineState = true)
     assert(init.lineCleaned == 0L, "the footer is unique within the init corpus")
     def stored(d: String): Map[Long, String] =
-      spark.read.parquet(s"$d/decon_batch")
+      StateLayout.readSlice(spark, s"$d/decon_batch")
         .select("doc_id", "text").as[(Long, String)].collect().toMap
     val storedA = stored(s"$base/state_1")
     assert(storedA(2L).contains(footer), "init must land the doc uncut at df 1")
@@ -721,7 +721,7 @@ class IncrementalCurationSpec extends AnyFunSuite {
         centroidsIn: Option[String], ann: Boolean) =
       CurationRun.runInit(docs, benchmark, out, st,
         minQuality = 0.0, dedupThreshold = 0.25, minContaminatedShingles = 1,
-        defaultFraction = 1.0, packBudget = 64L, packShards = 2,
+        defaultFraction = 1.0, packBudget = 64L, publishSpan = 8L,
         embeddings = Some(emb), semClusters = 2, semIters = 2,
         semThreshold = 0.9,
         semanticState = true, semSalt = 1, semCentroidsIn = centroidsIn,
@@ -733,7 +733,7 @@ class IncrementalCurationSpec extends AnyFunSuite {
         stIn: String, stOut: String) =
       CurationRun.runIncremental(docs, benchmark, out, stIn, stOut,
         minQuality = 0.0, dedupThreshold = 0.25, minContaminatedShingles = 1,
-        defaultFraction = 1.0, packBudget = 64L, packShards = 2,
+        defaultFraction = 1.0, packBudget = 64L, publishSpan = 8L,
         embeddings = Some(emb), semClusters = 2, semIters = 2,
         semThreshold = 0.9, spanK = 8, spanMinDf = 2, lineMinDf = 2)
 
@@ -793,8 +793,8 @@ class IncrementalCurationSpec extends AnyFunSuite {
     // composed decon vectors under the state's frozen model.
     val (m2, cen2) = VectorSim.annModelFromFrame(
       spark.read.parquet(s"$base/state2/ann_model"))
-    val composedVecs = spark.read
-      .parquet(cadence.map(_ + "/decon_batch"): _*)
+    val composedVecs = StateLayout.readSlicePaths(spark,
+        cadence.map(_ + "/decon_batch"))
       .select(col("doc_id"))
       .join(emb.select(col("vec_id"), col("embedding")),
         col("doc_id") === col("vec_id"))
