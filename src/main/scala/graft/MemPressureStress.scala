@@ -83,6 +83,62 @@ object MemPressureStress {
       s"the $memCap MiB cap must actually force spill — a zero here means the " +
         "row stopped testing memory pressure (corpus too small for the cap?)")
     idx.df.unpersist(); clusters.unpersist()
+
+    // Composed-cadence shape under the same cap (VERDICT r10 item 7):
+    // runInit + runIncremental with ALL FOUR states active (line-df,
+    // span-df, frozen-quantizer semantic, ANN codes) plus the delta
+    // publish and the folded audit action — the state writes, the
+    // ledger compose, and the per-shard pack windows have different
+    // memory behavior than the dedup-report chain above. Green
+    // completion with recorded spill, and the audit stats + shard
+    // manifest bit-equal to an UNCAPPED run of the same chain.
+    def cadence(s: org.apache.spark.sql.SparkSession,
+        base: String): (Seq[pipeline.CurationRun.Stats], Set[String]) = {
+      val d = Tables.documents(s, dir)
+      val corpus = d.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val benchmark = d.where(pmod(col("doc_id"), lit(97)) === 0)
+      val emb = Tables.embeddings(s, dir)
+      def b(i: Int) = corpus.where(pmod(col("doc_id"), lit(2)) === i)
+      val st0 = pipeline.CurationRun.runInit(b(0), benchmark,
+        s"$base/out0", s"$base/state0", minQuality = 0.5,
+        embeddings = Some(emb), semClusters = 8, semIters = 2,
+        semThreshold = 0.35, semanticState = true,
+        annState = true, annSubspaces = 4, annCodewords = 8,
+        annClusters = 4, annIters = 2,
+        spanState = true, lineState = true)
+      val st1 = pipeline.CurationRun.runIncremental(b(1), benchmark,
+        s"$base/out1", s"$base/state0", s"$base/state1", minQuality = 0.5,
+        embeddings = Some(emb), semClusters = 8, semIters = 2,
+        semThreshold = 0.35)
+      val manifest = s.read.parquet(s"$base/out1/manifest")
+        .collect().map(_.toString).toSet
+      (Seq(st0, st1), manifest)
+    }
+    spillMem.set(0L); spillDisk.set(0L)
+    val t1 = System.nanoTime()
+    val (cappedStats, cappedManifest) =
+      cadence(spark, "/tmp/graft_mem_cadence_capped")
+    val dtC = (System.nanoTime() - t1) / 1e9
+    org.apache.spark.graft.SparkShims.waitUntilListenerBusEmpty(spark, 30000L)
+    val cadMem = spillMem.get >> 20
+    val cadDisk = spillDisk.get >> 20
     spark.stop()
+    val free = Sessions.local(8, "graft-mem-cadence-free",
+      Map("spark.sql.shuffle.partitions" -> "8"))
+    val t2 = System.nanoTime()
+    val (freeStats, freeManifest) =
+      cadence(free, "/tmp/graft_mem_cadence_free")
+    val dtF = (System.nanoTime() - t2) / 1e9
+    println(f"mem-pressure composed cadence (${memCap} MiB cap) $dtC%7.1f s" +
+      f"  (uncapped $dtF%7.1f s)  spill mem=${cadMem}MB disk=${cadDisk}MB" +
+      s"  stats=${cappedStats.last}")
+    require(cappedStats == freeStats,
+      "capped cadence audit stats must equal the uncapped run's")
+    require(cappedManifest == freeManifest,
+      "capped cadence shard manifest must equal the uncapped run's")
+    require(cadMem + cadDisk > 0L,
+      s"the $memCap MiB cap must force spill in the cadence shape too — " +
+        "a zero means this phase stopped testing memory pressure")
+    free.stop()
   }
 }

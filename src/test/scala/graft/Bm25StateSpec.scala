@@ -66,6 +66,28 @@ class Bm25StateSpec extends AnyFunSuite {
     assert(StateLayout.bucketsOf(s"$base/rb/postings_batch").isDefined)
   }
 
+  test("validateDisjoint fails fast on a re-ingested doc id") {
+    val base = TestSpark.tmpDir("bm25_state_disjoint")
+    Bm25State.writeInit(docsAll.take(3).toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/s0")
+    // A clean batch passes WITH validation on.
+    Bm25State.writeIncrement(docsAll.slice(3, 5).toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/s0", s"$base/s1", validateDisjoint = true)
+    // A batch re-ingesting doc 2 would silently double-count its
+    // tf/df/n_docs under additive composition — the opt-in check must
+    // refuse BEFORE the slice lands.
+    val bad = Seq((2L, "a recrawl of doc two with fresh words"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bm25State.writeIncrement(bad, "doc_id", "text",
+        s"$base/s1", s"$base/s2", validateDisjoint = true)
+    }
+    assert(e.getMessage.contains("disjoint-id"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/s2/lineage.txt")),
+      "the refused increment must not land a state version")
+  }
+
   test("a term absent from some batches still scores with composed df") {
     val base = TestSpark.tmpDir("bm25_state_absent")
     // 'hash' appears only in batches 0 and 1; 'filter' only in 0 and 2.
