@@ -95,19 +95,36 @@ object MemPressureStress {
     def cadence(s: org.apache.spark.sql.SparkSession,
         base: String): (Seq[pipeline.CurationRun.Stats], Set[String]) = {
       val d = Tables.documents(s, dir)
-      val corpus = d.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      // The same 10x replication as the dedup phase — the sf corpus
+      // alone completes spill-free under the cap (measured), i.e.
+      // tests nothing. Replica 0 keeps its embedding row (ids map
+      // through the same *reps transform); markers make the others
+      // near-dups, so survivor selection has real cross-batch work.
+      val corpus = (0 until reps).map { i =>
+        d.where(pmod(col("doc_id"), lit(97)) =!= 0).select(
+          (col("doc_id") * reps + i).as("doc_id"),
+          (if (i == 0) col("text")
+           else concat(col("text"), lit(s" replicamarker$i"))).as("text"))
+      }.reduce(_ unionByName _)
       val benchmark = d.where(pmod(col("doc_id"), lit(97)) === 0)
-      val emb = Tables.embeddings(s, dir)
+      val emb = Tables.embeddings(s, dir).select(
+        (col("vec_id") * reps).as("vec_id"), col("embedding"))
       def b(i: Int) = corpus.where(pmod(col("doc_id"), lit(2)) === i)
+      // Gates OPEN (minQuality 0, decon floor 5): the point is the
+      // corpus/memory ratio on the heavy stages — the default gates
+      // cut this synthetic corpus to ~12% before them (measured:
+      // spill-free, i.e. testing nothing).
       val st0 = pipeline.CurationRun.runInit(b(0), benchmark,
-        s"$base/out0", s"$base/state0", minQuality = 0.5,
+        s"$base/out0", s"$base/state0", minQuality = 0.0,
+        minContaminatedShingles = 5,
         embeddings = Some(emb), semClusters = 8, semIters = 2,
         semThreshold = 0.35, semanticState = true,
         annState = true, annSubspaces = 4, annCodewords = 8,
         annClusters = 4, annIters = 2,
         spanState = true, lineState = true)
       val st1 = pipeline.CurationRun.runIncremental(b(1), benchmark,
-        s"$base/out1", s"$base/state0", s"$base/state1", minQuality = 0.5,
+        s"$base/out1", s"$base/state0", s"$base/state1", minQuality = 0.0,
+        minContaminatedShingles = 5,
         embeddings = Some(emb), semClusters = 8, semIters = 2,
         semThreshold = 0.35)
       val manifest = s.read.parquet(s"$base/out1/manifest")

@@ -116,7 +116,9 @@ object Plans {
       "q148_lowcard_rank" ->
         "LOW-cardinality (0..7) corpus rank: gopher_measures kernel in the scan projection; two-level __bnd histogram cumulatives; per-row window partitioned by (pass_ct, md5 tie bucket) — a corpus-sized tie group never sorts on one task",
       "q149_bm25_state" ->
-        "serving scan of the composed postings state carries the bucket= partition filter (the probed terms' buckets only, never a corpus scan); df counted from the same pruned read; broadcast stats; partial top_k_by_score — no sort")
+        "serving scan of the composed postings state carries the bucket= partition filter (the probed terms' buckets only, never a corpus scan); df counted from the same pruned read; broadcast stats; partial top_k_by_score — no sort",
+      "q150_lm_state" ->
+        "both LM count-state scans (bg_counts_batch, prefix_counts_batch) carry bucket= partition filters derived from the QUERY's own grams/histories — per-query serving IO tracks the query, not the corpus vocabulary; composed counts re-summed map-side; broadcast 1-row vocab")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `graft.Plans`, sf0.001)\n")
     sb.append("\n_q137_curation_e2e has no plan artifact by construction: the entry " +
