@@ -118,7 +118,7 @@ object Plans {
       "q149_bm25_state" ->
         "serving scan of the composed postings state carries the bucket= partition filter (the probed terms' buckets only, never a corpus scan); df counted from the same pruned read; broadcast stats; partial top_k_by_score — no sort",
       "q150_lm_state" ->
-        "both LM count-state scans (bg_counts_batch, prefix_counts_batch) carry bucket= partition filters derived from the QUERY's own grams/histories — per-query serving IO tracks the query, not the corpus vocabulary; composed counts re-summed map-side; broadcast 1-row vocab")
+        "both LM count-state scans (bg_counts_batch, prefix_counts_batch) carry bucket= partition filters derived from the QUERY's own grams/histories — per-query serving IO tracks the query, not the corpus vocabulary. At THIS entry's scale the INSET saturates all 32 buckets (the catalog query scores a whole held-out doc set, keys >> B — the honest min(1, keys/B) degrade, never more bytes); the sliver regime is LmStateSpec's short-query pin. Composed counts re-sum map-side; 1-row vocab broadcast")
     val sb = new StringBuilder
     sb.append("# PLANS — headline physical plans (generated by `graft.Plans`, sf0.001)\n")
     sb.append("\n_q137_curation_e2e has no plan artifact by construction: the entry " +
