@@ -740,6 +740,11 @@ object ScaleStress {
           def walk(p: SparkPlan): Long = p match {
             case a: adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
             case q: adaptive.QueryStageExec => walk(q.plan)
+            // The serve path persists its pruned read — the real scan
+            // hides behind the cache node's cachedPlan (metrics
+            // populate when the action materializes the cache).
+            case c: columnar.InMemoryTableScanExec =>
+              walk(c.relation.cachedPlan)
             case s: FileSourceScanExec =>
               s.metrics.get("numFiles").map(_.value).getOrElse(0L)
             case other =>

@@ -43,6 +43,19 @@ import graft.sources.Sinks
   */
 object CurationRun {
 
+  /** Opt-in cadence phase timing (`SPARK_GRAFT_CADENCE_PROF=1`): one
+    * line per labeled phase on stdout — the profiling hook that found
+    * the r11 publish-tail regression. Zero cost when unset. */
+  private val profOn = sys.env.get("SPARK_GRAFT_CADENCE_PROF").contains("1")
+  private def prof[A](label: String)(body: => A): A =
+    if (!profOn) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"  [cadence-prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
   /** Drive the full pass over a testdata SF dir (benchmark = the q47
     * split: every 97th doc):
     * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.pipeline.CurationRun"` */
@@ -626,11 +639,16 @@ object CurationRun {
     * per-action cost that was the largest slice of q146. Frames over
     * persisted caches / landed parquet count from cache / footers. */
   private def foldCounts(stats: Seq[(String, DataFrame)]): Map[String, Long] =
-    stats.map { case (k, df) =>
-      df.agg(count(lit(1)).cast("long").as("n"))
-        .select(lit(k).as("k"), col("n"))
-    }.reduce(_ unionByName _)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (profOn)
+      // Profiling form: one action per stat so the phase log attributes
+      // the cost (the folded single-action form hides which frame pays).
+      stats.map { case (k, df) => k -> prof(s"    count:$k")(df.count()) }.toMap
+    else
+      stats.map { case (k, df) =>
+        df.agg(count(lit(1)).cast("long").as("n"))
+          .select(lit(k).as("k"), col("n"))
+      }.reduce(_ unionByName _)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Language-stratified sample + curated/packed sinks over a kept
     * frame — the output tail of both cadences. Returns the LANDED
@@ -725,9 +743,10 @@ object CurationRun {
       if (lineState) Some(lineStateStage(docs, _ => emptyGramCounts(spark),
         stateOutDir, lineMinDf))
       else None
-    val deconRaw = prepBatch(lineStaged.map(_.frame).getOrElse(docs),
+    val deconRaw = prof("init:prep")(prepBatch(
+      lineStaged.map(_.frame).getOrElse(docs),
       benchmark, minQuality,
-      minContaminatedShingles, classifier, minClassifierScore)
+      minContaminatedShingles, classifier, minClassifierScore))
     // Span-df state (opt-in): init cleans against its own counts (an
     // empty history is the from-scratch df), landing cleaned text.
     val spanStaged =
@@ -737,8 +756,9 @@ object CurationRun {
     // Bucketed by doc_id (VERDICT r10 item 1): the delta publisher's
     // rare re-surfacing-doc lookup reads decon text PRUNED to those
     // ids' buckets instead of scanning the composed corpus.
-    StateLayout.writeBucketed(spanStaged.map(_.frame).getOrElse(deconRaw),
-      s"$stateOutDir/decon_batch", "doc_id")
+    prof("init:decon-write")(
+      StateLayout.writeBucketed(spanStaged.map(_.frame).getOrElse(deconRaw),
+        s"$stateOutDir/decon_batch", "doc_id", buckets = 8))
     // The decon write materialized both stages' compact output caches;
     // their token-scale intermediates (lines/grams) release NOW, the
     // audit caches stay for the run's one folded stats action.
@@ -747,7 +767,8 @@ object CurationRun {
     StateLayout.writeBucketed(
       deconS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
       s"$stateOutDir/hash_batch", "content_hash")
-    val idx = TextDedup.buildIndex(deconS, "doc_id", "text", n = 3, bits = 32)
+    val idx = prof("init:index")(
+      TextDedup.buildIndex(deconS, "doc_id", "text", n = 3, bits = 32))
     // The index slice lands bucketed BY DOC ID (VERDICT r09 item 1
     // extended to the dedup front): later increments verify candidate
     // pairs against history shingle sets read pruned to the candidate
@@ -764,12 +785,13 @@ object CurationRun {
     // instead of re-banding the corpus signatures every week.
     StateLayout.writeBucketed(TextDedup.bandFrame(sigS, NumHashes, Bands),
       s"$stateOutDir/bands_batch", "band")
-    val clusters = TextDedup.connectedComponents(
-      TextDedup.minhashLshPairs(idxS, sigS, dedupThreshold, NumHashes, Bands))
-    Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
+    val clusters = prof("init:pairs+cc")(TextDedup.connectedComponents(
+      TextDedup.minhashLshPairs(idxS, sigS, dedupThreshold, NumHashes, Bands)))
+    prof("init:clusters-write")(
+      Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1))
     val clustersS = spark.read.parquet(s"$stateOutDir/clusters")
     StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))
-    val kept = keepFromClusters(deconS, clustersS).persist()
+    val kept = prof("init:kept")(keepFromClusters(deconS, clustersS).persist())
     val (semFinal, semStateOn, semDroppedEager, semRelease) =
       if (semanticState && embeddings.isDefined) {
         val emb = embeddings.get
@@ -785,10 +807,10 @@ object CurationRun {
           .persist()
         // Frozen quantizer: trained on the init corpus (or supplied,
         // e.g. by a seeded scratch replay / a rebase); becomes state.
-        val cen = semCentroidsIn match {
+        val cen = prof("init:sem-train")(semCentroidsIn match {
           case Some(p) => readSemCentroids(spark, p)
           case None => VectorSim.kmeansCentroids(vecs, semClusters, semIters)
-        }
+        })
         writeSemCentroids(spark, stateOutDir, cen)
         // The salt is part of the frozen quantizer contract — record
         // it in state so incrementals can't drift from init's value.
@@ -810,8 +832,8 @@ object CurationRun {
         // ANN index state (VERDICT r07 item 3): train the frozen model
         // on the same cached embedded decon vectors.
         if (annState)
-          writeAnnInit(spark, stateOutDir, vecs,
-            annSubspaces, annCodewords, annClusters, annIters)
+          prof("init:ann")(writeAnnInit(spark, stateOutDir, vecs,
+            annSubspaces, annCodewords, annClusters, annIters))
         vecs.unpersist()
         val (out, rel) = semanticKeepFilter(kept,
           spark.read.parquet(s"$stateOutDir/sem_clusters"))
@@ -825,21 +847,22 @@ object CurationRun {
           semClusters, semIters, semThreshold, semMaxCellSize)
         (f, false, n, r)
       }
-    val (landedCurated, landedBins) = landOutputs(semFinal, outDir,
-      fractions, defaultFraction, packBudget, publishSpan)
+    val (landedCurated, landedBins) = prof("init:landOutputs")(
+      landOutputs(semFinal, outDir,
+        fractions, defaultFraction, packBudget, publishSpan))
     // Publish state (VERDICT r10 item 1): written whenever later
     // increments can maintain membership incrementally — no
     // embeddings, or the frozen-quantizer semantic state (the eager
     // per-run semantic stage re-clusters the composed corpus weekly,
     // so its disposition is not locally recomputable).
     if (embeddings.isEmpty || semStateOn)
-      writePublishState(spark, deconS, kept, semFinal,
+      prof("init:publish-state")(writePublishState(spark, deconS, kept, semFinal,
         if (semStateOn)
           Some(spark.read.parquet(s"$stateOutDir/sem_clusters"))
         else None,
         PublishState.Config(fractions, defaultFraction,
           packBudget, publishSpan),
-        stateOutDir, outDir, v = 0L)
+        stateOutDir, outDir, v = 0L))
     // The run's ONE audit action (VERDICT r09 item 3): every stat
     // folds into a single union'd count job over caches and landed
     // parquet; stage caches release only after this read them.
@@ -910,9 +933,10 @@ object CurationRun {
     // Batch-scale writes ONLY: this dir's slices plus the (small) full
     // label table. The corpus-scale artifacts are never rewritten —
     // readers compose them along the lineage.
-    val deconNew = prepBatch(lineStaged.map(_.frame).getOrElse(newDocs),
+    val deconNew = prof("inc:prep")(prepBatch(
+      lineStaged.map(_.frame).getOrElse(newDocs),
       benchmark, minQuality,
-      minContaminatedShingles, classifier, minClassifierScore)
+      minContaminatedShingles, classifier, minClassifierScore))
 
     // Optional exact-recrawl gate (the Bloom route, q91's shape): drop
     // batch docs whose normalized content ALREADY exists in state
@@ -960,8 +984,9 @@ object CurationRun {
             "span_grams_batch", "h", bc.select(col("h"))),
           stateOutDir, spanK, spanMinDf))
       else None
-    StateLayout.writeBucketed(spanStaged.map(_.frame).getOrElse(deconRouted),
-      s"$stateOutDir/decon_batch", "doc_id")
+    prof("inc:decon-write")(
+      StateLayout.writeBucketed(spanStaged.map(_.frame).getOrElse(deconRouted),
+        s"$stateOutDir/decon_batch", "doc_id", buckets = 8))
     // Token-scale stage intermediates release once the decon write has
     // materialized the compact output caches (the audit caches stay
     // for the folded stats action).
@@ -1004,12 +1029,12 @@ object CurationRun {
     // operator's scaladoc); after its contraction materializes,
     // nothing re-reads the pairs, so releasing here is both safe and
     // exception-tight.
-    val clustersS = try {
+    val clustersS = prof("inc:pairs+cc")(try {
       val clusters =
         TextDedup.connectedComponentsIncremental(clustersOld, newPairs)
       Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
       spark.read.parquet(s"$stateOutDir/clusters")
-    } finally pairsRel()
+    } finally pairsRel())
     StateLayout.writeLineage(stateOutDir, lineage :+ stateOutDir)
     // Semantic STATE writes (frozen-quantizer cadence, auto-detected —
     // the state, not a flag, decides): batch cells + fit summary +
@@ -1017,8 +1042,9 @@ object CurationRun {
     val semStateActive = embeddings.isDefined && java.nio.file.Files
       .exists(java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))
     if (semStateActive)
-      semStateIncrementWrites(spark, stateInDir, stateOutDir, lineage,
-        deconNewS, embeddings.get, semThreshold)
+      prof("inc:sem-state")(
+        semStateIncrementWrites(spark, stateInDir, stateOutDir, lineage,
+          deconNewS, embeddings.get, semThreshold))
     // ANN-codes append (VERDICT r07 item 3, auto-detected like the
     // semantic state): encode ONLY this batch under the frozen model.
     if (embeddings.isDefined && annStateActive(stateInDir))
@@ -1042,9 +1068,10 @@ object CurationRun {
             java.nio.file.Paths.get(s"$prevOut/curated"))
       }
     if (deltaOk)
-      deltaPublishTail(spark, newDocs, deconNewS, clustersS, cfg,
-        stateInDir, stateOutDir, lineage, outDir, semStateActive,
-        spanStaged, lineStaged)
+      prof("inc:delta-tail")(
+        deltaPublishTail(spark, newDocs, deconNewS, clustersS, cfg,
+          stateInDir, stateOutDir, lineage, outDir, semStateActive,
+          spanStaged, lineStaged))
     else {
       val deconAll = deconOld.unionByName(deconNewS)
       val kept = keepFromClusters(deconAll, clustersS).persist()
@@ -1155,9 +1182,15 @@ object CurationRun {
       lineStaged: Option[StagedAudit]): Stats = {
     import graft.functions.TextFunctions.tokens
     val (_, prevOut) = PublishState.readMeta(stateInDir)
+    // Persisted: the flag recompute references the batch's base rows
+    // from several DAG branches (quality lookup, batch flags, the sem
+    // surv union) — unpersisted, the language-id + token pass over the
+    // batch text re-executes per branch.
     val batchBase = PublishState.baseRows(
       deconNewS.select(col("doc_id"), col("text"), col("quality_score")), cfg)
+      .persist()
     val prevLedger = PublishState.composeLedger(spark, lineageOld).persist()
+    if (profOn) prof("  delta:compose")(prevLedger.queryExecution.toRdd.count())
     val semLabels =
       if (semStateOn) Some(spark.read.parquet(s"$stateOutDir/sem_clusters"))
       else None
@@ -1170,14 +1203,18 @@ object CurationRun {
     // Changed shards: recomputed fingerprints vs stored — full outer,
     // so a shard gaining its first member or losing its last counts.
     val newFps = PublishState.fingerprintsOf(composedNew)
-    val changed = newFps.as("n").join(
+    if (profOn) {
+      prof("  delta:flags")(updated.queryExecution.toRdd.count())
+      prof("  delta:composeNew")(composedNew.queryExecution.toRdd.count())
+    }
+    val changed = prof("  delta:fp-diff")(newFps.as("n").join(
         PublishState.readFingerprints(spark, stateInDir).as("o"),
         col("n.shard") === col("o.shard"), "full_outer")
       .where(col("n.shard").isNull || col("o.shard").isNull ||
         col("n.n_member") =!= col("o.n_member") ||
         col("n.fp") =!= col("o.fp"))
       .select(coalesce(col("n.shard"), col("o.shard")).as("shard"))
-      .collect().map(_.getInt(0)).toSeq.sorted
+      .collect().map(_.getInt(0)).toSeq.sorted)
     // Carry = every shard present in the previous publish that the
     // diff did not flag (shard ids are open-ended under range
     // sharding — enumerate the previous publish's FILES, not a
@@ -1188,7 +1225,7 @@ object CurationRun {
     PublishState.prepareDir(s"$outDir/curated")
     PublishState.linkShardsExcept(s"$prevOut/curated", s"$outDir/curated",
       changedSet)
-    if (changed.nonEmpty) {
+    if (changed.nonEmpty) prof("  delta:curated") {
       val members = composedNew
         .where(col("member") && col("shard").isin(changed: _*))
         .select(col("doc_id"), col("detected_lang"), col("quality_score"),
@@ -1206,9 +1243,13 @@ object CurationRun {
       // Re-surfacing docs (old, member again, absent from the previous
       // curated — a batch doc displaced their sem-cluster peer): text
       // via the doc-bucket-pruned decon read, never a corpus scan.
+      // Persisted: the enter set feeds the prune probe's bucket
+      // collect AND the text join — unpersisted, its anti-join DAG
+      // executes twice.
       val enterIds = members.select(col("doc_id"))
         .join(batchText.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .join(prevCur.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .persist()
       val enterText = StateLayout.readSlicesPruned(spark, lineageOld,
           "decon_batch", "doc_id", enterIds)
         .join(enterIds, Seq("doc_id"))
@@ -1220,7 +1261,7 @@ object CurationRun {
           col("quality_score"), col("shard"))
       PublishState.writeSharded(curatedNew, s"$outDir/curated",
         keepShardInContent = false, clear = false)
-      members.unpersist()
+      enterIds.unpersist(); members.unpersist()
     }
 
     // PACKED: carried links + re-pack of exactly the changed shards
@@ -1229,7 +1270,7 @@ object CurationRun {
     PublishState.prepareDir(s"$outDir/packed")
     PublishState.linkShardsExcept(s"$prevOut/packed", s"$outDir/packed",
       changedSet)
-    val newBins = {
+    val newBins = prof("  delta:packed") {
       val changedCuratedFiles = changed.flatMap(n =>
         PublishState.shardFiles(s"$outDir/curated", n))
       if (changedCuratedFiles.nonEmpty) {
@@ -1246,6 +1287,28 @@ object CurationRun {
         if (files.nonEmpty) Some(spark.read.parquet(files: _*)) else None
       } else None
     }
+
+    // Degenerate-corpus guard: a publish with no carried files and no
+    // changed rows (zero members anywhere) must still leave readable
+    // empty artifacts, like the full path's empty-write fallback.
+    def ensureReadable(path: String, empty: => DataFrame): Unit = {
+      val hasData = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+        try s.anyMatch(_.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      if (!hasData) Sinks.overwriteParquet(empty, path, numFiles = 1)
+    }
+    ensureReadable(s"$outDir/curated",
+      composedNew.where(lit(false))
+        .select(col("doc_id"), lit("").as("text"), col("detected_lang"),
+          col("quality_score")))
+    ensureReadable(s"$outDir/packed",
+      DataMix.packSequenceContentsBy(
+        composedNew.where(lit(false))
+          .select(col("doc_id"), lit("").as("text"), lit(0L).as("n_tokens")),
+        "doc_id", "n_tokens", "text", budget = cfg.packBudget,
+        shardOf = cfg.shardOf(col("doc_id"))))
 
     // MANIFEST: carried rows + recomputed rows for the changed shards
     // (each row is a pure per-shard aggregate of its bins).
@@ -1266,13 +1329,15 @@ object CurationRun {
 
     // Next week's state: the correction slice, fresh fingerprints, and
     // the meta pointing at THIS publish.
-    PublishState.writeLedgerSlice(updated, stateOutDir, v = lineageOld.size)
-    PublishState.writeFingerprints(spark, newFps, stateOutDir)
+    prof("  delta:ledger-write")(
+      PublishState.writeLedgerSlice(updated, stateOutDir, v = lineageOld.size))
+    prof("  delta:fps-write")(
+      PublishState.writeFingerprints(spark, newFps, stateOutDir))
     PublishState.writeMeta(stateOutDir, cfg, outDir)
 
     // Audit: the composed ledger's aggregates replace the corpus-frame
     // counts one-for-one; bins from the landed manifest (tiny read).
-    val c = foldCounts(Seq(
+    val c = prof("  delta:stats")(foldCounts(Seq(
       "input" -> newDocs,
       "decon" -> composedNew,
       "kept" -> composedNew.where(col("surv")),
@@ -1281,10 +1346,11 @@ object CurationRun {
       lineStaged.map(s => "line" -> s.audit) ++
       (if (semStateOn)
         Seq("semfinal" -> composedNew.where(col("surv") && col("semok")))
-      else Nil))
+      else Nil)))
     spanStaged.foreach(_.afterAudit()); lineStaged.foreach(_.afterAudit())
     val bins = spark.read.parquet(s"$outDir/manifest")
       .agg(coalesce(sum(col("n_bins")), lit(0L))).head().getLong(0)
+    batchBase.unpersist()
     prevLedger.unpersist(); updated.unpersist(); composedNew.unpersist()
     Stats(input = c("input"), gated = -1L, modelGated = -1L,
       decontaminated = c("decon"),
@@ -1462,7 +1528,7 @@ object CurationRun {
       "retrainSemantic needs the embeddings frame to re-derive cells")
     val lineage = StateLayout.readLineage(stateInDir)
     StateLayout.writeBucketed(readSlices(spark, lineage, "decon_batch"),
-      s"$stateOutDir/decon_batch", "doc_id")
+      s"$stateOutDir/decon_batch", "doc_id", buckets = 8)
     StateLayout.writeBucketed(readSlices(spark, lineage, "index_batch"),
       s"$stateOutDir/index_batch", "doc_id")
     Sinks.overwriteParquet(readSlices(spark, lineage, "signatures_batch"),
