@@ -92,10 +92,14 @@ object Bm25State {
     * a history read and the whole point of ingest is O(batch) with no
     * history IO; callers whose id discipline is upstream-enforced
     * (monotonic ingest ids, the [[CurationRun]] cadence) keep that.
-    * `validateDisjoint = true` buys the check: one PRUNED read of the
-    * composed postings (bucket-pruned to the batch's terms' doc ids —
-    * O(batch-key buckets), not a corpus scan) semi-joined against the
-    * batch ids, failing fast on any overlap BEFORE the slice lands. */
+    * `validateDisjoint = true` buys the check: a COLUMN-pruned scan of
+    * every composed postings slice's 8-byte doc_id column (doc_id is
+    * not the bucket key — tok is — so the read cannot bucket-prune;
+    * the cost is O(corpus doc_id column IO), the cheapest whole-state
+    * probe this layout admits) semi-joined against the batch ids,
+    * failing fast on any overlap BEFORE the slice lands. The LM twin
+    * ([[LmState.writeIncrement]]) keeps a doc_id-keyed `doc_ids_batch`
+    * artifact precisely so ITS check is bucket-pruned O(batch). */
   def writeIncrement(newDocs: DataFrame, idCol: String, textCol: String,
       stateInDir: String, stateOutDir: String,
       validateDisjoint: Boolean = false): Unit = {

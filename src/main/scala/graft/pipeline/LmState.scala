@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextAnalysis
-import graft.sources.Sinks
 
 /** Weekly-cadence n-gram LM count state (q150 — VERDICT r10 item 4):
   * the language-model twin of the BM25 retrieval index
@@ -21,6 +20,14 @@ import graft.sources.Sinks
   *    counts, bucketed BY GRAM ([[StateLayout]]).
   *  - `prefix_counts_batch/` (w, c1) — this batch's history
   *    ((n−1)-gram) counts, bucketed by history.
+  *  - `doc_ids_batch/` (doc_id) — this batch's doc ids, bucketed BY
+  *    DOC ID. Metadata-scale (8 bytes/doc) and written purely so the
+  *    disjoint-id CONTRACT is checkable in O(batch): the count slices
+  *    themselves carry no doc ids (grams aggregate them away), so
+  *    without this artifact a re-ingested doc would be undetectable
+  *    from state alone. `validateDisjoint` probes it bucket-pruned to
+  *    the batch's own ids — unlike the BM25 twin's column-pruned
+  *    corpus scan, this check never reads beyond the batch's buckets.
   *  - `vocab.txt` — the COMPOSED smoothing vocabulary |distinct
   *    histories| as of this version. Unlike the counts it is NOT
   *    additive (the same history recurs across batches), but it
@@ -72,18 +79,21 @@ object LmState {
 
   /** Land one batch's count slices; returns nothing — the caller
     * composes vocabulary and lineage per cadence position. */
-  private def writeSlices(docs: DataFrame, textCol: String, n: Int,
-      stateOutDir: String): Unit = {
+  private def writeSlices(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, stateOutDir: String): Unit = {
     val m = TextAnalysis.lmTrain(docs, textCol, n)
     StateLayout.writeBucketed(m.bgCounts, s"$stateOutDir/bg_counts_batch", "bg")
     StateLayout.writeBucketed(m.prefixCounts,
       s"$stateOutDir/prefix_counts_batch", "w")
+    StateLayout.writeBucketed(
+      docs.select(col(idCol).cast("long").as("doc_id")).distinct(),
+      s"$stateOutDir/doc_ids_batch", "doc_id")
   }
 
   /** From-scratch count build that WRITES the weekly state. */
   def writeInit(docs: DataFrame, textCol: String, stateOutDir: String,
-      n: Int = 2): Unit = {
-    writeSlices(docs, textCol, n, stateOutDir)
+      n: Int = 2, idCol: String = "doc_id"): Unit = {
+    writeSlices(docs, idCol, textCol, n, stateOutDir)
     // Init vocabulary = the batch's own distinct histories — the
     // grouped slice has one row per history, so footer-count suffices.
     val v = docs.sparkSession.read
@@ -95,16 +105,42 @@ object LmState {
   /** Weekly increment: a NEW batch (doc ids disjoint from the state's
     * — the [[Bm25State.writeIncrement]] contract; a re-ingested doc
     * would double-count its grams with no error) lands ITS slices;
-    * history is touched only by the vocabulary delta's PRUNED probe. */
+    * history is touched only by the vocabulary delta's PRUNED probe.
+    *
+    * `validateDisjoint = true` buys the contract check: one read of
+    * the composed `doc_ids_batch` slices bucket-pruned to the BATCH's
+    * ids — O(batch-key buckets), never a corpus scan — failing fast on
+    * any overlap BEFORE any slice lands. Default off: callers whose id
+    * discipline is upstream-enforced (monotonic ingest ids, the
+    * [[CurationRun]] cadence) keep zero-validation ingest. Lineage
+    * dirs written before the id artifact existed cannot be validated
+    * (nothing recorded) and are skipped — a rebase backfills them into
+    * one consolidated checkable slice. */
   def writeIncrement(newDocs: DataFrame, textCol: String,
-      stateInDir: String, stateOutDir: String): Unit = {
+      stateInDir: String, stateOutDir: String,
+      idCol: String = "doc_id", validateDisjoint: Boolean = false): Unit = {
     require(stateInDir != stateOutDir,
       "state is versioned by directory: reading and overwriting the same " +
         "state in one job would corrupt it")
     val spark = newDocs.sparkSession
     val n = orderOf(stateInDir)
     val lineage = StateLayout.readLineage(stateInDir)
-    writeSlices(newDocs, textCol, n, stateOutDir)
+    if (validateDisjoint) {
+      val ids = newDocs.select(col(idCol).cast("long").as("doc_id")).distinct()
+      val checkable = lineage.filter(d => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$d/doc_ids_batch")))
+      val overlap =
+        if (checkable.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else StateLayout.readSlicesPruned(spark, checkable, "doc_ids_batch",
+            "doc_id", ids)
+          .join(ids, Seq("doc_id"))
+          .limit(1).collect()
+      require(overlap.isEmpty,
+        s"writeIncrement: batch doc id ${overlap.head.get(0)} already " +
+          "exists in the LM count state — additive composition would " +
+          "double-count its grams (disjoint-id contract)")
+    }
+    writeSlices(newDocs, idCol, textCol, n, stateOutDir)
     // Vocabulary delta: batch histories unseen anywhere in state. The
     // batch's slice is already grouped (one row per history), and the
     // history read prunes to the batch keys' buckets — batch-scale IO.
@@ -163,6 +199,16 @@ object LmState {
       StateLayout.readSlices(spark, lineage, "prefix_counts_batch")
         .groupBy(col("w")).agg(sum(col("c1")).as("c1")),
       s"$stateOutDir/prefix_counts_batch", "w")
+    // The disjoint-id artifact consolidates where it exists (pre-id
+    // lineage dirs recorded nothing — their docs stay unvalidatable;
+    // ids are already distinct across slices by the very contract the
+    // artifact checks, so this is pure IO, no dedup).
+    val withIds = lineage.filter(d => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$d/doc_ids_batch")))
+    if (withIds.nonEmpty)
+      StateLayout.writeBucketed(
+        StateLayout.readSlices(spark, withIds, "doc_ids_batch"),
+        s"$stateOutDir/doc_ids_batch", "doc_id")
     val v = spark.read.parquet(s"$stateOutDir/prefix_counts_batch").count()
     writeMeta(stateOutDir, orderOf(stateInDir), v)
     StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))

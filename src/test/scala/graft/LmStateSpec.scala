@@ -109,6 +109,38 @@ class LmStateSpec extends AnyFunSuite {
       "fully-unseen query must score identically to the batch operator")
   }
 
+  test("validateDisjoint refuses a re-ingested doc id, state unchanged") {
+    val base = TestSpark.tmpDir("lm_state_disjoint")
+    LmState.writeInit(batch(0), "text", s"$base/s0")
+    LmState.writeIncrement(batch(1), "text", s"$base/s0", s"$base/s1")
+    // Re-ingest a doc id already in the composed state: the opt-in
+    // probe must fail BEFORE any slice lands (the double-count would
+    // otherwise be silent — counts are additive with no key overlap
+    // anywhere to conflict).
+    val dupId = docsAll.filter(_._1 % 3 == 0).head._1
+    val bad = Seq((dupId, "entirely fresh words either way")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LmState.writeIncrement(bad, "text", s"$base/s1", s"$base/s2",
+        validateDisjoint = true)
+    }
+    assert(e.getMessage.contains("disjoint-id contract"))
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/s2/bg_counts_batch")) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/s2/lineage.txt")),
+      "refused increment must land nothing")
+    // Disjoint ids under the same flag pass, and the id artifact
+    // survives a rebase (the consolidated slice stays checkable).
+    LmState.writeIncrement(batch(2), "text", s"$base/s1", s"$base/s2",
+      validateDisjoint = true)
+    LmState.rebase(spark, s"$base/s2", s"$base/r")
+    val e2 = intercept[IllegalArgumentException] {
+      LmState.writeIncrement(bad, "text", s"$base/r", s"$base/r1",
+        validateDisjoint = true)
+    }
+    assert(e2.getMessage.contains("disjoint-id contract"))
+  }
+
   test("serving reads prune to the query's buckets") {
     val base = TestSpark.tmpDir("lm_state_prune")
     LmState.writeInit(docsAll.toDF("doc_id", "text"), "text", s"$base/s0")
