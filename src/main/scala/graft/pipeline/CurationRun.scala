@@ -80,11 +80,24 @@ object CurationRun {
     * cadences, see [[runInit]]); `semDropped` = docs removed by
     * embedding-space dedup (-1 when no embeddings were supplied);
     * `modelGated` = docs surviving the model-based quality gate (-1
-    * when no classifier weights were supplied). */
+    * when no classifier weights were supplied).
+    *
+    * The last three fields are the DELTA publish's carry
+    * observability (VERDICT r11 item 2): `nShardsChanged` /
+    * `nShardsCarried` = publish shards re-packed vs hard-linked this
+    * increment (-1 on the full-publish paths — they have no carry),
+    * and `nShardsOverlap` = distinct BATCH shards strictly below the
+    * stored fingerprint range's max — the range-sharding premise
+    * tripwire (VERDICT r11 item 5): nonzero means ingest ids stopped
+    * being monotonic, every overlapped shard diffs as changed, and
+    * the "delta" silently pays toward full-publish cost. Correctness
+    * is unaffected (the membership events catch everything); these
+    * stats make the COST regression visible in a normal run. */
   final case class Stats(
     input: Long, gated: Long, modelGated: Long, decontaminated: Long,
     spanCleaned: Long, kept: Long, semDropped: Long, sampled: Long,
-    bins: Long, lineCleaned: Long = -1L)
+    bins: Long, lineCleaned: Long = -1L, nShardsChanged: Long = -1L,
+    nShardsCarried: Long = -1L, nShardsOverlap: Long = -1L)
 
   /** Model-based quality gate (q82, the fastText-style filter) over a
     * gated frame, under PRE-TRAINED weights — the q83 artifact. Taking
@@ -1065,7 +1078,10 @@ object CurationRun {
         val (fp, prevOut) = PublishState.readMeta(stateInDir)
         fp == cfg.fingerprint && prevOut != outDir &&
           java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$prevOut/curated"))
+            java.nio.file.Paths.get(s"$prevOut/curated")) &&
+          // Pre-totals state formats (≤ r11) fall back to one full
+          // re-publish, which rebuilds totals alongside the ledger.
+          PublishState.totalsActive(stateInDir)
       }
     if (deltaOk)
       prof("inc:delta-tail")(
@@ -1159,21 +1175,29 @@ object CurationRun {
       s"$stateOutDir/sem_clusters", numFiles = 1)
   }
 
-  /** DELTA weekly publish (VERDICT r10 item 1): re-derive membership
-    * flags ONLY where the batch can have moved them, diff per-shard
-    * fingerprints against the stored ones, re-publish exactly the
-    * changed shards, and carry the rest of the previous publish
-    * forward as hard links — the weekly publish's TEXT IO becomes
-    * ∝ batch + changed shards instead of ∝ corpus. Bit-equality with
-    * the full re-publish is by construction (every flag recompute
-    * mirrors the full path's survivor rules on a restriction that is
-    * exact per cluster; DeltaPublishSpec pins rows AND stats) and the
-    * composed-ledger audit counts replace the corpus-frame counts
-    * one-for-one. The ledger compose is a narrow metadata shuffle —
-    * the same regime as the full cluster-label table the cadence
-    * already maintains — never a text read; text is read only for the
-    * batch, the changed shards' previous curated files, and (rare) a
-    * re-surfacing doc's bucket-pruned decon lookup. */
+  /** DELTA weekly publish (VERDICT r10 item 1; metadata made
+    * batch-scale in r12 — VERDICT r11 item 1): re-derive membership
+    * flags ONLY where the batch can have moved them, derive the
+    * changed-shard set from the membership EVENTS those corrections
+    * encode, re-publish exactly the changed shards, and carry the
+    * rest of the previous publish forward as hard links — the weekly
+    * publish's TEXT IO is ∝ batch + changed shards, and as of r12 its
+    * METADATA work is too: the previous standing rows are read via
+    * the doc-bucket-pruned ledger compose (touched docs only, never
+    * the corpus), per-shard fingerprints and the audit totals are
+    * maintained from the correction rows alone (counts and decimal
+    * hash sums compose under flag flips — pinned equal to the full
+    * recompute at every version), and no weekly job aggregates
+    * corpus rows anywhere in the tail. The changed set is EXACT —
+    * a shard is re-packed iff a member entered or left it — so the
+    * r11 fingerprint-diff collision caveat is gone (fingerprints are
+    * now the durable manifest, not the diff mechanism). Bit-equality
+    * with the full re-publish is by construction (every flag
+    * recompute mirrors the full path's survivor rules on a
+    * restriction that is exact per cluster; DeltaPublishSpec pins
+    * rows AND stats). Text is read only for the batch, the changed
+    * shards' previous curated files, and (rare) a re-surfacing doc's
+    * bucket-pruned decon lookup. */
   private def deltaPublishTail(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, deconNewS: DataFrame, clustersS: DataFrame,
       cfg: PublishState.Config, stateInDir: String, stateOutDir: String,
@@ -1189,34 +1213,72 @@ object CurationRun {
     val batchBase = PublishState.baseRows(
       deconNewS.select(col("doc_id"), col("text"), col("quality_score")), cfg)
       .persist()
-    val prevLedger = PublishState.composeLedger(spark, lineageOld).persist()
-    if (profOn) prof("  delta:compose")(prevLedger.queryExecution.toRdd.count())
     val semLabels =
       if (semStateOn) Some(spark.read.parquet(s"$stateOutDir/sem_clusters"))
       else None
-    val updated = deltaLedgerRows(batchBase, prevLedger, clustersS, semLabels)
-      .persist()
-    val composedNew = prevLedger
-      .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .unionByName(updated)
-      .persist()
-    // Changed shards: recomputed fingerprints vs stored — full outer,
-    // so a shard gaining its first member or losing its last counts.
-    val newFps = PublishState.fingerprintsOf(composedNew)
-    if (profOn) {
-      prof("  delta:flags")(updated.queryExecution.toRdd.count())
-      prof("  delta:composeNew")(composedNew.queryExecution.toRdd.count())
+    // Standing-row prune superset: the flag recompute touches exactly
+    // (1) the batch, (2) members of dedup clusters holding a batch
+    // doc, (3) members of semantic clusters holding a batch doc or a
+    // doc from (2) (surv flips seed sem re-picks, and every
+    // surv-changeable doc is in (2)). All three are batch-scale under
+    // bounded cluster sizes; the ledger read prunes to their buckets.
+    val batchIds = batchBase.select(col("doc_id"))
+    val dedupTouchedDocs = clustersS.join(
+        clustersS.join(batchIds, Seq("doc_id"))
+          .select(col("canonical_id")).distinct(),
+        Seq("canonical_id"))
+      .select(col("doc_id"))
+    val seedIds = batchIds.unionByName(dedupTouchedDocs).distinct()
+    val semTouchedDocs = semLabels match {
+      case None => batchIds.where(lit(false))
+      case Some(l) => l.join(
+          l.join(seedIds, Seq("doc_id"))
+            .select(col("canonical_id")).distinct(),
+          Seq("canonical_id"))
+        .select(col("doc_id"))
     }
-    val changed = prof("  delta:fp-diff")(newFps.as("n").join(
-        PublishState.readFingerprints(spark, stateInDir).as("o"),
-        col("n.shard") === col("o.shard"), "full_outer")
-      .where(col("n.shard").isNull || col("o.shard").isNull ||
-        col("n.n_member") =!= col("o.n_member") ||
-        col("n.fp") =!= col("o.fp"))
-      .select(coalesce(col("n.shard"), col("o.shard")).as("shard"))
-      .collect().map(_.getInt(0)).toSeq.sorted)
+    val pruneKeys = seedIds.unionByName(semTouchedDocs).distinct()
+    val prevStanding = PublishState.composeLedgerPruned(spark, lineageOld,
+      pruneKeys).persist()
+    if (profOn)
+      prof("  delta:compose-pruned")(
+        prevStanding.queryExecution.toRdd.count())
+    val updated = deltaLedgerRows(batchBase, prevStanding, clustersS,
+      semLabels).persist()
+    if (profOn) prof("  delta:flags")(updated.queryExecution.toRdd.count())
+    // Membership EVENTS per shard, from the correction rows against
+    // their previous standing values (complete for every updated doc
+    // — updated ⊆ the prune superset): the exact changed set, the
+    // fingerprint deltas, and the audit-total deltas, one batch-scale
+    // aggregate, one bounded collect (≤ touched shards).
+    val h = xxhash64(col("doc_id"), col("n_tokens")).cast("decimal(38,0)")
+    val dn = when(col("member") && !coalesce(col("__om"), lit(false)), 1)
+      .when(!col("member") && coalesce(col("__om"), lit(false)), -1)
+      .otherwise(0)
+    val evAgg = prof("  delta:events")(updated
+      .join(prevStanding.select(col("doc_id"), col("surv").as("__os"),
+          col("semok").as("__ok"), col("member").as("__om"),
+          lit(true).as("__old")),
+        Seq("doc_id"), "left")
+      .select(col("shard"), dn.cast("long").as("dn"),
+        when(dn === 1, h).when(dn === -1, -h)
+          .otherwise(lit(0).cast("decimal(38,0)")).as("dfp"),
+        when(col("__old").isNull, 1L).otherwise(0L).as("ddocs"),
+        (col("surv").cast("long") -
+          coalesce(col("__os").cast("long"), lit(0L))).as("dkept"),
+        ((col("surv") && col("semok")).cast("long") -
+          coalesce((col("__os") && col("__ok")).cast("long"), lit(0L)))
+          .as("dsem"))
+      .groupBy(col("shard"))
+      .agg(sum(abs(col("dn"))).as("nev"), sum(col("dn")).as("dn"),
+        sum(col("dfp")).as("dfp"), sum(col("ddocs")).as("ddocs"),
+        sum(col("dkept")).as("dkept"), sum(col("dsem")).as("dsem"))
+      .persist())
+    val evRows = prof("  delta:events-collect")(evAgg.collect())
+    val changed = evRows.filter(_.getAs[Long]("nev") > 0)
+      .map(_.getAs[Long]("shard")).toSeq.sorted
     // Carry = every shard present in the previous publish that the
-    // diff did not flag (shard ids are open-ended under range
+    // events did not flag (shard ids are open-ended under range
     // sharding — enumerate the previous publish's FILES, not a
     // 0-until-N range).
     val changedSet = changed.toSet
@@ -1226,20 +1288,30 @@ object CurationRun {
     PublishState.linkShardsExcept(s"$prevOut/curated", s"$outDir/curated",
       changedSet)
     if (changed.nonEmpty) prof("  delta:curated") {
-      val members = composedNew
-        .where(col("member") && col("shard").isin(changed: _*))
-        .select(col("doc_id"), col("detected_lang"), col("quality_score"),
-          col("shard"))
-        .persist()
       val batchText = deconNewS.select(col("doc_id"), col("text"))
       val prevFiles = changed.flatMap(n =>
         PublishState.shardFiles(s"$prevOut/curated", n))
+      // Full-schema read: the previous curated rows of the changed
+      // shards ARE the standing member set (plus each doc's frozen
+      // lang/quality), so no corpus-ledger lookup is needed for the
+      // unchanged neighbors a changed shard carries.
       val prevCur =
-        if (prevFiles.nonEmpty)
-          spark.read.parquet(prevFiles: _*)
-            .select(col("doc_id"), col("text"))
+        if (prevFiles.nonEmpty) spark.read.parquet(prevFiles: _*)
         else spark.range(0)
-          .select(col("id").as("doc_id"), lit("").as("text"))
+          .select(col("id").as("doc_id"), lit("").as("text"),
+            lit("").as("detected_lang"), lit(0.0).as("quality_score"))
+      // Member rows of the changed shards: corrected docs take their
+      // recomputed flag (member rows kept, leavers dropped), the
+      // shard's untouched previous members carry from prevCur.
+      val members = updated
+        .where(col("member") && col("shard").isin(changed: _*))
+        .select(col("doc_id"), col("detected_lang"), col("quality_score"),
+          col("shard"))
+        .unionByName(prevCur
+          .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("detected_lang"), col("quality_score"),
+            cfg.shardOf(col("doc_id")).as("shard")))
+        .persist()
       // Re-surfacing docs (old, member again, absent from the previous
       // curated — a batch doc displaced their sem-cluster peer): text
       // via the doc-bucket-pruned decon read, never a corpus scan.
@@ -1255,7 +1327,9 @@ object CurationRun {
         .join(enterIds, Seq("doc_id"))
         .select(col("doc_id"), col("text"))
       val curatedNew = members
-        .join(batchText.unionByName(prevCur).unionByName(enterText),
+        .join(batchText
+            .unionByName(prevCur.select(col("doc_id"), col("text")))
+            .unionByName(enterText),
           Seq("doc_id"))
         .select(col("doc_id"), col("text"), col("detected_lang"),
           col("quality_score"), col("shard"))
@@ -1300,12 +1374,12 @@ object CurationRun {
       if (!hasData) Sinks.overwriteParquet(empty, path, numFiles = 1)
     }
     ensureReadable(s"$outDir/curated",
-      composedNew.where(lit(false))
+      updated.where(lit(false))
         .select(col("doc_id"), lit("").as("text"), col("detected_lang"),
           col("quality_score")))
     ensureReadable(s"$outDir/packed",
       DataMix.packSequenceContentsBy(
-        composedNew.where(lit(false))
+        updated.where(lit(false))
           .select(col("doc_id"), lit("").as("text"), lit(0L).as("n_tokens")),
         "doc_id", "n_tokens", "text", budget = cfg.packBudget,
         shardOf = cfg.shardOf(col("doc_id"))))
@@ -1327,38 +1401,75 @@ object CurationRun {
     }
     Sinks.overwriteParquet(manifest, s"$outDir/manifest", numFiles = 1)
 
-    // Next week's state: the correction slice, fresh fingerprints, and
-    // the meta pointing at THIS publish.
+    // Next week's state: the correction slice, the incrementally
+    // merged fingerprints (pinned == full recompute), the composed
+    // totals, and the meta pointing at THIS publish.
     prof("  delta:ledger-write")(
       PublishState.writeLedgerSlice(updated, stateOutDir, v = lineageOld.size))
     prof("  delta:fps-write")(
-      PublishState.writeFingerprints(spark, newFps, stateOutDir))
+      PublishState.writeFingerprints(spark,
+        PublishState.mergeFingerprints(
+          PublishState.readFingerprints(spark, stateInDir), evAgg),
+        stateOutDir))
     PublishState.writeMeta(stateOutDir, cfg, outDir)
+    val tPrev = PublishState.readTotals(stateInDir)
+    def dsum(f: String): Long = evRows.map(_.getAs[Long](f)).sum
+    val totals = PublishState.Totals(
+      nDocs = tPrev.nDocs + dsum("ddocs"),
+      nKept = tPrev.nKept + dsum("dkept"),
+      nMember = tPrev.nMember + dsum("dn"),
+      nSemfinal = tPrev.nSemfinal + dsum("dsem"))
+    PublishState.writeTotals(stateOutDir, totals)
 
-    // Audit: the composed ledger's aggregates replace the corpus-frame
-    // counts one-for-one; bins from the landed manifest (tiny read).
+    // Delta-carry observability (VERDICT r11 items 2 + 5): carried =
+    // previous publish shards the events did not flag; overlap = the
+    // range-sharding premise tripwire — batch shards strictly below
+    // the stored fingerprint range's max mean non-monotonic ingest
+    // ids (the boundary shard extends legitimately; anything below it
+    // diffs as changed and silently costs toward a full publish).
+    val nCarried =
+      (PublishState.shardIdsOf(s"$prevOut/curated") ++
+        PublishState.shardIdsOf(s"$prevOut/packed")) .count(!changedSet(_))
+    val storedMaxShard = prof("  delta:fp-range")(
+      PublishState.readFingerprints(spark, stateInDir)
+        .agg(max(col("shard"))).head())
+    val nOverlap =
+      if (storedMaxShard.isNullAt(0)) 0L
+      else {
+        val m = storedMaxShard.getLong(0)
+        evRows.count(r => r.getAs[Long]("ddocs") > 0 &&
+          r.getAs[Long]("shard") < m).toLong
+      }
+    if (nOverlap > 0)
+      // Stdout, not stderr: sbt tags stderr [error] and this is a
+      // cost-visibility note, not a failure (q146's mod-3 interleaved
+      // fixture trips it by design on every increment).
+      println(s"[graft] delta publish: $nOverlap batch shard(s) " +
+        s"land below the state's max shard — ingest ids are not monotonic; " +
+        "every overlapped shard re-packs (correct, but the delta is " +
+        "paying toward full-publish cost; see Stats.nShardsOverlap)")
+
+    // Audit: the composed totals replace the corpus-frame counts
+    // one-for-one; bins from the landed manifest (tiny read).
     val c = prof("  delta:stats")(foldCounts(Seq(
-      "input" -> newDocs,
-      "decon" -> composedNew,
-      "kept" -> composedNew.where(col("surv")),
-      "sampled" -> composedNew.where(col("member"))) ++
+      "input" -> newDocs) ++
       spanStaged.map(s => "span" -> s.audit) ++
-      lineStaged.map(s => "line" -> s.audit) ++
-      (if (semStateOn)
-        Seq("semfinal" -> composedNew.where(col("surv") && col("semok")))
-      else Nil)))
+      lineStaged.map(s => "line" -> s.audit)))
     spanStaged.foreach(_.afterAudit()); lineStaged.foreach(_.afterAudit())
     val bins = spark.read.parquet(s"$outDir/manifest")
       .agg(coalesce(sum(col("n_bins")), lit(0L))).head().getLong(0)
     batchBase.unpersist()
-    prevLedger.unpersist(); updated.unpersist(); composedNew.unpersist()
+    prevStanding.unpersist(); updated.unpersist(); evAgg.unpersist()
     Stats(input = c("input"), gated = -1L, modelGated = -1L,
-      decontaminated = c("decon"),
+      decontaminated = totals.nDocs,
       spanCleaned = spanStaged.fold(-1L)(_ => c("span")),
-      kept = c("kept"),
-      semDropped = if (semStateOn) c("kept") - c("semfinal") else -1L,
-      sampled = c("sampled"), bins = bins,
-      lineCleaned = lineStaged.fold(-1L)(_ => c("line")))
+      kept = totals.nKept,
+      semDropped = if (semStateOn) totals.nKept - totals.nSemfinal else -1L,
+      sampled = totals.nMember, bins = bins,
+      lineCleaned = lineStaged.fold(-1L)(_ => c("line")),
+      nShardsChanged = changed.size.toLong,
+      nShardsCarried = nCarried.toLong,
+      nShardsOverlap = nOverlap)
   }
 
   /** Membership-flag recompute for the delta publisher: batch rows
@@ -1373,7 +1484,15 @@ object CurationRun {
     * sample draw) are pure functions of the landed row and never
     * change. Each recompute mirrors the full path's rule verbatim:
     * [[TextDedup.dedupSurvivors]]' max(struct(quality, -id)) and
-    * [[semanticKeepFilter]]'s lowest-KEPT-id survivor. */
+    * [[semanticKeepFilter]]'s lowest-KEPT-id survivor.
+    *
+    * `prevLedger` is the PRUNED standing restriction
+    * ([[PublishState.composeLedgerPruned]] over the caller's
+    * touched-doc superset), not the corpus compose: every doc this
+    * recompute joins it on (touched dedup-cluster members, touched
+    * sem-cluster members, oldIds) is inside that superset by
+    * construction, and extra same-bucket rows are inert under the
+    * doc_id equi-joins. */
   private def deltaLedgerRows(batchBase: DataFrame, prevLedger: DataFrame,
       clusters: DataFrame, semLabels: Option[DataFrame]): DataFrame = {
     val batchIds = batchBase.select(col("doc_id"))
@@ -1492,10 +1611,19 @@ object CurationRun {
       .withColumn("member", col("surv") && col("semok") && col("sampled"))
       .drop("__k", "__s", "__l")
     PublishState.writeLedgerSlice(ledger, stateOutDir, v)
+    val composed = PublishState.composeLedger(spark, Seq(stateOutDir))
     PublishState.writeFingerprints(spark,
-      PublishState.fingerprintsOf(
-        PublishState.composeLedger(spark, Seq(stateOutDir))),
-      stateOutDir)
+      PublishState.fingerprintsOf(composed), stateOutDir)
+    // Totals seed — the one corpus-scale aggregate, paid where the
+    // run is corpus-scale anyway (init / the fallback full publish);
+    // every delta week composes it from correction rows.
+    val t = composed.agg(count(lit(1)),
+        coalesce(sum(col("surv").cast("long")), lit(0L)),
+        coalesce(sum(col("member").cast("long")), lit(0L)),
+        coalesce(sum((col("surv") && col("semok")).cast("long")), lit(0L)))
+      .head()
+    PublishState.writeTotals(stateOutDir, PublishState.Totals(
+      t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)))
     PublishState.writeMeta(stateOutDir, cfg, outDir)
   }
 
@@ -1641,14 +1769,18 @@ object CurationRun {
     }
     // Publish state consolidates like the df slices: latest-wins
     // compose into ONE complete slice (v resets with the lineage);
-    // fingerprints and the previous-publish pointer copy forward
-    // unchanged — a rebase compacts state, it does not publish.
+    // fingerprints, audit totals, and the previous-publish pointer
+    // copy forward unchanged — a rebase compacts state, it does not
+    // publish.
     if (PublishState.active(stateInDir)) {
       PublishState.writeLedgerSlice(
         PublishState.composeLedger(spark, lineage), stateOutDir, v = 0L)
       Sinks.overwriteParquet(
         PublishState.readFingerprints(spark, stateInDir),
         s"$stateOutDir/publish_shards", numFiles = 1)
+      if (PublishState.totalsActive(stateInDir))
+        PublishState.writeTotals(stateOutDir,
+          PublishState.readTotals(stateInDir))
       val (fp, prevOut) = PublishState.readMeta(stateInDir)
       PublishState.writeMetaRaw(stateOutDir, fp, prevOut)
     }

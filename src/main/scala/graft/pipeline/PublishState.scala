@@ -28,8 +28,12 @@ import graft.operators.{DataMix, TextAnalysis}
   *
   *  - `publish_ledger_batch/` — one row per landed decon doc
   *    (doc_id, quality_score, detected_lang, n_tokens, sampled, surv,
-  *    semok, member, shard, v), plain slices (the only reader is the
-  *    full latest-wins compose). `sampled` is the
+  *    semok, member, shard, v), BUCKETED by doc_id: the weekly reader
+  *    is [[composeLedgerPruned]] — the flag recompute's standing-value
+  *    lookup for batch-incident docs — so per-increment ledger IO is
+  *    the touched docs' buckets, not the corpus (the full compose
+  *    survives only at rebase and in the self-heal fallback).
+  *    `sampled` is the
   *    doc's deterministic md5 draw ([[DataMix.sampleKeepExpr]] — a
   *    pure per-(id, lang) function, so it never changes for an old
   *    doc); `surv` is dedup-survivor status; `semok` the semantic
@@ -45,25 +49,38 @@ import graft.operators.{DataMix, TextAnalysis}
   *    recompute that mirrors the full path's survivor rules).
   *  - `publish_shards/` — per-shard membership fingerprints
   *    (shard, n_member, fp) where fp is the exact decimal sum of
-  *    xxhash64(doc_id, n_tokens) over members. The increment diffs
-  *    recomputed fingerprints against the stored ones; shards that
-  *    match are carried forward as pure IO (hard links to the
-  *    previous publish's per-shard files), shards that differ re-pack
-  *    from batch text + the previous curated shard + (for the rare
-  *    re-surfacing doc) a doc-pruned decon read.
+  *    xxhash64(doc_id, n_tokens) over members. Maintained
+  *    INCREMENTALLY from the correction rows alone (counts and
+  *    decimal hash sums compose under flag flips: enter = +hash/+1,
+  *    leave = −hash/−1 — [[mergeFingerprints]]), pinned equal to the
+  *    full recompute at every version (DeltaPublishSpec). The CHANGED
+  *    shard set is NOT a fingerprint diff: it is the exact set of
+  *    shards with ≥1 membership EVENT, derived from the same
+  *    correction rows — so the delta/full equality holds exactly,
+  *    with no 64-bit hash-sum collision caveat (a canceling two-flip
+  *    swap still flags its shard). Fingerprints remain the publish's
+  *    durable content manifest: the rebase carry, the self-heal
+  *    comparison artifact, and the stored shard RANGE the
+  *    non-monotonic-ingest tripwire checks batches against.
+  *  - `publish_totals.txt` — the composed corpus audit totals
+  *    (n_docs, n_kept, n_member, n_semfinal), longs that compose
+  *    additively under the same correction-row deltas, so the weekly
+  *    audit row needs no corpus-frame counts.
   *  - `publish_meta.txt` — the publish config fingerprint (a config
   *    change invalidates the per-doc `sampled` flags and the shard
   *    function, so the increment falls back to a full re-publish and
   *    rebuilds this state) and the previous publish's outDir (the
   *    hard-link source).
   *
-  * The ledger is METADATA-scale (tens of bytes per doc — the same
-  * regime as the full cluster-label table the cadence already
-  * maintains), so composing it weekly is a narrow shuffle, never a
-  * text read. The TEXT IO of a weekly publish is batch + changed
-  * shards; DeltaPublishSpec pins delta == full re-publish bit-equal
-  * (row sets AND audit stats) across increments, and ScaleStress
-  * measures the flat-vs-growing IO contrast.
+  * With the ledger bucketed and fingerprints/totals composed from
+  * correction rows, an increment's publish METADATA work is
+  * batch-scale too: no weekly job reads corpus-rows anywhere in the
+  * tail (the one remaining ∝-corpus artifact is the fingerprint
+  * table itself, ∝ corpus/span rows — three orders below the ledger).
+  * The TEXT IO of a weekly publish is batch + changed shards;
+  * DeltaPublishSpec pins delta == full re-publish bit-equal (row sets
+  * AND audit stats) across increments, and ScaleStress measures the
+  * flat-vs-growing IO contrast.
   */
 object PublishState {
 
@@ -74,9 +91,13 @@ object PublishState {
       fractions.toSeq.sortBy(_._1).map { case (k, f) => s"$k=$f" }
         .mkString(",") +
         s";default=$defaultFraction;budget=$packBudget;span=$publishSpan"
-    /** The shard of a doc id — shared by every publish consumer. */
+    /** The shard of a doc id — shared by every publish consumer.
+      * LONG, not int: an int shard would silently wrap (non-ANSI
+      * cast) for doc ids above ~2^31·span while the oracle's CAST
+      * errors — a latent divergence and shard-id aliasing at extreme
+      * ids (ADVICE r11). */
     def shardOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      floor(id / lit(publishSpan)).cast("int")
+      floor(id / lit(publishSpan)).cast("long")
   }
 
   private def metaPath(stateDir: String) =
@@ -125,18 +146,19 @@ object PublishState {
     "n_tokens", "sampled", "surv", "semok", "member", "shard")
 
   /** Land one increment's ledger rows (batch + corrections) as a
-    * slice at lineage position `v`. PLAIN parquet, not the bucketed
-    * layout: the ledger's only reader is the latest-wins COMPOSE
-    * (which must see every slice in full — the fingerprint recompute
-    * and the audit counts are whole-corpus aggregates), so key
-    * bucketing would pay sort + many-file commits for a prune no
-    * consumer performs (measured: the bucketed form cost ~0.7 s per
-    * cadence write at sf0.1 for zero read benefit). */
+    * slice at lineage position `v`, BUCKETED by doc_id (B = 8, the
+    * decon discipline): the weekly reader is the doc-pruned standing
+    * lookup ([[composeLedgerPruned]]), which this layout makes
+    * O(touched buckets). (r11 stored the ledger PLAIN because its
+    * only reader then was the full compose; making fingerprints and
+    * totals compose from correction rows moved the weekly reader to
+    * the pruned path, so the bucketed write's ~0.7 s sort/commit
+    * floor now buys the corpus-scan removal.) */
   def writeLedgerSlice(rows: DataFrame, stateOutDir: String, v: Long): Unit =
-    graft.sources.Sinks.overwriteParquet(
+    StateLayout.writeBucketed(
       rows.select((col("doc_id") +: LedgerValueCols.map(col) :+
         lit(v).as("v")): _*),
-      s"$stateOutDir/publish_ledger_batch", numFiles = 2)
+      s"$stateOutDir/publish_ledger_batch", "doc_id", buckets = 8)
 
   /** Latest-wins composition of the ledger slices along a lineage:
     * one row per doc, the row from the slice with the highest `v`
@@ -146,22 +168,86 @@ object PublishState {
     * skipped — exact, because the first slice ever written (init or
     * the fallback rebuild) covers every composed doc. */
   def composeLedger(spark: SparkSession, lineage: Seq[String]): DataFrame =
-    StateLayout.readSlices(spark,
-        lineage.filter(d => java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$d/publish_ledger_batch"))),
-        "publish_ledger_batch")
+    latestWins(StateLayout.readSlices(spark, ledgerDirs(lineage),
+      "publish_ledger_batch"))
+
+  /** The weekly form of the compose: latest-wins standing rows read
+    * PRUNED to `keys`' doc buckets — batch-scale IO, the reason the
+    * ledger lands bucketed. EXACT for every doc in `keys` (all of a
+    * doc's slice rows share its bucket); rows for same-bucket
+    * neighbor docs ride along and are inert under the callers'
+    * doc_id equi-joins. Legacy (plain) slices read in full — the
+    * pre-bucketing upgrade path — which only widens the superset. */
+  def composeLedgerPruned(spark: SparkSession, lineage: Seq[String],
+      keys: DataFrame): DataFrame =
+    latestWins(StateLayout.readSlicesPruned(spark, ledgerDirs(lineage),
+      "publish_ledger_batch", "doc_id", keys))
+
+  private def ledgerDirs(lineage: Seq[String]): Seq[String] =
+    lineage.filter(d => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$d/publish_ledger_batch")))
+
+  private def latestWins(slices: DataFrame): DataFrame =
+    slices
       .groupBy(col("doc_id"))
       .agg(max(struct((col("v") +: LedgerValueCols.map(col)): _*))
         .as("__r"))
       .select(col("doc_id") +: LedgerValueCols.map(c => col(s"__r.$c")): _*)
 
-  /** Per-shard membership fingerprints of a composed ledger. */
+  /** Per-shard membership fingerprints of a composed ledger — the
+    * from-scratch form (init, rebase self-check, DeltaPublishSpec's
+    * equality pin); the weekly path maintains the same table via
+    * [[mergeFingerprints]] instead. */
   def fingerprintsOf(ledger: DataFrame): DataFrame =
     ledger.where(col("member"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_member"),
         sum(xxhash64(col("doc_id"), col("n_tokens")).cast("decimal(38,0)"))
           .as("fp"))
+
+  /** Apply per-shard correction deltas (dn = Σ member flips, dfp =
+    * Σ ±hash) to the stored fingerprints: counts and decimal sums
+    * compose under flag flips, so this equals [[fingerprintsOf]] of
+    * the newly composed ledger — with zero corpus-rows work. A shard
+    * losing its last member drops its row (as the recompute would
+    * never emit it), keeping "gains its first member" detectable
+    * next week. */
+  def mergeFingerprints(stored: DataFrame, deltas: DataFrame): DataFrame =
+    stored
+      .join(deltas.select(col("shard"), col("dn"), col("dfp")),
+        Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("n_member"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_member"),
+        (coalesce(col("fp"), lit(0).cast("decimal(38,0)")) +
+          coalesce(col("dfp"), lit(0).cast("decimal(38,0)"))).as("fp"))
+      .where(col("n_member") > 0)
+
+  /** Composed corpus audit totals — the publish state's third
+    * artifact: every weekly audit count the publish tail reports is a
+    * long that composes additively under correction-row deltas, so
+    * the delta tail never counts a corpus frame. */
+  final case class Totals(nDocs: Long, nKept: Long, nMember: Long,
+    nSemfinal: Long)
+
+  private def totalsPath(stateDir: String) =
+    java.nio.file.Paths.get(s"$stateDir/publish_totals.txt")
+
+  def totalsActive(stateDir: String): Boolean =
+    java.nio.file.Files.exists(totalsPath(stateDir))
+
+  def readTotals(stateDir: String): Totals = {
+    val l = java.nio.file.Files.readString(totalsPath(stateDir))
+      .trim.split("\\s+")
+    Totals(l(0).toLong, l(1).toLong, l(2).toLong, l(3).toLong)
+  }
+
+  def writeTotals(stateDir: String, t: Totals): Unit = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(stateDir))
+    java.nio.file.Files.writeString(totalsPath(stateDir),
+      s"${t.nDocs} ${t.nKept} ${t.nMember} ${t.nSemfinal}\n")
+  }
 
   def writeFingerprints(spark: SparkSession, fps: DataFrame,
       stateOutDir: String): Unit =
@@ -252,8 +338,24 @@ object PublishState {
     java.nio.file.Files.delete(java.nio.file.Paths.get(staged))
   }
 
+  /** The distinct shard ids present in one artifact dir's flat files
+    * (the carried/changed accounting's denominator). */
+  def shardIdsOf(path: String): Set[Long] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return Set.empty
+    val Named = """shard-(-?\d+)-.*""".r
+    val s = java.nio.file.Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.flatMap(_.getFileName.toString match {
+        case Named(n) => Some(n.toLong)
+        case _ => None
+      }).toSet
+    } finally s.close()
+  }
+
   /** The flat per-shard files of one artifact dir. */
-  def shardFiles(path: String, shard: Int): Seq[String] = {
+  def shardFiles(path: String, shard: Long): Seq[String] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(p)) return Nil
     val s = java.nio.file.Files.list(p)
@@ -267,7 +369,7 @@ object PublishState {
 
   /** Hard-link `shards`' files from the previous publish into the new
     * one — pure IO carry-forward, zero bytes rewritten. */
-  def linkShards(prevPath: String, path: String, shards: Seq[Int]): Unit = {
+  def linkShards(prevPath: String, path: String, shards: Seq[Long]): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     shards.foreach { n =>
       shardFiles(prevPath, n).foreach { f =>
@@ -283,7 +385,7 @@ object PublishState {
     * ids (the carry set is "whatever the previous publish had, minus
     * the diff", enumerated from its files, not a 0-until-N range). */
   def linkShardsExcept(prevPath: String, path: String,
-      changed: Set[Int]): Unit = {
+      changed: Set[Long]): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     val pp = java.nio.file.Paths.get(prevPath)
     if (!java.nio.file.Files.exists(pp)) return
@@ -293,7 +395,7 @@ object PublishState {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.foreach { f =>
         f.getFileName.toString match {
-          case Named(n) if !changed.contains(n.toInt) =>
+          case Named(n) if !changed.contains(n.toLong) =>
             java.nio.file.Files.createLink(
               java.nio.file.Paths.get(s"$path/${f.getFileName}"), f)
           case _ => ()

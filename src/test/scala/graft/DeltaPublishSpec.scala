@@ -99,14 +99,14 @@ class DeltaPublishSpec extends AnyFunSuite {
     spark.read.parquet(s"$dir/packed")
       .select(col("shard"), col("bin"), col("n_docs"), col("total_tokens"),
         col("doc_ids"), col("packed_text"))
-      .as[(Int, Long, Long, Long, String, String)].collect().toSet
+      .as[(Long, Long, Long, Long, String, String)].collect().toSet
 
   private def manifestSet(dir: String) =
     spark.read.parquet(s"$dir/manifest")
       .select(col("shard"), col("n_bins"), col("n_docs"),
         col("total_tokens"), col("checksum"), col("capacity_tokens"),
         col("fill_ratio"))
-      .as[(Int, Long, Long, Long, Long, Long, Double)].collect().toSet
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSet
 
   private def ino(p: String): Any =
     java.nio.file.Files.getAttribute(java.nio.file.Paths.get(p), "unix:ino")
@@ -116,7 +116,24 @@ class DeltaPublishSpec extends AnyFunSuite {
     val baseB = TestSpark.tmpDir("delta_pub_b") // publish state stripped
     val statsA = runChain(baseA, forceFull = false)
     val statsB = runChain(baseB, forceFull = true)
-    assert(statsA == statsB, "audit stats must match the full path")
+    // Audit equality modulo the delta-only observability fields (the
+    // full path has no carry, so it reports -1 there by contract).
+    def audit(s: Seq[CurationRun.Stats]) = s.map(_.copy(
+      nShardsChanged = -1L, nShardsCarried = -1L, nShardsOverlap = -1L))
+    assert(audit(statsA) == audit(statsB),
+      "audit stats must match the full path")
+    assert(statsB.forall(s => s.nShardsChanged == -1L &&
+      s.nShardsCarried == -1L && s.nShardsOverlap == -1L),
+      "full publishes have no carry to report")
+    // Delta-carry observability (VERDICT r11 item 2): inc1 re-packs
+    // shards 0 (displacement + re-surface) and 2 (append), carrying 1;
+    // inc2 is a pure-append week — one new shard, EVERY old shard
+    // (0, 1, 2) carried. Monotonic ids -> the premise tripwire stays 0.
+    assert(statsA(0).nShardsChanged == -1L, "init is a full publish")
+    assert(statsA(1).nShardsChanged == 2L && statsA(1).nShardsCarried == 1L
+      && statsA(1).nShardsOverlap == 0L, s"inc1 carry stats: ${statsA(1)}")
+    assert(statsA(2).nShardsChanged == 1L && statsA(2).nShardsCarried == 3L
+      && statsA(2).nShardsOverlap == 0L, s"inc2 carry stats: ${statsA(2)}")
     for (out <- Seq("out0", "out1", "out2")) {
       assert(curatedSet(s"$baseA/$out") == curatedSet(s"$baseB/$out"),
         s"$out curated")
@@ -163,5 +180,85 @@ class DeltaPublishSpec extends AnyFunSuite {
     }
     assert(PublishState.shardFiles(s"$baseA/out2/curated", 3).nonEmpty,
       "the append week's batch lands in its own new shard")
+  }
+
+  test("incremental fingerprints + totals == full recompute, every version") {
+    // VERDICT r11 item 1's done-criterion: the weekly path maintains
+    // publish_shards and publish_totals from correction rows alone;
+    // both must equal the from-scratch recompute over the composed
+    // ledger at EVERY version — three increments, displacement and
+    // re-surface included (the fixture's inc1), plus one more pure
+    // append on top of the chain.
+    val base = TestSpark.tmpDir("delta_pub_meta")
+    val stats = runChain(base, forceFull = false)
+    CurationRun.runIncremental(
+      Seq(17L -> ("seventeen lighthouse keepers compared worn logbooks " +
+        "while the evening ferry crossed the quiet grey strait"))
+        .toDF("doc_id", "text"),
+      benchmark, s"$base/out3", s"$base/s2", s"$base/s3", minQuality = 0.0,
+      embeddings = Some(emb), semThreshold = 0.9, publishSpan = 4L,
+      packBudget = 64L)
+    def fpSet(dir: String) = spark.read.parquet(s"$dir/publish_shards")
+      .select(col("shard"), col("n_member"), col("fp").cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    for (dir <- Seq(s"$base/s0", s"$base/s1", s"$base/s2", s"$base/s3")) {
+      val lineage = StateLayout.readLineage(dir)
+      val composed = PublishState.composeLedger(spark, lineage).persist()
+      val want = PublishState.fingerprintsOf(composed)
+        .select(col("shard"), col("n_member"), col("fp").cast("string"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(fpSet(dir) == want,
+        s"$dir: incremental fingerprints must equal the full recompute")
+      val t = PublishState.readTotals(dir)
+      assert(t == PublishState.Totals(
+          composed.count(),
+          composed.where(col("surv")).count(),
+          composed.where(col("member")).count(),
+          composed.where(col("surv") && col("semok")).count()),
+        s"$dir: incremental totals must equal the composed-ledger counts")
+      composed.unpersist()
+    }
+    // The stats the delta reported came from those totals — spot-pin
+    // the last increment's audit row against the s2-composed ledger.
+    val c2 = PublishState.composeLedger(spark,
+      StateLayout.readLineage(s"$base/s2"))
+    assert(stats(2).decontaminated == c2.count() &&
+      stats(2).kept == c2.where(col("surv")).count() &&
+      stats(2).sampled == c2.where(col("member")).count())
+  }
+
+  test("non-monotonic batch trips the range-premise tripwire; publish correct") {
+    // The delta carry's cost win rests on monotonic ingest ids (a
+    // batch lands in its own new shards). A batch landing BELOW the
+    // stored shard range must (a) be flagged — nShardsOverlap > 0,
+    // the warning's record — and (b) still publish bit-equal to the
+    // full path: membership events catch everything, the overlapped
+    // shard simply re-packs (cost, not correctness).
+    def docs(s: Seq[(Long, String)]) = s.toDF("doc_id", "text")
+    val hi = Seq(
+      40L -> initDocs(2)._2, 41L -> initDocs(3)._2,
+      44L -> initDocs(4)._2, 45L -> initDocs(5)._2) // shards 10, 11
+    val lo = Seq(3L -> ("three lantern moths circled the warm museum " +
+      "lamp while rain kept the narrow courtyard empty")) // shard 0 < 10
+    def run(base: String, forceFull: Boolean) = {
+      CurationRun.runInit(docs(hi), benchmark, s"$base/o0", s"$base/s0",
+        minQuality = 0.0, publishSpan = 4L, packBudget = 64L)
+      if (forceFull)
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$base/s0/publish_meta.txt"))
+      CurationRun.runIncremental(docs(lo), benchmark, s"$base/o1",
+        s"$base/s0", s"$base/s1", minQuality = 0.0, publishSpan = 4L,
+        packBudget = 64L)
+    }
+    val baseA = TestSpark.tmpDir("delta_pub_nonmono_a")
+    val baseB = TestSpark.tmpDir("delta_pub_nonmono_b")
+    val st = run(baseA, forceFull = false)
+    run(baseB, forceFull = true)
+    assert(st.nShardsOverlap == 1L,
+      s"the low batch shard must trip the premise tripwire: $st")
+    assert(st.nShardsChanged == 1L && st.nShardsCarried == 2L, s"$st")
+    assert(curatedSet(s"$baseA/o1") == curatedSet(s"$baseB/o1") &&
+      manifestSet(s"$baseA/o1") == manifestSet(s"$baseB/o1"),
+      "the non-monotonic publish must still equal the full path")
   }
 }
