@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
 /** Memory-pressure posture row (VERDICT r09 item 6): the 128 GiB
@@ -41,11 +41,31 @@ object MemPressureStress {
       "spark.sql.shuffle.partitions" -> "8"))
     val spillMem = new AtomicLong(0L)
     val spillDisk = new AtomicLong(0L)
+    // Publish-tail attribution (VERDICT r11 item 6): the delta tail
+    // tags its jobs with CurationRun.DeltaPublishJobGroup, so its
+    // stages' spill splits out of the cadence total — the compose/
+    // fingerprint/pack stages are metadata-heavy and the question is
+    // whether THEY ever pressure memory at this SF or the dedup
+    // stages own all of it.
+    val deltaStages = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[Int]()
+    val deltaSpill = new AtomicLong(0L)
+    val deltaTasks = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        if (e.properties != null &&
+            pipeline.CurationRun.DeltaPublishJobGroup ==
+              e.properties.getProperty("spark.jobGroup.id"))
+          e.stageIds.foreach(id => deltaStages.add(id))
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         if (e.taskMetrics != null) {
           spillMem.addAndGet(e.taskMetrics.memoryBytesSpilled)
           spillDisk.addAndGet(e.taskMetrics.diskBytesSpilled)
+          if (deltaStages.contains(e.stageId)) {
+            deltaTasks.incrementAndGet()
+            deltaSpill.addAndGet(e.taskMetrics.memoryBytesSpilled +
+              e.taskMetrics.diskBytesSpilled)
+          }
         }
     })
     val docs = Tables.documents(spark, dir)
@@ -149,6 +169,19 @@ object MemPressureStress {
     println(f"mem-pressure composed cadence (${memCap} MiB cap) $dtC%7.1f s" +
       f"  (uncapped $dtF%7.1f s)  spill mem=${cadMem}MB disk=${cadDisk}MB" +
       s"  stats=${cappedStats.last}")
+    // Publish-tail attribution row: the tagged stages MUST have run
+    // (the increment goes through the delta path — a zero task count
+    // means the tagging broke, not that the tail was cheap); spill
+    // inside them is reported either way — a zero is the honest
+    // "the metadata tail never pressures memory at this SF" record.
+    require(deltaTasks.get > 0L,
+      "the delta publish tail's job-group tagging recorded no tasks — " +
+        "attribution is broken (did the increment fall back to a full " +
+        "publish?)")
+    println(f"mem-pressure delta-publish tail: ${deltaTasks.get}%d tasks, " +
+      f"spill ${deltaSpill.get >> 20}%dMB " +
+      "(zero = the metadata tail never pressures memory at this SF; " +
+      "the dedup stages own the spill)")
     require(cappedStats == freeStats,
       "capped cadence audit stats must equal the uncapped run's")
     require(cappedManifest == freeManifest,

@@ -216,73 +216,41 @@ object Bm25State {
   }
 
   /** Long-lived BM25 serving session with a SWAPPABLE state version
-    * (VERDICT r10 item 3 — closes the same gate-family asymmetry
-    * [[CurationRun.AnnServeSession]] closed for the ANN twin:
-    * [[serveStream]]'s static side is FIXED at stream start, so a
-    * weekly rebase forced the caller to restart the query): each
-    * micro-batch of keyword queries is answered under the version
-    * current AT THAT BATCH.
-    *
-    * Shape: `foreachBatch` against a `@volatile` version handle — the
-    * micro-batch is a plain DataFrame, so each batch runs the
+    * (VERDICT r10 item 3) — the [[VersionedServeSession]] contract
+    * (versioned swap, warmed load, synchronized release, zero
+    * stateful streaming operators; see that class's scaladoc)
+    * instantiated for the BM25 family: the static side is the
+    * composed postings pre-joined with term df, each batch runs the
     * two-stage bounded fold of [[graft.streaming.StreamBm25Serve
     * .serve]] in BATCH mode (bit-equal to [[serve]] per query —
     * StreamBm25ServeSpec pins the fold against batch serve, scores
-    * included) over the session's persisted postings+df static side.
-    * No stateful streaming operator exists anywhere in the plan.
-    * [[swapTo]] loads and WARMS the next version before redirecting
-    * (first post-swap batch never pays the state scan inline); an
-    * in-flight batch finishes under the version it started with via
-    * its local reference; the old static side unpersists after the
-    * redirect. Synchronized like the ANN session: two concurrent
-    * swaps (or a swap racing [[close]]) would both read the same old
-    * handle and strand one persisted corpus-scale cache for the
-    * server's lifetime. Hits carry the answering `state_version`. */
+    * included). */
   final class Bm25ServeSession private[Bm25State] (spark: SparkSession,
       initialStateDir: String, topK: Int, k1: Double, b: Double) {
-    private case class V(dir: String, statics: DataFrame, n: Long,
-      avgdl: Double)
-    @volatile private var current: V = load(initialStateDir)
-
-    private def load(dir: String): V = {
-      val (statics, n, avgdl) = loadServeVersion(spark, dir)
-      V(dir, statics, n, avgdl)
-    }
+    private val s = new VersionedServeSession[(DataFrame, Long, Double)](
+      initialStateDir,
+      load = dir => loadServeVersion(spark, dir),
+      release = p => { p._1.unpersist(); () },
+      answerWith = (queries, p, dir) => {
+        val (statics, n, avgdl) = p
+        graft.streaming.StreamBm25Serve.serve(queries, statics, n,
+            avgdl, topK, k1, b)
+          .withColumn("state_version", lit(dir))
+      })
 
     /** The state version currently answering. */
-    def version: String = current.dir
-
-    /** Swap to a new state version (a rebase boundary): load + warm,
-      * atomically redirect, release the old static side. */
-    def swapTo(stateDir: String): Unit = this.synchronized {
-      val next = load(stateDir)
-      val old = current
-      current = next
-      old.statics.unpersist()
-    }
-
+    def version: String = s.version
+    /** Swap to a new state version (a rebase boundary). */
+    def swapTo(stateDir: String): Unit = s.swapTo(stateDir)
     /** One query batch (q_id, terms) answered under the CURRENT
       * version, hits tagged with the answering state_version. */
-    def answer(queries: DataFrame): DataFrame = {
-      val v = current
-      graft.streaming.StreamBm25Serve.serve(queries, v.statics, v.n,
-          v.avgdl, topK, k1, b)
-        .withColumn("state_version", lit(v.dir))
-    }
-
-    /** Serve a STREAM of keyword queries: per micro-batch, [[answer]]
-      * under the version current at that batch; result rows hand to
-      * `sink`. */
+    def answer(queries: DataFrame): DataFrame = s.answer(queries)
+    /** Serve a STREAM of keyword queries. */
     def serve(queries: DataFrame, checkpoint: String)(
         sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-      queries.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch { (batch: DataFrame, _: Long) => sink(answer(batch)) }
-        .start()
-
+      s.serve(queries, checkpoint)(sink)
     /** Release the current version's persisted static side. */
-    def close(): Unit = this.synchronized { current.statics.unpersist() }
+    def close(): Unit = s.close()
   }
 
   /** Open a [[Bm25ServeSession]] at `stateDir`. */

