@@ -653,7 +653,13 @@ object CurationRun {
       kept.join(lang, "doc_id"), "doc_id", "detected_lang",
       fractions, defaultFraction)
     import graft.functions.TextFunctions.tokens
-    val shardOf = floor(col("doc_id") / lit(publishSpan)).cast("int")
+    // LONG like PublishState.Config.shardOf — the full and delta
+    // publish tails MUST write the same shard width: a mixed dir
+    // (int files hard-link-carried from a full publish beside long
+    // files from a delta re-pack) breaks whole-dir parquet reads
+    // with a schema-convert error, and the int form wraps above
+    // 2^31 spans (ADVICE r11; round-12 review finding #1).
+    val shardOf = floor(col("doc_id") / lit(publishSpan)).cast("long")
     val curated = sampled
       .select(col("doc_id"), col("text"), col("detected_lang"), col("quality_score"),
         shardOf.as("shard"))
@@ -1176,13 +1182,22 @@ object CurationRun {
       lineStaged: Option[StagedAudit]): Stats = {
     // Job-group tag: every Spark job this tail schedules is
     // attributable (UI debugging; MemPressureStress splits its spill
-    // accounting on it). Thread-local on the driver, cleared on exit.
-    spark.sparkContext.setJobGroup(DeltaPublishJobGroup,
+    // accounting on it). Thread-local on the driver; the CALLER's
+    // group (runIncremental is public API — a host app may have
+    // tagged its own jobs) is saved and restored, not clobbered
+    // (round-12 review finding #3).
+    val sc = spark.sparkContext
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobGroup(DeltaPublishJobGroup,
       "delta weekly publish tail", interruptOnCancel = false)
     try deltaPublishTailBody(spark, newDocs, deconNewS, clustersS, cfg,
       stateInDir, stateOutDir, lineageOld, outDir, semStateOn,
       spanStaged, lineStaged)
-    finally spark.sparkContext.clearJobGroup()
+    finally {
+      if (prevGroup == null) sc.clearJobGroup()
+      else sc.setJobGroup(prevGroup, prevDesc, interruptOnCancel = false)
+    }
   }
 
   /** The job-group id [[deltaPublishTail]] tags its jobs with. */

@@ -126,19 +126,26 @@ object LmState {
     val n = orderOf(stateInDir)
     val lineage = StateLayout.readLineage(stateInDir)
     if (validateDisjoint) {
-      val ids = newDocs.select(col(idCol).cast("long").as("doc_id")).distinct()
-      val checkable = lineage.filter(d => java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$d/doc_ids_batch")))
-      val overlap =
-        if (checkable.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else StateLayout.readSlicesPruned(spark, checkable, "doc_ids_batch",
-            "doc_id", ids)
-          .join(ids, Seq("doc_id"))
-          .limit(1).collect()
-      require(overlap.isEmpty,
-        s"writeIncrement: batch doc id ${overlap.head.get(0)} already " +
-          "exists in the LM count state — additive composition would " +
-          "double-count its grams (disjoint-id contract)")
+      // Persisted: the probe frame feeds readSlicesPruned's
+      // driver-side bucket collect AND the overlap join — unpersisted
+      // the batch's upstream DAG would run twice here on top of
+      // writeSlices' pass (round-12 review finding #4).
+      val ids = newDocs.select(col(idCol).cast("long").as("doc_id"))
+        .distinct().persist()
+      try {
+        val checkable = lineage.filter(d => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$d/doc_ids_batch")))
+        val overlap =
+          if (checkable.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else StateLayout.readSlicesPruned(spark, checkable, "doc_ids_batch",
+              "doc_id", ids)
+            .join(ids, Seq("doc_id"))
+            .limit(1).collect()
+        require(overlap.isEmpty,
+          s"writeIncrement: batch doc id ${overlap.head.get(0)} already " +
+            "exists in the LM count state — additive composition would " +
+            "double-count its grams (disjoint-id contract)")
+      } finally ids.unpersist()
     }
     writeSlices(newDocs, idCol, textCol, n, stateOutDir)
     // Vocabulary delta: batch histories unseen anywhere in state. The

@@ -50,12 +50,20 @@ final class VersionedServeSession[P](
   def version: String = current.dir
 
   /** Swap to a new state version (a rebase boundary): load + warm,
-    * atomically redirect, release the old static side. */
+    * atomically redirect, release the old static side. Swapping to
+    * the CURRENT version is a no-op: Spark's CacheManager keys cached
+    * data by logical plan, so a same-dir reload resolves to the very
+    * cache entry the old payload holds and releasing the old side
+    * would evict the "new" one with it — a double-fired rebase
+    * notifier would otherwise leave the server permanently un-warmed
+    * (round-12 review finding #2). */
   def swapTo(stateDir: String): Unit = this.synchronized {
-    val next = V(stateDir, load(stateDir))
-    val old = current
-    current = next
-    release(old.payload)
+    if (stateDir != current.dir) {
+      val next = V(stateDir, load(stateDir))
+      val old = current
+      current = next
+      release(old.payload)
+    }
   }
 
   /** One query batch answered under the CURRENT version. */

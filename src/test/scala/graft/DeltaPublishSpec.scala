@@ -141,6 +141,16 @@ class DeltaPublishSpec extends AnyFunSuite {
         s"$out packed")
       assert(manifestSet(s"$baseA/$out") == manifestSet(s"$baseB/$out"),
         s"$out manifest")
+      // Width pin (round-12 review finding #1): full AND delta tails
+      // must write the SAME long shard — a mixed dir (int files
+      // carried from a full publish beside long delta re-packs) breaks
+      // whole-dir parquet reads with a schema-convert error, and the
+      // .as[Long] decode above silently upcasts, so it cannot catch
+      // an int writer on its own.
+      for (o <- Seq(baseA, baseB); art <- Seq("packed", "manifest"))
+        assert(spark.read.parquet(s"$o/$out/$art").schema("shard").dataType ==
+          org.apache.spark.sql.types.LongType,
+          s"$out/$art shard column must be long on both paths")
     }
 
     // The fixture's churn actually happened: 11 displaced 1, and 2

@@ -82,6 +82,21 @@ class LmServeSessionSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(sunk.asScala.toSet === want(s"$base/s2", probeB),
         "post-swap scores must equal batch serve on v2 (and say so)")
+      // Same-dir swap is a no-op (round-12 review finding #2): the
+      // reload would resolve to the SAME cache entry the old payload
+      // holds, so releasing the old side would evict the "new" one
+      // and leave the server permanently un-warmed. The guard keeps
+      // the persisted static side exactly as it was.
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+      session.swapTo(s"$base/s2")
+      assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+        "swapTo(current version) must not touch the persisted static side")
+      sunk.clear()
+      mem.addData(probeA.map(d =>
+        LmDoc(d._1, new Timestamp(1700000002000L), d._2)): _*)
+      q.processAllAvailable()
+      assert(sunk.asScala.toSet === want(s"$base/s2", probeA),
+        "answers after a same-dir swap must still serve v2")
       // foreachBatch serving: no stateful streaming operator at all.
       assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
         "the serving stream must carry zero state operators")
