@@ -51,7 +51,11 @@ import graft.sources.Sinks
 object Bm25State {
 
   private def writeSlices(docs: DataFrame, idCol: String, textCol: String,
-      stateOutDir: String): Unit = {
+      stateOutDir: String, recordIds: Boolean): Unit = {
+    if (recordIds)
+      StateLayout.writeBucketed(
+        docs.select(col(idCol).cast("long").as("doc_id")).distinct(),
+        s"$stateOutDir/doc_ids_batch", "doc_id")
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
     // The doc-length frame is doc-scale-compact and read by BOTH
@@ -72,10 +76,17 @@ object Bm25State {
     dl.unpersist()
   }
 
-  /** From-scratch index build that WRITES the weekly state. */
+  /** From-scratch index build that WRITES the weekly state.
+    * `recordIds = true` additionally lands a metadata-scale
+    * `doc_ids_batch` artifact (bucketed BY doc id — the [[LmState]]
+    * discipline) so later `validateDisjoint` checks probe it
+    * bucket-pruned in O(batch) instead of column-scanning the
+    * composed postings. Default off: the artifact costs one extra
+    * small job per version, and callers with upstream-enforced id
+    * discipline shouldn't pay it. */
   def writeInit(docs: DataFrame, idCol: String, textCol: String,
-      stateOutDir: String): Unit = {
-    writeSlices(docs, idCol, textCol, stateOutDir)
+      stateOutDir: String, recordIds: Boolean = false): Unit = {
+    writeSlices(docs, idCol, textCol, stateOutDir, recordIds)
     StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))
   }
 
@@ -92,38 +103,51 @@ object Bm25State {
     * a history read and the whole point of ingest is O(batch) with no
     * history IO; callers whose id discipline is upstream-enforced
     * (monotonic ingest ids, the [[CurationRun]] cadence) keep that.
-    * `validateDisjoint = true` buys the check: a COLUMN-pruned scan of
-    * every composed postings slice's 8-byte doc_id column (doc_id is
-    * not the bucket key — tok is — so the read cannot bucket-prune;
-    * the cost is O(corpus doc_id column IO), the cheapest whole-state
-    * probe this layout admits) semi-joined against the batch ids,
-    * failing fast on any overlap BEFORE the slice lands. The LM twin
-    * ([[LmState.writeIncrement]]) keeps a doc_id-keyed `doc_ids_batch`
-    * artifact precisely so ITS check is bucket-pruned O(batch). */
+    * `validateDisjoint = true` buys the check, through the cheapest
+    * probe each lineage slice admits: slices that carry the
+    * `doc_ids_batch` artifact (landed by `recordIds = true` at their
+    * ingest) are read bucket-pruned to the batch's ids — O(batch-key
+    * buckets); slices without it fall back to a COLUMN-pruned scan of
+    * their postings' 8-byte doc_id column (doc_id is not the bucket
+    * key — tok is — so that read cannot bucket-prune; it is the
+    * cheapest whole-slice probe the postings layout admits). A
+    * deployment that always ingests with `recordIds = true` gets the
+    * O(batch) check the [[LmState.writeIncrement]] twin has. */
   def writeIncrement(newDocs: DataFrame, idCol: String, textCol: String,
       stateInDir: String, stateOutDir: String,
-      validateDisjoint: Boolean = false): Unit = {
+      validateDisjoint: Boolean = false, recordIds: Boolean = false): Unit = {
     require(stateInDir != stateOutDir,
       "state is versioned by directory: reading and overwriting the same " +
         "state in one job would corrupt it")
+    val lineage = StateLayout.readLineage(stateInDir)
     if (validateDisjoint) {
       val spark = newDocs.sparkSession
-      val lineage = StateLayout.readLineage(stateInDir)
-      // doc_id is not the postings' bucket key (tok is), so the read
-      // cannot bucket-prune on it; it CAN column-prune to the 8-byte
-      // doc_id column and stop at the first overlapping id.
-      val overlap = StateLayout.readSlices(spark, lineage, "postings_batch")
-        .select(col("doc_id")).distinct()
-        .join(newDocs.select(col(idCol).as("doc_id")).distinct(), "doc_id")
-        .limit(1).collect()
-      require(overlap.isEmpty,
-        s"writeIncrement: batch doc id ${overlap.head.get(0)} already exists " +
-          "in the composed postings state — additive composition would " +
-          "double-count its tf/df/n_docs (disjoint-id contract)")
+      // Persisted: the probe feeds the pruned read's bucket collect
+      // AND the overlap join (the LmState discipline).
+      val ids = newDocs.select(col(idCol).cast("long").as("doc_id"))
+        .distinct().persist()
+      try {
+        val (withIds, without) = lineage.partition(d =>
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$d/doc_ids_batch")))
+        val probes =
+          (if (withIds.isEmpty) Nil
+           else Seq(StateLayout.readSlicesPruned(spark, withIds,
+             "doc_ids_batch", "doc_id", ids))) ++
+          (if (without.isEmpty) Nil
+           else Seq(StateLayout.readSlices(spark, without, "postings_batch")
+             .select(col("doc_id")).distinct()))
+        val overlap = probes.reduce(_ unionByName _)
+          .join(ids, Seq("doc_id"))
+          .limit(1).collect()
+        require(overlap.isEmpty,
+          s"writeIncrement: batch doc id ${overlap.head.get(0)} already " +
+            "exists in the composed postings state — additive composition " +
+            "would double-count its tf/df/n_docs (disjoint-id contract)")
+      } finally ids.unpersist()
     }
-    writeSlices(newDocs, idCol, textCol, stateOutDir)
-    StateLayout.writeLineage(stateOutDir,
-      StateLayout.readLineage(stateInDir) :+ stateOutDir)
+    writeSlices(newDocs, idCol, textCol, stateOutDir, recordIds)
+    StateLayout.writeLineage(stateOutDir, lineage :+ stateOutDir)
   }
 
   /** Serve a keyword query from the composed state: postings read
