@@ -174,6 +174,13 @@ object MemPressureStress {
     // means the tagging broke, not that the tail was cheap); spill
     // inside them is reported either way — a zero is the honest
     // "the metadata tail never pressures memory at this SF" record.
+    // The counters are filled by an ASYNC SparkListener: the bus drain
+    // above can time out silently, so a zero gets a brief grace loop
+    // before the assertion fires spuriously (ADVICE r12).
+    var graceWaited = 0
+    while (deltaTasks.get == 0L && graceWaited < 10000) {
+      Thread.sleep(200); graceWaited += 200
+    }
     require(deltaTasks.get > 0L,
       "the delta publish tail's job-group tagging recorded no tasks — " +
         "attribution is broken (did the increment fall back to a full " +

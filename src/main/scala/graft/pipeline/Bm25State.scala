@@ -54,7 +54,8 @@ object Bm25State {
       stateOutDir: String, recordIds: Boolean): Unit = {
     if (recordIds)
       StateLayout.writeBucketed(
-        docs.select(col(idCol).cast("long").as("doc_id")).distinct(),
+        docs.select(StateLayout.castIdStrict(col(idCol)).as("doc_id"))
+          .distinct(),
         s"$stateOutDir/doc_ids_batch", "doc_id")
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
@@ -123,8 +124,11 @@ object Bm25State {
     if (validateDisjoint) {
       val spark = newDocs.sparkSession
       // Persisted: the probe feeds the pruned read's bucket collect
-      // AND the overlap join (the LmState discipline).
-      val ids = newDocs.select(col(idCol).cast("long").as("doc_id"))
+      // AND the overlap join (the LmState discipline). Strict cast: a
+      // null-casting id would never join and silently VALIDATE
+      // (ADVICE r12).
+      val ids = newDocs
+        .select(StateLayout.castIdStrict(col(idCol)).as("doc_id"))
         .distinct().persist()
       try {
         val (withIds, without) = lineage.partition(d =>
@@ -294,6 +298,25 @@ object Bm25State {
     StateLayout.writeBucketed(
       StateLayout.readSlices(spark, lineage, "postings_batch"),
       s"$stateOutDir/postings_batch", "tok")
+    // The disjoint-id artifact consolidates — but ONLY when every
+    // lineage dir carries it (ADVICE r12: without consolidation, a
+    // deployment that always ingests with recordIds = true silently
+    // lost the O(batch) probe after every rebase). The all-or-nothing
+    // guard is deliberate and differs from [[LmState.rebase]]: this
+    // family HAS a complete fallback probe (the postings doc_id scan),
+    // and validateDisjoint trusts an id slice as covering its dir's
+    // docs — consolidating a PARTIAL id set into the rebased dir would
+    // make the pre-id docs invisible to the check, trading a complete
+    // slow probe for an incomplete fast one. A mixed lineage therefore
+    // rebases WITHOUT the artifact and keeps the complete fallback;
+    // the LM twin has no fallback, so partial consolidation there
+    // loses nothing.
+    val allHaveIds = lineage.forall(d => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$d/doc_ids_batch")))
+    if (allHaveIds)
+      StateLayout.writeBucketed(
+        StateLayout.readSlices(spark, lineage, "doc_ids_batch"),
+        s"$stateOutDir/doc_ids_batch", "doc_id")
     Sinks.overwriteParquet(
       StateLayout.readSlices(spark, lineage, "stats_batch")
         .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),

@@ -21,13 +21,17 @@ import graft.operators.TextAnalysis
   *  - `prefix_counts_batch/` (w, c1) — this batch's history
   *    ((n−1)-gram) counts, bucketed by history.
   *  - `doc_ids_batch/` (doc_id) — this batch's doc ids, bucketed BY
-  *    DOC ID. Metadata-scale (8 bytes/doc) and written purely so the
-  *    disjoint-id CONTRACT is checkable in O(batch): the count slices
-  *    themselves carry no doc ids (grams aggregate them away), so
-  *    without this artifact a re-ingested doc would be undetectable
-  *    from state alone. `validateDisjoint` probes it bucket-pruned to
-  *    the batch's own ids — unlike the BM25 twin's column-pruned
-  *    corpus scan, this check never reads beyond the batch's buckets.
+  *    DOC ID, landed on `recordIds = true` ONLY (the [[Bm25State]]
+  *    default-off shape — r12 landed it unconditionally, which put
+  *    three per-version job floors on q150 for a check most callers
+  *    never run). Metadata-scale (8 bytes/doc) and written purely so
+  *    the disjoint-id CONTRACT is checkable in O(batch): the count
+  *    slices themselves carry no doc ids (grams aggregate them away),
+  *    so without this artifact a re-ingested doc is undetectable from
+  *    state alone — the LM family has no postings fallback probe.
+  *    `validateDisjoint` probes it bucket-pruned to the batch's own
+  *    ids; slices landed without it are honestly unvalidatable and
+  *    skipped.
   *  - `vocab.txt` — the COMPOSED smoothing vocabulary |distinct
   *    histories| as of this version. Unlike the counts it is NOT
   *    additive (the same history recurs across batches), but it
@@ -80,20 +84,29 @@ object LmState {
   /** Land one batch's count slices; returns nothing — the caller
     * composes vocabulary and lineage per cadence position. */
   private def writeSlices(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, stateOutDir: String): Unit = {
+      n: Int, stateOutDir: String, recordIds: Boolean): Unit = {
     val m = TextAnalysis.lmTrain(docs, textCol, n)
     StateLayout.writeBucketed(m.bgCounts, s"$stateOutDir/bg_counts_batch", "bg")
     StateLayout.writeBucketed(m.prefixCounts,
       s"$stateOutDir/prefix_counts_batch", "w")
-    StateLayout.writeBucketed(
-      docs.select(col(idCol).cast("long").as("doc_id")).distinct(),
-      s"$stateOutDir/doc_ids_batch", "doc_id")
+    if (recordIds)
+      StateLayout.writeBucketed(
+        docs.select(StateLayout.castIdStrict(col(idCol)).as("doc_id"))
+          .distinct(),
+        s"$stateOutDir/doc_ids_batch", "doc_id")
   }
 
-  /** From-scratch count build that WRITES the weekly state. */
+  /** From-scratch count build that WRITES the weekly state.
+    * `recordIds = true` additionally lands the metadata-scale
+    * `doc_ids_batch` artifact (see class doc) so later
+    * `validateDisjoint` checks probe it bucket-pruned in O(batch).
+    * Default off: the artifact costs one extra small job per version,
+    * and callers with upstream-enforced id discipline shouldn't pay
+    * it (the [[Bm25State.writeInit]] shape). */
   def writeInit(docs: DataFrame, textCol: String, stateOutDir: String,
-      n: Int = 2, idCol: String = "doc_id"): Unit = {
-    writeSlices(docs, idCol, textCol, n, stateOutDir)
+      n: Int = 2, idCol: String = "doc_id",
+      recordIds: Boolean = false): Unit = {
+    writeSlices(docs, idCol, textCol, n, stateOutDir, recordIds)
     // Init vocabulary = the batch's own distinct histories — the
     // grouped slice has one row per history, so footer-count suffices.
     val v = docs.sparkSession.read
@@ -113,12 +126,14 @@ object LmState {
     * any overlap BEFORE any slice lands. Default off: callers whose id
     * discipline is upstream-enforced (monotonic ingest ids, the
     * [[CurationRun]] cadence) keep zero-validation ingest. Lineage
-    * dirs written before the id artifact existed cannot be validated
-    * (nothing recorded) and are skipped — a rebase backfills them into
-    * one consolidated checkable slice. */
+    * dirs landed without `recordIds` carry no id slice, cannot be
+    * validated (nothing recorded), and are skipped; a rebase
+    * consolidates the id slices that EXIST — pre-id docs stay
+    * unvalidatable (the gram counts carry no ids to backfill from). */
   def writeIncrement(newDocs: DataFrame, textCol: String,
       stateInDir: String, stateOutDir: String,
-      idCol: String = "doc_id", validateDisjoint: Boolean = false): Unit = {
+      idCol: String = "doc_id", validateDisjoint: Boolean = false,
+      recordIds: Boolean = false): Unit = {
     require(stateInDir != stateOutDir,
       "state is versioned by directory: reading and overwriting the same " +
         "state in one job would corrupt it")
@@ -130,7 +145,8 @@ object LmState {
       // driver-side bucket collect AND the overlap join — unpersisted
       // the batch's upstream DAG would run twice here on top of
       // writeSlices' pass (round-12 review finding #4).
-      val ids = newDocs.select(col(idCol).cast("long").as("doc_id"))
+      val ids = newDocs
+        .select(StateLayout.castIdStrict(col(idCol)).as("doc_id"))
         .distinct().persist()
       try {
         val checkable = lineage.filter(d => java.nio.file.Files.exists(
@@ -147,7 +163,7 @@ object LmState {
             "double-count its grams (disjoint-id contract)")
       } finally ids.unpersist()
     }
-    writeSlices(newDocs, idCol, textCol, n, stateOutDir)
+    writeSlices(newDocs, idCol, textCol, n, stateOutDir, recordIds)
     // Vocabulary delta: batch histories unseen anywhere in state. The
     // batch's slice is already grouped (one row per history), and the
     // history read prunes to the batch keys' buckets — batch-scale IO.

@@ -89,6 +89,21 @@ object StateLayout {
     pmod(hash(canonical), lit(buckets))
   }
 
+  /** Cast an id column to long for the disjoint-id artifacts/probes,
+    * failing LOUDLY when the cast yields null (a null id, or — under a
+    * host app's non-ANSI session — a non-numeric string id). A null
+    * here would be silently fatal to the safety check it feeds: nulls
+    * never equi-join, so a re-ingested doc with an uncastable id would
+    * VALIDATE instead of being detected (ADVICE r12). Stays inside the
+    * consuming job — no extra validation action. */
+  def castIdStrict(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val casted = c.cast("long")
+    when(casted.isNotNull, casted).otherwise(raise_error(concat(
+      lit("disjoint-id contract: doc id casts to null (null or " +
+        "non-numeric id): "),
+      coalesce(c.cast("string"), lit("NULL")))))
+  }
+
   /** Bucket count a slice was written with; None = legacy layout. */
   def bucketsOf(path: String): Option[Int] = {
     val p = java.nio.file.Paths.get(path, MarkerFile)

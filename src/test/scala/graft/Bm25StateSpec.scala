@@ -88,6 +88,47 @@ class Bm25StateSpec extends AnyFunSuite {
       "the refused increment must not land a state version")
   }
 
+  test("rebase consolidates the id artifact for an all-recordIds " +
+      "lineage, drops it for a mixed one (fallback stays complete)") {
+    def hasIds(d: String) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$d/doc_ids_batch"))
+    // All-recordIds lineage: the O(batch) probe must survive the
+    // rebase (ADVICE r12 — it was silently lost before).
+    val a = TestSpark.tmpDir("bm25_rebase_ids_all")
+    Bm25State.writeInit(docsAll.take(3).toDF("doc_id", "text"),
+      "doc_id", "text", s"$a/s0", recordIds = true)
+    Bm25State.writeIncrement(docsAll.slice(3, 5).toDF("doc_id", "text"),
+      "doc_id", "text", s"$a/s0", s"$a/s1", recordIds = true)
+    Bm25State.rebase(spark, s"$a/s1", s"$a/rb")
+    assert(hasIds(s"$a/rb"), "all-recordIds rebase must keep the artifact")
+    // The consolidated slice still refuses a replay after the rebase.
+    val bad = Seq((2L, "a recrawl of doc two")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bm25State.writeIncrement(bad, "doc_id", "text",
+        s"$a/rb", s"$a/rb1", validateDisjoint = true)
+    }
+    assert(e.getMessage.contains("disjoint-id"))
+    // Mixed lineage: consolidating the PARTIAL id set would hide the
+    // id-less docs from the check — the rebase must drop the artifact
+    // so validateDisjoint keeps the complete postings fallback.
+    val m = TestSpark.tmpDir("bm25_rebase_ids_mixed")
+    Bm25State.writeInit(docsAll.take(3).toDF("doc_id", "text"),
+      "doc_id", "text", s"$m/s0")
+    Bm25State.writeIncrement(docsAll.slice(3, 5).toDF("doc_id", "text"),
+      "doc_id", "text", s"$m/s0", s"$m/s1", recordIds = true)
+    Bm25State.rebase(spark, s"$m/s1", s"$m/rb")
+    assert(!hasIds(s"$m/rb"), "mixed-lineage rebase must not land a " +
+      "partial id artifact")
+    // The fallback still catches a replay of a doc from the ID-LESS
+    // init batch after the rebase.
+    val badOld = Seq((1L, "replay of an id-less doc")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25State.writeIncrement(badOld, "doc_id", "text",
+        s"$m/rb", s"$m/rb1", validateDisjoint = true)
+    }
+    assert(e2.getMessage.contains("disjoint-id"))
+  }
+
   test("a term absent from some batches still scores with composed df") {
     val base = TestSpark.tmpDir("bm25_state_absent")
     // 'hash' appears only in batches 0 and 1; 'filter' only in 0 and 2.

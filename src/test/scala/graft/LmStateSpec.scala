@@ -111,8 +111,9 @@ class LmStateSpec extends AnyFunSuite {
 
   test("validateDisjoint refuses a re-ingested doc id, state unchanged") {
     val base = TestSpark.tmpDir("lm_state_disjoint")
-    LmState.writeInit(batch(0), "text", s"$base/s0")
-    LmState.writeIncrement(batch(1), "text", s"$base/s0", s"$base/s1")
+    LmState.writeInit(batch(0), "text", s"$base/s0", recordIds = true)
+    LmState.writeIncrement(batch(1), "text", s"$base/s0", s"$base/s1",
+      recordIds = true)
     // Re-ingest a doc id already in the composed state: the opt-in
     // probe must fail BEFORE any slice lands (the double-count would
     // otherwise be silent — counts are additive with no key overlap
@@ -132,13 +133,39 @@ class LmStateSpec extends AnyFunSuite {
     // Disjoint ids under the same flag pass, and the id artifact
     // survives a rebase (the consolidated slice stays checkable).
     LmState.writeIncrement(batch(2), "text", s"$base/s1", s"$base/s2",
-      validateDisjoint = true)
+      validateDisjoint = true, recordIds = true)
     LmState.rebase(spark, s"$base/s2", s"$base/r")
     val e2 = intercept[IllegalArgumentException] {
       LmState.writeIncrement(bad, "text", s"$base/r", s"$base/r1",
         validateDisjoint = true)
     }
     assert(e2.getMessage.contains("disjoint-id contract"))
+  }
+
+  test("recordIds default-off: no id artifact lands, the lineage is " +
+      "honestly unvalidatable, and a null-casting id fails loudly") {
+    val base = TestSpark.tmpDir("lm_state_noids")
+    LmState.writeInit(batch(0), "text", s"$base/s0")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/s0/doc_ids_batch")),
+      "default ingest must not pay the id-artifact job (the r12 q150 " +
+        "per-version floor)")
+    // An id-less lineage is UNVALIDATABLE by contract: the probe skips
+    // dirs with nothing recorded, so even a true re-ingest passes —
+    // the documented semantics, pinned so a future change that turns
+    // this into a silent corpus scan (or a spurious refusal) is caught.
+    val dup = docsAll.take(1).toDF("doc_id", "text")
+    LmState.writeIncrement(dup, "text", s"$base/s0", s"$base/s1",
+      validateDisjoint = true)
+    // With recording ON, an id that casts to null (here: a null id)
+    // must fail the WRITE loudly instead of landing a null row the
+    // probe could never join against (ADVICE r12).
+    val nullId = Seq((Option.empty[Long], "null id doc"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      LmState.writeInit(nullId, "text", s"$base/n0", recordIds = true)
+    }
+    assert(e.getMessage != null)
   }
 
   test("serving reads prune to the query's buckets") {
