@@ -147,7 +147,8 @@ object MemPressureStress {
         minContaminatedShingles = 5,
         embeddings = Some(emb), semClusters = 8, semIters = 2,
         semThreshold = 0.35)
-      val manifest = s.read.parquet(s"$base/out1/manifest")
+      val manifest = pipeline.PublishState
+        .readPublished(s, s"$base/out1", "manifest")
         .collect().map(_.toString).toSet
       (Seq(st0, st1), manifest)
     }

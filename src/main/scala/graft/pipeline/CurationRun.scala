@@ -645,7 +645,8 @@ object CurationRun {
     * layout). */
   private def landOutputs(kept: DataFrame, outDir: String,
       fractions: Map[String, Double], defaultFraction: Double,
-      packBudget: Long, publishSpan: Long): (DataFrame, DataFrame) = {
+      packBudget: Long, publishSpan: Long,
+      carrier: PublishCarrier = PublishCarrier.Posix): (DataFrame, DataFrame) = {
     val spark = kept.sparkSession
     val lang = TextAnalysis.languageId(kept, "doc_id", "text")
       .select(col("doc_id"), col("detected_lang"))
@@ -664,7 +665,7 @@ object CurationRun {
       .select(col("doc_id"), col("text"), col("detected_lang"), col("quality_score"),
         shardOf.as("shard"))
     PublishState.writeSharded(curated, s"$outDir/curated",
-      keepShardInContent = false)
+      keepShardInContent = false, carrier = carrier)
     // Pack from the LANDED curated table, not the lazy chain: the
     // curated write above already paid the full upstream pipeline once;
     // re-deriving `curated` here would pay it a second time (measured
@@ -678,7 +679,7 @@ object CurationRun {
         size(tokens(col("text"))).cast("long").as("n_tokens")),
       "doc_id", "n_tokens", "text", budget = packBudget, shardOf = shardOf)
     PublishState.writeSharded(packed, s"$outDir/packed",
-      keepShardInContent = true)
+      keepShardInContent = true, carrier = carrier)
     // Writer-side validation record (q72/q107): per-shard totals +
     // order-invariant checksum + bin fill, derived from the LANDED
     // bins (read back, so the manifest describes exactly what a
@@ -724,7 +725,9 @@ object CurationRun {
       annIters: Int = 2,
       spanState: Boolean = false, spanK: Int = 8,
       spanMinDf: Int = 2,
-      lineState: Boolean = false, lineMinDf: Int = 2): Stats = {
+      lineState: Boolean = false, lineMinDf: Int = 2,
+      retrievalState: Boolean = false,
+      carrier: PublishCarrier = PublishCarrier.Posix): Stats = {
     val spark = docs.sparkSession
     // Line-df state (opt-in, on RAW text before normalization — see
     // lineStateStage): init cleans against its own counts.
@@ -753,6 +756,21 @@ object CurationRun {
     // audit caches stay for the run's one folded stats action.
     spanStaged.foreach(_.afterLand()); lineStaged.foreach(_.afterLand())
     val deconS = StateLayout.readSlice(spark, s"$stateOutDir/decon_batch")
+    // Retrieval-state family (VERDICT r12 item 6): opt-in BM25 + LM
+    // count states over the landed DECON corpus (append-only across
+    // batches — the disjoint-id contract the weekly-shifting curated
+    // set cannot offer), maintained as SUBDIRECTORY lineages
+    // (`bm25/`, `lm/`) so a cadence deployment gets O(batch)-validated
+    // retrieval ingest without bypassing the cadence. recordIds=true
+    // always: the flag's whole point is the checkable contract, and
+    // increments then validate every batch bucket-pruned in O(batch).
+    if (retrievalState) prof("init:retrieval-state") {
+      val rdocs = deconS.select(col("doc_id"), col("text"))
+      Bm25State.writeInit(rdocs, "doc_id", "text", s"$stateOutDir/bm25",
+        recordIds = true)
+      LmState.writeInit(rdocs, "text", s"$stateOutDir/lm",
+        recordIds = true)
+    }
     StateLayout.writeBucketed(
       deconS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
       s"$stateOutDir/hash_batch", "content_hash")
@@ -838,7 +856,7 @@ object CurationRun {
       }
     val (landedCurated, landedBins) = prof("init:landOutputs")(
       landOutputs(semFinal, outDir,
-        fractions, defaultFraction, packBudget, publishSpan))
+        fractions, defaultFraction, packBudget, publishSpan, carrier))
     // Publish state (VERDICT r10 item 1): written whenever later
     // increments can maintain membership incrementally — no
     // embeddings, or the frozen-quantizer semantic state (the eager
@@ -851,7 +869,10 @@ object CurationRun {
         else None,
         PublishState.Config(fractions, defaultFraction,
           packBudget, publishSpan),
-        stateOutDir, outDir, v = 0L))
+        stateOutDir, outDir, v = 0L, carrier))
+    // Completion marker LAST — after every publish artifact AND the
+    // publish state (VERDICT r12 item 2).
+    PublishState.markComplete(outDir, carrier)
     // The run's ONE audit action (VERDICT r09 item 3): every stat
     // folds into a single union'd count job over caches and landed
     // parquet; stage caches release only after this read them.
@@ -890,7 +911,8 @@ object CurationRun {
       classifier: Option[(DataFrame, Int)] = None,
       minClassifierScore: Double = 0.5,
       exactGate: Boolean = false,
-      spanK: Int = 8, spanMinDf: Int = 2, lineMinDf: Int = 2): Stats = {
+      spanK: Int = 8, spanMinDf: Int = 2, lineMinDf: Int = 2,
+      carrier: PublishCarrier = PublishCarrier.Posix): Stats = {
     require(stateInDir != stateOutDir,
       "state is versioned by directory: reading and overwriting the same " +
         "state in one job would corrupt it")
@@ -981,6 +1003,24 @@ object CurationRun {
     // for the folded stats action).
     spanStaged.foreach(_.afterLand()); lineStaged.foreach(_.afterLand())
     val deconNewS = StateLayout.readSlice(spark, s"$stateOutDir/decon_batch")
+    // Retrieval-state increments (auto-detected — the state, not a
+    // flag, decides, like the semantic cadence): validated FIRST,
+    // before the dedup-state writes, so a replayed batch refuses as
+    // early as the landed decon allows and leaves stateOutDir without
+    // its lineage manifest (not a readable state version).
+    // validateDisjoint + recordIds always on: the O(batch)
+    // bucket-pruned probe is the reason the family is in the cadence.
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$stateInDir/bm25")))
+      prof("inc:retrieval-state") {
+        val rdocs = deconNewS.select(col("doc_id"), col("text"))
+        Bm25State.writeIncrement(rdocs, "doc_id", "text",
+          s"$stateInDir/bm25", s"$stateOutDir/bm25",
+          validateDisjoint = true, recordIds = true)
+        LmState.writeIncrement(rdocs, "text",
+          s"$stateInDir/lm", s"$stateOutDir/lm",
+          validateDisjoint = true, recordIds = true)
+      }
     StateLayout.writeBucketed(
       deconNewS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
       s"$stateOutDir/hash_batch", "content_hash")
@@ -1049,21 +1089,28 @@ object CurationRun {
     // re-publish, which (re)builds the publish state for next week.
     val cfg = PublishState.Config(fractions, defaultFraction,
       packBudget, publishSpan)
-    val deltaOk = PublishState.active(stateInDir) &&
+    val deltaOk = PublishState.active(stateInDir, carrier) &&
       (embeddings.isEmpty || semStateActive) && {
-        val (fp, prevOut) = PublishState.readMeta(stateInDir)
+        val (fp, prevOut) = PublishState.readMeta(stateInDir, carrier)
         fp == cfg.fingerprint && prevOut != outDir &&
-          java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$prevOut/curated")) &&
+          carrier.exists(s"$prevOut/curated") &&
+          // CRASH SELF-HEAL (VERDICT r12 item 2): a previous publish
+          // without its completion marker died mid-tail — carrying
+          // its shards would propagate the truncation, so the
+          // increment falls back to one full re-publish, which
+          // rebuilds publish state AND artifacts from the composed
+          // frames (bit-equal convergence — DeltaPublishSpec pins a
+          // killed tail's re-run against the never-crashed run).
+          PublishState.isComplete(prevOut, carrier) &&
           // Pre-totals state formats (≤ r11) fall back to one full
           // re-publish, which rebuilds totals alongside the ledger.
-          PublishState.totalsActive(stateInDir)
+          PublishState.totalsActive(stateInDir, carrier)
       }
     if (deltaOk)
       prof("inc:delta-tail")(
         deltaPublishTail(spark, newDocs, deconNewS, clustersS, cfg,
           stateInDir, stateOutDir, lineage, outDir, semStateActive,
-          spanStaged, lineStaged))
+          spanStaged, lineStaged, carrier))
     else {
       val deconAll = deconOld.unionByName(deconNewS)
       val kept = keepFromClusters(deconAll, clustersS).persist()
@@ -1078,7 +1125,7 @@ object CurationRun {
           (f, n, r)
         }
       val (landedCurated, landedBins) = landOutputs(semFinal, outDir,
-        fractions, defaultFraction, packBudget, publishSpan)
+        fractions, defaultFraction, packBudget, publishSpan, carrier)
       // (Re)build the publish state from the full frames so the NEXT
       // increment can delta — the upgrade path for pre-publish-state
       // lineages and the recovery path after a config change.
@@ -1087,7 +1134,8 @@ object CurationRun {
           if (semStateActive)
             Some(spark.read.parquet(s"$stateOutDir/sem_clusters"))
           else None,
-          cfg, stateOutDir, outDir, v = lineage.size)
+          cfg, stateOutDir, outDir, v = lineage.size, carrier)
+      PublishState.markComplete(outDir, carrier)
       // The run's ONE audit action (VERDICT r09 item 3).
       val c = foldCounts(Seq(
         "input" -> newDocs, "decon" -> deconAll, "kept" -> kept,
@@ -1174,12 +1222,21 @@ object CurationRun {
     * rows AND stats). Text is read only for the batch, the changed
     * shards' previous curated files, and (rare) a re-surfacing doc's
     * bucket-pruned decon lookup. */
+  /** Test seam for the crash-atomicity spec (VERDICT r12 item 2):
+    * invoked with a phase label at injection points inside the delta
+    * publish tail; a spec swaps in a thrower to kill the tail between
+    * the carry phase and the manifest write, then pins that readers
+    * refuse the partial publish and a re-run converges bit-equal.
+    * No-op in production. */
+  private[graft] var publishTailProbe: String => Unit = _ => ()
+
   private def deltaPublishTail(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, deconNewS: DataFrame, clustersS: DataFrame,
       cfg: PublishState.Config, stateInDir: String, stateOutDir: String,
       lineageOld: Seq[String], outDir: String, semStateOn: Boolean,
       spanStaged: Option[StagedAudit],
-      lineStaged: Option[StagedAudit]): Stats = {
+      lineStaged: Option[StagedAudit],
+      carrier: PublishCarrier = PublishCarrier.Posix): Stats = {
     // Job-group tag: every Spark job this tail schedules is
     // attributable (UI debugging; MemPressureStress splits its spill
     // accounting on it). Thread-local on the driver; the CALLER's
@@ -1193,7 +1250,7 @@ object CurationRun {
       "delta weekly publish tail", interruptOnCancel = false)
     try deltaPublishTailBody(spark, newDocs, deconNewS, clustersS, cfg,
       stateInDir, stateOutDir, lineageOld, outDir, semStateOn,
-      spanStaged, lineStaged)
+      spanStaged, lineStaged, carrier)
     finally {
       if (prevGroup == null) sc.clearJobGroup()
       else sc.setJobGroup(prevGroup, prevDesc, interruptOnCancel = false)
@@ -1208,9 +1265,10 @@ object CurationRun {
       cfg: PublishState.Config, stateInDir: String, stateOutDir: String,
       lineageOld: Seq[String], outDir: String, semStateOn: Boolean,
       spanStaged: Option[StagedAudit],
-      lineStaged: Option[StagedAudit]): Stats = {
+      lineStaged: Option[StagedAudit],
+      carrier: PublishCarrier): Stats = {
     import graft.functions.TextFunctions.tokens
-    val (_, prevOut) = PublishState.readMeta(stateInDir)
+    val (_, prevOut) = PublishState.readMeta(stateInDir, carrier)
     // Persisted: the flag recompute references the batch's base rows
     // from several DAG branches (quality lookup, batch flags, the sem
     // surv union) — unpersisted, the language-id + token pass over the
@@ -1295,14 +1353,15 @@ object CurationRun {
     // 0-until-N range).
     val changedSet = changed.toSet
 
-    // CURATED: carried links + a partial sharded write of the changed.
-    PublishState.prepareDir(s"$outDir/curated")
-    PublishState.linkShardsExcept(s"$prevOut/curated", s"$outDir/curated",
-      changedSet)
+    // CURATED: carried shard files + a partial sharded write of the
+    // changed (carry = hard link or FS copy, per the carrier).
+    PublishState.prepareDir(s"$outDir/curated", carrier)
+    PublishState.carryShardsExcept(s"$prevOut/curated", s"$outDir/curated",
+      changedSet, carrier)
     if (changed.nonEmpty) prof("  delta:curated") {
       val batchText = deconNewS.select(col("doc_id"), col("text"))
       val prevFiles = changed.flatMap(n =>
-        PublishState.shardFiles(s"$prevOut/curated", n))
+        PublishState.shardFiles(s"$prevOut/curated", n, carrier))
       // Full-schema read: the previous curated rows of the changed
       // shards ARE the standing member set (plus each doc's frozen
       // lang/quality), so no corpus-ledger lookup is needed for the
@@ -1355,19 +1414,20 @@ object CurationRun {
         .select(col("doc_id"), col("text"), col("detected_lang"),
           col("quality_score"), col("shard"))
       PublishState.writeSharded(curatedNew, s"$outDir/curated",
-        keepShardInContent = false, clear = false)
+        keepShardInContent = false, clear = false, carrier = carrier)
       enterIds.foreach(_.unpersist()); members.unpersist()
     }
 
-    // PACKED: carried links + re-pack of exactly the changed shards
-    // (within-shard packing is a pure function of the shard's member
-    // set, so the restriction equals the full run's shards).
-    PublishState.prepareDir(s"$outDir/packed")
-    PublishState.linkShardsExcept(s"$prevOut/packed", s"$outDir/packed",
-      changedSet)
+    // PACKED: carried shard files + re-pack of exactly the changed
+    // shards (within-shard packing is a pure function of the shard's
+    // member set, so the restriction equals the full run's shards).
+    PublishState.prepareDir(s"$outDir/packed", carrier)
+    PublishState.carryShardsExcept(s"$prevOut/packed", s"$outDir/packed",
+      changedSet, carrier)
+    publishTailProbe("after-carry")
     val newBins = prof("  delta:packed") {
       val changedCuratedFiles = changed.flatMap(n =>
-        PublishState.shardFiles(s"$outDir/curated", n))
+        PublishState.shardFiles(s"$outDir/curated", n, carrier))
       if (changedCuratedFiles.nonEmpty) {
         val cur = spark.read.parquet(changedCuratedFiles: _*)
         PublishState.writeSharded(
@@ -1376,9 +1436,10 @@ object CurationRun {
               size(tokens(col("text"))).cast("long").as("n_tokens")),
             "doc_id", "n_tokens", "text",
             budget = cfg.packBudget, shardOf = cfg.shardOf(col("doc_id"))),
-          s"$outDir/packed", keepShardInContent = true, clear = false)
+          s"$outDir/packed", keepShardInContent = true, clear = false,
+          carrier = carrier)
         val files = changed.flatMap(n =>
-          PublishState.shardFiles(s"$outDir/packed", n))
+          PublishState.shardFiles(s"$outDir/packed", n, carrier))
         if (files.nonEmpty) Some(spark.read.parquet(files: _*)) else None
       } else None
     }
@@ -1387,11 +1448,8 @@ object CurationRun {
     // changed rows (zero members anywhere) must still leave readable
     // empty artifacts, like the full path's empty-write fallback.
     def ensureReadable(path: String, empty: => DataFrame): Unit = {
-      val hasData = {
-        val s = java.nio.file.Files.list(java.nio.file.Paths.get(path))
-        try s.anyMatch(_.getFileName.toString.endsWith(".parquet"))
-        finally s.close()
-      }
+      val hasData =
+        carrier.listFileNames(path).exists(_.endsWith(".parquet"))
       if (!hasData) Sinks.overwriteParquet(empty, path, numFiles = 1)
     }
     ensureReadable(s"$outDir/curated",
@@ -1407,7 +1465,8 @@ object CurationRun {
 
     // MANIFEST: carried rows + recomputed rows for the changed shards
     // (each row is a pure per-shard aggregate of its bins).
-    val prevManifest = spark.read.parquet(s"$prevOut/manifest")
+    val prevManifest =
+      PublishState.readPublished(spark, prevOut, "manifest", carrier)
     val carriedRows =
       if (changed.isEmpty) prevManifest
       else prevManifest.where(!col("shard").isin(changed: _*))
@@ -1420,6 +1479,7 @@ object CurationRun {
             Seq("shard")))
       case None => carriedRows
     }
+    publishTailProbe("before-manifest")
     Sinks.overwriteParquet(manifest, s"$outDir/manifest", numFiles = 1)
 
     // Next week's state: the correction slice, the incrementally
@@ -1427,20 +1487,26 @@ object CurationRun {
     // totals, and the meta pointing at THIS publish.
     prof("  delta:ledger-write")(
       PublishState.writeLedgerSlice(updated, stateOutDir, v = lineageOld.size))
+    // Fingerprint DELTA slice only (VERDICT r12 item 4): the weekly
+    // path neither reads nor rewrites the composed table — readers
+    // compose the newest full table (init/rebase) with the delta
+    // slices, pinned equal to the from-scratch recompute at every
+    // version. The evAgg rows already ARE the deltas.
     prof("  delta:fps-write")(
-      PublishState.writeFingerprints(spark,
-        PublishState.mergeFingerprints(
-          PublishState.readFingerprints(spark, stateInDir), evAgg),
-        stateOutDir))
-    PublishState.writeMeta(stateOutDir, cfg, outDir)
-    val tPrev = PublishState.readTotals(stateInDir)
+      PublishState.writeFingerprintDelta(evAgg, stateOutDir))
+    PublishState.writeMeta(stateOutDir, cfg, outDir, carrier)
+    val tPrev = PublishState.readTotals(stateInDir, carrier)
     def dsum(f: String): Long = evRows.map(_.getAs[Long](f)).sum
     val totals = PublishState.Totals(
       nDocs = tPrev.nDocs + dsum("ddocs"),
       nKept = tPrev.nKept + dsum("dkept"),
       nMember = tPrev.nMember + dsum("dn"),
       nSemfinal = tPrev.nSemfinal + dsum("dsem"))
-    PublishState.writeTotals(stateOutDir, totals)
+    PublishState.writeTotals(stateOutDir, totals, carrier)
+    // Completion marker LAST — every publish artifact and every state
+    // write for next week is on disk before a reader can see
+    // `outDir` as complete (VERDICT r12 item 2).
+    PublishState.markComplete(outDir, carrier)
 
     // Delta-carry observability (VERDICT r11 items 2 + 5): carried =
     // previous publish shards the events did not flag; overlap = the
@@ -1448,8 +1514,9 @@ object CurationRun {
     // the stored fingerprint range's max mean non-monotonic ingest
     // ids (the boundary shard extends legitimately; anything below it
     // diffs as changed and silently costs toward a full publish).
-    val prevShardIds = PublishState.shardIdsOf(s"$prevOut/curated") ++
-      PublishState.shardIdsOf(s"$prevOut/packed")
+    val prevShardIds =
+      PublishState.shardIdsOf(s"$prevOut/curated", carrier) ++
+        PublishState.shardIdsOf(s"$prevOut/packed", carrier)
     val nCarried = prevShardIds.count(!changedSet(_))
     // The stored shard RANGE == the previous publish's file range (a
     // shard has files iff it has members iff it has a fingerprint
@@ -1610,7 +1677,8 @@ object CurationRun {
   private def writePublishState(spark: org.apache.spark.sql.SparkSession,
       decon: DataFrame, kept: DataFrame, semFinal: DataFrame,
       semLabels: Option[DataFrame], cfg: PublishState.Config,
-      stateOutDir: String, outDir: String, v: Long): Unit = {
+      stateOutDir: String, outDir: String, v: Long,
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit = {
     val base = PublishState.baseRows(
       decon.select(col("doc_id"), col("text"), col("quality_score")), cfg)
     val labeled = semLabels match {
@@ -1642,8 +1710,8 @@ object CurationRun {
         coalesce(sum((col("surv") && col("semok")).cast("long")), lit(0L)))
       .head()
     PublishState.writeTotals(stateOutDir, PublishState.Totals(
-      t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)))
-    PublishState.writeMeta(stateOutDir, cfg, outDir)
+      t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)), carrier)
+    PublishState.writeMeta(stateOutDir, cfg, outDir, carrier)
   }
 
   /** Lineage compaction — the state rebase (VERDICT r05 item 8). The
@@ -1788,20 +1856,30 @@ object CurationRun {
     }
     // Publish state consolidates like the df slices: latest-wins
     // compose into ONE complete slice (v resets with the lineage);
-    // fingerprints, audit totals, and the previous-publish pointer
-    // copy forward unchanged — a rebase compacts state, it does not
-    // publish.
+    // fingerprints re-land as ONE full table (the composed base +
+    // delta slices — rebase is exactly where the delta tail's slice
+    // discipline compacts); audit totals and the previous-publish
+    // pointer copy forward unchanged — a rebase compacts state, it
+    // does not publish.
     if (PublishState.active(stateInDir)) {
       PublishState.writeLedgerSlice(
         PublishState.composeLedger(spark, lineage), stateOutDir, v = 0L)
-      Sinks.overwriteParquet(
-        PublishState.readFingerprints(spark, stateInDir),
-        s"$stateOutDir/publish_shards", numFiles = 1)
+      PublishState.writeFingerprints(spark,
+        PublishState.composeFingerprints(spark, lineage), stateOutDir)
       if (PublishState.totalsActive(stateInDir))
         PublishState.writeTotals(stateOutDir,
           PublishState.readTotals(stateInDir))
       val (fp, prevOut) = PublishState.readMeta(stateInDir)
       PublishState.writeMetaRaw(stateOutDir, fp, prevOut)
+    }
+    // Retrieval sub-families rebase through their own consolidators
+    // (pure IO + exact re-sums) — without this, a post-rebase
+    // increment would auto-detect no `bm25/` dir and silently drop
+    // the retrieval cadence.
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$stateInDir/bm25"))) {
+      Bm25State.rebase(spark, s"$stateInDir/bm25", s"$stateOutDir/bm25")
+      LmState.rebase(spark, s"$stateInDir/lm", s"$stateOutDir/lm")
     }
     StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))
   }
@@ -2020,6 +2098,7 @@ object CurationRun {
     // manifest sinks — the shared output tail of all three cadences.
     val (landedCurated, landedBins) = landOutputs(semFinal, outDir,
       fractions, defaultFraction, packBudget, publishSpan)
+    PublishState.markComplete(outDir)
 
     // One folded audit action (VERDICT r09 item 3) — same discipline
     // as the weekly cadences; the counts that gate stage RELEASES

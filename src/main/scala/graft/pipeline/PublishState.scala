@@ -47,21 +47,27 @@ import graft.operators.{DataMix, TextAnalysis}
   *    correction set is batch-scale (see
   *    [[CurationRun.runIncremental]]'s delta branch for the flag
   *    recompute that mirrors the full path's survivor rules).
-  *  - `publish_shards/` — per-shard membership fingerprints
-  *    (shard, n_member, fp) where fp is the exact decimal sum of
-  *    xxhash64(doc_id, n_tokens) over members. Maintained
-  *    INCREMENTALLY from the correction rows alone (counts and
-  *    decimal hash sums compose under flag flips: enter = +hash/+1,
-  *    leave = −hash/−1 — [[mergeFingerprints]]), pinned equal to the
-  *    full recompute at every version (DeltaPublishSpec). The CHANGED
-  *    shard set is NOT a fingerprint diff: it is the exact set of
-  *    shards with ≥1 membership EVENT, derived from the same
+  *  - `publish_shards/` + `publish_shards_delta/` — per-shard
+  *    membership fingerprints (shard, n_member, fp) where fp is the
+  *    exact decimal sum of xxhash64(doc_id, n_tokens) over members.
+  *    The FULL table lands only where the run is corpus-scale anyway
+  *    (init, rebase, a fallback full publish); each weekly increment
+  *    lands a batch-scale DELTA slice (shard, dn, dfp) from the
+  *    correction rows alone (counts and decimal hash sums compose
+  *    under flag flips: enter = +hash/+1, leave = −hash/−1), and
+  *    readers merge the newest base with the later slices
+  *    ([[composeFingerprints]] via [[mergeFingerprints]]) — pinned
+  *    equal to the full recompute at every version
+  *    (DeltaPublishSpec). r12 rewrote the composed table weekly (the
+  *    last weekly ∝-corpus WRITE — VERDICT r12 item 4); the slice
+  *    form makes the weekly fingerprint cost ∝ touched shards. The
+  *    CHANGED shard set is NOT a fingerprint diff: it is the exact
+  *    set of shards with ≥1 membership EVENT, derived from the same
   *    correction rows — so the delta/full equality holds exactly,
   *    with no 64-bit hash-sum collision caveat (a canceling two-flip
   *    swap still flags its shard). Fingerprints remain the publish's
-  *    durable content manifest: the rebase carry, the self-heal
-  *    comparison artifact, and the stored shard RANGE the
-  *    non-monotonic-ingest tripwire checks batches against.
+  *    durable content manifest: the rebase carry and the self-heal
+  *    comparison artifact.
   *  - `publish_totals.txt` — the composed corpus audit totals
   *    (n_docs, n_kept, n_member, n_semfinal), longs that compose
   *    additively under the same correction-row deltas, so the weekly
@@ -100,30 +106,29 @@ object PublishState {
       floor(id / lit(publishSpan)).cast("long")
   }
 
-  private def metaPath(stateDir: String) =
-    java.nio.file.Paths.get(s"$stateDir/publish_meta.txt")
+  private def metaPath(stateDir: String) = s"$stateDir/publish_meta.txt"
 
-  def active(stateDir: String): Boolean =
-    java.nio.file.Files.exists(metaPath(stateDir))
+  def active(stateDir: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): Boolean =
+    carrier.exists(metaPath(stateDir))
 
   /** (config fingerprint, previous publish outDir). */
-  def readMeta(stateDir: String): (String, String) = {
-    val lines = java.nio.file.Files.readString(metaPath(stateDir))
-      .split("\n", -1)
+  def readMeta(stateDir: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): (String, String) = {
+    val lines = carrier.readText(metaPath(stateDir)).split("\n", -1)
     (lines(0), lines(1))
   }
 
-  def writeMeta(stateDir: String, cfg: Config, outDir: String): Unit =
-    writeMetaRaw(stateDir, cfg.fingerprint, outDir)
+  def writeMeta(stateDir: String, cfg: Config, outDir: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit =
+    writeMetaRaw(stateDir, cfg.fingerprint, outDir, carrier)
 
   /** Raw form for the rebase's carry-forward (the config fingerprint
     * copies verbatim; a rebase does not publish). */
-  def writeMetaRaw(stateDir: String, fingerprint: String,
-      outDir: String): Unit = {
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(stateDir))
-    java.nio.file.Files.writeString(metaPath(stateDir),
-      s"$fingerprint\n$outDir\n")
+  def writeMetaRaw(stateDir: String, fingerprint: String, outDir: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit = {
+    carrier.createDirs(stateDir)
+    carrier.writeText(metaPath(stateDir), s"$fingerprint\n$outDir\n")
   }
 
   /** Per-doc publish metadata for one decon frame (doc_id, text,
@@ -230,22 +235,22 @@ object PublishState {
   final case class Totals(nDocs: Long, nKept: Long, nMember: Long,
     nSemfinal: Long)
 
-  private def totalsPath(stateDir: String) =
-    java.nio.file.Paths.get(s"$stateDir/publish_totals.txt")
+  private def totalsPath(stateDir: String) = s"$stateDir/publish_totals.txt"
 
-  def totalsActive(stateDir: String): Boolean =
-    java.nio.file.Files.exists(totalsPath(stateDir))
+  def totalsActive(stateDir: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): Boolean =
+    carrier.exists(totalsPath(stateDir))
 
-  def readTotals(stateDir: String): Totals = {
-    val l = java.nio.file.Files.readString(totalsPath(stateDir))
-      .trim.split("\\s+")
+  def readTotals(stateDir: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): Totals = {
+    val l = carrier.readText(totalsPath(stateDir)).trim.split("\\s+")
     Totals(l(0).toLong, l(1).toLong, l(2).toLong, l(3).toLong)
   }
 
-  def writeTotals(stateDir: String, t: Totals): Unit = {
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(stateDir))
-    java.nio.file.Files.writeString(totalsPath(stateDir),
+  def writeTotals(stateDir: String, t: Totals,
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit = {
+    carrier.createDirs(stateDir)
+    carrier.writeText(totalsPath(stateDir),
       s"${t.nDocs} ${t.nKept} ${t.nMember} ${t.nSemfinal}\n")
   }
 
@@ -254,32 +259,109 @@ object PublishState {
     graft.sources.Sinks.overwriteParquet(fps,
       s"$stateOutDir/publish_shards", numFiles = 1)
 
-  def readFingerprints(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/publish_shards")
+  /** Land one increment's per-shard fingerprint DELTAS (shard, dn,
+    * dfp — batch-scale: only shards with ≥1 membership event carry a
+    * row) as a slice beside the ledger slice (VERDICT r12 item 4).
+    * r12 rewrote the composed fingerprint TABLE weekly (∝ corpus/span
+    * rows — the last weekly ∝-corpus write); the slice form makes the
+    * weekly fingerprint cost ∝ touched shards, with the full table
+    * written only at init/rebase/full-publish and readers composing
+    * base + deltas ([[composeFingerprints]]). */
+  def writeFingerprintDelta(deltas: DataFrame, stateOutDir: String): Unit =
+    graft.sources.Sinks.overwriteParquet(
+      deltas.select(col("shard"), col("dn"), col("dfp")),
+      s"$stateOutDir/publish_shards_delta", numFiles = 1)
+
+  /** Composed per-shard fingerprints along a lineage: the NEWEST full
+    * table (init / rebase / a fallback full publish) merged with
+    * every LATER dir's delta slice — exactly [[mergeFingerprints]] of
+    * the base and the summed deltas, so this equals [[fingerprintsOf]]
+    * of the composed ledger at every version (DeltaPublishSpec pins
+    * it). Pre-slice lineages (every dir carries the full table — the
+    * ≤ r12 format) compose to their newest table with zero deltas:
+    * the upgrade path is free. */
+  def composeFingerprints(spark: SparkSession,
+      lineage: Seq[String]): DataFrame = {
+    val baseIdx = lineage.lastIndexWhere(d => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$d/publish_shards")))
+    require(baseIdx >= 0,
+      s"no publish_shards base table anywhere in lineage $lineage")
+    val base = spark.read.parquet(s"${lineage(baseIdx)}/publish_shards")
+    val deltaDirs = lineage.drop(baseIdx + 1)
+      .filter(d => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$d/publish_shards_delta")))
+    if (deltaDirs.isEmpty) base
+    else mergeFingerprints(base,
+      spark.read
+        .parquet(deltaDirs.map(d => s"$d/publish_shards_delta"): _*)
+        .groupBy(col("shard"))
+        .agg(sum(col("dn")).as("dn"), sum(col("dfp")).as("dfp")))
+  }
 
   // -----------------------------------------------------------------
   // Sharded publish layout: every publish artifact lands as FLAT
   // per-shard parquet files named `shard-<n>-<part>.parquet`, so an
   // increment can carry an unchanged shard's files forward as pure IO
-  // (hard links — the local-FS stand-in for an object-store copy /
-  // manifest re-point) and re-derive only the changed ones. Flat
-  // files, not `shard=` dirs: a hive-partitioned layout would add a
-  // `shard` column to every read-back, changing the published schema.
+  // and re-derive only the changed ones. ALL file-level operations go
+  // through a [[PublishCarrier]] (VERDICT r12 item 1): the POSIX
+  // carrier carries by hard link (zero bytes) and the Hadoop carrier
+  // by FS copy — same publish bytes either way, only the carry COST
+  // differs, and the copy carrier's IO is counted. Flat files, not
+  // `shard=` dirs: a hive-partitioned layout would add a `shard`
+  // column to every read-back, changing the published schema.
   // -----------------------------------------------------------------
 
   /** Empty-and-recreate a publish artifact dir (the delta branch
-    * prepares the target before linking carried shards into it). */
-  private[pipeline] def prepareDir(path: String): Unit = clearDir(path)
+    * prepares the target before carrying shards into it). */
+  private[pipeline] def prepareDir(path: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit =
+    carrier.clearDir(path)
 
-  private def clearDir(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-      finally s.close()
-    }
-    java.nio.file.Files.createDirectories(p)
+  // -----------------------------------------------------------------
+  // Publish completion marker (VERDICT r12 item 2). The publish tail
+  // prepares outDir by clearing, then carries, then stages writes,
+  // then lands the manifest and next week's state — a crash mid-tail
+  // leaves a partially-carried dir that LOOKS like a publish.
+  // Versioned outDirs make re-RUNS safe (the next increment sees the
+  // incomplete prev publish and falls back to a full re-publish,
+  // converging bit-equal — DeltaPublishSpec pins it), but nothing
+  // stopped a CONSUMER from reading a half-publish. The marker is
+  // written LAST (after curated/packed/manifest AND the state
+  // writes); readers gate on it. Underscore-prefixed so Spark's file
+  // listing ignores it inside the dir.
+  // -----------------------------------------------------------------
+
+  /** Marker file name, landed at `outDir/_GRAFT_PUBLISH_COMPLETE`. */
+  val CompleteMarker = "_GRAFT_PUBLISH_COMPLETE"
+
+  /** Land the completion marker — the LAST write of a publish. */
+  def markComplete(outDir: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit =
+    carrier.writeText(s"$outDir/$CompleteMarker", s"${carrier.name}\n")
+
+  def isComplete(outDir: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): Boolean =
+    carrier.exists(s"$outDir/$CompleteMarker")
+
+  /** Reader-side atomicity gate: every publish consumer calls this
+    * before reading `outDir`'s artifacts, so a crash-truncated
+    * publish is REFUSED instead of silently read as a corpus. */
+  def requireComplete(outDir: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit =
+    require(isComplete(outDir, carrier),
+      s"publish at $outDir has no $CompleteMarker marker — the " +
+        "publishing run crashed mid-tail (or is still running); " +
+        "refusing to read a partial publish. Re-run the increment: " +
+        "it detects the incomplete previous publish and falls back " +
+        "to a full re-publish, converging bit-equal.")
+
+  /** Loader entry for one published artifact (`curated` / `packed` /
+    * `manifest`): the completeness gate, then the whole-dir read.
+    * Every out-of-run consumer goes through here. */
+  def readPublished(spark: SparkSession, outDir: String, artifact: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): DataFrame = {
+    requireComplete(outDir, carrier)
+    spark.read.parquet(s"$outDir/$artifact")
   }
 
   /** Write `df` (carrying an int `shard` column) as per-shard flat
@@ -293,7 +375,8 @@ object PublishState {
     * read-back keeps a schema (the [[StateLayout.writeBucketed]]
     * stance), unless carried files already give the dir one. */
   def writeSharded(df: DataFrame, path: String,
-      keepShardInContent: Boolean, clear: Boolean = true): Unit = {
+      keepShardInContent: Boolean, clear: Boolean = true,
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit = {
     val staged = s"${path}__staged"
     val d =
       if (keepShardInContent) df.withColumn("__pub_shard", col("shard"))
@@ -301,14 +384,9 @@ object PublishState {
     d.repartition(col("__pub_shard"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("__pub_shard").parquet(staged)
-    if (clear) clearDir(path)
-    else java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    moveShardFiles(staged, path)
-    val hasData = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(path))
-      try s.anyMatch(_.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
-    }
+    if (clear) carrier.clearDir(path) else carrier.createDirs(path)
+    moveShardFiles(staged, path, carrier)
+    val hasData = carrier.listFileNames(path).exists(_.endsWith(".parquet"))
     if (!hasData)
       graft.sources.Sinks.overwriteParquet(
         if (keepShardInContent) df else df.drop("shard"), path, numFiles = 1)
@@ -318,89 +396,63 @@ object PublishState {
     * `shard-<n>-` names, then drop the staging dir. Exposed at
     * pipeline scope so the delta branch can stage a PARTIAL write
     * (changed shards only) into a directory that already holds the
-    * carried links. */
-  private[pipeline] def moveShardFiles(staged: String, path: String): Unit = {
-    val sp = java.nio.file.Paths.get(staged)
-    val dirs = java.nio.file.Files.list(sp)
-    try dirs.filter(_.getFileName.toString.startsWith("__pub_shard="))
-      .forEach { dir =>
-        val n = dir.getFileName.toString.stripPrefix("__pub_shard=")
-        val files = java.nio.file.Files.list(dir)
-        try files.filter(_.getFileName.toString.endsWith(".parquet"))
-          .forEach { f =>
-            java.nio.file.Files.move(f, java.nio.file.Paths.get(
-              s"$path/shard-$n-${f.getFileName}"))
+    * carried files. */
+  private[pipeline] def moveShardFiles(staged: String, path: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit = {
+    carrier.listDirNames(staged)
+      .filter(_.startsWith("__pub_shard=")).foreach { dirName =>
+        val n = dirName.stripPrefix("__pub_shard=")
+        carrier.listFileNames(s"$staged/$dirName")
+          .filter(_.endsWith(".parquet")).foreach { f =>
+            carrier.moveFile(s"$staged/$dirName/$f", s"$path/shard-$n-$f")
           }
-        finally files.close()
       }
-    finally dirs.close()
-    clearDir(staged)
-    java.nio.file.Files.delete(java.nio.file.Paths.get(staged))
+    carrier.deleteDir(staged)
   }
+
+  private val NamedShard = """shard-(-?\d+)-.*""".r
 
   /** The distinct shard ids present in one artifact dir's flat files
     * (the carried/changed accounting's denominator). */
-  def shardIdsOf(path: String): Set[Long] = {
-    val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) return Set.empty
-    val Named = """shard-(-?\d+)-.*""".r
-    val s = java.nio.file.Files.list(p)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.flatMap(_.getFileName.toString match {
-        case Named(n) => Some(n.toLong)
-        case _ => None
-      }).toSet
-    } finally s.close()
-  }
+  def shardIdsOf(path: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): Set[Long] =
+    carrier.listFileNames(path).flatMap {
+      case NamedShard(n) => Some(n.toLong)
+      case _ => None
+    }.toSet
 
-  /** The flat per-shard files of one artifact dir. */
-  def shardFiles(path: String, shard: Long): Seq[String] = {
-    val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) return Nil
-    val s = java.nio.file.Files.list(p)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(s"shard-$shard-"))
-        .map(_.toString).toSeq
-    } finally s.close()
-  }
+  /** The flat per-shard files of one artifact dir (full paths). */
+  def shardFiles(path: String, shard: Long,
+      carrier: PublishCarrier = PublishCarrier.Posix): Seq[String] =
+    carrier.listFileNames(path)
+      .filter(_.startsWith(s"shard-$shard-")).map(f => s"$path/$f")
 
-  /** Hard-link `shards`' files from the previous publish into the new
-    * one — pure IO carry-forward, zero bytes rewritten. */
-  def linkShards(prevPath: String, path: String, shards: Seq[Long]): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+  /** Carry `shards`' files from the previous publish into the new one
+    * — pure IO carry-forward: a hard link (zero bytes) under the
+    * POSIX carrier, an FS copy under the Hadoop one. */
+  def carryShards(prevPath: String, path: String, shards: Seq[Long],
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit = {
+    carrier.createDirs(path)
     shards.foreach { n =>
-      shardFiles(prevPath, n).foreach { f =>
-        val src = java.nio.file.Paths.get(f)
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(s"$path/${src.getFileName}"), src)
-      }
+      carrier.listFileNames(prevPath)
+        .filter(_.startsWith(s"shard-$n-")).foreach { f =>
+          carrier.carryFile(s"$prevPath/$f", s"$path/$f")
+        }
     }
   }
 
-  /** Hard-link every per-shard file of the previous publish EXCEPT the
+  /** Carry every per-shard file of the previous publish EXCEPT the
     * changed shards' — the delta carry under open-ended range shard
     * ids (the carry set is "whatever the previous publish had, minus
     * the diff", enumerated from its files, not a 0-until-N range). */
-  def linkShardsExcept(prevPath: String, path: String,
-      changed: Set[Long]): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    val pp = java.nio.file.Paths.get(prevPath)
-    if (!java.nio.file.Files.exists(pp)) return
-    val Named = """shard-(-?\d+)-.*""".r
-    val s = java.nio.file.Files.list(pp)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.foreach { f =>
-        f.getFileName.toString match {
-          case Named(n) if !changed.contains(n.toLong) =>
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(s"$path/${f.getFileName}"), f)
-          case _ => ()
-        }
-      }
-    } finally s.close()
+  def carryShardsExcept(prevPath: String, path: String,
+      changed: Set[Long],
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit = {
+    carrier.createDirs(path)
+    carrier.listFileNames(prevPath).foreach {
+      case f @ NamedShard(n) if !changed.contains(n.toLong) =>
+        carrier.carryFile(s"$prevPath/$f", s"$path/$f")
+      case _ => ()
+    }
   }
 }
