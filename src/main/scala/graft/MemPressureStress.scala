@@ -158,6 +158,16 @@ object MemPressureStress {
       cadence(spark, "/tmp/graft_mem_cadence_capped")
     val dtC = (System.nanoTime() - t1) / 1e9
     org.apache.spark.graft.SparkShims.waitUntilListenerBusEmpty(spark, 30000L)
+    // Grace loop BEFORE spark.stop(): the counters are filled by an
+    // async SparkListener on THIS session's bus — after stop() the
+    // bus is terminated and a zero can never recover, so waiting
+    // there would only delay the spurious failure (ADVICE r12 +
+    // round-13 review finding #3). Here, a silently-timed-out drain
+    // still gets events delivered while we poll.
+    var graceWaited = 0
+    while (deltaTasks.get == 0L && graceWaited < 10000) {
+      Thread.sleep(200); graceWaited += 200
+    }
     val cadMem = spillMem.get >> 20
     val cadDisk = spillDisk.get >> 20
     spark.stop()
@@ -175,13 +185,6 @@ object MemPressureStress {
     // means the tagging broke, not that the tail was cheap); spill
     // inside them is reported either way — a zero is the honest
     // "the metadata tail never pressures memory at this SF" record.
-    // The counters are filled by an ASYNC SparkListener: the bus drain
-    // above can time out silently, so a zero gets a brief grace loop
-    // before the assertion fires spuriously (ADVICE r12).
-    var graceWaited = 0
-    while (deltaTasks.get == 0L && graceWaited < 10000) {
-      Thread.sleep(200); graceWaited += 200
-    }
     require(deltaTasks.get > 0L,
       "the delta publish tail's job-group tagging recorded no tasks — " +
         "attribution is broken (did the increment fall back to a full " +

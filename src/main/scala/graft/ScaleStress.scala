@@ -885,7 +885,12 @@ object ScaleStress {
       def chain(tag: String, forceFull: Boolean,
           carrier: pipeline.PublishCarrier = pipeline.PublishCarrier.Posix)
           : Seq[(Double, Double, Double, CurationRun.Stats)] = {
-        CurationRun.runInit(mkDocs(0L, 30000L), bm, s"$base/$tag/out0",
+        // 120k-doc init corpus: large enough that the full
+        // re-publish's corpus-scale cost SEPARATES from the delta
+        // tail's flat per-job floors in wall-time, not just bytes
+        // (at 30k both were floor-bound ~7-8 s and the record could
+        // not show the time crossover the IO numbers imply).
+        CurationRun.runInit(mkDocs(0L, 120000L), bm, s"$base/$tag/out0",
           s"$base/$tag/s0", minQuality = 0.5, publishSpan = span,
           carrier = carrier)
         (1 to 3).map { l =>
@@ -957,13 +962,19 @@ object ScaleStress {
           require(manifestSet(s"$base/hcopy/out$l") ==
               manifestSet(s"$base/delta/out$l"),
             s"hadoop-copy carrier publish diverged from posix at $l")
-        val (hf, _, _, hst) = hcChain.last
+        // publishBytes' nlink>1 split is meaningless here (copies
+        // have nlink 1 — everything reads as "fresh"), so the split
+        // is NOT printed for this chain: the carrier's own counters
+        // are the carried volume, and fresh = total − carried.
+        val (hf, hcarr, _, hst) = hcChain.last
+        val totalLastMb = hf + hcarr
         require(hst.nShardsCarried == delta.last._4.nShardsCarried,
           s"carrier changed the carry accounting: $hst vs ${delta.last._4}")
         println(f"hadoop-copy carrier chain: ${hdt}%6.1f s, carried " +
           f"${hc.filesCarried}%d files / ${hc.bytesCarried / 1e6}%.2f MB " +
-          f"physically copied (posix carrier: 0 MB, links); fresh last " +
-          f"increment $hf%7.2f MB; manifests bit-equal to posix")
+          f"physically copied (posix carrier: 0 MB, links); last " +
+          f"increment total $totalLastMb%7.2f MB on disk; manifests " +
+          "bit-equal to posix")
         println(s"""{"record":"carry_hadoop_io",""" +
           f""""files_carried":${hc.filesCarried}%d,""" +
           f""""mb_copied":${hc.bytesCarried / 1e6}%.2f,"chain_s":$hdt%.1f}""")

@@ -647,6 +647,9 @@ object CurationRun {
       fractions: Map[String, Double], defaultFraction: Double,
       packBudget: Long, publishSpan: Long,
       carrier: PublishCarrier = PublishCarrier.Posix): (DataFrame, DataFrame) = {
+    // A re-publish into a dir holding a stale completion marker must
+    // retract it BEFORE the first write (round-13 review finding #1).
+    PublishState.clearComplete(outDir, carrier)
     val spark = kept.sparkSession
     val lang = TextAnalysis.languageId(kept, "doc_id", "text")
       .select(col("doc_id"), col("detected_lang"))
@@ -1089,8 +1092,12 @@ object CurationRun {
     // re-publish, which (re)builds the publish state for next week.
     val cfg = PublishState.Config(fractions, defaultFraction,
       packBudget, publishSpan)
+    // Try: a torn/truncated meta file (a crash mid-write on a store
+    // whose text writes aren't atomic) must degrade to the full
+    // re-publish — which rebuilds the meta — not crash-loop the
+    // weekly job on a parse error.
     val deltaOk = PublishState.active(stateInDir, carrier) &&
-      (embeddings.isEmpty || semStateActive) && {
+      (embeddings.isEmpty || semStateActive) && scala.util.Try {
         val (fp, prevOut) = PublishState.readMeta(stateInDir, carrier)
         fp == cfg.fingerprint && prevOut != outDir &&
           carrier.exists(s"$prevOut/curated") &&
@@ -1105,7 +1112,7 @@ object CurationRun {
           // Pre-totals state formats (≤ r11) fall back to one full
           // re-publish, which rebuilds totals alongside the ledger.
           PublishState.totalsActive(stateInDir, carrier)
-      }
+      }.getOrElse(false)
     if (deltaOk)
       prof("inc:delta-tail")(
         deltaPublishTail(spark, newDocs, deconNewS, clustersS, cfg,
@@ -1353,6 +1360,11 @@ object CurationRun {
     // 0-until-N range).
     val changedSet = changed.toSet
 
+    // Retract any STALE completion marker before the first mutation
+    // of outDir (a crash-replay re-publishes into the same versioned
+    // dir): from here until markComplete below, readers must refuse
+    // this dir (round-13 review finding #1).
+    PublishState.clearComplete(outDir, carrier)
     // CURATED: carried shard files + a partial sharded write of the
     // changed (carry = hard link or FS copy, per the carrier).
     PublishState.prepareDir(s"$outDir/curated", carrier)
@@ -1360,8 +1372,8 @@ object CurationRun {
       changedSet, carrier)
     if (changed.nonEmpty) prof("  delta:curated") {
       val batchText = deconNewS.select(col("doc_id"), col("text"))
-      val prevFiles = changed.flatMap(n =>
-        PublishState.shardFiles(s"$prevOut/curated", n, carrier))
+      val prevFiles =
+        PublishState.shardFilesFor(s"$prevOut/curated", changedSet, carrier)
       // Full-schema read: the previous curated rows of the changed
       // shards ARE the standing member set (plus each doc's frozen
       // lang/quality), so no corpus-ledger lookup is needed for the
@@ -1426,8 +1438,8 @@ object CurationRun {
       changedSet, carrier)
     publishTailProbe("after-carry")
     val newBins = prof("  delta:packed") {
-      val changedCuratedFiles = changed.flatMap(n =>
-        PublishState.shardFiles(s"$outDir/curated", n, carrier))
+      val changedCuratedFiles =
+        PublishState.shardFilesFor(s"$outDir/curated", changedSet, carrier)
       if (changedCuratedFiles.nonEmpty) {
         val cur = spark.read.parquet(changedCuratedFiles: _*)
         PublishState.writeSharded(
@@ -1438,8 +1450,8 @@ object CurationRun {
             budget = cfg.packBudget, shardOf = cfg.shardOf(col("doc_id"))),
           s"$outDir/packed", keepShardInContent = true, clear = false,
           carrier = carrier)
-        val files = changed.flatMap(n =>
-          PublishState.shardFiles(s"$outDir/packed", n, carrier))
+        val files =
+          PublishState.shardFilesFor(s"$outDir/packed", changedSet, carrier)
         if (files.nonEmpty) Some(spark.read.parquet(files: _*)) else None
       } else None
     }
@@ -1735,7 +1747,8 @@ object CurationRun {
       retrainSemantic: Boolean = false,
       embeddings: Option[DataFrame] = None,
       semClusters: Int = 16, semIters: Int = 2,
-      semThreshold: Double = 0.99, semSalt: Int = 1): Unit = {
+      semThreshold: Double = 0.99, semSalt: Int = 1,
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit = {
     require(stateInDir != stateOutDir,
       "rebase writes a new state version: reading and overwriting the " +
         "same state in one job would corrupt it")
@@ -1861,16 +1874,16 @@ object CurationRun {
     // discipline compacts); audit totals and the previous-publish
     // pointer copy forward unchanged — a rebase compacts state, it
     // does not publish.
-    if (PublishState.active(stateInDir)) {
+    if (PublishState.active(stateInDir, carrier)) {
       PublishState.writeLedgerSlice(
         PublishState.composeLedger(spark, lineage), stateOutDir, v = 0L)
       PublishState.writeFingerprints(spark,
         PublishState.composeFingerprints(spark, lineage), stateOutDir)
-      if (PublishState.totalsActive(stateInDir))
+      if (PublishState.totalsActive(stateInDir, carrier))
         PublishState.writeTotals(stateOutDir,
-          PublishState.readTotals(stateInDir))
-      val (fp, prevOut) = PublishState.readMeta(stateInDir)
-      PublishState.writeMetaRaw(stateOutDir, fp, prevOut)
+          PublishState.readTotals(stateInDir, carrier), carrier)
+      val (fp, prevOut) = PublishState.readMeta(stateInDir, carrier)
+      PublishState.writeMetaRaw(stateOutDir, fp, prevOut, carrier)
     }
     // Retrieval sub-families rebase through their own consolidators
     // (pure IO + exact re-sums) — without this, a post-rebase
@@ -2022,7 +2035,8 @@ object CurationRun {
       semIters: Int = 2, semThreshold: Double = 0.99,
       semMaxCellSize: Int = 1000,
       classifier: Option[(DataFrame, Int)] = None,
-      minClassifierScore: Double = 0.5): Stats = {
+      minClassifierScore: Double = 0.5,
+      carrier: PublishCarrier = PublishCarrier.Posix): Stats = {
     val spark = docs.sparkSession
 
     // Map tier: canonicalize then strip PII/URLs.
@@ -2097,8 +2111,8 @@ object CurationRun {
     // Deterministic language-stratified mix + the curated/packed/
     // manifest sinks — the shared output tail of all three cadences.
     val (landedCurated, landedBins) = landOutputs(semFinal, outDir,
-      fractions, defaultFraction, packBudget, publishSpan)
-    PublishState.markComplete(outDir)
+      fractions, defaultFraction, packBudget, publishSpan, carrier)
+    PublishState.markComplete(outDir, carrier)
 
     // One folded audit action (VERDICT r09 item 3) — same discipline
     // as the weekly cadences; the counts that gate stage RELEASES

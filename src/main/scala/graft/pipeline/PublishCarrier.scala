@@ -62,6 +62,9 @@ trait PublishCarrier {
   /** Delete `path` recursively if it exists (no recreate). */
   def deleteDir(path: String): Unit
 
+  /** Delete one file if it exists (idempotent — marker retraction). */
+  def deleteFile(path: String): Unit
+
   def createDirs(path: String): Unit
 
   def exists(path: String): Boolean
@@ -83,7 +86,12 @@ trait PublishCarrier {
 object PublishCarrier {
 
   /** The local fast path: hard-link carry (zero bytes rewritten),
-    * `java.nio.file` listings, temp+atomic-move text writes. */
+    * `java.nio.file` listings, temp+atomic-move text writes. A
+    * SINGLETON, so its [[filesCarried]] counter is process-global
+    * (unlike a fresh [[hadoop]] instance's per-instance counters) —
+    * fine for its only use (links are free; the counter is
+    * informational), but a per-chain count needs a hadoop-style
+    * instance. */
   object Posix extends PublishCarrier {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     private val nFiles = new java.util.concurrent.atomic.AtomicLong
@@ -130,6 +138,9 @@ object PublishCarrier {
     }
     def createDirs(path: String): Unit = {
       Files.createDirectories(Paths.get(path)); ()
+    }
+    def deleteFile(path: String): Unit = {
+      Files.deleteIfExists(Paths.get(path)); ()
     }
     def exists(path: String): Boolean = Files.exists(Paths.get(path))
     def readText(path: String): String =
@@ -204,6 +215,11 @@ object PublishCarrier {
       val p = new Path(path)
       fs(p).mkdirs(p); ()
     }
+    def deleteFile(path: String): Unit = {
+      val p = new Path(path)
+      val f = fs(p)
+      if (f.exists(p)) { f.delete(p, false); () }
+    }
     def exists(path: String): Boolean = {
       val p = new Path(path)
       fs(p).exists(p)
@@ -216,11 +232,24 @@ object PublishCarrier {
       finally in.close()
     }
     def writeText(path: String, content: String): Unit = {
+      // Temp + rename-OVERWRITE, like the Posix carrier: a crash
+      // mid-create on hdfs:// or file:// would otherwise leave a
+      // TRUNCATED meta/pointer file that crashes readers instead of
+      // self-healing (round-13 review finding #2). FileContext's
+      // rename(OVERWRITE) is the atomic form; object stores without
+      // atomic rename already give all-or-nothing PUTs on close, and
+      // their connectors implement rename as copy+delete — still
+      // never a half-written destination.
       val p = new Path(path)
-      val out = fs(p).create(p, /* overwrite = */ true)
+      val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+      val f = fs(p)
+      f.mkdirs(p.getParent)
+      val out = f.create(tmp, /* overwrite = */ true)
       try out.write(content.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, conf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     def bytesCarried: Long = nBytes.get
     def filesCarried: Long = nFiles.get

@@ -339,6 +339,19 @@ object PublishState {
       carrier: PublishCarrier = PublishCarrier.Posix): Unit =
     carrier.writeText(s"$outDir/$CompleteMarker", s"${carrier.name}\n")
 
+  /** Retract the marker — the FIRST write of any publish into an
+    * outDir that may already hold one (a stream-driver crash replay,
+    * an operator re-run into the same versioned dir). Without this, a
+    * re-publish that clears and re-carries the dir would leave the
+    * STALE marker visible mid-rewrite — and a crash mid-replay would
+    * leave a truncated dir that still PASSES [[requireComplete]],
+    * propagating into next week's carry (round-13 review finding #1:
+    * the marker must be false the moment the dir stops being the
+    * completed publish it described). */
+  def clearComplete(outDir: String,
+      carrier: PublishCarrier = PublishCarrier.Posix): Unit =
+    carrier.deleteFile(s"$outDir/$CompleteMarker")
+
   def isComplete(outDir: String,
       carrier: PublishCarrier = PublishCarrier.Posix): Boolean =
     carrier.exists(s"$outDir/$CompleteMarker")
@@ -427,19 +440,17 @@ object PublishState {
     carrier.listFileNames(path)
       .filter(_.startsWith(s"shard-$shard-")).map(f => s"$path/$f")
 
-  /** Carry `shards`' files from the previous publish into the new one
-    * — pure IO carry-forward: a hard link (zero bytes) under the
-    * POSIX carrier, an FS copy under the Hadoop one. */
-  def carryShards(prevPath: String, path: String, shards: Seq[Long],
-      carrier: PublishCarrier = PublishCarrier.Posix): Unit = {
-    carrier.createDirs(path)
-    shards.foreach { n =>
-      carrier.listFileNames(prevPath)
-        .filter(_.startsWith(s"shard-$n-")).foreach { f =>
-          carrier.carryFile(s"$prevPath/$f", s"$path/$f")
-        }
+  /** The flat per-shard files of MANY shards in one artifact dir —
+    * ONE listing, not one per shard: under an object-store carrier a
+    * per-shard listing would cost O(|shards|) LIST round-trips on
+    * the weekly hot path (round-13 review finding #8). */
+  def shardFilesFor(path: String, shards: Set[Long],
+      carrier: PublishCarrier = PublishCarrier.Posix): Seq[String] =
+    carrier.listFileNames(path).flatMap {
+      case f @ NamedShard(n) if shards.contains(n.toLong) =>
+        Some(s"$path/$f")
+      case _ => None
     }
-  }
 
   /** Carry every per-shard file of the previous publish EXCEPT the
     * changed shards' — the delta carry under open-ended range shard

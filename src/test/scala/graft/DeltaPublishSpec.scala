@@ -331,6 +331,25 @@ class DeltaPublishSpec extends AnyFunSuite {
       "the re-run after a crash must converge bit-equal")
     assert(st2.nShardsChanged == 1L && st2.nShardsCarried == 3L,
       s"the re-run still takes the delta path: $st2")
+    // STALE-marker retraction (round-13 review finding #1): a
+    // re-publish into a dir that already carries the marker must
+    // retract it BEFORE the first mutation — a crash mid-re-publish
+    // would otherwise leave a truncated dir that still PASSES
+    // requireComplete and would be carried forward next week. Kill
+    // the re-publish mid-tail and pin the dir refuses readers.
+    CurationRun.publishTailProbe = {
+      case "before-manifest" => throw new RuntimeException("injected crash 2")
+      case _ => ()
+    }
+    try intercept[RuntimeException] { inc(2, inc2Docs) }
+    finally CurationRun.publishTailProbe = _ => ()
+    assert(!PublishState.isComplete(s"$base/out2"),
+      "the stale marker must be retracted before the re-publish mutates " +
+        "the dir — a mid-re-publish crash must leave a REFUSING dir")
+    // And the subsequent clean re-run restores completeness bit-equal.
+    inc(2, inc2Docs)
+    assert(PublishState.isComplete(s"$base/out2") &&
+      curatedSet(s"$base/out2") == curatedSet(s"$clean/out2"))
     // NEXT-WEEK self-heal: if the crash is discovered only a week
     // later (the previous publish has no marker), the next increment
     // must refuse to CARRY from it and fall back to one full
