@@ -78,7 +78,12 @@ object QualityClassifier {
       s"buckets must be in (0, 65536], got $buckets (driver holds one weight per bucket)")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = labeled.sparkSession
-    val feat = DataMix.docBuckets(labeled, idCol, textCol, buckets).persist()
+    // Spread before the feature explode (guide §2.5): the one-time
+    // token-bucket materialization otherwise runs single-task over a
+    // one-file bench input; GD updates are decimal-exact, so order
+    // cannot perturb the weights.
+    val spread = Spread.toCores(labeled)
+    val feat = DataMix.docBuckets(spread, idCol, textCol, buckets).persist()
     // (doc_id, y) is compact but its LINEAGE is the caller's full prep
     // chain (q146 hands a normalize-the-corpus join): uncached, the
     // update join below re-executes that chain once per GD iteration.
@@ -86,7 +91,7 @@ object QualityClassifier {
     // ~1.3/0.8 s with this persist; the trainer's remaining cost
     // concentrates in the one-time feature materialization. Same
     // discipline as `feat`.
-    val lab = labeled.select(col(idCol).as("doc_id"),
+    val lab = spread.select(col(idCol).as("doc_id"),
       col(labelCol).cast("int").as("y")).persist()
     // Internal bookkeeping actions run through `toRdd` throughout the
     // loop (the TextDedup.connectedComponents rationale): per-iteration

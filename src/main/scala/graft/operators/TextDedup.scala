@@ -91,7 +91,11 @@ object TextDedup {
     require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
     val hashShingle: Column => Column =
       if (bits == 32) shingleHash32(_) else xxhash64(_)
-    val sh = docs.select(col(idCol).as("doc_id"),
+    // Spread a small scan before the shingle explode: the kernel +
+    // per-shingle hash + partial-distinct otherwise run single-task on
+    // a one-file input (guide §2.5); everything downstream is
+    // order-independent (distinct over hashes).
+    val sh = Spread.toCores(docs).select(col(idCol).as("doc_id"),
       explode(wordShinglesNative(tokens(col(textCol)), n)).as("shingle"))
     new ShingleIndex(
       sh.select(col("doc_id"), hashShingle(col("shingle")).as("sh")).distinct(),

@@ -417,14 +417,22 @@ object CurationRun {
     val (cleaned, slice, gramsRel) = TextDedup.removeRepeatedSpansIncrementalBy(
       raw, "doc_id", "text", spanK, spanMinDf, historyOf)
     StateLayout.writeBucketed(slice, s"$stateOutDir/span_grams_batch", "h")
+    // localCheckpoint, not persist: this compact output is the leaf the
+    // decon write AND the deferred audit count both hang off — under
+    // plain persist each of those actions re-analyzes (and the SQL
+    // event bus re-renders) the ENTIRE prep+decon+span chain behind it,
+    // measured as 8 MB plan strings per action on the cadence runs.
+    // Truncating lineage here pays the chain's optimization once;
+    // blocks release via ContextCleaner (afterAudit keeps its hook for
+    // the no-op unpersist — harmless on a checkpointed frame).
     val withQ = cleaned
       .join(raw.select(col("doc_id"), col("quality_score")), "doc_id")
       .select(col("doc_id"), col("clean_text").as("text"),
         col("quality_score"), col("n_removed"))
-      .persist()
+      .localCheckpoint(true)
     StagedAudit(withQ.drop("n_removed"), withQ.where(col("n_removed") > 0),
       () => { gramsRel(); raw.unpersist(); () },
-      () => { withQ.unpersist(); () })
+      () => ())
   }
 
   private def spanStateActive(stateInDir: String): Boolean =
@@ -448,12 +456,16 @@ object CurationRun {
     val (cleaned, slice, linesRel) = TextDedup.removeRepeatedLinesIncrementalBy(
       raw, "doc_id", "text", lineMinDf, historyOf)
     StateLayout.writeBucketed(slice, s"$stateOutDir/line_df_batch", "h")
+    // localCheckpoint: same lineage-truncation rationale as
+    // [[spanStateStage]] — the line chain feeds prepBatch AND the
+    // deferred audit count, so a plain persist re-renders the whole
+    // raw-line chain per downstream action.
     val out = cleaned
       .select(col("doc_id"), col("clean_text").as("text"), col("n_removed"))
-      .persist()
+      .localCheckpoint(true)
     StagedAudit(out.drop("n_removed"), out.where(col("n_removed") > 0),
       () => { linesRel(); raw.unpersist(); () },
-      () => { out.unpersist(); () })
+      () => ())
   }
 
   private def lineStateActive(stateInDir: String): Boolean =
@@ -1276,13 +1288,21 @@ object CurationRun {
       carrier: PublishCarrier): Stats = {
     import graft.functions.TextFunctions.tokens
     val (_, prevOut) = PublishState.readMeta(stateInDir, carrier)
-    // Persisted: the flag recompute references the batch's base rows
-    // from several DAG branches (quality lookup, batch flags, the sem
-    // surv union) — unpersisted, the language-id + token pass over the
-    // batch text re-executes per branch.
+    // localCheckpoint, not persist: the flag recompute references the
+    // batch's base rows from several DAG branches (quality lookup,
+    // batch flags, the sem surv union) — unpersisted, the language-id
+    // + token pass over the batch text re-executes per branch. On top
+    // of the reuse, checkpointing TRUNCATES LINEAGE: deltaLedgerRows
+    // references this frame ~5x and prevStanding ~6x, so under plain
+    // persist every downstream action re-analyzes (and the SQL-event
+    // path re-renders) the full composed subtree per reference —
+    // measured as multi-MB plan strings built hundreds of times per
+    // cadence run, with the driver busy while executors idle. The
+    // frames are narrow and batch-scale, so block storage is cheap;
+    // blocks release via ContextCleaner once the RDD is collected.
     val batchBase = PublishState.baseRows(
       deconNewS.select(col("doc_id"), col("text"), col("quality_score")), cfg)
-      .persist()
+      .localCheckpoint(true)
     val semLabels =
       if (semStateOn) Some(spark.read.parquet(s"$stateOutDir/sem_clusters"))
       else None
@@ -1308,14 +1328,12 @@ object CurationRun {
         .select(col("doc_id"))
     }
     val pruneKeys = seedIds.unionByName(semTouchedDocs).distinct()
-    val prevStanding = PublishState.composeLedgerPruned(spark, lineageOld,
-      pruneKeys).persist()
-    if (profOn)
-      prof("  delta:compose-pruned")(
-        prevStanding.queryExecution.toRdd.count())
-    val updated = deltaLedgerRows(batchBase, prevStanding, clustersS,
-      semLabels).persist()
-    if (profOn) prof("  delta:flags")(updated.queryExecution.toRdd.count())
+    val prevStanding = prof("  delta:compose-pruned")(
+      PublishState.composeLedgerPruned(spark, lineageOld, pruneKeys)
+        .localCheckpoint(true))
+    val updated = prof("  delta:flags")(
+      deltaLedgerRows(batchBase, prevStanding, clustersS, semLabels)
+        .localCheckpoint(true))
     // Membership EVENTS per shard, from the correction rows against
     // their previous standing values (complete for every updated doc
     // — updated ⊆ the prune superset): the exact changed set, the
@@ -1556,8 +1574,9 @@ object CurationRun {
     spanStaged.foreach(_.afterAudit()); lineStaged.foreach(_.afterAudit())
     val bins = spark.read.parquet(s"$outDir/manifest")
       .agg(coalesce(sum(col("n_bins")), lit(0L))).head().getLong(0)
-    batchBase.unpersist()
-    prevStanding.unpersist(); updated.unpersist(); evAgg.unpersist()
+    // batchBase/prevStanding/updated are localCheckpoint blocks, not
+    // cache entries — they release via ContextCleaner on GC.
+    evAgg.unpersist()
     Stats(input = c("input"), gated = -1L, modelGated = -1L,
       decontaminated = totals.nDocs,
       spanCleaned = spanStaged.fold(-1L)(_ => c("span")),
@@ -2060,12 +2079,19 @@ object CurationRun {
     // vocabulary: at ANY-shared-shingle strictness the synthetic sf0.1
     // corpus loses 94% of itself to a 51-doc benchmark split; real
     // pipelines tune the floor to the benchmark's phrase specificity.
+    // localCheckpoint, not persist: read by the span chain's two
+    // passes, the quality join, and the folded audit — under plain
+    // persist each of those actions re-analyzes (and the SQL event bus
+    // re-renders) the whole normalize+redact+gate+classifier+decon
+    // chain per reference (multi-MB plan strings, measured ~27% of the
+    // e2e driver wall in stack samples). Checkpointing pays the
+    // chain's optimization once; blocks release via ContextCleaner.
     val decon = gated.join(
       TextDedup.contaminated(gated, benchmark, "doc_id", "text", n = 3)
         .where(col("n_contaminated_shingles") >= minContaminatedShingles)
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-      .persist() // read by the span chain's two passes + the quality join
+      .localCheckpoint(true)
 
     // Substring-level span removal (q69, Lee et al. 2022) BEFORE
     // near-dup clustering: cross-document repeated spans (boilerplate
@@ -2086,11 +2112,13 @@ object CurationRun {
     // would race on the async listener bus.
     val (spanRaw, spanRelease) = TextDedup
       .removeRepeatedSpansScoped(decon, "doc_id", "text", k = spanK, minDf = spanMinDf)
+    // localCheckpoint (same rationale as `decon`): audit count + suite
+    // build + keep join + outputs all hang off this frame.
     val spanned = spanRaw
       .join(decon.select(col("doc_id"), col("quality_score")), "doc_id")
       .select(col("doc_id"), col("clean_text").as("text"),
         col("quality_score"), col("n_removed"))
-      .persist() // audit count + suite build + keep join + outputs
+      .localCheckpoint(true)
     val spanCleaned = spanned.where(col("n_removed") > 0).count()
     spanRelease()
     val spanDocs = spanned.drop("n_removed")
@@ -2127,7 +2155,9 @@ object CurationRun {
       decontaminated = c("decon"), spanCleaned = spanCleaned,
       kept = keptCount, semDropped = semDropped,
       sampled = c("sampled"), bins = c("bins"))
-    semRelease(); decon.unpersist(); spanned.unpersist(); kept.unpersist()
+    // decon/spanned are localCheckpoint blocks — released by
+    // ContextCleaner on GC, not by unpersist.
+    semRelease(); kept.unpersist()
     stats
   }
 }

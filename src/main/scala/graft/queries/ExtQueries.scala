@@ -499,9 +499,14 @@ object ExtQueries {
   def q22MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
       n = 3, bits = 32).persist()
+    // Signature frame persisted beside the index (the DedupSuite
+    // discipline): the band self-join otherwise recomputes the
+    // 32-min-perm aggregate once PER JOIN SIDE (visible in the old
+    // q22 plan as two parallel HashAggregate chains).
+    val sig = TextDedup.minhashSignatures(idx, 32).persist()
     CacheLease.releaseAfterAction(
-      TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32,
-        bands = 16))(() => idx.unpersist())
+      TextDedup.minhashLshPairs(idx, sig, threshold = 0.05, numHashes = 32,
+        bands = 16))(() => { idx.unpersist(); sig.unpersist(); () })
   }
 
   /** Dedup clusters: transitive closure over the q22 near-dup pair
@@ -509,10 +514,12 @@ object ExtQueries {
   def q53DedupClusters(s: SparkSession, dir: String): DataFrame = {
     val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
       n = 3, bits = 32).persist()
+    // Shared signature frame — see q22.
+    val sig = TextDedup.minhashSignatures(idx, 32).persist()
     CacheLease.releaseAfterAction(
       TextDedup.connectedComponents(
-        TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32,
-          bands = 16)))(() => idx.unpersist())
+        TextDedup.minhashLshPairs(idx, sig, threshold = 0.05, numHashes = 32,
+          bands = 16)))(() => { idx.unpersist(); sig.unpersist(); () })
   }
 
   /** Asymmetric near-subset pairs: either-direction shingle containment
@@ -529,12 +536,15 @@ object ExtQueries {
   def q58DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val idx = TextDedup.buildIndex(docs, "doc_id", "text", n = 3, bits = 32).persist()
+    // Shared signature frame — see q22.
+    val sig = TextDedup.minhashSignatures(idx, 32).persist()
     try {
       val clusters = TextDedup.connectedComponents(
-        TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16))
+        TextDedup.minhashLshPairs(idx, sig, threshold = 0.05, numHashes = 32,
+          bands = 16))
       TextDedup.dedupSurvivors(clusters,
         TextAnalysis.qualityScore(docs, "doc_id", "text"), "quality_score")
-    } finally idx.unpersist()
+    } finally { idx.unpersist(); sig.unpersist() }
   }
 
   /** Per-document dedup disposition — the composed decision a real
@@ -552,9 +562,12 @@ object ExtQueries {
     val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
       .select(col("doc_id"), col("quality_score"))
     val idx = TextDedup.buildIndex(docs, "doc_id", "text", n = 3, bits = 32).persist()
+    // Shared signature frame — see q22.
+    val sig = TextDedup.minhashSignatures(idx, 32).persist()
     try {
       val clusters = TextDedup.connectedComponents(
-        TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16))
+        TextDedup.minhashLshPairs(idx, sig, threshold = 0.05, numHashes = 32,
+          bands = 16))
       val survivors = TextDedup.dedupSurvivors(clusters, quality, "quality_score")
         .select(col("canonical_id").as("near_canonical"), col("survivor_id"))
       val hashes = docs.select(col("doc_id"),
@@ -574,7 +587,7 @@ object ExtQueries {
           col("quality_score"),
           (col("doc_id") === coalesce(col("survivor_id"), col("doc_id")))
             .cast("int").as("keep"))
-    } finally idx.unpersist()
+    } finally { idx.unpersist(); sig.unpersist() }
   }
 
   /** Cross-modal near-dup verification: the q22 text-LSH candidate
@@ -595,8 +608,11 @@ object ExtQueries {
     // Same lifecycle as q21/q22: persisted for the caller's single
     // action, released by the lease when that action completes.
     val idx = TextDedup.buildIndex(docs, "doc_id", "text", n = 3, bits = 32).persist()
+    // Shared signature frame — see q22.
+    val sig = TextDedup.minhashSignatures(idx, 32).persist()
     CacheLease.releaseAfterAction(
-      TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32, bands = 16)
+      TextDedup.minhashLshPairs(idx, sig, threshold = 0.05, numHashes = 32,
+          bands = 16)
         .join(side("a"), "doc_a")
         .join(side("b"), "doc_b")
         .select(
@@ -605,7 +621,7 @@ object ExtQueries {
             (col("a_norm") * col("b_norm")), 6).as("cos_sim"))
         .withColumn("both_agree",
           (col("jaccard") >= 0.5 && col("cos_sim") >= 0.5).cast("int"))
-    )(() => idx.unpersist())
+    )(() => { idx.unpersist(); sig.unpersist(); () })
   }
 
   /** Ranked global top-k of an exploded key by occurrence count (ties
@@ -1226,12 +1242,15 @@ object ExtQueries {
   def q98LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     val idx = TextDedup.buildIndex(Tables.documents(s, dir), "doc_id", "text",
       n = 3, bits = 32).persist()
+    // Shared signature frame — see q22.
+    val sig = TextDedup.minhashSignatures(idx, 32).persist()
     val clusters = TextDedup.connectedComponents(
-      TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32,
+      TextDedup.minhashLshPairs(idx, sig, threshold = 0.05, numHashes = 32,
         bands = 16))
     CacheLease.releaseAfterAction(
       DataMix.leakageSafeSplit(Tables.documents(s, dir), clusters, "doc_id",
-        Seq("train" -> 96, "val" -> 2, "test" -> 2)))(() => idx.unpersist())
+        Seq("train" -> 96, "val" -> 2, "test" -> 2)))(
+      () => { idx.unpersist(); sig.unpersist(); () })
   }
 
   /** Span decontamination (q100): the STRIP alternative to q47's drop
@@ -1586,11 +1605,14 @@ object ExtQueries {
     val docs = Tables.documents(s, dir)
     val idx = TextDedup.buildIndex(docs, "doc_id", "text",
       n = 3, bits = 32).persist()
+    // Shared signature frame — see q22.
+    val sig = TextDedup.minhashSignatures(idx, 32).persist()
     CacheLease.releaseAfterAction(
       TextDedup.softDedup(docs,
         TextDedup.connectedComponents(
-          TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32,
-            bands = 16)), "doc_id"))(() => idx.unpersist())
+          TextDedup.minhashLshPairs(idx, sig, threshold = 0.05, numHashes = 32,
+            bands = 16)), "doc_id"))(
+      () => { idx.unpersist(); sig.unpersist(); () })
   }
 
   /** Character-entropy profile (q127): the gibberish/filler/blob
@@ -1614,8 +1636,10 @@ object ExtQueries {
     val docs = Tables.documents(s, dir)
     val idx = TextDedup.buildIndex(docs, "doc_id", "text",
       n = 3, bits = 32).persist()
+    // Shared signature frame — see q22.
+    val sig = TextDedup.minhashSignatures(idx, 32).persist()
     val clusters = TextDedup.connectedComponents(
-      TextDedup.minhashLshPairs(idx, threshold = 0.05, numHashes = 32,
+      TextDedup.minhashLshPairs(idx, sig, threshold = 0.05, numHashes = 32,
         bands = 16))
     val sizes = docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
@@ -1626,7 +1650,7 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_clusters"))
         .select(col("cluster_size"), col("n_clusters"),
           (col("cluster_size") * col("n_clusters")).as("n_docs"))
-    )(() => idx.unpersist())
+    )(() => { idx.unpersist(); sig.unpersist(); () })
   }
 
   /** Fused quality feature vector (q130): all six map-tier quality
