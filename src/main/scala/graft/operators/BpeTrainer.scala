@@ -47,6 +47,11 @@ object BpeTrainer {
     * scales with the corpus. Frequencies are occurrence-weighted (one
     * count per token occurrence), not per-document-distinct. */
   def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    // NOT spread (measured): the tokenizer trainers' word-frequency
+    // pass is one cheap explode+count; adding a repartition exchange
+    // regressed the whole BPE/unigram entry family (q95 0.98 -> 2.08,
+    // q68 1.14 -> 1.61 at sf0.1) — the extra stage floors exceed the
+    // parallelized map.
     docs
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token"))

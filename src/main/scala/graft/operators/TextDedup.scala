@@ -1229,11 +1229,15 @@ object TextDedup {
     * engines). */
   def crossSourceOverlap(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, shingleK: Int = 0): DataFrame = {
+    // Spread a small one-file scan before the hash/shingle map tier
+    // (guide §2.5; one lazy action, distinct-count aggregates —
+    // order-independent).
+    val spread = Spread.toCores(docs)
     val keyed =
       if (shingleK <= 0)
-        docs.select(contentHash(col(textCol)).as("k"), col(groupCol).as("src"))
+        spread.select(contentHash(col(textCol)).as("k"), col(groupCol).as("src"))
       else
-        docs
+        spread
           .select(col(groupCol).as("src"), tokens(col(textCol)).as("toks"))
           .where(size(col("toks")) >= shingleK)
           .select(col("src"),

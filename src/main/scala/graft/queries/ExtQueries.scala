@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{BpeTrainer, CacheLease, DataMix, EventOps, Multimodal, Ranking, TextAnalysis, TextDedup, UnigramTrainer, UrlOps, VectorSim}
+import graft.operators.{BpeTrainer, CacheLease, DataMix, EventOps, Multimodal, Ranking, Spread, TextAnalysis, TextDedup, UnigramTrainer, UrlOps, VectorSim}
 
 /** Extension-tier query catalog: the LLM-data-pipeline operators
   * (BASELINE.json north star) over the `documents` and `embeddings`
@@ -705,6 +705,8 @@ object ExtQueries {
     * bounds the error tighter on a synthetic high-cardinality corpus. */
   def q67CorpusSketch(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.{tokens, wordShinglesNative}
+    // NOT spread (measured 1.44 -> 1.60 s): the THREE unpersisted
+    // explode branches would each re-pay the repartition exchange.
     val docs = Tables.documents(s, dir)
     val toks = docs.select(explode(tokens(col("text"))).as("token"))
     val shingles = docs
@@ -1014,7 +1016,10 @@ object ExtQueries {
   def q146CadenceE2e(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.QualityClassifier
     import graft.pipeline.CurationRun
-    val docs = Tables.documents(s, dir)
+    // Spread the one-file scan once at the entry (see q137): the
+    // interpreted line-synthesis lambdas and the three runs' map tiers
+    // otherwise run single-task before their first exchange.
+    val docs = Spread.toCores(Tables.documents(s, dir))
     // Corpus synthesis: span-planted lined docs (%97 split) PLUS
     // token-shifted near-dup replicas of the md5-drawn quarter —
     // "copy" + the original token stream re-slices into doc-unique
@@ -1023,7 +1028,7 @@ object ExtQueries {
     // real attrition. Replica ids live far above the corpus range;
     // they carry no embedding row, so the semantic stage ignores them
     // on both engines by the same inner join.
-    val toksBase = Tables.documents(s, dir)
+    val toksBase = docs
       .where(pmod(col("doc_id"), lit(97)) =!= 0)
       .select(col("doc_id"), plantedToks.as("toks"))
     val replicas = toksBase
@@ -1257,7 +1262,9 @@ object ExtQueries {
     * decision — benchmark = the doc_id%97==0 slice (the q47 split),
     * every corpus token under a benchmark-overlapping 3-gram cut out. */
   def q100DeconSpans(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    // Spread (see q137): the gram explode + strip kernel run over a
+    // one-file scan in one lazy action.
+    val d = Spread.toCores(Tables.documents(s, dir))
     TextDedup.removeContaminatedSpans(
       d.where(pmod(col("doc_id"), lit(97)) =!= 0),
       d.where(pmod(col("doc_id"), lit(97)) === 0),
@@ -1318,8 +1325,10 @@ object ExtQueries {
     * (4-token windows, cut where the md5 draw ≡ 0 mod 8), duplicated
     * chunk contents counted across documents. */
   def q105CdcChunks(s: SparkSession, dir: String): DataFrame =
-    TextDedup.cdcChunkDups(Tables.documents(s, dir), "doc_id", "text",
-      w = 4, modulus = 8)
+    // Spread (see q137): per-token rolling-hash chunking over a
+    // one-file scan, one lazy action.
+    TextDedup.cdcChunkDups(Spread.toCores(Tables.documents(s, dir)),
+      "doc_id", "text", w = 4, modulus = 8)
 
   /** Per-source length profile (q106): doc/token totals plus EXACT
     * p50/p90/p99 token-length order statistics — the distribution that
@@ -1857,7 +1866,10 @@ object ExtQueries {
   def q137CurationE2e(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.QualityClassifier
     import graft.pipeline.CurationRun
-    val docs = Tables.documents(s, dir)
+    // Spread the one-file scan once at the entry: every map tier of the
+    // composed pipeline (normalize/redact HOF kernels, gates, shingles)
+    // otherwise runs single-task before its first exchange (guide §2.5).
+    val docs = Spread.toCores(Tables.documents(s, dir))
     val corpus = docs.where(pmod(col("doc_id"), lit(97)) =!= 0)
     val benchmark = docs.where(pmod(col("doc_id"), lit(97)) === 0)
     // Pre-trained classifier artifact: the q82/q83 GD fixture (labels
@@ -1991,6 +2003,9 @@ object ExtQueries {
     * expected canonical (min id per class) from ids alone, so a match
     * proves the whole decode→band-pool→fingerprint pipeline. */
   def q147AudioNearDup(s: SparkSession, dir: String): DataFrame =
+    // NOT spread — measured flat (2.21 vs 2.18 s): the candidate join
+    // after fingerprinting already re-shuffles, so the map tier isn't
+    // the binding cost here.
     Multimodal.audioNearDup(
       Multimodal.toneAssetsFromIds(
         Tables.documents(s, dir).select(col("doc_id")), "doc_id",
@@ -2032,6 +2047,10 @@ object ExtQueries {
     * (serve == batch bm25 bit-for-bit, Bm25StateSpec). */
   def q149Bm25State(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.Bm25State
+    // NOT spread (measured): the state writers re-reference each batch
+    // across many actions, so an unpersisted repartition re-pays its
+    // exchange per action and outweighs the parallel map tier
+    // (q149 3.1 -> 4.9 s with Spread at this entry).
     val docs = Tables.documents(s, dir)
     val base = scratchDir("q149_bm25")
     def b(i: Int) = docs.where(pmod(col("doc_id"), lit(3)) === i)
@@ -2056,6 +2075,7 @@ object ExtQueries {
     * distinct-history count (LmStateSpec pins both, bit-for-bit). */
   def q150LmState(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.LmState
+    // NOT spread — same measured reason as q149.
     val docs = Tables.documents(s, dir)
     val base = scratchDir("q150_lm")
     def b(i: Int) = docs.where(pmod(col("doc_id"), lit(3)) === i)
