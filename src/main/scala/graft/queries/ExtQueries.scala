@@ -1050,9 +1050,21 @@ object ExtQueries {
       .normalize(docs, "doc_id", "text")
       .select(col("doc_id"), col("norm_text").as("text"))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    // Overlap the two independent eager pre-run stages (guide §2.6):
+    // the interpreted line-synthesis cache materializes on a driver
+    // thread while the classifier's GD rounds run on this one — the
+    // synthesis tasks back-fill executors idled by the trainer's tiny
+    // sequential barriers. toRdd, not count(): a tracked action would
+    // re-render the plan per AQE stage, and count() prunes nothing
+    // here anyway (the persist materializes every column).
+    val linedWarm = scala.concurrent.Future(
+      lined.queryExecution.toRdd.count())(
+      scala.concurrent.ExecutionContext.global)
     val weights = QualityClassifier.train(
       normAll.withColumn("y", when(col("lang") === "en", 1).otherwise(0)),
       "doc_id", "text", "y", buckets = 256, iters = 3, lr = 0.5)
+    scala.concurrent.Await.result(linedWarm,
+      scala.concurrent.duration.Duration.Inf)
     val base = scratchDir("q146_cadence")
     def b(i: Int) = lined.where(pmod(col("doc_id"), lit(3)) === i)
     val emb = Tables.embeddings(s, dir)
