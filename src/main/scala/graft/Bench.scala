@@ -139,11 +139,32 @@ object Bench {
       case c => c.toString
     } + "\""
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + v }
+    // 4-decimal (0.1 ms) per-query values: second-scale timings with
+    // +/-20% run-to-run variance lose nothing at 0.1 ms resolution, and
+    // the emitted contract line shrinks ~40% (150 full-precision doubles
+    // pushed it past 7 KB).
+    def f4(v: Double): String = {
+      val s = java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+        .stripSuffix(".") match { case "" => "0" case t => t }
+      else s
+    }
+    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + f4(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // The driver contract's "sf" is the numeric scale factor, not the
+    // data directory path (r11-r13 records all show "parsed": null with
+    // rc=0 — a driver-side float(sf) / sf==0.1 check rejects a path
+    // string). Parse it from the directory name; unknown names fall
+    // back to the raw path so a human can still read the record.
+    val sfNum: String = {
+      val m = java.util.regex.Pattern.compile("sf(\\d+(?:\\.\\d+)?)")
+        .matcher(new java.io.File(sfDir).getName)
+      if (m.find()) m.group(1) else jstr(sfDir)
+    }
     val cal = s"""{"pre":$calPre,"mid":$calMid,"post":$calPost,"rerun":$drifted}"""
     val load = s"""{"pre":${loadPre.mkString("[", ",", "]")},"post":${loadPost.mkString("[", ",", "]")}}"""
     // Codegen health (VERDICT r06 item 7): nonzero means some plan in
@@ -180,7 +201,15 @@ object Bench {
     // cache lease never fired on its own action and the rep-boundary
     // releaseAll had to reclaim it — identity matching regressed.
     val leases = graft.operators.CacheLease.reclaimedCount
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${results.size - ok.size},"codegen_fallbacks":$cgf,"window_global":$wg,"window_skew":$wsk,"window_bnd_overflow":$wbo,"cache_leases_reclaimed":$leases,"calibration":$cal,"loadavg":$load,"sf":"$sfDir"}""")
-    spark.stop()
+    // Health counters, errors and calibration stay recorded but on their
+    // own prefixed line: the driver contract line below carries exactly
+    // the contract keys ({"metric","value","unit","queries","sf"}) so a
+    // strict parser cannot trip on extras. The contract line is printed
+    // LAST, after spark.stop(), so nothing interleaves behind it.
+    println(s"""[bench] health {"errors":$errs,"failed":${results.size - ok.size},"codegen_fallbacks":$cgf,"window_global":$wg,"window_skew":$wsk,"window_bnd_overflow":$wbo,"cache_leases_reclaimed":$leases,"calibration":$cal,"loadavg":$load,"sf_dir":${jstr(sfDir)}}""")
+    try spark.stop() catch { case e: Throwable =>
+      System.err.println(s"[bench] stop: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sfNum}""")
   }
 }
