@@ -19,19 +19,28 @@ QUERIES=(q146_cadence_e2e q137_curation_e2e q53_dedup_clusters
          q58_dedup_survivors q60_dedup_report q98_leakage_safe_split
          q149_bm25_state q150_lm_state)
 : > "$OUT.tmp"
+# The Bench main emits TWO parseable lines since r14: a "[bench] health"
+# diagnostics line (errors/failed/health counters/calibration) and the
+# minimal driver-contract line ({"metric",...}) — merge both per query.
 for q in "${QUERIES[@]}"; do
   echo "[bench_isolated] $q ..." >&2
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_ONLY="$q" SPARK_GRAFT_REPS=3 \
     sbt -batch "runMain graft.Bench" 2>/dev/null \
-    | grep -o '{"metric".*}' | tail -1 >> "$OUT.tmp"
+    | grep -oE '^(\[bench\] health )?\{"(metric|errors)".*}' >> "$OUT.tmp"
 done
 python3 - "$OUT.tmp" "$OUT" <<'EOF'
 import json, sys
-rows = [json.loads(l) for l in open(sys.argv[1]) if l.strip()]
+rows, health = [], []
+for l in open(sys.argv[1]):
+    l = l.strip()
+    if l.startswith("[bench] health "):
+        health.append(json.loads(l[len("[bench] health "):]))
+    elif l:
+        rows.append(json.loads(l))
 merged = {"metric": "isolated_min_of_3", "unit": "sec", "queries": {},
-          "failed": sum(r.get("failed", 0) for r in rows),
+          "failed": sum(h.get("failed", 0) for h in health),
           "sf": rows[0]["sf"] if rows else None,
-          "calibration": [r.get("calibration", {}).get("pre") for r in rows]}
+          "calibration": [h.get("calibration", {}).get("pre") for h in health]}
 for r in rows:
     merged["queries"].update(r.get("queries", {}))
 merged["value"] = round(sum(merged["queries"].values()), 3)
