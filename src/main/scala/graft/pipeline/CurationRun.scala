@@ -56,6 +56,39 @@ object CurationRun {
       r
     }
 
+  /** Overlap independent state-write branches on driver threads (guide
+    * §2.6 — submit independent jobs concurrently so each job's stage
+    * tail back-fills the others): a cadence pass is a sequence of many
+    * SMALL actions whose per-job scheduling/AQE floors, not CPU,
+    * dominate at batch scale. Branches run on FRESH threads
+    * (SparkContext's InheritableThreadLocal properties — job group,
+    * description — carry over from this thread); ALL branches complete
+    * before the first failure rethrows, so no branch's in-flight
+    * writes race the caller's cleanup. The r10 experiment measured
+    * this neutral when the independent groups were 2-3.5 s of a 13 s
+    * pass; re-landed in r14 now that the r11-r13 state families
+    * (line/span/retrieval/ANN/publish) make the groups most of the
+    * pass — same-session A/B in OPTIMIZATION_r14.md. */
+  private def overlapped[A](branches: Seq[() => Unit])(main: => A): A = {
+    val tasks = branches.map { b =>
+      val t = new java.util.concurrent.FutureTask[Unit](
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = b() })
+      val th = new Thread(t, "graft-state-branch")
+      th.setDaemon(true); th.start(); t
+    }
+    val mainRes = scala.util.Try(main)
+    val branchErr = tasks.flatMap { t =>
+      scala.util.Try(t.get()).failed.toOption.map {
+        case e: java.util.concurrent.ExecutionException => e.getCause
+        case e => e
+      }
+    }.headOption
+    mainRes match {
+      case scala.util.Success(r) => branchErr.foreach(e => throw e); r
+      case scala.util.Failure(e) => throw e
+    }
+  }
+
   /** Drive the full pass over a testdata SF dir (benchmark = the q47
     * split: every 97th doc):
     * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.pipeline.CurationRun"` */
@@ -710,6 +743,63 @@ object CurationRun {
     (landedCurated, landedBins)
   }
 
+  /** The init-side semantic/ANN TRAINER block, extracted from
+    * [[runInit]] so it can run as an overlapped branch (r14): the
+    * frozen quantizer (trained or supplied), its salt, the init
+    * batch's cells + fit summary, the full semantic label table, and
+    * (opt-in) the frozen ANN model + init codes — all off one compact
+    * persisted (id, vector) cache. Depends only on the landed decon
+    * slice and the embeddings frame; consumers of `sem_clusters` run
+    * after the branch joins. */
+  private def semInitTrainWrites(spark: org.apache.spark.sql.SparkSession,
+      stateOutDir: String, deconS: DataFrame, emb: DataFrame,
+      semClusters: Int, semIters: Int, semThreshold: Double,
+      semCentroidsIn: Option[String], semSalt: Int,
+      annState: Boolean, annSubspaces: Int, annCodewords: Int,
+      annClusters: Int, annIters: Int): Unit = {
+    // Persisted: the quantizer trainer's init sample + per-iter
+    // assignment passes, the cell/fit writes, and (when on) the
+    // ANN model/codes trainers all re-scan this join — one compact
+    // (id, vector) cache serves ~20 trainer actions instead of
+    // re-paying the decon-join per pass (VERDICT r09 item 3).
+    val vecs = deconS.select(col("doc_id"))
+      .join(emb.select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .persist()
+    try {
+      // Frozen quantizer: trained on the init corpus (or supplied,
+      // e.g. by a seeded scratch replay / a rebase); becomes state.
+      val cen = prof("init:sem-train")(semCentroidsIn match {
+        case Some(p) => readSemCentroids(spark, p)
+        case None => VectorSim.kmeansCentroids(vecs, semClusters, semIters)
+      })
+      writeSemCentroids(spark, stateOutDir, cen)
+      // The salt is part of the frozen quantizer contract — record
+      // it in state so incrementals can't drift from init's value.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"),
+        s"$semSalt\n")
+      StateLayout.writeBucketed(VectorSim.semanticCells(vecs, cen, semSalt),
+        s"$stateOutDir/sem_cells_batch", "cell")
+      // Ingest-time fit summary (VERDICT r08 item 3): the batch's
+      // embeddings are in hand NOW — one extra tiny aggregate here
+      // makes every later drift decision O(#slices), not O(corpus).
+      Sinks.overwriteParquet(VectorSim.quantizerFitSlice(vecs, cen),
+        s"$stateOutDir/sem_fit_batch", numFiles = 1)
+      val cellsS = StateLayout.readSlice(spark, s"$stateOutDir/sem_cells_batch")
+      prof("init:sem-clusters")(Sinks.overwriteParquet(
+        TextDedup.connectedComponents(VectorSim.semanticPairsIncremental(
+          cellsS, emb, cellsS.select(col("vec_id")), semThreshold)),
+        s"$stateOutDir/sem_clusters", numFiles = 1))
+      // ANN index state (VERDICT r07 item 3): train the frozen model
+      // on the same cached embedded decon vectors.
+      if (annState)
+        prof("init:ann")(writeAnnInit(spark, stateOutDir, vecs,
+          annSubspaces, annCodewords, annClusters, annIters))
+    } finally vecs.unpersist()
+  }
+
   /** Survivor keep set from explicit decon + clusters frames (the
     * suite-less twin of [[keepSet]], used by the state cadences where
     * quality already rides the stored decon frame). */
@@ -747,8 +837,9 @@ object CurationRun {
     // Line-df state (opt-in, on RAW text before normalization — see
     // lineStateStage): init cleans against its own counts.
     val lineStaged =
-      if (lineState) Some(lineStateStage(docs, _ => emptyGramCounts(spark),
-        stateOutDir, lineMinDf))
+      if (lineState) Some(prof("init:line-stage")(
+        lineStateStage(docs, _ => emptyGramCounts(spark),
+          stateOutDir, lineMinDf)))
       else None
     val deconRaw = prof("init:prep")(prepBatch(
       lineStaged.map(_.frame).getOrElse(docs),
@@ -757,8 +848,9 @@ object CurationRun {
     // Span-df state (opt-in): init cleans against its own counts (an
     // empty history is the from-scratch df), landing cleaned text.
     val spanStaged =
-      if (spanState) Some(spanStateStage(deconRaw, _ => emptyGramCounts(spark),
-        stateOutDir, spanK, spanMinDf))
+      if (spanState) Some(prof("init:span-stage")(
+        spanStateStage(deconRaw, _ => emptyGramCounts(spark),
+          stateOutDir, spanK, spanMinDf)))
       else None
     // Bucketed by doc_id (VERDICT r10 item 1): the delta publisher's
     // rare re-surfacing-doc lookup reads decon text PRUNED to those
@@ -779,112 +871,99 @@ object CurationRun {
     // retrieval ingest without bypassing the cadence. recordIds=true
     // always: the flag's whole point is the checkable contract, and
     // increments then validate every batch bucket-pruned in O(batch).
-    if (retrievalState) prof("init:retrieval-state") {
-      val rdocs = deconS.select(col("doc_id"), col("text"))
-      Bm25State.writeInit(rdocs, "doc_id", "text", s"$stateOutDir/bm25",
-        recordIds = true)
-      LmState.writeInit(rdocs, "text", s"$stateOutDir/lm",
-        recordIds = true)
+    val doSemState = semanticState && embeddings.isDefined
+    // Independent state groups OVERLAPPED on driver threads (guide
+    // §2.6, r14): the retrieval states, the compact hash slice, and
+    // the semantic/ANN trainer block all hang only off the landed
+    // decon slice, while the main thread runs the near-dup chain
+    // (index -> signatures -> bands -> pairs -> labels). Every branch
+    // writes its own artifact dir; the one cross-branch consumer
+    // (sem_clusters -> semanticKeepFilter) runs after the join.
+    val clustersS = overlapped(Seq(
+      () => if (retrievalState) prof("init:retrieval-state") {
+        val rdocs = deconS.select(col("doc_id"), col("text"))
+        Bm25State.writeInit(rdocs, "doc_id", "text", s"$stateOutDir/bm25",
+          recordIds = true)
+        LmState.writeInit(rdocs, "text", s"$stateOutDir/lm",
+          recordIds = true)
+      },
+      () => prof("init:hash-write")(StateLayout.writeBucketed(
+        deconS.select(col("doc_id"),
+          TextDedup.contentHash(col("text")).as("content_hash")),
+        s"$stateOutDir/hash_batch", "content_hash")),
+      () =>
+        if (doSemState)
+          prof("init:sem-state")(semInitTrainWrites(spark, stateOutDir,
+            deconS, embeddings.get, semClusters, semIters, semThreshold,
+            semCentroidsIn, semSalt, annState, annSubspaces, annCodewords,
+            annClusters, annIters))
+        else if (annState && embeddings.isDefined)
+          prof("init:ann")(writeAnnInit(spark, stateOutDir,
+            embeddedVecs(deconS, embeddings.get),
+            annSubspaces, annCodewords, annClusters, annIters))
+    )) {
+      val idx = prof("init:index")(
+        TextDedup.buildIndex(deconS, "doc_id", "text", n = 3, bits = 32))
+      // The index slice lands bucketed BY DOC ID (VERDICT r09 item 1
+      // extended to the dedup front): later increments verify candidate
+      // pairs against history shingle sets read pruned to the candidate
+      // docs' buckets instead of scanning the corpus index weekly.
+      prof("init:index-write")(
+        StateLayout.writeBucketed(idx.df, s"$stateOutDir/index_batch", "doc_id"))
+      val idxS = TextDedup.indexFromFrame(
+        StateLayout.readSlice(spark, s"$stateOutDir/index_batch"), bits = 32)
+      val sig = TextDedup.minhashSignatures(idxS, NumHashes)
+      prof("init:sig-write")(
+        Sinks.overwriteParquet(sig, s"$stateOutDir/signatures_batch", numFiles = 4))
+      val sigS = spark.read.parquet(s"$stateOutDir/signatures_batch")
+      // Banding rows land as DERIVED state bucketed BY BAND KEY: an
+      // increment's candidate join reads only the history band rows in
+      // buckets its own band keys hash to — batch-proportional IO —
+      // instead of re-banding the corpus signatures every week.
+      prof("init:bands-write")(
+        StateLayout.writeBucketed(TextDedup.bandFrame(sigS, NumHashes, Bands),
+          s"$stateOutDir/bands_batch", "band"))
+      val clusters = prof("init:pairs+cc")(TextDedup.connectedComponents(
+        TextDedup.minhashLshPairs(idxS, sigS, dedupThreshold, NumHashes, Bands)))
+      prof("init:clusters-write")(
+        Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1))
+      spark.read.parquet(s"$stateOutDir/clusters")
     }
-    StateLayout.writeBucketed(
-      deconS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
-      s"$stateOutDir/hash_batch", "content_hash")
-    val idx = prof("init:index")(
-      TextDedup.buildIndex(deconS, "doc_id", "text", n = 3, bits = 32))
-    // The index slice lands bucketed BY DOC ID (VERDICT r09 item 1
-    // extended to the dedup front): later increments verify candidate
-    // pairs against history shingle sets read pruned to the candidate
-    // docs' buckets instead of scanning the corpus index weekly.
-    StateLayout.writeBucketed(idx.df, s"$stateOutDir/index_batch", "doc_id")
-    val idxS = TextDedup.indexFromFrame(
-      StateLayout.readSlice(spark, s"$stateOutDir/index_batch"), bits = 32)
-    val sig = TextDedup.minhashSignatures(idxS, NumHashes)
-    Sinks.overwriteParquet(sig, s"$stateOutDir/signatures_batch", numFiles = 4)
-    val sigS = spark.read.parquet(s"$stateOutDir/signatures_batch")
-    // Banding rows land as DERIVED state bucketed BY BAND KEY: an
-    // increment's candidate join reads only the history band rows in
-    // buckets its own band keys hash to — batch-proportional IO —
-    // instead of re-banding the corpus signatures every week.
-    StateLayout.writeBucketed(TextDedup.bandFrame(sigS, NumHashes, Bands),
-      s"$stateOutDir/bands_batch", "band")
-    val clusters = prof("init:pairs+cc")(TextDedup.connectedComponents(
-      TextDedup.minhashLshPairs(idxS, sigS, dedupThreshold, NumHashes, Bands)))
-    prof("init:clusters-write")(
-      Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1))
-    val clustersS = spark.read.parquet(s"$stateOutDir/clusters")
     StateLayout.writeLineage(stateOutDir, Seq(stateOutDir))
     val kept = prof("init:kept")(keepFromClusters(deconS, clustersS).persist())
     val (semFinal, semStateOn, semDroppedEager, semRelease) =
-      if (semanticState && embeddings.isDefined) {
-        val emb = embeddings.get
-        // Persisted: the quantizer trainer's init sample + per-iter
-        // assignment passes, the cell/fit writes, and (when on) the
-        // ANN model/codes trainers all re-scan this join — one compact
-        // (id, vector) cache serves ~20 trainer actions instead of
-        // re-paying the decon-join per pass (VERDICT r09 item 3).
-        val vecs = deconS.select(col("doc_id"))
-          .join(emb.select(col("vec_id"), col("embedding")),
-            col("doc_id") === col("vec_id"))
-          .select(col("vec_id"), col("embedding"))
-          .persist()
-        // Frozen quantizer: trained on the init corpus (or supplied,
-        // e.g. by a seeded scratch replay / a rebase); becomes state.
-        val cen = prof("init:sem-train")(semCentroidsIn match {
-          case Some(p) => readSemCentroids(spark, p)
-          case None => VectorSim.kmeansCentroids(vecs, semClusters, semIters)
-        })
-        writeSemCentroids(spark, stateOutDir, cen)
-        // The salt is part of the frozen quantizer contract — record
-        // it in state so incrementals can't drift from init's value.
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"),
-          s"$semSalt\n")
-        StateLayout.writeBucketed(VectorSim.semanticCells(vecs, cen, semSalt),
-          s"$stateOutDir/sem_cells_batch", "cell")
-        // Ingest-time fit summary (VERDICT r08 item 3): the batch's
-        // embeddings are in hand NOW — one extra tiny aggregate here
-        // makes every later drift decision O(#slices), not O(corpus).
-        Sinks.overwriteParquet(VectorSim.quantizerFitSlice(vecs, cen),
-          s"$stateOutDir/sem_fit_batch", numFiles = 1)
-        val cellsS = StateLayout.readSlice(spark, s"$stateOutDir/sem_cells_batch")
-        Sinks.overwriteParquet(
-          TextDedup.connectedComponents(VectorSim.semanticPairsIncremental(
-            cellsS, emb, cellsS.select(col("vec_id")), semThreshold)),
-          s"$stateOutDir/sem_clusters", numFiles = 1)
-        // ANN index state (VERDICT r07 item 3): train the frozen model
-        // on the same cached embedded decon vectors.
-        if (annState)
-          prof("init:ann")(writeAnnInit(spark, stateOutDir, vecs,
-            annSubspaces, annCodewords, annClusters, annIters))
-        vecs.unpersist()
+      if (doSemState) {
         val (out, rel) = semanticKeepFilter(kept,
           spark.read.parquet(s"$stateOutDir/sem_clusters"))
         (out, true, -1L, rel)
       } else {
-        if (annState && embeddings.isDefined)
-          writeAnnInit(spark, stateOutDir,
-            embeddedVecs(deconS, embeddings.get),
-            annSubspaces, annCodewords, annClusters, annIters)
         val (f, n, r) = semanticStage(kept, embeddings,
           semClusters, semIters, semThreshold, semMaxCellSize)
         (f, false, n, r)
       }
-    val (landedCurated, landedBins) = prof("init:landOutputs")(
-      landOutputs(semFinal, outDir,
+    // Output tail OVERLAPPED with the publish state (guide §2.6): the
+    // sharded curated/packed/manifest sinks land in outDir while the
+    // ledger/fingerprints/totals/meta land in stateOutDir — both hang
+    // off the same persisted semFinal/kept frames and neither reads
+    // the other's output. Publish state (VERDICT r10 item 1) is
+    // written whenever later increments can maintain membership
+    // incrementally — no embeddings, or the frozen-quantizer semantic
+    // state (the eager per-run semantic stage re-clusters the composed
+    // corpus weekly, so its disposition is not locally recomputable).
+    val (landedCurated, landedBins) = overlapped(Seq(
+      () => if (embeddings.isEmpty || semStateOn)
+        prof("init:publish-state")(writePublishState(spark, deconS, kept,
+          semFinal,
+          if (semStateOn)
+            Some(spark.read.parquet(s"$stateOutDir/sem_clusters"))
+          else None,
+          PublishState.Config(fractions, defaultFraction,
+            packBudget, publishSpan),
+          stateOutDir, outDir, v = 0L, carrier))
+    )) {
+      prof("init:landOutputs")(landOutputs(semFinal, outDir,
         fractions, defaultFraction, packBudget, publishSpan, carrier))
-    // Publish state (VERDICT r10 item 1): written whenever later
-    // increments can maintain membership incrementally — no
-    // embeddings, or the frozen-quantizer semantic state (the eager
-    // per-run semantic stage re-clusters the composed corpus weekly,
-    // so its disposition is not locally recomputable).
-    if (embeddings.isEmpty || semStateOn)
-      prof("init:publish-state")(writePublishState(spark, deconS, kept, semFinal,
-        if (semStateOn)
-          Some(spark.read.parquet(s"$stateOutDir/sem_clusters"))
-        else None,
-        PublishState.Config(fractions, defaultFraction,
-          packBudget, publishSpan),
-        stateOutDir, outDir, v = 0L, carrier))
+    }
     // Completion marker LAST — after every publish artifact AND the
     // publish state (VERDICT r12 item 2).
     PublishState.markComplete(outDir, carrier)
@@ -950,10 +1029,10 @@ object CurationRun {
     // increment tracks the batch like the compute already does.
     val lineStaged =
       if (lineStateActive(stateInDir))
-        Some(lineStateStage(newDocs,
+        Some(prof("inc:line-stage")(lineStateStage(newDocs,
           bc => StateLayout.readSlicesPruned(spark, lineage,
             "line_df_batch", "h", bc.select(col("h"))),
-          stateOutDir, lineMinDf))
+          stateOutDir, lineMinDf)))
       else None
 
     // Batch-scale writes ONLY: this dir's slices plus the (small) full
@@ -1005,10 +1084,10 @@ object CurationRun {
     // batch's gram-key buckets — and land its slice.
     val spanStaged =
       if (spanStateActive(stateInDir))
-        Some(spanStateStage(deconRouted,
+        Some(prof("inc:span-stage")(spanStateStage(deconRouted,
           bc => StateLayout.readSlicesPruned(spark, lineage,
             "span_grams_batch", "h", bc.select(col("h"))),
-          stateOutDir, spanK, spanMinDf))
+          stateOutDir, spanK, spanMinDf)))
       else None
     prof("inc:decon-write")(
       StateLayout.writeBucketed(spanStaged.map(_.frame).getOrElse(deconRouted),
@@ -1036,64 +1115,77 @@ object CurationRun {
           s"$stateInDir/lm", s"$stateOutDir/lm",
           validateDisjoint = true, recordIds = true)
       }
-    StateLayout.writeBucketed(
-      deconNewS.select(col("doc_id"), TextDedup.contentHash(col("text")).as("content_hash")),
-      s"$stateOutDir/hash_batch", "content_hash")
-    val idxNew = TextDedup.buildIndex(deconNewS, "doc_id", "text", n = 3, bits = 32)
-    StateLayout.writeBucketed(idxNew.df, s"$stateOutDir/index_batch", "doc_id")
-    val idxNewS = StateLayout.readSlice(spark, s"$stateOutDir/index_batch")
-    val sigNew = TextDedup.minhashSignatures(
-      TextDedup.indexFromFrame(idxNewS, bits = 32), NumHashes)
-    Sinks.overwriteParquet(sigNew, s"$stateOutDir/signatures_batch", numFiles = 2)
-    val sigNewS = spark.read.parquet(s"$stateOutDir/signatures_batch")
-    StateLayout.writeBucketed(TextDedup.bandFrame(sigNewS, NumHashes, Bands),
-      s"$stateOutDir/bands_batch", "band")
-    val bandsNewS = StateLayout.readSlice(spark, s"$stateOutDir/bands_batch")
-
-    // Pruned-state pairs (VERDICT r09 item 1 extended to the dedup
-    // front): candidates come from the batch's banding against history
-    // band rows read pruned to the batch's band keys; the
-    // exact-Jaccard verify reads history index rows pruned to the
-    // candidate docs. Two regime-dependent effects, stated honestly
-    // (TextDedup.minhashLshPairsIncrementalPruned scaladoc, measured
-    // in the ScaleStress lsh-state row): the weekly corpus re-BANDING
-    // compute is gone in every regime (banding is stored derived
-    // state now), while the IO pruning pays when the increment's key
-    // count is small against the bucket count (trickle batches,
-    // serving probes) and degrades to the same full scan — never more
-    // bytes — on big weekly batches.
-    val (newPairs, pairsRel) = TextDedup.minhashLshPairsIncrementalPruned(
-      TextDedup.indexFromFrame(idxNewS, bits = 32), bandsNewS,
-      probe => composedBands(spark, lineage, Some(probe)),
-      probe => StateLayout.readSlicesPruned(spark, lineage,
-        "index_batch", "doc_id", probe),
-      dedupThreshold)
-    // finally, not a lease: CC incremental consumes the pairs through
-    // untracked toRdd bookkeeping a listener lease never sees (see the
-    // operator's scaladoc); after its contraction materializes,
-    // nothing re-reads the pairs, so releasing here is both safe and
-    // exception-tight.
-    val clustersS = prof("inc:pairs+cc")(try {
-      val clusters =
-        TextDedup.connectedComponentsIncremental(clustersOld, newPairs)
-      Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
-      spark.read.parquet(s"$stateOutDir/clusters")
-    } finally pairsRel())
-    StateLayout.writeLineage(stateOutDir, lineage :+ stateOutDir)
     // Semantic STATE writes (frozen-quantizer cadence, auto-detected —
     // the state, not a flag, decides): batch cells + fit summary +
     // merged labels land regardless of which publish tail runs below.
     val semStateActive = embeddings.isDefined && java.nio.file.Files
       .exists(java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))
-    if (semStateActive)
-      prof("inc:sem-state")(
-        semStateIncrementWrites(spark, stateInDir, stateOutDir, lineage,
-          deconNewS, embeddings.get, semThreshold))
-    // ANN-codes append (VERDICT r07 item 3, auto-detected like the
-    // semantic state): encode ONLY this batch under the frozen model.
-    if (embeddings.isDefined && annStateActive(stateInDir))
-      writeAnnIncrement(spark, stateInDir, stateOutDir,
-        embeddedVecs(deconNewS, embeddings.get))
+    // Independent state groups OVERLAPPED on driver threads (guide
+    // §2.6, r14 — same shape as runInit): the compact hash slice, the
+    // semantic-state writes, and the ANN-codes append all hang only
+    // off the landed decon slice + prior state, while the main thread
+    // runs the near-dup chain. The one cross-branch consumer
+    // (sem_clusters -> the publish tail) runs after the join.
+    val clustersS = overlapped(Seq(
+      () => prof("inc:hash-write")(StateLayout.writeBucketed(
+        deconNewS.select(col("doc_id"),
+          TextDedup.contentHash(col("text")).as("content_hash")),
+        s"$stateOutDir/hash_batch", "content_hash")),
+      () => if (semStateActive)
+        prof("inc:sem-state")(
+          semStateIncrementWrites(spark, stateInDir, stateOutDir, lineage,
+            deconNewS, embeddings.get, semThreshold)),
+      // ANN-codes append (VERDICT r07 item 3, auto-detected like the
+      // semantic state): encode ONLY this batch under the frozen model.
+      () => if (embeddings.isDefined && annStateActive(stateInDir))
+        prof("inc:ann-append")(writeAnnIncrement(spark, stateInDir,
+          stateOutDir, embeddedVecs(deconNewS, embeddings.get)))
+    )) {
+      val idxNew = TextDedup.buildIndex(deconNewS, "doc_id", "text", n = 3, bits = 32)
+      prof("inc:index-write")(
+        StateLayout.writeBucketed(idxNew.df, s"$stateOutDir/index_batch", "doc_id"))
+      val idxNewS = StateLayout.readSlice(spark, s"$stateOutDir/index_batch")
+      val sigNew = TextDedup.minhashSignatures(
+        TextDedup.indexFromFrame(idxNewS, bits = 32), NumHashes)
+      prof("inc:sig-write")(
+        Sinks.overwriteParquet(sigNew, s"$stateOutDir/signatures_batch", numFiles = 2))
+      val sigNewS = spark.read.parquet(s"$stateOutDir/signatures_batch")
+      prof("inc:bands-write")(
+        StateLayout.writeBucketed(TextDedup.bandFrame(sigNewS, NumHashes, Bands),
+          s"$stateOutDir/bands_batch", "band"))
+      val bandsNewS = StateLayout.readSlice(spark, s"$stateOutDir/bands_batch")
+
+      // Pruned-state pairs (VERDICT r09 item 1 extended to the dedup
+      // front): candidates come from the batch's banding against history
+      // band rows read pruned to the batch's band keys; the
+      // exact-Jaccard verify reads history index rows pruned to the
+      // candidate docs. Two regime-dependent effects, stated honestly
+      // (TextDedup.minhashLshPairsIncrementalPruned scaladoc, measured
+      // in the ScaleStress lsh-state row): the weekly corpus re-BANDING
+      // compute is gone in every regime (banding is stored derived
+      // state now), while the IO pruning pays when the increment's key
+      // count is small against the bucket count (trickle batches,
+      // serving probes) and degrades to the same full scan — never more
+      // bytes — on big weekly batches.
+      val (newPairs, pairsRel) = TextDedup.minhashLshPairsIncrementalPruned(
+        TextDedup.indexFromFrame(idxNewS, bits = 32), bandsNewS,
+        probe => composedBands(spark, lineage, Some(probe)),
+        probe => StateLayout.readSlicesPruned(spark, lineage,
+          "index_batch", "doc_id", probe),
+        dedupThreshold)
+      // finally, not a lease: CC incremental consumes the pairs through
+      // untracked toRdd bookkeeping a listener lease never sees (see the
+      // operator's scaladoc); after its contraction materializes,
+      // nothing re-reads the pairs, so releasing here is both safe and
+      // exception-tight.
+      prof("inc:pairs+cc")(try {
+        val clusters =
+          TextDedup.connectedComponentsIncremental(clustersOld, newPairs)
+        Sinks.overwriteParquet(clusters, s"$stateOutDir/clusters", numFiles = 1)
+        spark.read.parquet(s"$stateOutDir/clusters")
+      } finally pairsRel())
+    }
+    StateLayout.writeLineage(stateOutDir, lineage :+ stateOutDir)
 
     // Publish tail. DELTA (VERDICT r10 item 1) when the state carries
     // publish artifacts under the SAME config and the membership flags
