@@ -83,7 +83,16 @@ object QualityClassifier {
     // one-file bench input; GD updates are decimal-exact, so order
     // cannot perturb the weights.
     val spread = Spread.toCores(labeled)
-    val feat = DataMix.docBuckets(spread, idCol, textCol, buckets).persist()
+    // Both training caches land HASH-PARTITIONED BY doc_id (guide
+    // §2.4 — establish the partitioning once and let every pass reuse
+    // it): each GD iteration groups scores by doc_id and joins
+    // feat/p/lab on doc_id, so an unpartitioned cache pays two
+    // corpus-feature exchanges per iteration; partitioned, the
+    // per-iteration job's only exchange is the <= buckets-row gradient
+    // aggregate. docBuckets' own agg keys by (doc_id, b) — a different
+    // hash — hence the explicit repartition before persist.
+    val feat = DataMix.docBuckets(spread, idCol, textCol, buckets)
+      .repartition(col("doc_id")).persist()
     // (doc_id, y) is compact but its LINEAGE is the caller's full prep
     // chain (q146 hands a normalize-the-corpus join): uncached, the
     // update join below re-executes that chain once per GD iteration.
@@ -92,7 +101,8 @@ object QualityClassifier {
     // concentrates in the one-time feature materialization. Same
     // discipline as `feat`.
     val lab = spread.select(col(idCol).as("doc_id"),
-      col(labelCol).cast("int").as("y")).persist()
+      col(labelCol).cast("int").as("y"))
+      .repartition(col("doc_id")).persist()
     // Internal bookkeeping actions run through `toRdd` throughout the
     // loop (the TextDedup.connectedComponents rationale): per-iteration
     // tracked SQL actions make AQE re-render the full plan string per

@@ -2178,12 +2178,12 @@ object CurationRun {
     // chain per reference (multi-MB plan strings, measured ~27% of the
     // e2e driver wall in stack samples). Checkpointing pays the
     // chain's optimization once; blocks release via ContextCleaner.
-    val decon = gated.join(
+    val decon = prof("run:decon")(gated.join(
       TextDedup.contaminated(gated, benchmark, "doc_id", "text", n = 3)
         .where(col("n_contaminated_shingles") >= minContaminatedShingles)
         .select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(true))
 
     // Substring-level span removal (q69, Lee et al. 2022) BEFORE
     // near-dup clustering: cross-document repeated spans (boilerplate
@@ -2206,12 +2206,13 @@ object CurationRun {
       .removeRepeatedSpansScoped(decon, "doc_id", "text", k = spanK, minDf = spanMinDf)
     // localCheckpoint (same rationale as `decon`): audit count + suite
     // build + keep join + outputs all hang off this frame.
-    val spanned = spanRaw
+    val spanned = prof("run:span")(spanRaw
       .join(decon.select(col("doc_id"), col("quality_score")), "doc_id")
       .select(col("doc_id"), col("clean_text").as("text"),
         col("quality_score"), col("n_removed"))
-      .localCheckpoint(true)
-    val spanCleaned = spanned.where(col("n_removed") > 0).count()
+      .localCheckpoint(true))
+    val spanCleaned = prof("run:span-audit")(
+      spanned.where(col("n_removed") > 0).count())
     spanRelease()
     val spanDocs = spanned.drop("n_removed")
 
@@ -2220,18 +2221,21 @@ object CurationRun {
     // themselves. MinHash at a low threshold subsumes exact dups
     // (identical signatures collide in every band).
     val suite = DedupSuite(spanDocs, "doc_id", "text", n = 3)
-    val (kept, keptCount) = try keepSet(suite, spanDocs, dedupThreshold)
-      finally suite.close()
+    val (kept, keptCount) = prof("run:dedup+keep")(
+      try keepSet(suite, spanDocs, dedupThreshold)
+      finally suite.close())
 
     // Embedding-space dedup over the near-dup survivors (paraphrase
     // duplicates shingles can't see).
-    val (semFinal, semDropped, semRelease) = semanticStage(kept, embeddings,
-      semClusters, semIters, semThreshold, semMaxCellSize)
+    val (semFinal, semDropped, semRelease) = prof("run:sem-stage")(
+      semanticStage(kept, embeddings,
+        semClusters, semIters, semThreshold, semMaxCellSize))
 
     // Deterministic language-stratified mix + the curated/packed/
     // manifest sinks — the shared output tail of all three cadences.
-    val (landedCurated, landedBins) = landOutputs(semFinal, outDir,
-      fractions, defaultFraction, packBudget, publishSpan, carrier)
+    val (landedCurated, landedBins) = prof("run:landOutputs")(
+      landOutputs(semFinal, outDir,
+        fractions, defaultFraction, packBudget, publishSpan, carrier))
     PublishState.markComplete(outDir, carrier)
 
     // One folded audit action (VERDICT r09 item 3) — same discipline

@@ -1915,9 +1915,9 @@ object ExtQueries {
       .normalize(docs, "doc_id", "text")
       .select(col("doc_id"), col("norm_text").as("text"))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-    val weights = QualityClassifier.train(
+    val weights = eprof("entry:train")(QualityClassifier.train(
       normAll.withColumn("y", when(col("lang") === "en", 1).otherwise(0)),
-      "doc_id", "text", "y", buckets = 256, iters = 3, lr = 0.5)
+      "doc_id", "text", "y", buckets = 256, iters = 3, lr = 0.5))
     val out = scratchDir("q137_out")
     val st = CurationRun.run(corpus, benchmark, out,
       minQuality = 0.75, dedupThreshold = 0.25, minContaminatedShingles = 1,
