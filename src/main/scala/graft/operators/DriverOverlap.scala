@@ -1,0 +1,40 @@
+package graft.operators
+
+/** Overlap independent state-write branches on driver threads (guide
+  * §2.6 — submit independent jobs concurrently so each job's stage
+  * tail back-fills the others): a state-writing pass is a sequence of
+  * SMALL actions whose per-job scheduling/AQE floors, not CPU,
+  * dominate at batch scale. Branches run on FRESH threads
+  * (SparkContext's InheritableThreadLocal properties — job group,
+  * description — carry over from the calling thread); ALL branches
+  * complete before the first failure rethrows, so no branch's
+  * in-flight writes race the caller's cleanup.
+  *
+  * Caller rules (the r14 discipline): branch DAGs must be independent
+  * — in particular, two branches must not race to first-materialize
+  * the same unpersisted or persisted-but-cold parent, or they
+  * duplicate its compute; materialize shared parents before
+  * overlapping. Used by the curation cadence's state groups and the
+  * retrieval-state writers; same-session A/Bs in OPTIMIZATION_r14.md.
+  */
+object DriverOverlap {
+  def overlapped[A](branches: Seq[() => Unit])(main: => A): A = {
+    val tasks = branches.map { b =>
+      val t = new java.util.concurrent.FutureTask[Unit](
+        new java.util.concurrent.Callable[Unit] { def call(): Unit = b() })
+      val th = new Thread(t, "graft-state-branch")
+      th.setDaemon(true); th.start(); t
+    }
+    val mainRes = scala.util.Try(main)
+    val branchErr = tasks.flatMap { t =>
+      scala.util.Try(t.get()).failed.toOption.map {
+        case e: java.util.concurrent.ExecutionException => e.getCause
+        case e => e
+      }
+    }.headOption
+    mainRes match {
+      case scala.util.Success(r) => branchErr.foreach(e => throw e); r
+      case scala.util.Failure(e) => throw e
+    }
+  }
+}

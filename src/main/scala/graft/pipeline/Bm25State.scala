@@ -52,11 +52,6 @@ object Bm25State {
 
   private def writeSlices(docs: DataFrame, idCol: String, textCol: String,
       stateOutDir: String, recordIds: Boolean): Unit = {
-    if (recordIds)
-      StateLayout.writeBucketed(
-        docs.select(StateLayout.castIdStrict(col(idCol)).as("doc_id"))
-          .distinct(),
-        s"$stateOutDir/doc_ids_batch", "doc_id")
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
     // The doc-length frame is doc-scale-compact and read by BOTH
@@ -70,10 +65,23 @@ object Bm25State {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .join(dl, "doc_id")
       .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
-    StateLayout.writeBucketed(postings, s"$stateOutDir/postings_batch", "tok")
-    Sinks.overwriteParquet(
-      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
-      s"$stateOutDir/stats_batch", numFiles = 1)
+    // The id artifact's DAG is independent of the postings/stats chain
+    // — overlap it on a driver thread (guide §2.6, r14). The postings
+    // write stays first on the main thread so it alone materializes
+    // the shared `dl` cache (concurrent first-materialization would
+    // duplicate that compute); the stats write then reads it warm.
+    graft.operators.DriverOverlap.overlapped(Seq(
+      () => if (recordIds)
+        StateLayout.writeBucketed(
+          docs.select(StateLayout.castIdStrict(col(idCol)).as("doc_id"))
+            .distinct(),
+          s"$stateOutDir/doc_ids_batch", "doc_id")
+    )) {
+      StateLayout.writeBucketed(postings, s"$stateOutDir/postings_batch", "tok")
+      Sinks.overwriteParquet(
+        dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")),
+        s"$stateOutDir/stats_batch", numFiles = 1)
+    }
     dl.unpersist()
   }
 

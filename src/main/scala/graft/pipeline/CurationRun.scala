@@ -69,25 +69,8 @@ object CurationRun {
     * pass; re-landed in r14 now that the r11-r13 state families
     * (line/span/retrieval/ANN/publish) make the groups most of the
     * pass — same-session A/B in OPTIMIZATION_r14.md. */
-  private def overlapped[A](branches: Seq[() => Unit])(main: => A): A = {
-    val tasks = branches.map { b =>
-      val t = new java.util.concurrent.FutureTask[Unit](
-        new java.util.concurrent.Callable[Unit] { def call(): Unit = b() })
-      val th = new Thread(t, "graft-state-branch")
-      th.setDaemon(true); th.start(); t
-    }
-    val mainRes = scala.util.Try(main)
-    val branchErr = tasks.flatMap { t =>
-      scala.util.Try(t.get()).failed.toOption.map {
-        case e: java.util.concurrent.ExecutionException => e.getCause
-        case e => e
-      }
-    }.headOption
-    mainRes match {
-      case scala.util.Success(r) => branchErr.foreach(e => throw e); r
-      case scala.util.Failure(e) => throw e
-    }
-  }
+  private def overlapped[A](branches: Seq[() => Unit])(main: => A): A =
+    graft.operators.DriverOverlap.overlapped(branches)(main)
 
   /** Drive the full pass over a testdata SF dir (benchmark = the q47
     * split: every 97th doc):

@@ -86,14 +86,23 @@ object LmState {
   private def writeSlices(docs: DataFrame, idCol: String, textCol: String,
       n: Int, stateOutDir: String, recordIds: Boolean): Unit = {
     val m = TextAnalysis.lmTrain(docs, textCol, n)
-    StateLayout.writeBucketed(m.bgCounts, s"$stateOutDir/bg_counts_batch", "bg")
-    StateLayout.writeBucketed(m.prefixCounts,
-      s"$stateOutDir/prefix_counts_batch", "w")
-    if (recordIds)
-      StateLayout.writeBucketed(
-        docs.select(StateLayout.castIdStrict(col(idCol)).as("doc_id"))
-          .distinct(),
-        s"$stateOutDir/doc_ids_batch", "doc_id")
+    // The three slice writes are INDEPENDENT DAGs (each re-tokenizes
+    // the batch — token-scale intermediates are deliberately uncached,
+    // the repo's array-caching lesson) — overlap them on driver
+    // threads (guide §2.6, r14): per-write job floors dominate these
+    // small bucketed writes at batch scale.
+    graft.operators.DriverOverlap.overlapped(Seq(
+      () => StateLayout.writeBucketed(m.bgCounts,
+        s"$stateOutDir/bg_counts_batch", "bg"),
+      () => if (recordIds)
+        StateLayout.writeBucketed(
+          docs.select(StateLayout.castIdStrict(col(idCol)).as("doc_id"))
+            .distinct(),
+          s"$stateOutDir/doc_ids_batch", "doc_id")
+    )) {
+      StateLayout.writeBucketed(m.prefixCounts,
+        s"$stateOutDir/prefix_counts_batch", "w")
+    }
   }
 
   /** From-scratch count build that WRITES the weekly state.
