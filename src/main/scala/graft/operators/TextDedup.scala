@@ -97,8 +97,19 @@ object TextDedup {
     // order-independent (distinct over hashes).
     val sh = Spread.toCores(docs).select(col(idCol).as("doc_id"),
       explode(wordShinglesNative(tokens(col(textCol)), n)).as("shingle"))
+    // The distinct's exchange clusters by doc_id ALONE (hash(doc_id)
+    // satisfies the (doc_id, sh) grouping — every row of a doc lands in
+    // one partition), so every downstream per-doc aggregate over the
+    // persisted index (minhash signatures, the |doc| size counts of the
+    // exact-Jaccard verify, `contaminated`'s per-doc overlap count)
+    // reuses this one exchange instead of re-shuffling the index by
+    // doc_id (guide §2.4). Shuffle bytes are unchanged — shingles are
+    // near-unique within a doc, so the (doc_id, sh)-keyed partial
+    // distinct this replaces eliminated almost nothing — and per-doc
+    // skew is bounded by document length.
     new ShingleIndex(
-      sh.select(col("doc_id"), hashShingle(col("shingle")).as("sh")).distinct(),
+      sh.select(col("doc_id"), hashShingle(col("shingle")).as("sh"))
+        .repartition(col("doc_id")).distinct(),
       bits)
   }
 
