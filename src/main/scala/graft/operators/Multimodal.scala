@@ -301,12 +301,24 @@ object Multimodal {
       () => { hashed.unpersist(); () })
   }
 
+  /** The id column of an asset synthesizer, SPREAD to the session's
+    * cores (guide §2.5): the real-codec encode tier runs inside an
+    * opaque `Dataset.map` directly over a pruned one-column scan —
+    * one small parquet file, ONE partition — so without the spread
+    * every per-asset encode (and the fused decode/fingerprint above
+    * it) runs single-task on local[N] until the first exchange. The
+    * codecs are per-row pure functions of the id, so row order is
+    * irrelevant; Spread skips itself when the scan already fills the
+    * cores. */
+  private def spreadIds(ids: DataFrame, idCol: String): DataFrame =
+    Spread.toCores(ids.select(col(idCol).cast("long").as(idCol)))
+
   /** Patterned-PNG assets for [[imageNearDup]]. */
   def patternAssetsFromIds(ids: DataFrame, idCol: String,
       classes: Int): Dataset[MediaAsset] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+    spreadIds(ids, idCol).as[Long].map { id =>
       MediaAsset(id, "image", PatternCodec.encodePatternPng(id, classes))
     }
   }
@@ -418,7 +430,7 @@ object Multimodal {
       classes: Int): Dataset[MediaAsset] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+    spreadIds(ids, idCol).as[Long].map { id =>
       MediaAsset(id, "audio", ToneCodec.encodeToneWav(id, classes))
     }
   }
@@ -492,7 +504,7 @@ object Multimodal {
   def videoAssetsFromIds(ids: DataFrame, idCol: String): Dataset[MediaAsset] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
+    spreadIds(ids, idCol).as[Long]
       .map(id => MediaAsset(id, "video", VideoCodec.encodeVideo(id)))
   }
 
@@ -510,7 +522,7 @@ object Multimodal {
   def mediaAssetsFromIds(ids: DataFrame, idCol: String): Dataset[MediaAsset] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+    spreadIds(ids, idCol).as[Long].map { id =>
       if (id % 2 == 0) MediaAsset(id, "image", ImageCodec.encodePng(id))
       else MediaAsset(id, "audio", ImageCodec.encodeWav(id))
     }

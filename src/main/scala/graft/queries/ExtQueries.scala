@@ -2032,9 +2032,10 @@ object ExtQueries {
     * expected canonical (min id per class) from ids alone, so a match
     * proves the whole decode→band-pool→fingerprint pipeline. */
   def q147AudioNearDup(s: SparkSession, dir: String): DataFrame =
-    // NOT spread — measured flat (2.21 vs 2.18 s): the candidate join
-    // after fingerprinting already re-shuffles, so the map tier isn't
-    // the binding cost here.
+    // The encode tier spreads inside toneAssetsFromIds (r14): an early
+    // flat A/B spread the DOCUMENTS scan, whose exchange landed before
+    // the column prune and measured nothing; spreading the pruned
+    // one-column id frame halves the entry (4.1 -> 2.4 s min-of-3).
     Multimodal.audioNearDup(
       Multimodal.toneAssetsFromIds(
         Tables.documents(s, dir).select(col("doc_id")), "doc_id",
