@@ -18,6 +18,27 @@ package graft.operators
   * retrieval-state writers; same-session A/Bs in OPTIMIZATION_r14.md.
   */
 object DriverOverlap {
+  /** Launch ONE branch on a fresh driver thread and return its JOIN
+    * hook — the deferred form of [[overlapped]] for a write whose only
+    * ordering constraint is "complete before X" where X is later than
+    * the next statement (e.g. a state-slice write that must land
+    * before the shared cache releases, but is independent of the
+    * stages in between). Same caller rules: the branch must not race a
+    * cold shared parent — materialize it first. The join hook rethrows
+    * the branch's failure; call it on every path that needs the write
+    * durable (a caller failure path that skips the join only abandons
+    * an in-flight write into a dir the failed run already makes
+    * unreadable). */
+  def launch(branch: () => Unit): () => Unit = {
+    val t = new java.util.concurrent.FutureTask[Unit](
+      new java.util.concurrent.Callable[Unit] { def call(): Unit = branch() })
+    val th = new Thread(t, "graft-state-branch")
+    th.setDaemon(true); th.start()
+    () => try t.get() catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+  }
+
   def overlapped[A](branches: Seq[() => Unit])(main: => A): A = {
     val tasks = branches.map { b =>
       val t = new java.util.concurrent.FutureTask[Unit](

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CacheLease, DataMix, QualityClassifier, TextAnalysis, TextDedup, VectorSim}
+import graft.operators.{CacheLease, DataMix, DriverOverlap, QualityClassifier, TextAnalysis, TextDedup, VectorSim}
 import graft.sources.Sinks
 
 /** End-to-end training-data curation run — the extension tier's
@@ -432,7 +432,6 @@ object CurationRun {
     val raw = deconRaw.persist() // grams + removal base + quality join
     val (cleaned, slice, gramsRel) = TextDedup.removeRepeatedSpansIncrementalBy(
       raw, "doc_id", "text", spanK, spanMinDf, historyOf)
-    StateLayout.writeBucketed(slice, s"$stateOutDir/span_grams_batch", "h")
     // localCheckpoint, not persist: this compact output is the leaf the
     // decon write AND the deferred audit count both hang off — under
     // plain persist each of those actions re-analyzes (and the SQL
@@ -441,13 +440,20 @@ object CurationRun {
     // Truncating lineage here pays the chain's optimization once;
     // blocks release via ContextCleaner (afterAudit keeps its hook for
     // the no-op unpersist — harmless on a checkpointed frame).
+    // The checkpoint runs FIRST (it materializes the shared raw/gram
+    // caches), then the batch's state-slice write — independent of
+    // everything until the caches release — lands on a driver thread
+    // (guide §2.6) overlapping the downstream stages; afterLand joins
+    // it before the release.
     val withQ = cleaned
       .join(raw.select(col("doc_id"), col("quality_score")), "doc_id")
       .select(col("doc_id"), col("clean_text").as("text"),
         col("quality_score"), col("n_removed"))
       .localCheckpoint(true)
+    val joinSlice = DriverOverlap.launch(() =>
+      StateLayout.writeBucketed(slice, s"$stateOutDir/span_grams_batch", "h"))
     StagedAudit(withQ.drop("n_removed"), withQ.where(col("n_removed") > 0),
-      () => { gramsRel(); raw.unpersist(); () },
+      () => { joinSlice(); gramsRel(); raw.unpersist(); () },
       () => ())
   }
 
@@ -471,16 +477,20 @@ object CurationRun {
     val raw = rawDocs.select(col("doc_id"), col("text")).persist()
     val (cleaned, slice, linesRel) = TextDedup.removeRepeatedLinesIncrementalBy(
       raw, "doc_id", "text", lineMinDf, historyOf)
-    StateLayout.writeBucketed(slice, s"$stateOutDir/line_df_batch", "h")
     // localCheckpoint: same lineage-truncation rationale as
     // [[spanStateStage]] — the line chain feeds prepBatch AND the
     // deferred audit count, so a plain persist re-renders the whole
-    // raw-line chain per downstream action.
+    // raw-line chain per downstream action. Checkpoint first (it
+    // materializes the shared line cache), then the slice write lands
+    // on a driver thread overlapping the downstream stages, joined by
+    // afterLand before the cache releases (see [[spanStateStage]]).
     val out = cleaned
       .select(col("doc_id"), col("clean_text").as("text"), col("n_removed"))
       .localCheckpoint(true)
+    val joinSlice = DriverOverlap.launch(() =>
+      StateLayout.writeBucketed(slice, s"$stateOutDir/line_df_batch", "h"))
     StagedAudit(out.drop("n_removed"), out.where(col("n_removed") > 0),
-      () => { linesRel(); raw.unpersist(); () },
+      () => { joinSlice(); linesRel(); raw.unpersist(); () },
       () => ())
   }
 
@@ -763,23 +773,34 @@ object CurationRun {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$stateOutDir/sem_salt.txt"),
         s"$semSalt\n")
-      StateLayout.writeBucketed(VectorSim.semanticCells(vecs, cen, semSalt),
-        s"$stateOutDir/sem_cells_batch", "cell")
-      // Ingest-time fit summary (VERDICT r08 item 3): the batch's
-      // embeddings are in hand NOW — one extra tiny aggregate here
-      // makes every later drift decision O(#slices), not O(corpus).
-      Sinks.overwriteParquet(VectorSim.quantizerFitSlice(vecs, cen),
-        s"$stateOutDir/sem_fit_batch", numFiles = 1)
-      val cellsS = StateLayout.readSlice(spark, s"$stateOutDir/sem_cells_batch")
-      prof("init:sem-clusters")(Sinks.overwriteParquet(
-        TextDedup.connectedComponents(VectorSim.semanticPairsIncremental(
-          cellsS, emb, cellsS.select(col("vec_id")), semThreshold)),
-        s"$stateOutDir/sem_clusters", numFiles = 1))
+      def semWrites(): Unit = {
+        StateLayout.writeBucketed(VectorSim.semanticCells(vecs, cen, semSalt),
+          s"$stateOutDir/sem_cells_batch", "cell")
+        // Ingest-time fit summary (VERDICT r08 item 3): the batch's
+        // embeddings are in hand NOW — one extra tiny aggregate here
+        // makes every later drift decision O(#slices), not O(corpus).
+        Sinks.overwriteParquet(VectorSim.quantizerFitSlice(vecs, cen),
+          s"$stateOutDir/sem_fit_batch", numFiles = 1)
+        val cellsS = StateLayout.readSlice(spark, s"$stateOutDir/sem_cells_batch")
+        prof("init:sem-clusters")(Sinks.overwriteParquet(
+          TextDedup.connectedComponents(VectorSim.semanticPairsIncremental(
+            cellsS, emb, cellsS.select(col("vec_id")), semThreshold)),
+          s"$stateOutDir/sem_clusters", numFiles = 1))
+      }
       // ANN index state (VERDICT r07 item 3): train the frozen model
-      // on the same cached embedded decon vectors.
-      if (annState)
-        prof("init:ann")(writeAnnInit(spark, stateOutDir, vecs,
-          annSubspaces, annCodewords, annClusters, annIters))
+      // on the same cached embedded decon vectors. The two write
+      // families share ONLY the vecs cache, so when the quantizer was
+      // trained here (training fully materialized vecs) the ANN
+      // trainer runs as an overlapped branch (guide §2.6); under
+      // supplied centroids the cache is still cold and concurrent
+      // first-materialization would duplicate its compute — sequential.
+      def annWrites(): Unit =
+        if (annState)
+          prof("init:ann")(writeAnnInit(spark, stateOutDir, vecs,
+            annSubspaces, annCodewords, annClusters, annIters))
+      if (semCentroidsIn.isEmpty)
+        overlapped(Seq(() => annWrites()))(semWrites())
+      else { semWrites(); annWrites() }
     } finally vecs.unpersist()
   }
 
