@@ -30,8 +30,16 @@ object DriverOverlap {
     * an in-flight write into a dir the failed run already makes
     * unreadable). */
   def launch(branch: () => Unit): () => Unit = {
-    val t = new java.util.concurrent.FutureTask[Unit](
-      new java.util.concurrent.Callable[Unit] { def call(): Unit = branch() })
+    val join = launchValue(branch)
+    () => { join(); () }
+  }
+
+  /** [[launch]] returning the branch's value from the join hook —
+    * for eagerly-materialized frames (a checkpoint) a later stage
+    * consumes. Same caller rules. */
+  def launchValue[A](branch: () => A): () => A = {
+    val t = new java.util.concurrent.FutureTask[A](
+      new java.util.concurrent.Callable[A] { def call(): A = branch() })
     val th = new Thread(t, "graft-state-branch")
     th.setDaemon(true); th.start()
     () => try t.get() catch {

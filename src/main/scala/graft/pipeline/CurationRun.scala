@@ -1124,6 +1124,44 @@ object CurationRun {
     // merged labels land regardless of which publish tail runs below.
     val semStateActive = embeddings.isDefined && java.nio.file.Files
       .exists(java.nio.file.Paths.get(s"$stateInDir/sem_centroids"))
+    // Publish-tail decision + base rows hoisted ABOVE the near-dup
+    // chain (guide §2.6): the delta decision reads only prior-state
+    // files, and the batch's ledger base rows (lang-id + token counts
+    // over the LANDED decon slice) depend on nothing this run still
+    // computes — so the base-row checkpoint materializes on a driver
+    // thread while the main thread runs the near-dup chain; the tail
+    // joins it where it previously computed the frame inline.
+    val cfg = PublishState.Config(fractions, defaultFraction,
+      packBudget, publishSpan)
+    // Try: a torn/truncated meta file (a crash mid-write on a store
+    // whose text writes aren't atomic) must degrade to the full
+    // re-publish — which rebuilds the meta — not crash-loop the
+    // weekly job on a parse error.
+    val deltaOk = PublishState.active(stateInDir, carrier) &&
+      (embeddings.isEmpty || semStateActive) && scala.util.Try {
+        val (fp, prevOut) = PublishState.readMeta(stateInDir, carrier)
+        fp == cfg.fingerprint && prevOut != outDir &&
+          carrier.exists(s"$prevOut/curated") &&
+          // CRASH SELF-HEAL (VERDICT r12 item 2): a previous publish
+          // without its completion marker died mid-tail — carrying
+          // its shards would propagate the truncation, so the
+          // increment falls back to one full re-publish, which
+          // rebuilds publish state AND artifacts from the composed
+          // frames (bit-equal convergence — DeltaPublishSpec pins a
+          // killed tail's re-run against the never-crashed run).
+          PublishState.isComplete(prevOut, carrier) &&
+          // Pre-totals state formats (≤ r11) fall back to one full
+          // re-publish, which rebuilds totals alongside the ledger.
+          PublishState.totalsActive(stateInDir, carrier)
+      }.getOrElse(false)
+    val batchBaseJoin: Option[() => DataFrame] =
+      if (!deltaOk) None
+      else Some(DriverOverlap.launchValue(() => prof("inc:base-rows")(
+        // localCheckpoint, not persist — see deltaPublishTailBody's
+        // scaladoc for the lineage-truncation rationale.
+        PublishState.baseRows(
+          deconNewS.select(col("doc_id"), col("text"), col("quality_score")),
+          cfg).localCheckpoint(true))))
     // Independent state groups OVERLAPPED on driver threads (guide
     // §2.6, r14 — same shape as runInit): the compact hash slice, the
     // semantic-state writes, and the ANN-codes append all hang only
@@ -1198,32 +1236,12 @@ object CurationRun {
     // re-clusters the composed corpus each week, so its disposition
     // is not a per-cluster-local recompute). Otherwise the full
     // re-publish, which (re)builds the publish state for next week.
-    val cfg = PublishState.Config(fractions, defaultFraction,
-      packBudget, publishSpan)
-    // Try: a torn/truncated meta file (a crash mid-write on a store
-    // whose text writes aren't atomic) must degrade to the full
-    // re-publish — which rebuilds the meta — not crash-loop the
-    // weekly job on a parse error.
-    val deltaOk = PublishState.active(stateInDir, carrier) &&
-      (embeddings.isEmpty || semStateActive) && scala.util.Try {
-        val (fp, prevOut) = PublishState.readMeta(stateInDir, carrier)
-        fp == cfg.fingerprint && prevOut != outDir &&
-          carrier.exists(s"$prevOut/curated") &&
-          // CRASH SELF-HEAL (VERDICT r12 item 2): a previous publish
-          // without its completion marker died mid-tail — carrying
-          // its shards would propagate the truncation, so the
-          // increment falls back to one full re-publish, which
-          // rebuilds publish state AND artifacts from the composed
-          // frames (bit-equal convergence — DeltaPublishSpec pins a
-          // killed tail's re-run against the never-crashed run).
-          PublishState.isComplete(prevOut, carrier) &&
-          // Pre-totals state formats (≤ r11) fall back to one full
-          // re-publish, which rebuilds totals alongside the ledger.
-          PublishState.totalsActive(stateInDir, carrier)
-      }.getOrElse(false)
+    // (`deltaOk` and the batch base rows were computed above, before
+    // the near-dup chain, so the base-row checkpoint overlapped it.)
     if (deltaOk)
       prof("inc:delta-tail")(
-        deltaPublishTail(spark, newDocs, deconNewS, clustersS, cfg,
+        deltaPublishTail(spark, newDocs, deconNewS, batchBaseJoin.get(),
+          clustersS, cfg,
           stateInDir, stateOutDir, lineage, outDir, semStateActive,
           spanStaged, lineStaged, carrier))
     else {
@@ -1346,7 +1364,8 @@ object CurationRun {
   private[graft] var publishTailProbe: String => Unit = _ => ()
 
   private def deltaPublishTail(spark: org.apache.spark.sql.SparkSession,
-      newDocs: DataFrame, deconNewS: DataFrame, clustersS: DataFrame,
+      newDocs: DataFrame, deconNewS: DataFrame, batchBase: DataFrame,
+      clustersS: DataFrame,
       cfg: PublishState.Config, stateInDir: String, stateOutDir: String,
       lineageOld: Seq[String], outDir: String, semStateOn: Boolean,
       spanStaged: Option[StagedAudit],
@@ -1363,7 +1382,8 @@ object CurationRun {
     val prevDesc = sc.getLocalProperty("spark.job.description")
     sc.setJobGroup(DeltaPublishJobGroup,
       "delta weekly publish tail", interruptOnCancel = false)
-    try deltaPublishTailBody(spark, newDocs, deconNewS, clustersS, cfg,
+    try deltaPublishTailBody(spark, newDocs, deconNewS, batchBase,
+      clustersS, cfg,
       stateInDir, stateOutDir, lineageOld, outDir, semStateOn,
       spanStaged, lineStaged, carrier)
     finally {
@@ -1376,7 +1396,8 @@ object CurationRun {
   val DeltaPublishJobGroup = "graft-delta-publish"
 
   private def deltaPublishTailBody(spark: org.apache.spark.sql.SparkSession,
-      newDocs: DataFrame, deconNewS: DataFrame, clustersS: DataFrame,
+      newDocs: DataFrame, deconNewS: DataFrame, batchBase: DataFrame,
+      clustersS: DataFrame,
       cfg: PublishState.Config, stateInDir: String, stateOutDir: String,
       lineageOld: Seq[String], outDir: String, semStateOn: Boolean,
       spanStaged: Option[StagedAudit],
@@ -1384,21 +1405,20 @@ object CurationRun {
       carrier: PublishCarrier): Stats = {
     import graft.functions.TextFunctions.tokens
     val (_, prevOut) = PublishState.readMeta(stateInDir, carrier)
-    // localCheckpoint, not persist: the flag recompute references the
-    // batch's base rows from several DAG branches (quality lookup,
-    // batch flags, the sem surv union) — unpersisted, the language-id
-    // + token pass over the batch text re-executes per branch. On top
-    // of the reuse, checkpointing TRUNCATES LINEAGE: deltaLedgerRows
-    // references this frame ~5x and prevStanding ~6x, so under plain
-    // persist every downstream action re-analyzes (and the SQL-event
-    // path re-renders) the full composed subtree per reference —
-    // measured as multi-MB plan strings built hundreds of times per
-    // cadence run, with the driver busy while executors idle. The
-    // frames are narrow and batch-scale, so block storage is cheap;
-    // blocks release via ContextCleaner once the RDD is collected.
-    val batchBase = PublishState.baseRows(
-      deconNewS.select(col("doc_id"), col("text"), col("quality_score")), cfg)
-      .localCheckpoint(true)
+    // `batchBase` arrives CHECKPOINTED (localCheckpoint, not persist):
+    // the flag recompute references the batch's base rows from several
+    // DAG branches (quality lookup, batch flags, the sem surv union) —
+    // unpersisted, the language-id + token pass over the batch text
+    // re-executes per branch. On top of the reuse, checkpointing
+    // TRUNCATES LINEAGE: deltaLedgerRows references this frame ~5x and
+    // prevStanding ~6x, so under plain persist every downstream action
+    // re-analyzes (and the SQL-event path re-renders) the full composed
+    // subtree per reference — measured as multi-MB plan strings built
+    // hundreds of times per cadence run, with the driver busy while
+    // executors idle. The frames are narrow and batch-scale, so block
+    // storage is cheap; blocks release via ContextCleaner once the RDD
+    // is collected. The caller materializes it on a driver thread
+    // overlapping the near-dup chain (r14).
     val semLabels =
       if (semStateOn) Some(spark.read.parquet(s"$stateOutDir/sem_clusters"))
       else None
